@@ -1,0 +1,110 @@
+"""The batched scan stage: Arrow page batches in, scan-result batches out.
+
+This is the engine's hot stage — the Ray-Data expression of the
+reference's per-URL ``Spider.crawl`` body (M1-M12 in SURVEY.md §2.2),
+run as ``map_batches(batch_format="pyarrow")`` over zero-copy blocks.
+Per-row Python is confined to the HTML parsers themselves (inherently
+per-document — the reference's own parsers are stdlib ``HTMLParser``
+state machines, and byte-parity pins us to their tokenization);
+everything around them stays columnar.
+
+Output schema is FIXTURES.md F4 plus a ``host`` partition-key column
+(carried so downstream shuffles never need to re-derive it) —
+``new_urls`` stays a proper ``list<string>`` column so the link
+explosion downstream is a zero-copy ``flatten``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from torray.fetch import scan_page
+from torray.urlnorm import host_of
+
+__all__ = ["SCAN_SCHEMA", "scan_batch", "scan_pages_dataset"]
+
+SCAN_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("host", pa.string()),
+    ("scan_date", pa.string()),
+    ("last_node", pa.string()),
+    ("online", pa.bool_()),
+    ("fault", pa.string()),
+    ("redirect", pa.string()),
+    ("title", pa.string()),
+    ("hash", pa.string()),
+    ("new_urls", pa.list_(pa.string())),
+    ("form_dicts", pa.string()),
+])
+
+
+def results_to_table(results) -> pa.Table:
+    """Materialize an iterable of ScanResult into a SCAN_SCHEMA table."""
+    import json
+
+    cols = {name: [] for name in SCAN_SCHEMA.names}
+    for r in results:
+        cols["url"].append(r.url)
+        cols["host"].append(host_of(r.url))
+        cols["scan_date"].append(r.scan_date)
+        cols["last_node"].append(r.last_node)
+        cols["online"].append(r.online)
+        cols["fault"].append(r.fault)
+        cols["redirect"].append(r.redirect)
+        cols["title"].append(r.title)
+        cols["hash"].append(r.hash)
+        cols["new_urls"].append(r.new_urls)
+        cols["form_dicts"].append(json.dumps(r.form_dicts))
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in SCAN_SCHEMA],
+        schema=SCAN_SCHEMA,
+    )
+
+
+def scan_batch(
+    batch: pa.Table,
+    *,
+    scan_date: str,
+    node: str = "torray",
+) -> pa.Table:
+    """Scan a batch of page rows (columns ``url``, ``html``, optional
+    ``present`` bool and ``last_hash``).
+
+    Rows with ``present`` false take the offline path (``present``
+    defaults to true when the column is absent — a plain table scan);
+    ``last_hash`` drives the change-detection branch.  Rows the
+    reference drops silently (chunked / not-implemented) emit nothing.
+    """
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    if "present" in batch.column_names:
+        presents = batch.column("present").to_pylist()
+    else:
+        presents = [True] * len(urls)
+    if "last_hash" in batch.column_names:
+        last_hashes = [h if h else "" for h in batch.column("last_hash").to_pylist()]
+    else:
+        last_hashes = [""] * len(urls)
+
+    results = []
+    for url, html, present, last_hash in zip(urls, htmls, presents, last_hashes):
+        r = scan_page(url, bool(present), html, last_hash, scan_date, node)
+        if r is not None:
+            results.append(r)
+    return results_to_table(results)
+
+
+def scan_pages_dataset(pages_ds, *, scan_date: str, node: str = "torray",
+                       batch_size: int = 256):
+    """Scan every row of a pages Dataset (the 'scan the whole web' mode
+    — no frontier; also the flagship ``entry()`` slice).
+
+    Column-prunes to (url, html) before the batched scan; html bytes
+    never survive past this stage.
+    """
+    return pages_ds.select_columns(["url", "html"]).map_batches(
+        lambda b: scan_batch(b, scan_date=scan_date, node=node),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
