@@ -30,6 +30,8 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
     yield
     ray.shutdown()
 

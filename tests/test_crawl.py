@@ -1,0 +1,181 @@
+"""End-to-end crawl conformance: the distributed Ray engine vs the
+single-threaded oracle simulator (SURVEY.md §5.3).
+
+Asserts, for the same synthetic web + seed list + politeness budget:
+- identical crawl order (round-by-round schedule),
+- identical final URL-seen set,
+- byte-identical per-url extracted content (title / sorted links /
+  canonical form JSON / hash) and every scan-result field,
+- identical leftover frontier when the round cap bites,
+- checkpoint resume converging to the uninterrupted run's state.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from torray.crawl import CrawlConfig, Crawler
+from torray.synth import SynthWeb
+
+from oracle_sim import sim_crawl
+
+SCAN_DATE = "2026-02-02"
+NODE = "node-e2e"
+
+
+@pytest.fixture(scope="module")
+def web(tmp_path_factory):
+    web = SynthWeb(num_pages=400, num_hosts=16, seed=42)
+    root = tmp_path_factory.mktemp("web")
+    pq.write_table(web.table(), str(root / "pages.parquet"))
+    web.pages_path = str(root / "pages.parquet")
+    table = web.table()
+    web.pages_dict = dict(zip(table.column("url").to_pylist(),
+                              table.column("html").to_pylist()))
+    return web
+
+
+def _run_engine(web, tmp_path, **overrides):
+    cfg = CrawlConfig(
+        pages_path=web.pages_path,
+        workdir=str(tmp_path),
+        seeds=web.seeds(3),
+        budget=5,
+        max_rounds=12,
+        scan_date=SCAN_DATE,
+        node=NODE,
+        num_shards=4,
+        num_buckets=8,
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    crawler = Crawler(cfg)
+    summary = crawler.run()
+    return crawler, summary, cfg
+
+
+def _engine_log(crawler):
+    rows = crawler.crawl_log().to_pandas()
+    # BFS rounds order by (host, round_entered, host_seq); recrawl rows
+    # carry (-1, -1) there, so url breaks ties exactly as the spec's
+    # (host, url) recrawl order requires.
+    rows = rows.sort_values(
+        ["round", "host", "round_entered", "host_seq", "url"],
+        kind="mergesort").reset_index(drop=True)
+    return list(zip(rows["round"].tolist(), rows["url"].tolist()))
+
+
+def _engine_results(crawler):
+    rows = crawler.scan_results().to_pandas()
+    return {(r["round"], r["url"]): r for _, r in rows.iterrows()}
+
+
+def _compare(crawler, summary, sim, max_rounds_hit=False):
+    sim_results, sim_log, sim_seen, sim_leftover = sim
+
+    # 1. Crawl ordering.
+    engine_log = _engine_log(crawler)
+    assert engine_log == sim_log
+
+    # 2. Final seen set.
+    snapshot = crawler.seen_snapshot()
+    assert set(snapshot.column("url").to_pylist()) == sim_seen
+
+    # 3. Per-scan byte equality. Sim results are in scan order and the
+    # log pairs rounds with urls in the same order.
+    engine_rows = _engine_results(crawler)
+    reported_log = []
+    idx = 0
+    for rnd, url in sim_log:
+        # Skip sim entries that produced no report (dropped results).
+        if idx < len(sim_results) and sim_results[idx]["url"] == url:
+            expected = sim_results[idx]
+            idx += 1
+        else:
+            assert (rnd, url) not in engine_rows
+            continue
+        row = engine_rows[(rnd, url)]
+        for f in ("online", "fault", "redirect", "title", "hash",
+                  "scan_date", "last_node"):
+            assert row[f] == expected[f], (url, f, row[f], expected[f])
+        assert list(row["new_urls"]) == expected["new_urls"], url
+        assert json.loads(row["form_dicts"]) == expected["form_dicts"], url
+    assert idx == len(sim_results)
+
+    # 4. Leftover frontier parity.
+    if max_rounds_hit:
+        import glob
+        import os
+        import pyarrow.parquet as pq2
+
+        last = max(int(p.rsplit("=", 1)[1]) for p in
+                   glob.glob(os.path.join(crawler.ckpt, "round=*")))
+        files = glob.glob(os.path.join(
+            crawler.ckpt, f"round={last:04d}", "frontier", "*.parquet"))
+        leftover = set()
+        for f in files:
+            leftover |= set(pq2.read_table(f, columns=["url"])
+                            .column("url").to_pylist())
+        assert leftover == set(sim_leftover)
+
+
+def test_crawl_conformance_basic(ray_session, ref, web, tmp_path):
+    crawler, summary, cfg = _run_engine(web, tmp_path)
+    sim = sim_crawl(ref, web.pages_dict, cfg.seeds, cfg.budget,
+                    cfg.max_rounds, SCAN_DATE, NODE)
+    _compare(crawler, summary, sim, max_rounds_hit=True)
+    assert summary["seen"] == len(sim[2])
+
+
+def test_crawl_conformance_robots(ray_session, ref, web, tmp_path):
+    crawler, summary, cfg = _run_engine(web, tmp_path, respect_robots=True,
+                                        max_rounds=8)
+    sim = sim_crawl(ref, web.pages_dict, cfg.seeds, cfg.budget,
+                    cfg.max_rounds, SCAN_DATE, NODE, respect_robots=True)
+    _compare(crawler, summary, sim, max_rounds_hit=True)
+    # Robots actually suppressed something.
+    snapshot = crawler.seen_snapshot()
+    import pyarrow.compute as pc
+    assert snapshot.filter(pc.field("first_round") == -1).num_rows > 0
+
+
+def test_crawl_conformance_recrawl(ray_session, ref, web, tmp_path):
+    crawler, summary, cfg = _run_engine(web, tmp_path, recrawl=True,
+                                        max_rounds=6, budget=50)
+    sim = sim_crawl(ref, web.pages_dict, cfg.seeds, cfg.budget,
+                    cfg.max_rounds, SCAN_DATE, NODE, recrawl=True)
+    sim_results, sim_log, sim_seen, _ = sim
+
+    engine_rows = _engine_results(crawler)
+    # Recrawl entries: same (round, url) keyspace; change-detection rows
+    # must carry hash=None.
+    recrawl_round = max(r for r, _ in engine_rows.keys())
+    sim_recrawl = [r for r in sim_results
+                   if any(lg == (recrawl_round, r["url"]) for lg in sim_log
+                          )]
+    assert any(k[0] == recrawl_round for k in engine_rows)
+    n_unchanged = sum(
+        1 for k, row in engine_rows.items()
+        if k[0] == recrawl_round and row["hash"] is None and row["online"])
+    assert n_unchanged > 0
+    _compare(crawler, summary, sim)
+
+
+def test_crawl_resume(ray_session, ref, web, tmp_path):
+    full_dir = tmp_path / "full"
+    part_dir = tmp_path / "part"
+    crawler_full, _, cfg = _run_engine(web, full_dir, max_rounds=6)
+
+    # Interrupted run: stop after 3 rounds, then resume to 6.
+    crawler_a, _, _ = _run_engine(web, part_dir, max_rounds=3)
+    crawler_b, _, _ = _run_engine(web, part_dir, max_rounds=6)
+
+    assert _engine_log(crawler_b) == _engine_log(crawler_full)
+    full_rows = _engine_results(crawler_full)
+    resumed_rows = _engine_results(crawler_b)
+    assert set(full_rows) == set(resumed_rows)
+    assert (set(crawler_b.seen_snapshot().column("url").to_pylist())
+            == set(crawler_full.seen_snapshot().column("url").to_pylist()))

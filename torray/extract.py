@@ -66,6 +66,7 @@ def scan_batch(
     *,
     scan_date: str,
     node: str = "torray",
+    carry_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """Scan a batch of page rows (columns ``url``, ``html``, optional
     ``present`` bool and ``last_hash``).
@@ -86,12 +87,21 @@ def scan_batch(
     else:
         last_hashes = [""] * len(urls)
 
+    carried_in = {c: batch.column(c).to_pylist() for c in carry_cols}
     results = []
-    for url, html, present, last_hash in zip(urls, htmls, presents, last_hashes):
+    carried_out: dict[str, list] = {c: [] for c in carry_cols}
+    for i, (url, html, present, last_hash) in enumerate(
+            zip(urls, htmls, presents, last_hashes)):
         r = scan_page(url, bool(present), html, last_hash, scan_date, node)
         if r is not None:
             results.append(r)
-    return results_to_table(results)
+            for c in carry_cols:
+                carried_out[c].append(carried_in[c][i])
+    out = results_to_table(results)
+    for c in carry_cols:
+        out = out.append_column(
+            c, pa.array(carried_out[c], batch.schema.field(c).type))
+    return out
 
 
 def scan_pages_dataset(pages_ds, *, scan_date: str, node: str = "torray",

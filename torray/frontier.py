@@ -1,0 +1,318 @@
+"""Frontier state: the sharded URL-seen set (cuckoo filter + exact
+set), robots politeness rules, and per-round frontier selection.
+
+This is the engine's only custom distributed state (SURVEY.md §2.3
+T3/T4, §7 "hard parts") — everything else is stateless Dataset
+transforms.  Design:
+
+- The URL space is sharded by ``stable_hash(host) % num_shards`` so
+  ALL candidates for a host land on one shard: per-host dedup,
+  robots suppression, and dense per-host sequencing are then purely
+  local, serial, and deterministic (the actor mailbox serializes).
+- Each shard holds a cuckoo filter for O(1) fast-negative membership
+  (the 10^10-scale story: ~2 bytes/key fingerprints vs ~100 bytes/key
+  exact) IN FRONT OF an exact set that guarantees zero false-positive
+  drops.  At 10^10 urls the exact layer becomes a per-shard spill-to-
+  Parquet map keyed by fingerprint-partition; in this repo it is an
+  in-heap set, snapshotted per round (FIXTURES.md F5) for resume and
+  for the final-seen-set oracle comparison.
+- Politeness: each host contributes at most ``budget`` frontier items
+  per round, in (round_entered, host_seq) order; the remainder defers.
+  This is the deterministic replacement for the reference backend's
+  ``next`` endpoint (``/root/reference/TorSpider.py:120``), per
+  BASELINE.json's north_rule.
+- robots.txt (north_rule): a host's ``Disallow`` prefixes (User-agent *
+  simplification) suppress candidate urls at frontier-entry: they are
+  marked seen (never re-considered) but never scheduled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from torray.pagestore import stable_hash
+
+__all__ = [
+    "CuckooFilter",
+    "SeenShardState",
+    "make_seen_shards",
+    "parse_robots",
+    "select_step",
+    "SEEN_SNAPSHOT_SCHEMA",
+    "FRONTIER_SCHEMA",
+]
+
+FRONTIER_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("host", pa.string()),
+    ("last_hash", pa.string()),
+    ("round_entered", pa.int32()),
+    ("host_seq", pa.int64()),
+])
+
+SEEN_SNAPSHOT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("shard", pa.int32()),
+    ("first_round", pa.int32()),
+    ("first_seq", pa.int64()),
+])
+
+
+class CuckooFilter:
+    """Bucketized cuckoo filter (Fan et al., CoNEXT'14 — public
+    algorithm): 4-slot buckets, 16-bit fingerprints, partial-key
+    cuckoo kicking.  ~2.1 bytes/key at 95% load.  Used as the
+    fast-negative membership layer of a seen shard; rebuilt from the
+    exact layer if insertion ever fails (never lossy)."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int = 1 << 16):
+        size = 1
+        while size * self.SLOTS < capacity:
+            size <<= 1
+        self._num_buckets = size
+        self._table = np.zeros((size, self.SLOTS), dtype=np.uint16)
+
+    def _fingerprint(self, h: int) -> int:
+        fp = (h >> 40) & 0xFFFF
+        return fp if fp != 0 else 1
+
+    def _index(self, h: int) -> int:
+        return h & (self._num_buckets - 1)
+
+    def _alt_index(self, idx: int, fp: int) -> int:
+        # Partial-key displacement: i2 = i1 xor hash(fp).
+        return (idx ^ (fp * 0x5BD1E995)) & (self._num_buckets - 1)
+
+    def add_hash(self, h: int) -> bool:
+        fp = self._fingerprint(h)
+        idx = self._index(h)
+        for i in (idx, self._alt_index(idx, fp)):
+            row = self._table[i]
+            for s in range(self.SLOTS):
+                if row[s] == 0:
+                    row[s] = fp
+                    return True
+        # Kick loop.
+        i = idx if (h & 1) else self._alt_index(idx, fp)
+        for _ in range(self.MAX_KICKS):
+            s = fp % self.SLOTS
+            fp, self._table[i][s] = int(self._table[i][s]), fp
+            i = self._alt_index(i, fp)
+            row = self._table[i]
+            for s in range(self.SLOTS):
+                if row[s] == 0:
+                    row[s] = fp
+                    return True
+        return False  # full: caller grows + rebuilds
+
+    def may_contain_hash(self, h: int) -> bool:
+        fp = self._fingerprint(h)
+        idx = self._index(h)
+        if fp in self._table[idx]:
+            return True
+        return fp in self._table[self._alt_index(idx, fp)]
+
+    @property
+    def capacity(self) -> int:
+        return self._num_buckets * self.SLOTS
+
+
+def parse_robots(body: bytes) -> list[str]:
+    """Disallow prefixes (all agents folded together; empty prefixes —
+    'allow all' per the robots spec — dropped)."""
+    prefixes = []
+    for line in body.decode("utf-8", "replace").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if line.lower().startswith("disallow:"):
+            prefix = line.split(":", 1)[1].strip()
+            if prefix:
+                prefixes.append(prefix)
+    return prefixes
+
+
+class SeenShardState:
+    """The state machine of one seen shard.  Kept separate from the Ray
+    actor wrapper so the logic is unit-testable in-process; the actor
+    below is a thin shell."""
+
+    def __init__(self, shard_id: int, robots: dict[str, list[str]] | None = None):
+        self.shard_id = shard_id
+        self.robots = robots or {}
+        self.seen: set[str] = set()
+        self.filter = CuckooFilter(1 << 16)
+        # url -> (first_round, first_seq); suppressed urls get (-1, -1).
+        self.first_meta: dict[str, tuple[int, int]] = {}
+        # Newly-seen urls since the last drain (the per-round incremental
+        # snapshot — full-set rewrites per round would not scale).
+        self.delta: list[tuple[str, int, int]] = []
+
+    # -- membership -----------------------------------------------------
+
+    def _grow_filter(self) -> None:
+        new = CuckooFilter(self.filter.capacity * 2)
+        for url in self.seen:
+            new.add_hash(stable_hash(url))
+        self.filter = new
+
+    def _mark(self, url: str) -> None:
+        self.seen.add(url)
+        if not self.filter.add_hash(stable_hash(url)):
+            self._grow_filter()
+        if len(self.seen) > self.filter.capacity * 0.95:
+            self._grow_filter()
+
+    def _is_seen(self, url: str) -> bool:
+        # Cuckoo fast-negative first; exact set confirms positives.
+        if not self.filter.may_contain_hash(stable_hash(url)):
+            return False
+        return url in self.seen
+
+    def _disallowed(self, host: str, path: str) -> bool:
+        rules = self.robots.get(host)
+        if not rules:
+            return False
+        return any(path.startswith(r) for r in rules)
+
+    # -- protocol -------------------------------------------------------
+
+    def add_seeds(self, items: list[tuple[str, str, int]]) -> list[tuple[str, str, int]]:
+        """Seed insertion: items = (url, host, path) in seed order.
+        Returns accepted (url, host, host_seq)."""
+        out = []
+        counters: dict[str, int] = {}
+        for url, host, path in items:
+            if self._is_seen(url):
+                continue
+            self._mark(url)
+            if self._disallowed(host, path):
+                self.first_meta[url] = (-1, -1)
+                self.delta.append((url, -1, -1))
+                continue
+            seq = counters.get(host, 0)
+            counters[host] = seq + 1
+            self.first_meta[url] = (0, seq)
+            self.delta.append((url, 0, seq))
+            out.append((url, host, seq))
+        return out
+
+    def offer(self, rows: list[tuple[str, str, str]], round_entered: int
+              ) -> list[tuple[str, str, int]]:
+        """Candidate insertion for one round.  ``rows`` = (url, host,
+        path) PRE-SORTED by the first-wins key, already deduped per url.
+        Returns accepted (url, host, host_seq) — per-host dense seqs in
+        arrival order.  Serial per shard => deterministic."""
+        out = []
+        counters: dict[str, int] = {}
+        for url, host, path in rows:
+            if self._is_seen(url):
+                continue
+            self._mark(url)
+            if self._disallowed(host, path):
+                self.first_meta[url] = (-1, -1)
+                self.delta.append((url, -1, -1))
+                continue
+            seq = counters.get(host, 0)
+            counters[host] = seq + 1
+            self.first_meta[url] = (round_entered, seq)
+            self.delta.append((url, round_entered, seq))
+            out.append((url, host, seq))
+        return out
+
+    def drain_delta(self) -> pa.Table:
+        """Newly-seen urls since the last drain, as a snapshot-schema
+        table; clears the buffer."""
+        rows = self.delta
+        self.delta = []
+        return pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([self.shard_id] * len(rows), pa.int32()),
+                pa.array([r[1] for r in rows], pa.int32()),
+                pa.array([r[2] for r in rows], pa.int64()),
+            ],
+            schema=SEEN_SNAPSHOT_SCHEMA,
+        )
+
+    def snapshot(self) -> pa.Table:
+        urls = sorted(self.seen)
+        meta = [self.first_meta.get(u, (-1, -1)) for u in urls]
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array([self.shard_id] * len(urls), pa.int32()),
+                pa.array([m[0] for m in meta], pa.int32()),
+                pa.array([m[1] for m in meta], pa.int64()),
+            ],
+            schema=SEEN_SNAPSHOT_SCHEMA,
+        )
+
+    def restore(self, table: pa.Table) -> None:
+        urls = table.column("url").to_pylist()
+        rounds = table.column("first_round").to_pylist()
+        seqs = table.column("first_seq").to_pylist()
+        for url, rnd, seq in zip(urls, rounds, seqs):
+            self._mark(url)
+            self.first_meta[url] = (rnd, seq)
+
+    def count(self) -> int:
+        return len(self.seen)
+
+
+def make_seen_shards(num_shards: int, robots: dict[str, list[str]] | None):
+    """Spawn the seen-shard actor pool.  Robots rules are pre-split per
+    shard so each actor holds only its hosts' rules (at 10^7-host scale
+    this split would itself be a Dataset->per-shard write; here it is a
+    driver-side dict split)."""
+    import ray
+
+    robots = robots or {}
+    per_shard: list[dict] = [{} for _ in range(num_shards)]
+    for host, rules in robots.items():
+        per_shard[stable_hash(host) % num_shards][host] = rules
+
+    shard_actor = ray.remote(num_cpus=0)(_SeenShardActor)
+    return [shard_actor.remote(i, per_shard[i]) for i in range(num_shards)]
+
+
+class _SeenShardActor:
+    """Thin Ray-actor shell around SeenShardState (num_cpus=0: shards
+    are memory-bound bookkeeping, not compute — they must not starve
+    the fetch/extract pool of CPU slots)."""
+
+    def __init__(self, shard_id: int, robots: dict[str, list[str]]):
+        self.state = SeenShardState(shard_id, robots)
+
+    def add_seeds(self, items):
+        return self.state.add_seeds(items)
+
+    def offer(self, rows, round_entered):
+        return self.state.offer(rows, round_entered)
+
+    def drain_delta(self):
+        return self.state.drain_delta()
+
+    def snapshot(self):
+        return self.state.snapshot()
+
+    def restore(self, table):
+        self.state.restore(table)
+
+    def count(self):
+        return self.state.count()
+
+
+def select_step(frontier_group: pa.Table, budget: int) -> pa.Table:
+    """Politeness selection for ONE host's frontier items: tag the first
+    ``budget`` items by (round_entered, host_seq) as selected.  Runs
+    inside ``groupby('host').map_groups`` — vectorized, no Python rows.
+    """
+    rounds = frontier_group.column("round_entered").to_numpy(zero_copy_only=False)
+    seqs = frontier_group.column("host_seq").to_numpy(zero_copy_only=False)
+    order = np.lexsort((seqs, rounds))
+    selected = np.zeros(len(order), dtype=bool)
+    selected[order[:budget]] = True
+    return frontier_group.append_column("selected", pa.array(selected))

@@ -1,0 +1,314 @@
+"""Deduplication operators over a documents Dataset.
+
+Five families, each expressed shuffle-consciously:
+
+- **Exact**: content hash inside ``map_batches`` (partial), then ONE
+  ``groupby(hash)`` shuffle keeping the min doc_id per group.  The
+  hash, not the text, is the shuffle key — at 100 TB the text bytes
+  stay in their blocks.
+- **MinHash + LSH** (Broder '97; banding per Mining of Massive
+  Datasets ch.3): shingle -> 128 minhashes via tabulation over a
+  stable 64-bit mixer -> b bands of r rows -> ``groupby(band_key)``;
+  candidate pairs inside a bucket are verified with true shingle
+  Jaccard.  One narrow shuffle of (band_key, doc_id) rows.
+- **SimHash** (Charikar '02): 64-bit signature from token hashes;
+  near-dups = Hamming distance <= k found by 4-way band rotation
+  groupby (Manku et al. WWW'07).
+- **n-gram Jaccard**: direct pairwise verify within candidate buckets
+  (used standalone for small inputs / as the verifier for LSH).
+- **Embedding cosine**: near-dup pairs above a cosine threshold over
+  the embeddings table, blocked matmul per batch against a broadcast
+  (``ray.put``) matrix — see ``torray.ops.similarity``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures_batch",
+    "minhash_lsh_dedup",
+    "simhash_batch",
+    "simhash_dedup",
+    "jaccard",
+    "ngram_jaccard_pairs",
+]
+
+_WORD_RE = re.compile(r"\S+")
+
+
+def _md5_64(data: bytes) -> int:
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs_ds, text_col: str = "text"):
+    """Keep the smallest doc_id per exact text; returns
+    (keeper_id, n_dups) per distinct text hash.
+
+    Partial work (hashing) happens in map_batches; the groupby moves
+    only (hash, doc_id)."""
+    import ray.data
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                  for t in texts]
+        return pa.table({
+            "text_hash": pa.array(hashes, pa.string()),
+            "doc_id": batch.column("doc_id"),
+        })
+
+    hashed = docs_ds.select_columns(["doc_id", text_col]).map_batches(
+        hash_batch, batch_format="pyarrow")
+    agg = hashed.groupby("text_hash").aggregate(
+        ray.data.aggregate.Min("doc_id"),
+        ray.data.aggregate.Count(),
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "text_hash": t.column("text_hash"),
+            "keeper_id": t.column("min(doc_id)"),
+            "n_dups": t.column("count()"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH.
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    """Word k-gram shingles as stable 64-bit hashes."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        return {_md5_64(" ".join(words).encode())} if words else set()
+    return {_md5_64(" ".join(words[i:i + k]).encode())
+            for i in range(len(words) - k + 1)}
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures_batch(batch: pa.Table, *, num_perm: int = 128,
+                             shingle_k: int = 3,
+                             text_col: str = "text") -> pa.Table:
+    a, b = _PERMS.setdefault(num_perm, _perm_params(num_perm))
+    texts = batch.column(text_col).to_pylist()
+    sigs = []
+    for t in texts:
+        sh = np.fromiter(_shingles(t or "", shingle_k), dtype=np.uint64)
+        if len(sh) == 0:
+            sigs.append(np.zeros(num_perm, dtype=np.uint64))
+            continue
+        # (a*x + b) mod p per permutation, min over shingles.
+        vals = (np.multiply.outer(a, sh) + b[:, None]) % _MERSENNE
+        sigs.append(vals.min(axis=1).astype(np.uint64))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "minhash": pa.array([s.tolist() for s in sigs],
+                            pa.list_(pa.uint64(), num_perm)),
+    })
+
+
+_PERMS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
+    sa, sb = _shingles(text_a, shingle_k), _shingles(text_b, shingle_k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
+                      threshold: float = 0.8, shingle_k: int = 3,
+                      text_col: str = "text"):
+    """Near-duplicate PAIRS (id_a < id_b, true-Jaccard-verified >=
+    threshold) via MinHash banding.
+
+    Pipeline: signatures (map_batches) -> explode to (band_key,
+    doc_id, text) -> groupby(band_key) -> in-bucket pairwise verify.
+    Texts ride along into buckets for verification; at 100 TB you'd
+    verify against a doc-store lookup instead — the shuffle key and
+    banding math are the scale-bearing parts.
+    """
+    rows = num_perm // bands
+
+    def banded(batch: pa.Table) -> pa.Table:
+        sig_batch = minhash_signatures_batch(
+            batch, num_perm=num_perm, shingle_k=shingle_k, text_col=text_col)
+        doc_ids = sig_batch.column("doc_id").to_pylist()
+        sigs = sig_batch.column("minhash").to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_band, out_id, out_text = [], [], []
+        for doc_id, sig, text in zip(doc_ids, sigs, texts):
+            arr = np.asarray(sig, dtype=np.uint64)
+            for b in range(bands):
+                chunk = arr[b * rows:(b + 1) * rows].tobytes()
+                key = f"{b}:{_md5_64(chunk):x}"
+                out_band.append(key)
+                out_id.append(doc_id)
+                out_text.append(text)
+        return pa.table({
+            "band_key": pa.array(out_band, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+        })
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        texts = group.column("text").to_pylist()
+        pairs = set()
+        if len(ids) > 1:
+            order = np.argsort(ids)
+            for i in range(len(order)):
+                for j in range(i + 1, len(order)):
+                    a, b = order[i], order[j]
+                    if jaccard(texts[a] or "", texts[b] or "",
+                               shingle_k) >= threshold:
+                        pairs.add((ids[a], ids[b]))
+        pairs = sorted(pairs)
+        return pa.table({
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+        })
+
+    pair_ds = (
+        docs_ds.select_columns(["doc_id", text_col])
+        .map_batches(banded, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
+    # Same pair can surface from several bands: one dedup groupby.
+    return pair_ds.groupby(["id_a", "id_b"]).count().map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash.
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    out = []
+    for t in texts:
+        tokens = _WORD_RE.findall((t or "").lower())
+        if not tokens:
+            out.append(0)
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in tokens:
+            h = _md5_64(tok.encode())
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += np.where(bits.astype(bool), 1, -1)
+        sig = 0
+        for bit_idx in np.nonzero(acc > 0)[0]:
+            sig |= 1 << int(bit_idx)
+        out.append(sig)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "simhash": pa.array(out, pa.uint64()),
+    })
+
+
+def simhash_dedup(docs_ds, *, max_hamming: int = 3, text_col: str = "text"):
+    """Near-dup pairs with simhash Hamming distance <= max_hamming.
+
+    Candidate generation: split the 64-bit signature into 4 16-bit
+    bands; any pair within Hamming <= 3 shares at least one exact band
+    (pigeonhole, Manku et al.) -> groupby(band value) then in-bucket
+    verify.  Shuffles only (band_key, doc_id, simhash)."""
+
+    def banded(batch: pa.Table) -> pa.Table:
+        sig_batch = simhash_batch(batch, text_col)
+        ids = sig_batch.column("doc_id").to_pylist()
+        sigs = sig_batch.column("simhash").to_pylist()
+        out_key, out_id, out_sig = [], [], []
+        for doc_id, sig in zip(ids, sigs):
+            for band in range(4):
+                chunk = (sig >> (band * 16)) & 0xFFFF
+                out_key.append(f"{band}:{chunk:04x}")
+                out_id.append(doc_id)
+                out_sig.append(sig)
+        return pa.table({
+            "band_key": pa.array(out_key, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "simhash": pa.array(out_sig, pa.uint64()),
+        })
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        sigs = group.column("simhash").to_pylist()
+        pairs = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming:
+                    pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+        pairs = sorted(pairs)
+        return pa.table({
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+        })
+
+    pair_ds = (
+        docs_ds.select_columns(["doc_id", text_col])
+        .map_batches(banded, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    return pair_ds.groupby(["id_a", "id_b"]).count().map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
+                        shingle_k: int = 3, text_col: str = "text"):
+    """All-pairs n-gram Jaccard >= threshold (exact, no LSH) — the
+    small-input baseline the probabilistic methods are validated
+    against.  O(n^2) over one coalesced block: use only on bounded
+    inputs (the LSH variants are the scale path)."""
+
+    def all_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        shingle_sets = [_shingles(t or "", shingle_k) for t in texts]
+        pairs = []
+        order = np.argsort(ids)
+        for oi in range(len(order)):
+            for oj in range(oi + 1, len(order)):
+                i, j = order[oi], order[oj]
+                sa, sb = shingle_sets[i], shingle_sets[j]
+                if not sa or not sb:
+                    continue
+                if len(sa & sb) / len(sa | sb) >= threshold:
+                    pairs.append((ids[i], ids[j]))
+        return pa.table({
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+        })
+
+    return (
+        docs_ds.select_columns(["doc_id", text_col])
+        .repartition(1)
+        .map_batches(all_pairs, batch_format="pyarrow", batch_size=None)
+    )

@@ -1,0 +1,181 @@
+"""Text-analysis operators over a documents Dataset
+(``doc_id:int64, text:string, lang:string, source:string,
+n_chars:int64`` — TESTDATA.md).
+
+All operators are batched ``map_batches`` transforms over Arrow
+blocks; per-row Python is limited to compiled-regex scans over each
+string.  Patterns are compiled once per process at import (module
+globals survive across batches in a Ray worker, the cheap analogue of
+actor-pool ``__init__`` state for stateless regex stages).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "token_count_batch",
+    "token_counts",
+    "lang_id_batch",
+    "lang_id",
+    "quality_batch",
+    "quality_scores",
+    "fingerprint_batch",
+    "fingerprints",
+]
+
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish word/number/punct splitter (GPT-2-style coarse classes,
+# public regex idiom): words, numbers, punctuation runs.
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_WORD_RE = re.compile(r"[A-Za-z']+")
+
+# Tiny per-language stopword profiles (language-ID heuristic: stopword
+# hits + character frequencies; standard public n-gram/stopword
+# approach, e.g. Cavnar & Trenkle '94).
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "was", "with", "his", "this", "are", "you", "not", "be"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von",
+           "den", "im", "zu", "sich", "auf", "es", "ich"},
+    "fr": {"le", "la", "les", "et", "des", "est", "une", "dans", "que",
+           "pour", "qui", "pas", "sur", "au", "ce", "il"},
+    "es": {"el", "la", "los", "las", "y", "es", "una", "en", "que", "por",
+           "con", "para", "del", "se", "no", "un"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document token counts: whitespace tokens (``\\S+``, the SQL-
+    checkable definition) and a BPE-ish sub-word proxy count."""
+    texts = batch.column(text_col).to_pylist()
+    ws = [len(_TOKEN_RE.findall(t)) if t else 0 for t in texts]
+    bpe = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(ws, pa.int64()),
+        "n_bpe_tokens": pa.array(bpe, pa.int64()),
+    })
+
+
+def token_counts(docs_ds):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow")
+
+
+def _score_lang(text: str) -> str:
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return "und"
+    best_lang, best = "und", 0.0
+    for lang, stops in _STOPWORDS.items():
+        hits = sum(1 for w in words if w in stops)
+        score = hits / len(words)
+        if score > best:
+            best_lang, best = lang, score
+    return best_lang if best > 0.0 else "und"
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    preds = [_score_lang(t) if t else "und" for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "lang_pred": pa.array(preds, pa.string()),
+    })
+
+
+def lang_id(docs_ds):
+    """Stopword-profile language ID -> (doc_id, lang_pred)."""
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow")
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality signals per document: length, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio, and a composite
+    0-1 score (C4/Gopher-style filters, public recipes)."""
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    n_chars = np.zeros(n, np.int64)
+    punct_ratio = np.zeros(n, np.float64)
+    stop_ratio = np.zeros(n, np.float64)
+    upper_ratio = np.zeros(n, np.float64)
+    mean_word_len = np.zeros(n, np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        n_chars[i] = len(t)
+        punct_ratio[i] = len(_PUNCT_RE.findall(t)) / len(t)
+        upper_ratio[i] = sum(1 for c in t if c.isupper()) / len(t)
+        words = _WORD_RE.findall(t.lower())
+        if words:
+            stop_ratio[i] = sum(1 for w in words if w in _STOPWORDS["en"]) / len(words)
+            mean_word_len[i] = float(np.mean([len(w) for w in words]))
+    score = (
+        np.clip(n_chars / 500.0, 0, 1) * 0.3
+        + np.clip(1.0 - punct_ratio * 4.0, 0, 1) * 0.2
+        + np.clip(stop_ratio * 5.0, 0, 1) * 0.3
+        + np.clip(1.0 - upper_ratio * 3.0, 0, 1) * 0.2
+    )
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(n_chars),
+        "punct_ratio": pa.array(punct_ratio),
+        "stopword_ratio": pa.array(stop_ratio),
+        "upper_ratio": pa.array(upper_ratio),
+        "mean_word_len": pa.array(mean_word_len),
+        "quality": pa.array(score),
+    })
+
+
+def quality_scores(docs_ds):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow")
+
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def _rolling_fingerprint(text: str, window: int = 64) -> int:
+    """Deterministic document fingerprint: max of a Rabin-Karp rolling
+    hash over byte windows (winnowing-style selection, Schleimer et al.
+    SIGMOD'03 — public algorithm)."""
+    data = text.encode("utf-8", "replace")
+    if not data:
+        return 0
+    if len(data) <= window:
+        h = 0
+        for b in data:
+            h = (h * _FP_BASE + b) % _FP_MOD
+        return h
+    pw = pow(_FP_BASE, window - 1, _FP_MOD)
+    h = 0
+    for b in data[:window]:
+        h = (h * _FP_BASE + b) % _FP_MOD
+    best = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * pw) * _FP_BASE + data[i]) % _FP_MOD
+        if h > best:
+            best = h
+    return best
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    fps = [_rolling_fingerprint(t) if t else 0 for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(fps, pa.uint64()),
+    })
+
+
+def fingerprints(docs_ds):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
