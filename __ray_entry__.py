@@ -1,44 +1,433 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the torray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (deterministic synthetic
+web -> bucketed pagestore -> BFS crawl) plus a documents pipeline over
+the provided sf0.001 tables.  ``queries()`` exposes every implemented
+operator family (SURVEY.md §2 + the training-data ops); each
+SQL-expressible one has a matching ``oracle_sql()`` entry with
+IDENTICAL column names (aggregates aliased on both sides).  Crawl /
+heuristic / probabilistic operators are rows-only checked here and
+differentially tested against the reference-libs oracle in tests/.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported:
+nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_CACHE_ROOT = "/tmp/torray_cache"
+
+
+# ---------------------------------------------------------------------------
+# Helpers.
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str):
+    import ray
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _rename(ds, mapping: dict[str, str]):
+    def do(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(do, batch_format="pyarrow")
+
+
+def _synth_workdir(tag: str, num_pages: int, num_hosts: int, seed: int = 42) -> str:
+    """Deterministic synthetic web + pages.parquet cached under /tmp."""
+    from torray.synth import SynthWeb
+
+    root = os.path.join(_CACHE_ROOT, f"{tag}-{num_pages}-{num_hosts}-{seed}")
+    pages = os.path.join(root, "pages.parquet")
+    if not os.path.exists(pages):
+        os.makedirs(root, exist_ok=True)
+        web = SynthWeb(num_pages, num_hosts, seed)
+        pq.write_table(web.table(), pages)
+    return root
+
+
+def _crawl(tag: str, *, num_pages: int, num_hosts: int, seeds: int,
+           budget: int, max_rounds: int, respect_robots: bool = False,
+           recrawl: bool = False, fresh: bool = True):
+    import shutil
+
+    from torray.crawl import CrawlConfig, Crawler
+    from torray.synth import SynthWeb
+
+    root = _synth_workdir(tag, num_pages, num_hosts)
+    workdir = os.path.join(root, f"crawl-{budget}-{max_rounds}-"
+                                 f"{int(respect_robots)}-{int(recrawl)}")
+    if fresh:
+        shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    web = SynthWeb(num_pages, num_hosts, 42)
+    cfg = CrawlConfig(
+        pages_path=os.path.join(root, "pages.parquet"),
+        workdir=workdir,
+        seeds=web.seeds(seeds),
+        budget=budget,
+        max_rounds=max_rounds,
+        respect_robots=respect_robots,
+        recrawl=recrawl,
+        num_shards=4,
+        num_buckets=8,
+    )
+    crawler = Crawler(cfg)
+    crawler.run()
+    return crawler
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: deterministic synthetic onion web -> bucketed pagestore
+    -> BFS crawl with politeness + seen-set dedup; plus a documents
+    pipeline over the sf0.001 tables (lang-ID fused with token counts).
+    Returns the crawl's scan-results Dataset (stable SCAN_SCHEMA+round).
+    """
+    from torray.ops.text import lang_id
+
+    docs = _read("/root/testdata/sf0.001", "documents")
+    lang_id(docs).materialize()  # exercises the testdata path
+
+    crawler = _crawl("entry", num_pages=300, num_hosts=12, seeds=2,
+                     budget=6, max_rounds=8)
+    return crawler.scan_results()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_docs_by_lang(sf_dir: str):
+    import ray.data
+
+    ds = _read(sf_dir, "documents").groupby("lang").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("n_chars"),
+        ray.data.aggregate.Min("doc_id"),
+    )
+    return _rename(ds, {"count()": "n_docs", "sum(n_chars)": "total_chars",
+                        "min(doc_id)": "min_doc"})
+
+
+def _q_docs_token_counts(sf_dir: str):
+    from torray.ops.text import token_counts
+
+    ds = token_counts(_read(sf_dir, "documents"))
+    return ds.map_batches(lambda t: t.select(["doc_id", "n_tokens"]),
+                          batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from torray.ops.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"))
+
+
+def _q_events_by_type(sf_dir: str):
+    import ray.data
+
+    ds = _read(sf_dir, "events").groupby("event_type").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Min("value"),
+        ray.data.aggregate.Max("value"),
+        ray.data.aggregate.Sum("user_id"),
+    )
+    return _rename(ds, {"count()": "n", "min(value)": "min_value",
+                        "max(value)": "max_value",
+                        "sum(user_id)": "sum_users"})
+
+
+def _q_events_daily(sf_dir: str):
+    import ray.data
+
+    def add_day(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("day", pc.strftime(t.column("ts"), "%Y-%m-%d"))
+
+    ds = (_read(sf_dir, "events").map_batches(add_day, batch_format="pyarrow")
+          .groupby("day").aggregate(
+              ray.data.aggregate.Count(),
+              ray.data.aggregate.Min("event_id"),
+              ray.data.aggregate.Max("event_id")))
+    return _rename(ds, {"count()": "n", "min(event_id)": "min_event",
+                        "max(event_id)": "max_event"})
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    import ray.data
+
+    ds = _read(sf_dir, "lineitem").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Sum("l_quantity"),
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Max("l_extendedprice"),
+    )
+    return _rename(ds, {"sum(l_quantity)": "sum_qty", "count()": "count_order",
+                        "max(l_extendedprice)": "max_price"})
+
+
+def _q_orders_by_segment(sf_dir: str):
+    import ray.data
+
+    orders = _read(sf_dir, "orders")
+    customer = _read(sf_dir, "customer")
+    joined = orders.join(customer, "inner", num_partitions=4,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    ds = joined.groupby("c_mktsegment").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Min("o_orderkey"),
+        ray.data.aggregate.Max("o_totalprice"),
+    )
+    return _rename(ds, {"count()": "n_orders", "min(o_orderkey)": "min_order",
+                        "max(o_totalprice)": "max_price"})
+
+
+def _q_supplier_nation(sf_dir: str):
+    import ray.data
+
+    supplier = _read(sf_dir, "supplier")
+    nation = _read(sf_dir, "nation")
+    joined = supplier.join(nation, "inner", num_partitions=2,
+                           on=("s_nationkey",), right_on=("n_nationkey",))
+    ds = joined.groupby("n_name").aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Max("s_acctbal"))
+    return _rename(ds, {"count()": "n_suppliers",
+                        "max(s_acctbal)": "max_acctbal"})
+
+
+def _q_knn_top10(sf_dir: str):
+    from torray.ops.similarity import knn_bruteforce
+
+    emb = _read(sf_dir, "embeddings")
+    first = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q = np.asarray(
+        first.filter(pa.compute.equal(first.column("vec_id"), 0))
+        .column("embedding").to_pylist()[0], dtype=np.float64)
+    res = knn_bruteforce(emb, q[None, :], k=10)
+    return res.map_batches(lambda t: t.select(["vec_id"]),
+                           batch_format="pyarrow")
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    from torray.ops.similarity import embedding_cosine_dedup
+
+    return embedding_cosine_dedup(_read(sf_dir, "embeddings"), threshold=0.45)
+
+
+def _q_lang_id(sf_dir: str):
+    from torray.ops.text import lang_id
+
+    return lang_id(_read(sf_dir, "documents"))
+
+
+def _q_quality(sf_dir: str):
+    from torray.ops.text import quality_scores
+
+    return quality_scores(_read(sf_dir, "documents"))
+
+
+def _q_fingerprints(sf_dir: str):
+    from torray.ops.text import fingerprints
+
+    return fingerprints(_read(sf_dir, "documents"))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from torray.ops.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_read(sf_dir, "documents"), threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from torray.ops.dedup import simhash_dedup
+
+    return simhash_dedup(_read(sf_dir, "documents"), max_hamming=3)
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    from torray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+
+def _q_knn_lsh(sf_dir: str):
+    from torray.ops.similarity import lsh_knn
+
+    first = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q = np.asarray(
+        first.filter(pa.compute.equal(first.column("vec_id"), 0))
+        .column("embedding").to_pylist()[0], dtype=np.float64)
+    return lsh_knn(_read(sf_dir, "embeddings"), q[None, :], k=10, bits=6)
+
+
+def _q_media_features(sf_dir: str):
+    """Stub-decoder multimodal plumbing over binary payloads derived
+    from the documents table (no media libs in this container)."""
+    import ray
+
+    from torray.ops.multimodal import (extract_media_features,
+                                       media_table_from_payloads)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    payloads = [(t or "").encode()[:4096]
+                for t in docs.column("text").to_pylist()[:200]]
+    media = ray.data.from_arrow(media_table_from_payloads(payloads))
+    return extract_media_features(media, concurrency=2, batch_size=16)
+
+
+def _q_crawl_scan(sf_dir: str):
+    """Whole-web scan (no frontier): the extraction surface end-to-end."""
+    import ray
+
+    from torray.extract import scan_pages_dataset
+
+    root = _synth_workdir("q", 800, 30)
+    ds = ray.data.read_parquet(os.path.join(root, "pages.parquet"))
+    out = scan_pages_dataset(ds, scan_date="2026-01-01", node="q")
+    return out.map_batches(
+        lambda t: t.drop_columns(["new_urls"]).append_column(
+            "n_links", pa.compute.list_value_length(t.column("new_urls"))),
+        batch_format="pyarrow")
+
+
+def _q_crawl_bfs(sf_dir: str):
+    """Full BFS crawl; returns the per-round metrics table (lineage)."""
+    crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
+                     budget=6, max_rounds=8)
+    import glob
+    import json
+
+    import ray
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(crawler.ckpt, "round=*",
+                                           "metrics.json"))):
+        rows.append(json.loads(open(f).read()))
+    table = pa.Table.from_pylist([
+        {k: r.get(k, 0) for k in ("round", "frontier_in", "selected",
+                                  "deferred", "results", "accepted",
+                                  "frontier_out")}
+        for r in rows])
+    return ray.data.from_arrow(table)
+
+
+def _q_crawl_link_graph(sf_dir: str):
+    from torray.stats import link_graph
+
+    crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
+                     budget=6, max_rounds=8, fresh=False)
+    return link_graph(crawler.scan_results())
+
+
+def _q_crawl_domains(sf_dir: str):
+    from torray.stats import domain_status
+
+    crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
+                     budget=6, max_rounds=8, fresh=False)
+    return domain_status(crawler.scan_results())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked
+        "docs_by_lang": _q_docs_by_lang,
+        "docs_token_counts": _q_docs_token_counts,
+        "dedup_exact": _q_dedup_exact,
+        "events_by_type": _q_events_by_type,
+        "events_daily": _q_events_daily,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "orders_by_segment": _q_orders_by_segment,
+        "supplier_nation": _q_supplier_nation,
+        "knn_top10": _q_knn_top10,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        # rows-only (non-SQL-expressible; differentially tested in tests/)
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "doc_fingerprints": _q_fingerprints,
+        "minhash_dup_pairs": _q_minhash_pairs,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "knn_lsh": _q_knn_lsh,
+        "media_features": _q_media_features,
+        "crawl_scan": _q_crawl_scan,
+        "crawl_bfs": _q_crawl_bfs,
+        "crawl_link_graph": _q_crawl_link_graph,
+        "crawl_domains": _q_crawl_domains,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "docs_by_lang": (
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "min(doc_id) AS min_doc FROM documents GROUP BY lang"
+        ),
+        "docs_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) "
+            "AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, "
+            "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n, min(value) AS min_value, "
+            "max(value) AS max_value, CAST(sum(user_id) AS BIGINT) AS "
+            "sum_users FROM events GROUP BY event_type"
+        ),
+        "events_daily": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n, "
+            "min(event_id) AS min_event, max(event_id) AS max_event "
+            "FROM events GROUP BY 1"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, "
+            "count(*) AS count_order, max(l_extendedprice) AS max_price "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "min(o_orderkey) AS min_order, max(o_totalprice) AS max_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "supplier_nation": (
+            "SELECT n_name, count(*) AS n_suppliers, "
+            "max(s_acctbal) AS max_acctbal "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "knn_top10": (
+            "SELECT e.vec_id FROM embeddings e, "
+            "(SELECT embedding AS q FROM embeddings WHERE vec_id = 0) "
+            "ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id "
+            "LIMIT 10"
+        ),
+        "embedding_dup_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+    }

@@ -1,0 +1,251 @@
+"""Operator-level tests for the training-data ops: planted duplicates
+for the dedup family, numpy ground truth for similarity, plumbing
+checks for multimodal, crawl analytics sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about onion routing networks",
+        "data processing engines shuffle partitions across cluster nodes",
+        "machine learning models need deduplicated training corpora",
+        "yet another unrelated string of words for testing purposes",
+    ]
+    texts, ids = [], []
+    n = 0
+    for i, t in enumerate(base):
+        texts.append(t)
+        ids.append(n)
+        n += 1
+        # exact dup
+        texts.append(t)
+        ids.append(n)
+        n += 1
+        # near dup (one word changed)
+        texts.append(t.replace("and", "or") if "and" in t else t + " extra")
+        ids.append(n)
+        n += 1
+    # unique fillers
+    for i in range(10):
+        texts.append(f"filler document number {i} with distinct tokens "
+                     f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+        ids.append(n)
+        n += 1
+    table = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    return ray.data.from_arrow(table), texts
+
+
+def test_exact_dedup(docs_with_dups):
+    from torray.ops.dedup import exact_dedup
+
+    ds, texts = docs_with_dups
+    df = exact_dedup(ds).to_pandas()
+    # 5 texts duplicated exactly once each.
+    assert (df["n_dups"] == 2).sum() == 5
+    assert df["n_dups"].sum() == len(texts)
+    # keeper is the smallest doc_id of each group.
+    dup_keepers = sorted(df.loc[df["n_dups"] == 2, "keeper_id"])
+    assert dup_keepers == [0, 3, 6, 9, 12]
+
+
+def test_minhash_lsh_finds_planted_pairs(docs_with_dups):
+    from torray.ops.dedup import jaccard, minhash_lsh_dedup
+
+    ds, texts = docs_with_dups
+    df = minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
+    got = set(zip(df["id_a"], df["id_b"]))
+    # Ground truth: all pairs with true Jaccard >= 0.5.
+    expected = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if jaccard(texts[i], texts[j]) >= 0.5:
+                expected.add((i, j))
+    # exact dups must always be found; LSH may miss borderline pairs but
+    # with 32 bands of 4 rows at t=0.5 recall should be total here.
+    assert got == expected
+    assert len(expected) >= 10
+
+
+def test_ngram_jaccard_matches_bruteforce(docs_with_dups):
+    from torray.ops.dedup import jaccard, ngram_jaccard_pairs
+
+    ds, texts = docs_with_dups
+    df = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    got = set(zip(df["id_a"], df["id_b"]))
+    expected = {(i, j) for i in range(len(texts))
+                for j in range(i + 1, len(texts))
+                if jaccard(texts[i], texts[j]) >= 0.5}
+    assert got == expected
+
+
+def test_simhash_exact_dups_have_zero_distance(docs_with_dups):
+    from torray.ops.dedup import simhash_dedup
+
+    ds, texts = docs_with_dups
+    df = simhash_dedup(ds, max_hamming=3).to_pandas()
+    got = set(zip(df["id_a"], df["id_b"]))
+    # Exact dups (distance 0) must appear.
+    for a in (0, 3, 6, 9, 12):
+        assert (a, a + 1) in got
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    import ray
+
+    from torray.ops.similarity import knn_bruteforce
+
+    rng = np.random.RandomState(3)
+    mat = rng.normal(size=(200, 16)).astype(np.float32)
+    ids = np.arange(200, dtype=np.int64)
+    table = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([v.tolist() for v in mat],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(table).repartition(5)
+    queries = rng.normal(size=(3, 16))
+    res = knn_bruteforce(ds, queries, k=7).to_pandas()
+
+    M = mat.astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = Mn @ Qn.T
+    for qi in range(3):
+        col = sims[:, qi]
+        expected = ids[np.lexsort((ids, -col))[:7]].tolist()
+        got = res.loc[res["query_idx"] == qi, "vec_id"].tolist()
+        assert got == expected, qi
+
+
+def test_lsh_knn_results_are_true_cosines(ray_session):
+    import ray
+
+    from torray.ops.similarity import lsh_knn
+
+    rng = np.random.RandomState(5)
+    mat = rng.normal(size=(300, 12)).astype(np.float32)
+    table = pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in mat],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(table).repartition(4)
+    queries = rng.normal(size=(2, 12))
+    res = lsh_knn(ds, queries, k=5, bits=4).to_pandas()
+    assert len(res) > 0
+    M = mat.astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = Mn @ Qn.T
+    for _, row in res.iterrows():
+        assert np.isclose(row["score"],
+                          sims[int(row["vec_id"]), int(row["query_idx"])])
+
+
+def test_embedding_cosine_dedup_planted(ray_session):
+    import ray
+
+    from torray.ops.similarity import embedding_cosine_dedup
+
+    rng = np.random.RandomState(9)
+    mat = rng.normal(size=(50, 8))
+    mat[10] = mat[3] * 2.0          # same direction -> cosine 1
+    mat[20] = mat[7] + 1e-6         # near dup
+    table = pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in mat.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(table).repartition(3)
+    df = embedding_cosine_dedup(ds, threshold=0.999).to_pandas()
+    pairs = set(zip(df["id_a"], df["id_b"]))
+    assert (3, 10) in pairs and (7, 20) in pairs
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    import ray
+
+    from torray.ops.multimodal import (MediaFeatureExtractor,
+                                       extract_media_features,
+                                       media_table_from_payloads)
+
+    payloads = [f"payload {i}".encode() * (i + 1) for i in range(40)]
+    media = ray.data.from_arrow(media_table_from_payloads(payloads))
+    out = extract_media_features(media, concurrency=2, batch_size=8)
+    df = out.to_pandas()
+    assert len(df) == 40
+    assert all(len(f) == 64 for f in df["features"])
+    # Deterministic: same payload -> same features across calls.
+    a = MediaFeatureExtractor()._decode_stub(b"x")
+    b = MediaFeatureExtractor()._decode_stub(b"x")
+    assert np.array_equal(a, b)
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decoder="pil")
+
+
+def test_text_ops_shapes(ray_session):
+    import ray
+
+    from torray.ops.text import (fingerprints, lang_id, quality_scores,
+                                 token_counts)
+
+    table = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "The cat and the dog are in the house, it is not big.",
+            "Der Hund und die Katze sind nicht im Haus.",
+            "",
+        ], pa.string()),
+    })
+    ds = ray.data.from_arrow(table)
+    tok = token_counts(ds).to_pandas().sort_values("doc_id")
+    assert tok["n_tokens"].tolist() == [13, 9, 0]
+    langs = lang_id(ds).to_pandas().sort_values("doc_id")
+    assert langs["lang_pred"].tolist() == ["en", "de", "und"]
+    q = quality_scores(ds).to_pandas().sort_values("doc_id")
+    assert (q["quality"] >= 0).all() and (q["quality"] <= 1).all()
+    assert q.loc[q["doc_id"] == 2, "quality"].iloc[0] == 0.0
+    fp = fingerprints(ds).to_pandas().sort_values("doc_id")
+    assert fp["fingerprint"].iloc[2] == 0
+    assert fp["fingerprint"].iloc[0] != fp["fingerprint"].iloc[1]
+
+
+def test_crawl_stats(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray
+
+    from torray.crawl import CrawlConfig, Crawler
+    from torray.stats import crawl_counts, domain_status, link_graph
+    from torray.synth import SynthWeb
+
+    web = SynthWeb(150, 8, seed=42)
+    pq.write_table(web.table(), str(tmp_path / "pages.parquet"))
+    cfg = CrawlConfig(pages_path=str(tmp_path / "pages.parquet"),
+                      workdir=str(tmp_path / "wd"), seeds=web.seeds(2),
+                      budget=6, max_rounds=5, num_shards=2, num_buckets=4)
+    crawler = Crawler(cfg)
+    crawler.run()
+    scan = crawler.scan_results()
+    counts = crawl_counts(scan, crawler.seen_snapshot())
+    assert counts["url_count"] >= counts["url_count_scanned"] > 0
+    assert counts["link_count"] > 0 and counts["page_count"] > 0
+    assert 0 < counts["scan_coverage"] <= 1
+
+    doms = domain_status(scan).to_pandas()
+    assert doms["scans"].sum() == scan.count()
+    assert set(doms.columns) == {"host", "online", "tries", "offline_scans",
+                                 "last_online_round", "scans"}
+
+    edges = link_graph(scan).to_pandas()
+    assert edges["n_links"].sum() == counts["link_count"]
+    assert (edges["src_host"] != edges["dst_host"]).any()

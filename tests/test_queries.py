@@ -1,0 +1,94 @@
+"""Local mirror of the driver's correctness gate: every ``queries()``
+entry runs at sf0.001; SQL-checked ones are compared against their
+``oracle_sql()`` via DuckDB (row count + sorted-column/sorted-row value
+equality, floats to 1e-9); rows-only ones must at least run and keep a
+stable schema across two executions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __ray_entry__ as entry_mod
+
+    return entry_mod
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        df = result.to_pandas()
+    elif isinstance(result, pa.Table):
+        df = result.to_pandas()
+    else:
+        df = result
+    return df
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _compare(df_a: pd.DataFrame, df_b: pd.DataFrame, name: str):
+    a, b = _canon(df_a), _canon(df_b)
+    assert list(a.columns) == list(b.columns), (name, a.columns, b.columns)
+    assert len(a) == len(b), (name, len(a), len(b))
+    for col in a.columns:
+        va, vb = a[col].to_numpy(), b[col].to_numpy()
+        if np.issubdtype(va.dtype, np.floating) or np.issubdtype(
+                vb.dtype, np.floating):
+            assert np.allclose(va.astype(float), vb.astype(float),
+                               rtol=0, atol=1e-9), (name, col)
+        else:
+            assert (va == vb).all(), (name, col)
+
+
+def test_sql_checked_queries_match_duckdb(ray_session, contract, duck):
+    qs = contract.queries()
+    oracles = contract.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name, sql in oracles.items():
+        got = _to_df(qs[name](SF))
+        expected = duck.execute(sql).fetchdf()
+        _compare(got, expected, name)
+
+
+def test_rows_only_queries_run(ray_session, contract):
+    qs = contract.queries()
+    oracles = contract.oracle_sql()
+    for name in set(qs) - set(oracles):
+        df = _to_df(qs[name](SF))
+        assert df is not None, name
+        assert len(df.columns) > 0, name
+
+
+def test_entry_runs(ray_session, contract):
+    result = contract.entry()
+    df = _to_df(result)
+    assert len(df) > 0
+    assert "url" in df.columns and "hash" in df.columns

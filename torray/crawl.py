@@ -275,6 +275,7 @@ class Crawler:
         cfg = self.cfg
         done = self._completed_rounds()
         recrawl_done = False
+        bfs_done = False
         if done:
             self._restore_shards(done[-1])
             rnd = done[-1] + 1
@@ -284,11 +285,16 @@ class Crawler:
             if last.get("mode") == "recrawl":
                 recrawl_done = True
                 rnd = done[-1]
+            elif last.get("frontier_out", 1) == 0:
+                # BFS already drained: nothing to resume (prevents a
+                # finished checkpoint from advancing one empty round per
+                # re-run).
+                bfs_done = True
         else:
             self._init_frontier()
             rnd = 0
 
-        while not recrawl_done and rnd < cfg.max_rounds:
+        while not recrawl_done and not bfs_done and rnd < cfg.max_rounds:
             stats = self._run_round(rnd)
             self.metrics.append(stats)
             if stats["frontier_out"] == 0:

@@ -123,6 +123,7 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         + np.clip(stop_ratio * 5.0, 0, 1) * 0.3
         + np.clip(1.0 - upper_ratio * 3.0, 0, 1) * 0.2
     )
+    score[n_chars == 0] = 0.0  # empty documents are unusable, not "clean"
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_chars": pa.array(n_chars),

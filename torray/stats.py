@@ -1,0 +1,132 @@
+"""Crawl analytics — the SpiderStats surface re-expressed over the
+engine's scan-result / seen-set outputs (SURVEY.md §2.5 A1-A6,
+reference ``/root/reference/SpiderStats.py:22-146``).
+
+The reference issues filtered COUNT queries against backend tables
+(``urls onions pages forms links``); here the same numbers fall out of
+Dataset aggregations over the crawl's Parquet outputs.  Per-host fold
+semantics follow the backend's documented rule (``TODO.md``: online
+=> tries reset, offline => tries += 1).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["crawl_counts", "domain_status", "link_graph"]
+
+
+def crawl_counts(scan_ds, seen_snapshot: pa.Table) -> dict:
+    """The eight SpiderStats numbers (reference SpiderStats.py:67-146):
+    total / scanned urls + coverage ratio, domain totals, page / form /
+    link totals."""
+    import ray.data
+
+    url_count = seen_snapshot.num_rows
+    scanned = scan_ds.count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        forms = batch.column("form_dicts").to_pylist()
+        links = pc.list_value_length(batch.column("new_urls"))
+        return pa.table({
+            "pages": pa.array([int(pc.sum(
+                batch.column("hash").is_valid().cast(pa.int64())
+            ).as_py() or 0)], pa.int64()),
+            "forms": pa.array(
+                [sum(len(json.loads(f)) for f in forms)], pa.int64()),
+            "links": pa.array([int(pc.sum(links).as_py() or 0)], pa.int64()),
+            "online": pa.array([int(pc.sum(
+                batch.column("online").cast(pa.int64())).as_py() or 0)],
+                pa.int64()),
+        })
+
+    partials = scan_ds.map_batches(partial, batch_format="pyarrow")
+    totals = partials.sum(["pages", "forms", "links", "online"])
+    return {
+        "url_count": url_count,
+        "url_count_scanned": scanned,
+        "scan_coverage": (scanned / url_count) if url_count else 0.0,
+        "page_count": totals["sum(pages)"],
+        "form_count": totals["sum(forms)"],
+        "link_count": totals["sum(links)"],
+        "online_scans": totals["sum(online)"],
+    }
+
+
+def domain_status(scan_ds):
+    """Per-host status fold (A5, backend-implied semantics): replaying
+    scans in round order per host — online resets ``tries``, offline
+    increments; ``offline_scans`` counts total offline results;
+    ``last_online`` is the last round with an online scan (-1 never).
+    One groupby(host) shuffle; the fold itself is vectorized per group.
+    """
+
+    def fold(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        host = group.column("host")[0].as_py()
+        rounds = group.column("round").to_numpy(zero_copy_only=False)
+        online = group.column("online").to_numpy(zero_copy_only=False)
+        order = np.argsort(rounds, kind="stable")
+        tries = 0
+        offline_scans = 0
+        last_online = -1
+        for i in order:
+            if online[i]:
+                tries = 0
+                last_online = int(rounds[i])
+            else:
+                tries += 1
+                offline_scans += 1
+        return pa.table({
+            "host": pa.array([host], pa.string()),
+            "online": pa.array([bool(tries == 0 and last_online >= 0)]),
+            "tries": pa.array([tries], pa.int64()),
+            "offline_scans": pa.array([offline_scans], pa.int64()),
+            "last_online_round": pa.array([last_online], pa.int32()),
+            "scans": pa.array([group.num_rows], pa.int64()),
+        })
+
+    return scan_ds.select_columns(["host", "round", "online"]).groupby(
+        "host").map_groups(fold, batch_format="pyarrow")
+
+
+def link_graph(scan_ds):
+    """Host-level link-graph edges with counts (A6): explode new_urls,
+    one groupby((src,dst)) shuffle over narrow host pairs."""
+    from urllib.parse import urlsplit
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        links = batch.column("new_urls")
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        lengths = pc.list_value_length(links).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+        flat = links.flatten().to_pylist()
+        src = np.repeat(
+            batch.column("host").to_numpy(zero_copy_only=False), lengths)
+        dst = [urlsplit(u)[1] for u in flat]
+        return pa.table({
+            "src_host": pa.array(src.tolist(), pa.string()),
+            "dst_host": pa.array(dst, pa.string()),
+        })
+
+    return (
+        scan_ds.select_columns(["host", "new_urls"])
+        .map_batches(edges, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .count()
+        .map_batches(
+            lambda t: pa.table({
+                "src_host": t.column("src_host"),
+                "dst_host": t.column("dst_host"),
+                "n_links": t.column("count()"),
+            }),
+            batch_format="pyarrow",
+        )
+    )
