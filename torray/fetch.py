@@ -44,10 +44,9 @@ from urllib.parse import urlsplit
 from torray.parse import (
     ScanResult,
     classify_status,
-    extract_forms,
-    extract_links_raw,
-    extract_title,
+    normalize_hrefs,
     page_hash,
+    parse_page,
 )
 from torray.urlnorm import expand_schemes, is_onion, merge_redirect
 
@@ -205,10 +204,11 @@ def scan_page(
     body = html if html is not None else b""
     text = body.decode("utf-8", "replace")
 
-    try:
-        result.title = extract_title(text)
-    except Exception:
-        result.title = "Unknown"
+    # One fused tokenizer pass (torray.parse.parse_page) standing in
+    # for the reference's three separate get_title/get_links/get_forms
+    # feeds; exception behavior is reproduced per extractor below.
+    parsed = parse_page(text)
+    result.title = "Unknown" if parsed.feed_exc is not None else parsed.title
 
     digest = page_hash(body)
     if last_hash == digest:
@@ -216,11 +216,18 @@ def scan_page(
         return result
     result.hash = digest
 
-    for link in extract_links_raw(text, url):
+    if parsed.feed_exc is not None:
+        # get_links would have crashed the reference here
+        # (TorSpider.py:308 sits inside the generic raise-through
+        # handler at :410-412).
+        raise parsed.feed_exc
+    for link in normalize_hrefs(parsed.hrefs, url):
         if is_onion(link):
             result.new_urls.append(link)
     result.new_urls = sorted(set(result.new_urls))
 
-    for form in extract_forms(text):
+    if parsed.form_exc is not None:
+        raise parsed.form_exc  # get_forms crash path (parsers.py:180)
+    for form in parsed.forms:
         result.form_dicts.append(dict(form))
     return result

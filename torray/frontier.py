@@ -121,6 +121,20 @@ class CuckooFilter:
         return self._num_buckets * self.SLOTS
 
 
+def accepted_table(rows: list[tuple[str, str, int]], rnd: int) -> pa.Table:
+    """(url, host, host_seq) accepted rows -> FRONTIER_SCHEMA table."""
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([r[1] for r in rows], pa.string()),
+            pa.array([""] * len(rows), pa.string()),
+            pa.array([rnd] * len(rows), pa.int32()),
+            pa.array([r[2] for r in rows], pa.int64()),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+
+
 def parse_robots(body: bytes) -> list[str]:
     """Disallow prefixes (all agents folded together; empty prefixes —
     'allow all' per the robots spec — dropped)."""
@@ -222,6 +236,36 @@ class SeenShardState:
             out.append((url, host, seq))
         return out
 
+    # -- buffered-exchange protocol (the shuffle-free candidate path) --
+
+    def buffer(self, rows: list[tuple]) -> int:
+        """Buffer candidate rows (url, host, path, key) pushed directly
+        by fetch tasks — the candidate 'shuffle' is actor mailbox
+        delivery instead of a sort exchange.  Arrival order is
+        arbitrary; determinism is restored in :meth:`finalize` by a
+        full sort on the first-wins key.  (At 10^10 scale this buffer
+        spills per shard; here it is in-heap.)"""
+        if not hasattr(self, "_buffer"):
+            self._buffer: list[tuple] = []
+        self._buffer.extend(rows)
+        return len(self._buffer)
+
+    def finalize(self, round_entered: int) -> list[tuple[str, str, int]]:
+        """Sort buffered candidates by first-wins key, dedup per url,
+        run the offer protocol, clear the buffer, return accepted
+        (url, host, host_seq).  Deterministic regardless of buffer
+        arrival order; idempotent against double-buffered duplicates
+        (task retries) because first-wins dedup collapses them."""
+        buffered = getattr(self, "_buffer", [])
+        self._buffer = []
+        best: dict[str, tuple] = {}
+        for url, host, path, key in buffered:
+            if url not in best or key < best[url][0]:
+                best[url] = (key, host, path)
+        ordered = sorted(best.items(), key=lambda kv: kv[1][0])
+        payload = [(url, meta[1], meta[2]) for url, meta in ordered]
+        return self.offer(payload, round_entered)
+
     def drain_delta(self) -> pa.Table:
         """Newly-seen urls since the last drain, as a snapshot-schema
         table; clears the buffer."""
@@ -295,6 +339,28 @@ class _SeenShardActor:
     def drain_delta(self):
         return self.state.drain_delta()
 
+    def buffer(self, rows):
+        return self.state.buffer(rows)
+
+    def finalize(self, round_entered):
+        return self.state.finalize(round_entered)
+
+    def finalize_to_parquet(self, round_entered, path, delta_path=None):
+        """Finalize and write this shard's accepted frontier file
+        directly (no driver transfer); optionally also drains the
+        newly-seen delta to ``delta_path`` in the same round-trip.
+        Returns the accepted count."""
+        import pyarrow.parquet as _pq
+
+        rows = self.state.finalize(round_entered)
+        if rows:
+            _pq.write_table(accepted_table(rows, round_entered), path)
+        if delta_path is not None:
+            delta = self.state.drain_delta()
+            if delta.num_rows:
+                _pq.write_table(delta, delta_path)
+        return len(rows)
+
     def snapshot(self):
         return self.state.snapshot()
 
@@ -303,6 +369,26 @@ class _SeenShardActor:
 
     def count(self):
         return self.state.count()
+
+
+def split_budget(frontier: pa.Table, budget: int) -> tuple[pa.Table, pa.Table]:
+    """Politeness selection over a frontier table that contains WHOLE
+    hosts (the per-shard invariant): returns (selected, deferred) —
+    per host, the first ``budget`` items by (round_entered, host_seq).
+    Pure numpy; no Python rows."""
+    if frontier.num_rows == 0:
+        return frontier, frontier
+    hosts = np.asarray(frontier.column("host").to_pylist())
+    rounds_e = frontier.column("round_entered").to_numpy(zero_copy_only=False)
+    seqs = frontier.column("host_seq").to_numpy(zero_copy_only=False)
+    order = np.lexsort((seqs, rounds_e, hosts))
+    sorted_hosts = hosts[order]
+    starts = np.flatnonzero(np.r_[True, sorted_hosts[1:] != sorted_hosts[:-1]])
+    rank = np.arange(len(order)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(order)]))
+    mask = np.zeros(len(order), dtype=bool)
+    mask[order[rank < budget]] = True
+    return frontier.filter(pa.array(mask)), frontier.filter(pa.array(~mask))
 
 
 def select_step(frontier_group: pa.Table, budget: int) -> pa.Table:

@@ -156,6 +156,17 @@ class _HrefCollector(HTMLParser):
             self.hrefs.append(dict(attrs).get("href"))
 
 
+def normalize_hrefs(hrefs: list, page_url: str) -> list[str]:
+    """The per-link normalization loop of ``get_links``, over already-
+    collected hrefs (sorted-unique canonical order)."""
+    links = []
+    for href in hrefs:
+        normalized = normalize_link(href, page_url)
+        if normalized is not None:
+            links.append(normalized)
+    return unique_sorted(links)
+
+
 def extract_links_raw(html_text: str, page_url: str) -> list[str]:
     """All normalized onion links on a page, duplicates removed but in
     set-equivalent canonical (sorted) order.
@@ -167,12 +178,7 @@ def extract_links_raw(html_text: str, page_url: str) -> list[str]:
     """
     collector = _HrefCollector()
     collector.feed(html_text)
-    links = []
-    for href in collector.hrefs:
-        normalized = normalize_link(href, page_url)
-        if normalized is not None:
-            links.append(normalized)
-    return unique_sorted(links)
+    return normalize_hrefs(collector.hrefs, page_url)
 
 
 def extract_links(html_text: str, page_url: str) -> list[str]:
@@ -329,6 +335,90 @@ def forms_to_json(forms: list[list[tuple]]) -> str:
     serialized with stdlib defaults like the reference's result encoder
     (``json.dumps``, ``/root/reference/libs/classes.py:17-18``)."""
     return json.dumps([dict(form) for form in forms])
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass parsing (hot-path optimization).
+# ---------------------------------------------------------------------------
+
+
+class ParsedPage:
+    """Output of one fused tokenizer pass."""
+
+    __slots__ = ("title", "hrefs", "forms", "form_exc", "feed_exc")
+
+    def __init__(self, title, hrefs, forms, form_exc, feed_exc):
+        self.title = title
+        self.hrefs = hrefs
+        self.forms = forms
+        self.form_exc = form_exc
+        self.feed_exc = feed_exc
+
+
+class _FusedSniffer(HTMLParser):
+    """Single tokenizer pass feeding all three extraction machines.
+
+    The reference tokenizes each page three times (ParseTitle /
+    ParseLinks / FormParser are independent ``HTMLParser`` subclasses
+    fed the same text); since the machines are independent, driving
+    them from one stdlib tokenizer yields byte-identical state while
+    paying tokenization once.  Form-machine exceptions (the stray
+    ``</select>`` path the reference lets escape ``get_forms``) are
+    DEFERRED — recorded here and re-raised only when forms are actually
+    consumed, so title/links still complete exactly as the reference's
+    separate passes would.
+    """
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._title_armed = False
+        self.title = ""
+        self.hrefs: list = []
+        self._forms = _FormCollector()
+        self.form_exc: Exception | None = None
+
+    def handle_starttag(self, tag, attrs):
+        self._title_armed = tag == "title"
+        if tag == "a":
+            self.hrefs.append(dict(attrs).get("href"))
+        if self.form_exc is None:
+            try:
+                self._forms.handle_starttag(tag, attrs)
+            except Exception as e:
+                self.form_exc = e
+
+    def handle_data(self, data):
+        if self._title_armed:
+            self.title = data
+            self._title_armed = False
+        if self.form_exc is None:
+            try:
+                self._forms.handle_data(data)
+            except Exception as e:
+                self.form_exc = e
+
+    def handle_endtag(self, tag):
+        if self.form_exc is None:
+            try:
+                self._forms.handle_endtag(tag)
+            except Exception as e:
+                self.form_exc = e
+
+
+def parse_page(html_text: str) -> ParsedPage:
+    """One-pass title + hrefs + forms.  Tokenizer-level exceptions are
+    captured in ``feed_exc`` (the caller reproduces the reference's
+    per-extractor exception behavior: 'Unknown' title, crash on link /
+    form extraction)."""
+    sniffer = _FusedSniffer()
+    try:
+        sniffer.feed(html_text)
+        feed_exc = None
+    except Exception as e:
+        feed_exc = e
+    title = sniffer.title.strip() if feed_exc is None else None
+    return ParsedPage(title, sniffer.hrefs, sniffer._forms.forms,
+                      sniffer.form_exc, feed_exc)
 
 
 # ---------------------------------------------------------------------------

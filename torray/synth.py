@@ -180,7 +180,10 @@ class SynthWeb:
         # Cross-host: every root links to the next host (keeps the host
         # graph connected); other pages fan out by a small stride.
         if j == 0 or sel % 3 == 0:
-            target = (h + 1 + (0 if j == 0 else sel % 7)) % self.num_hosts
+            # Long-range jumps (power-law-web property): keeps the host
+            # graph diameter logarithmic so a BFS activates many hosts
+            # per round instead of marching a ring one hop at a time.
+            target = (h + 1 + (0 if j == 0 else sel % 97)) % self.num_hosts
             hrefs.append(self.url_of(target, 0))
         # Absolute-url local link to an arbitrary (possibly special) page.
         hrefs.append(self.url_of(h, (j * 13 + 3) % size))
@@ -391,11 +394,16 @@ def write_synth_web(out_dir: str, num_pages: int, num_hosts: int,
 
     ds = ray.data.range(num_pages)
     ds = ds.map_batches(
-        lambda batch: web.batch_for_indices(batch["id"]),
+        lambda batch: web.batch_for_indices(
+            batch.column("id").to_numpy(zero_copy_only=False).tolist()),
         batch_format="pyarrow",
         batch_size=4096,
     )
     robots = ray.data.from_arrow(web._rows_to_table(web.robots_rows()))
     ds = ds.union(robots)
-    ds.sort("url").write_parquet(out_dir)
+    # Many files + small row groups: read parallelism for downstream
+    # scans and row-group pruning for url-filtered lookups.
+    (ds.sort("url")
+       .repartition(max(64, num_pages // 8192))
+       .write_parquet(out_dir, row_group_size=4096))
     return web
