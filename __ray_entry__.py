@@ -347,6 +347,40 @@ def _q_crawl_domains(sf_dir: str):
     return domain_status(crawler.scan_results())
 
 
+def _q_events_windowed(sf_dir: str):
+    from torray.ops.window import tumbling_window
+
+    return tumbling_window(_read(sf_dir, "events"), window_s=21600)
+
+
+def _q_events_sessions(sf_dir: str):
+    from torray.ops.window import sessionize
+
+    return sessionize(_read(sf_dir, "events"), gap_s=1800)
+
+
+def _q_events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time."""
+    import ray.data
+
+    from torray.ops.window import asof_join
+
+    orders = _read(sf_dir, "orders")
+    # Unique right rows per (custkey, orderdate): keep max orderkey.
+    dedup = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        ray.data.aggregate.Max("o_orderkey"))
+    dedup = _rename(dedup, {"max(o_orderkey)": "o_orderkey"})
+    joined = asof_join(
+        _read(sf_dir, "events"), dedup,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_value_cols=["o_orderkey"], num_partitions=4)
+    return joined.map_batches(
+        lambda t: t.select(["event_id", "o_orderkey"]),
+        batch_format="pyarrow")
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -381,6 +415,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation": _q_supplier_nation,
         "knn_top10": _q_knn_top10,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "events_asof_orders": _q_events_asof_orders,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
@@ -452,5 +489,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "events_windowed": (
+            "SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS window, "
+            "event_type, count(*) AS n, min(event_id) AS min_event, "
+            "max(event_id) AS max_event FROM events GROUP BY 1, 2"
+        ),
+        "events_sessions": (
+            "SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM ("
+            "SELECT user_id, epoch(ts - lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)) AS gap "
+            "FROM events) t GROUP BY user_id"
+        ),
+        "events_asof_orders": (
+            "SELECT e.event_id, o.o_orderkey FROM events e "
+            "ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders "
+            "GROUP BY 1, 2) o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
     }

@@ -249,3 +249,65 @@ def test_crawl_stats(ray_session, tmp_path):
     edges = link_graph(scan).to_pandas()
     assert edges["n_links"].sum() == counts["link_count"]
     assert (edges["src_host"] != edges["dst_host"]).any()
+
+
+def test_asof_join_null_and_tie_semantics(ray_session):
+    import ray
+
+    from torray.ops.window import asof_join
+
+    left = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+        "ts": pa.array([100, 250, 300, 50], pa.timestamp("us")).cast(
+            pa.timestamp("us")),
+    })
+    right = pa.table({
+        "o_custkey": pa.array([7, 7, 8], pa.int64()),
+        "o_orderdate": pa.array([200, 300, 10], pa.timestamp("us")),
+        "o_orderkey": pa.array([11, 22, 33], pa.int64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_value_cols=["o_orderkey"],
+    ).to_pandas().set_index("event_id")["o_orderkey"]
+    assert pd_isna(out[1])          # event before any order
+    assert out[2] == 11             # latest order <= 250
+    assert out[3] == 22             # equal ts matches (<=)
+    assert pd_isna(out[4])          # user with no orders at all
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
+def test_tumbling_and_sessions_ground_truth(ray_session):
+    import ray
+
+    from torray.ops.window import sessionize, tumbling_window
+
+    us = 1_000_000
+    events = pa.table({
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "ts": pa.array([0, 10 * us, 2000 * us, 3900 * us, 3901 * us,
+                        90000 * us], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "a", "a", "b"], pa.string()),
+    })
+    ds = ray.data.from_arrow(events).repartition(3)
+    win = tumbling_window(ds, window_s=3600).to_pandas()
+    # windows: 0s-3600s -> ids 0; 3900s -> 1; 90000s -> 25
+    assert set(win["window"]) == {0, 1, 25}
+    assert win.loc[(win["window"] == 0) & (win["event_type"] == "a"),
+                   "n"].iloc[0] == 2
+    sess = sessionize(ray.data.from_arrow(events), gap_s=1800).to_pandas()
+    sess = sess.set_index("user_id")
+    # user 1: gaps 10s, 1990s(>1800), 1900s(>1800) -> 3 sessions
+    assert sess.loc[1, "n_sessions"] == 3
+    # user 2: gap 86099s -> 2 sessions
+    assert sess.loc[2, "n_sessions"] == 2

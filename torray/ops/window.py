@@ -1,0 +1,179 @@
+"""Time-window operators over an events Dataset
+(``event_id, ts, user_id, event_type, value, props`` — TESTDATA.md):
+tumbling-window aggregation, gap-based sessionization, and an as-of
+join — the operators SURVEY.md §2 flags as "Ray Data lacks, build as
+composition" (custom-operator rows of the brief).
+
+All three follow the same shape: derive the partition key in a
+``map_batches`` (vectorized), then ONE ``groupby(key)`` with the
+order-sensitive logic inside ``map_groups`` (sort within group —
+partitioning assumption: a group fits in a task, which holds for
+per-user/per-window slices of even very large event streams; a hot key
+would be salted by time range first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["tumbling_window", "sessionize", "asof_join"]
+
+
+def tumbling_window(events_ds, *, window_s: int = 21600,
+                    key_col: str = "event_type"):
+    """Count/min/max aggregate per (tumbling window, key).
+
+    Window derivation is vectorized per batch (epoch // width); the
+    aggregate itself pre-combines inside the batch before the single
+    ``groupby`` (partial aggregation — the shuffle carries one row per
+    (window, key) per batch, not per event)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch.column("ts"), pa.int64())  # microseconds
+        win = pc.cast(pc.divide(epoch, window_s * 1_000_000), pa.int64())
+        t = pa.table({
+            "window": win,
+            key_col: batch.column(key_col),
+            "event_id": batch.column("event_id"),
+        })
+        # In-batch combine: one row per (window, key).
+        df = t.to_pandas().groupby(["window", key_col]).agg(
+            n=("event_id", "size"),
+            min_event=("event_id", "min"),
+            max_event=("event_id", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = events_ds.select_columns(
+        ["ts", key_col, "event_id"]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "window": group.column("window").slice(0, 1),
+            key_col: group.column(key_col).slice(0, 1),
+            "n": pa.array([int(pc.sum(group.column("n")).as_py())],
+                          pa.int64()),
+            "min_event": pa.array(
+                [int(pc.min(group.column("min_event")).as_py())], pa.int64()),
+            "max_event": pa.array(
+                [int(pc.max(group.column("max_event")).as_py())], pa.int64()),
+        })
+
+    return partials.groupby(["window", key_col]).map_groups(
+        combine, batch_format="pyarrow")
+
+
+def sessionize(events_ds, *, gap_s: int = 1800):
+    """Per-user session count under a gap threshold: a new session
+    starts when the time since the previous event (by (ts, event_id)
+    order) exceeds ``gap_s``.  One groupby(user) shuffle; the windowed
+    scan inside the group is pure numpy."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_sorted = ts[order]
+        gaps = np.diff(ts_sorted)
+        n_sessions = 1 + int((gaps > gap_s * 1_000_000).sum())
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_events": pa.array([group.num_rows], pa.int64()),
+        })
+
+    return events_ds.select_columns(
+        ["user_id", "ts", "event_id"]).groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow")
+
+
+def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
+              left_ts: str, right_ts: str, right_value_cols: list[str],
+              num_partitions: int = 8):
+    """As-of LEFT join: for each left row, the right row with the same
+    key and the greatest ``right_ts`` <= ``left_ts`` (nulls when none).
+
+    Expressed Ray-Data-first: tag both sides, union them (schema-
+    aligned), ONE ``groupby(key)``, and a per-group merge scan over the
+    time-sorted union — the standard distributed as-of strategy (the
+    partitioning assumption is per-key group size, as for any
+    co-grouped join; a hot key would be range-salted by time).
+
+    The right side must be unique per (key, ts) — pre-reduce it if not
+    (ties at equal ts would otherwise be resolved by arrival order,
+    which is partitioning-dependent)."""
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {
+            "__key": t.column(left_key).cast(pa.int64()),
+            "__ts": t.column(left_ts).cast(pa.int64()),
+            "__side": pa.array([0] * t.num_rows, pa.int8()),
+        }
+        for name in t.column_names:
+            cols["l_" + name] = t.column(name)
+        for name in right_value_cols:
+            cols["r_" + name] = pa.nulls(t.num_rows,
+                                         _right_types[name])
+        return pa.table(cols)
+
+    right_tbl_schema = right_ds.schema()
+    _right_types = {
+        name: right_tbl_schema.base_schema.field(name).type
+        for name in right_value_cols
+    }
+    left_schema = left_ds.schema()
+    _left_names = list(left_schema.names)
+    _left_types = {n: left_schema.base_schema.field(n).type
+                   for n in _left_names}
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {
+            "__key": t.column(right_key).cast(pa.int64()),
+            "__ts": t.column(right_ts).cast(pa.int64()),
+            "__side": pa.array([1] * t.num_rows, pa.int8()),
+        }
+        for name in _left_names:
+            cols["l_" + name] = pa.nulls(t.num_rows, _left_types[name])
+        for name in right_value_cols:
+            cols["r_" + name] = t.column(name)
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns(
+            list({right_key, right_ts, *right_value_cols})
+        ).map_batches(tag_right, batch_format="pyarrow"))
+
+    def merge(group: pa.Table) -> pa.Table:
+        ts = group.column("__ts").to_numpy(zero_copy_only=False)
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        # Right rows sort BEFORE left rows at equal ts (<= semantics):
+        # secondary key (1 - side) puts side=1 first.
+        order = np.lexsort((1 - side, ts))
+        out_rows = []
+        current_right = None
+        rows = group.to_pylist()
+        for i in order:
+            row = rows[i]
+            if row["__side"] == 1:
+                current_right = row
+            else:
+                out = {name: row["l_" + name] for name in _left_names}
+                for name in right_value_cols:
+                    out[name] = (current_right["r_" + name]
+                                 if current_right is not None else None)
+                out_rows.append(out)
+        if not out_rows:
+            return pa.table({
+                **{n: pa.array([], _left_types[n]) for n in _left_names},
+                **{n: pa.array([], _right_types[n])
+                   for n in right_value_cols},
+            })
+        return pa.Table.from_pylist(out_rows, schema=pa.schema(
+            [(n, _left_types[n]) for n in _left_names]
+            + [(n, _right_types[n]) for n in right_value_cols]))
+
+    return tagged.groupby("__key").map_groups(merge, batch_format="pyarrow")
