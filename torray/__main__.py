@@ -1,0 +1,126 @@
+"""CLI entry: run crawls and scans like the reference daemon.
+
+    python -m torray crawl --pages PAGES.parquet --workdir DIR \
+        --seeds seed1 seed2 ... [--budget 8] [--max-rounds 100] \
+        [--respect-robots] [--recrawl] [--num-shards 8] [--num-buckets 16]
+    python -m torray scan --pages PAGES.parquet --out DIR
+    python -m torray synth --out DIR --pages 10000 --hosts 200 [--seed 42]
+    python -m torray stats --workdir DIR
+
+Environment overrides (TORRAY_BUDGET, TORRAY_MAX_ROUNDS, TORRAY_NODE,
+TORRAY_NUM_SHARDS, TORRAY_NUM_BUCKETS, TORRAY_RESPECT_ROBOTS) apply on
+top of flags, mirroring the reference's env-beats-config precedence
+(``/root/reference/TorSpider.py:450-467``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--num-cpus", type=int, default=None)
+    parser = argparse.ArgumentParser(prog="torray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_crawl = sub.add_parser("crawl", parents=[common])
+    p_crawl.add_argument("--pages", required=True)
+    p_crawl.add_argument("--workdir", required=True)
+    p_crawl.add_argument("--seeds", nargs="+", required=True)
+    p_crawl.add_argument("--budget", type=int, default=8)
+    p_crawl.add_argument("--max-rounds", type=int, default=100)
+    p_crawl.add_argument("--scan-date", default="2026-01-01")
+    p_crawl.add_argument("--node", default="torray")
+    p_crawl.add_argument("--respect-robots", action="store_true")
+    p_crawl.add_argument("--recrawl", action="store_true")
+    p_crawl.add_argument("--num-shards", type=int, default=8)
+    p_crawl.add_argument("--num-buckets", type=int, default=16)
+
+    p_scan = sub.add_parser("scan", parents=[common])
+    p_scan.add_argument("--pages", required=True)
+    p_scan.add_argument("--out", required=True)
+    p_scan.add_argument("--scan-date", default="2026-01-01")
+    p_scan.add_argument("--node", default="torray")
+
+    p_synth = sub.add_parser("synth", parents=[common])
+    p_synth.add_argument("--out", required=True)
+    p_synth.add_argument("--pages", type=int, required=True)
+    p_synth.add_argument("--hosts", type=int, required=True)
+    p_synth.add_argument("--seed", type=int, default=42)
+
+    p_stats = sub.add_parser("stats", parents=[common])
+    p_stats.add_argument("--workdir", required=True)
+    p_stats.add_argument("--pages", required=True)
+
+    args = parser.parse_args(argv)
+    _ray_init(args.num_cpus)
+
+    if args.cmd == "crawl":
+        from torray.crawl import CrawlConfig, Crawler
+
+        cfg = CrawlConfig(
+            pages_path=args.pages, workdir=args.workdir, seeds=args.seeds,
+            budget=args.budget, max_rounds=args.max_rounds,
+            scan_date=args.scan_date, node=args.node,
+            respect_robots=args.respect_robots, recrawl=args.recrawl,
+            num_shards=args.num_shards, num_buckets=args.num_buckets,
+        ).apply_env()
+        crawler = Crawler(cfg)
+        summary = crawler.run()
+        summary.pop("metrics", None)
+        print(json.dumps(summary))
+    elif args.cmd == "scan":
+        import ray
+
+        from torray.extract import scan_pages_dataset
+
+        out = scan_pages_dataset(
+            ray.data.read_parquet(args.pages),
+            scan_date=args.scan_date, node=args.node)
+        out.write_parquet(args.out)
+        print(json.dumps({"rows": out.count(), "out": args.out}))
+    elif args.cmd == "synth":
+        from torray.synth import write_synth_web
+
+        write_synth_web(args.out, args.pages, args.hosts, seed=args.seed)
+        print(json.dumps({"out": args.out, "pages": args.pages,
+                          "hosts": args.hosts}))
+    elif args.cmd == "stats":
+        from torray.crawl import CrawlConfig, Crawler
+        from torray.stats import crawl_counts
+
+        cfg = CrawlConfig(pages_path=args.pages, workdir=args.workdir,
+                          seeds=[])
+        crawler = Crawler(cfg)
+        done = crawler._completed_rounds()
+        if done:
+            crawler._restore_shards(done[-1])
+        counts = crawl_counts(crawler.scan_results(),
+                              crawler.seen_snapshot())
+        print(json.dumps(counts))
+
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

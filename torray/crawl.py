@@ -167,6 +167,15 @@ class Crawler:
         else:
             self.store = PageStore.build(cfg.pages_path, store_root,
                                          cfg.num_buckets)
+        # Startup sanity gate — the fetch layer's analogue of the
+        # reference's Tor-connectivity check (TorSpider.py:479-498):
+        # the page store must be present and readable before spiders
+        # wake.
+        if not glob.glob(os.path.join(store_root, "**", "*.parquet"),
+                         recursive=True):
+            raise RuntimeError(
+                f"page store at {store_root} contains no parquet — "
+                f"pages_path {cfg.pages_path!r} empty or unreadable?")
         robots = None
         if cfg.respect_robots:
             robots = {h: parse_robots(b)
