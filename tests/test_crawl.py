@@ -202,3 +202,43 @@ def test_partitioning_invariance(ray_session, web, tmp_path):
         assert list(ra[k]["new_urls"]) == list(rb[k]["new_urls"])
     assert (set(a.seen_snapshot().column("url").to_pylist())
             == set(b.seen_snapshot().column("url").to_pylist()))
+
+
+def test_stop_sentinel_graceful(ray_session, web, tmp_path):
+    """A STOP file in the workdir halts at a round boundary; removing it
+    resumes exactly where the crawl left off (reference 'sleep' file
+    semantics, TorSpider.py:109-114)."""
+    import os
+
+    wd = tmp_path / "wd"
+    a, summary_a, cfg = _run_engine(web, wd, max_rounds=2)
+    open(os.path.join(str(wd), "STOP"), "w").close()
+    b_crawler, summary_b, _ = _run_engine(web, wd, max_rounds=6)
+    assert summary_b.get("stopped") is True
+    assert summary_b["rounds"] == 2  # no extra round ran
+    os.unlink(os.path.join(str(wd), "STOP"))
+    c_crawler, summary_c, _ = _run_engine(web, wd, max_rounds=6)
+    assert "stopped" not in summary_c
+
+    full, _, _ = _run_engine(web, tmp_path / "full", max_rounds=6)
+    assert _engine_log(c_crawler) == _engine_log(full)
+
+
+def test_count_where_dsl(ray_session, web, tmp_path):
+    import ray
+
+    from torray.stats import count_where
+
+    import pyarrow.parquet as pq2
+
+    pq2.write_table(web.table(), str(tmp_path / "p.parquet"))
+    from torray.extract import scan_pages_dataset
+
+    scan = scan_pages_dataset(ray.data.read_parquet(str(tmp_path / "p.parquet")),
+                              scan_date=SCAN_DATE, node=NODE).materialize()
+    df = scan.to_pandas()
+    assert count_where(scan, "online", "eq", True) == int(df["online"].sum())
+    assert count_where(scan, "online", "ne", True) == int((~df["online"]).sum())
+    assert count_where(scan, "hash", "has") == int(df["hash"].notna().sum())
+    with pytest.raises(ValueError):
+        count_where(scan, "online", "gt", 1)

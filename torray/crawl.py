@@ -326,8 +326,20 @@ class Crawler:
             self._init_frontier()
             rnd = 0
 
+        stop_sentinel = os.path.join(cfg.workdir, "STOP")
         known_in = None  # previous round's frontier_out, saves footer reads
         while not recrawl_done and not bfs_done and rnd < cfg.max_rounds:
+            if os.path.exists(stop_sentinel):
+                # Graceful shutdown at a round boundary — the analogue
+                # of the reference's 'sleep' sentinel file
+                # (TorSpider.py:109-114); state is checkpointed, so a
+                # later run resumes exactly here.
+                summary = {"rounds": rnd, "recrawl": False,
+                           "stopped": True,
+                           "seen": sum(ray.get(
+                               [s.count.remote() for s in self.shards])),
+                           "metrics": self.metrics}
+                return summary
             stats = self._run_round(rnd, known_in)
             known_in = stats["frontier_out"]
             self.metrics.append(stats)

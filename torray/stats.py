@@ -16,7 +16,31 @@ import json
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["crawl_counts", "domain_status", "link_graph"]
+__all__ = ["crawl_counts", "domain_status", "link_graph", "count_where"]
+
+
+def count_where(ds, column: str, op: str, value=None) -> int:
+    """Filtered count with the reference's little filter DSL
+    (``count_field``'s ``eq`` / ``ne`` / ``has`` operators,
+    ``/root/reference/SpiderStats.py:22-43``): ``eq``/``ne`` compare a
+    column to a value, ``has`` counts non-null rows (the
+    relationship-exists filter).  Streams one filter+count, no
+    materialization."""
+    import pyarrow.dataset  # noqa: F401  (pc import at module top)
+
+    if op == "eq":
+        expr = f"{column} == {value!r}"
+    elif op == "ne":
+        expr = f"{column} != {value!r}"
+    elif op == "has":
+        return ds.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pc.sum(t.column(column).is_valid().cast(
+                    pa.int64())).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").sum("n")
+    else:
+        raise ValueError(f"unknown op {op!r} (eq|ne|has)")
+    return ds.filter(expr=expr).count()
 
 
 def crawl_counts(scan_ds, seen_snapshot: pa.Table) -> dict:
