@@ -146,6 +146,93 @@ def _explode_links(batch: pa.Table, num_shards: int) -> pa.Table:
     )
 
 
+def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
+                        nxt_dir: str, rdir: str, store, shard_actors,
+                        num_shards: int, num_buckets: int, budget: int,
+                        scan_date: str, node: str) -> dict:
+    """One shard's share of a distributed round (see
+    ``Crawler._run_round_sharded``): read own frontier files, politeness
+    selection, bucketed page lookup, scan, write crawl-log /
+    scan-results / deferred shards (deterministic names ->
+    retry-idempotent), push pre-deduped candidates to the target
+    seen-shard actors.  Runs as a plain Ray task: the round is a fixed
+    fan-out of side-effecting workers, which raw tasks dispatch with
+    less per-round overhead than a Dataset execution."""
+    import ray
+
+    files = sorted(glob.glob(os.path.join(
+        frontier_dir, f"shard-{shard_id:05d}-*.parquet")))
+    if not files:
+        return {"shard": shard_id, "frontier": 0, "selected": 0,
+                "deferred": 0, "results": 0}
+    frontier = pa.concat_tables([pq.read_table(f) for f in files])
+    selected, deferred = split_budget(frontier, budget)
+
+    log = selected.select(
+        ["url", "host", "round_entered", "host_seq"]).append_column(
+        "round", pa.array([rnd] * selected.num_rows, pa.int32()))
+    pq.write_table(log, os.path.join(
+        rdir, "crawl_log", f"shard-{shard_id:05d}.parquet"))
+    if deferred.num_rows:
+        pq.write_table(
+            deferred.select(FRONTIER_SCHEMA.names),
+            os.path.join(nxt_dir, f"shard-{shard_id:05d}-deferred.parquet"))
+
+    urls = selected.column("url").to_pylist()
+    hosts = selected.column("host").to_pylist()
+    by_bucket: dict[int, list[str]] = {}
+    for u, h in zip(urls, hosts):
+        by_bucket.setdefault(bucket_of(h, num_buckets), []).append(u)
+    pages: dict[str, bytes | None] = {}
+    for b, bucket_urls in sorted(by_bucket.items()):
+        pages.update(store.lookup(b, bucket_urls))
+
+    batch_in = pa.Table.from_arrays(
+        [
+            selected.column("url"),
+            pa.array([pages.get(u) for u in urls], pa.binary()),
+            pa.array([u in pages for u in urls], pa.bool_()),
+            selected.column("last_hash"),
+            selected.column("round_entered"),
+            selected.column("host_seq"),
+        ],
+        names=["url", "html", "present", "last_hash",
+               "round_entered", "host_seq"],
+    )
+    scan = scan_batch(batch_in, scan_date=scan_date, node=node,
+                      carry_cols=("round_entered", "host_seq"))
+    scan = scan.append_column(
+        "round", pa.array([rnd] * scan.num_rows, pa.int32()))
+    pq.write_table(scan, os.path.join(
+        rdir, "scan_results", f"shard-{shard_id:05d}.parquet"))
+
+    cand = _explode_links(scan, num_shards)
+    per_target: dict[int, dict[str, tuple]] = {}
+    for url, host, path, t_shard, phost, pround, pseq in zip(
+            cand.column("url").to_pylist(),
+            cand.column("host").to_pylist(),
+            cand.column("path").to_pylist(),
+            cand.column("shard").to_pylist(),
+            cand.column("parent_host").to_pylist(),
+            cand.column("parent_round").to_pylist(),
+            cand.column("parent_seq").to_pylist()):
+        key = (phost, pround, pseq, url)
+        best = per_target.setdefault(t_shard, {})
+        cur = best.get(url)
+        if cur is None or key < cur[0]:
+            best[url] = (key, host, path)
+    pushes = [
+        shard_actors[t].buffer.remote(
+            [(u, m[1], m[2], m[0]) for u, m in per_target[t].items()])
+        for t in sorted(per_target)
+    ]
+    if pushes:
+        ray.get(pushes)
+    return {"shard": shard_id, "frontier": frontier.num_rows,
+            "selected": selected.num_rows, "deferred": deferred.num_rows,
+            "results": scan.num_rows}
+
+
 def _frontier_count(rdir: str) -> int:
     """Frontier size from Parquet footers only (no Ray execution)."""
     return sum(
@@ -182,6 +269,7 @@ class Crawler:
                       for h, b in self.store.robots_bodies().items()}
         self.shards = make_seen_shards(cfg.num_shards, robots)
         self.metrics: list[dict] = []
+        self._shard_task = None  # lazily-created ray.remote wrapper
 
     # -- checkpoint helpers ---------------------------------------------
 
@@ -380,8 +468,10 @@ class Crawler:
         """Distributed round, co-partitioned end to end on ONE key.
 
         The frontier is already on disk as one file set per seen-shard
-        (whole hosts per shard), so the round is a single Ray Data
-        execution mapping over shard ids: each task reads its shard's
+        (whole hosts per shard), so the round is a fixed fan-out of one
+        plain Ray task per shard (see ``_process_shard_impl`` — the one
+        spot raw tasks beat the Dataset API: a bounded side-effecting
+        fan-out with no data-plane output): each task reads its shard's
         frontier, runs politeness selection, looks pages up in the
         bucketed store (url row-group pruning), scans them, writes its
         crawl-log / scan-results / deferred-frontier shards itself
@@ -411,96 +501,14 @@ class Crawler:
         scan_date, node = cfg.scan_date, cfg.node
         frontier_dir = os.path.join(rdir, "frontier")
 
-        def _stats_row(shard_id, fin, sel, def_, res):
-            return pa.table({
-                "shard": pa.array([shard_id], pa.int32()),
-                "frontier": pa.array([fin], pa.int64()),
-                "selected": pa.array([sel], pa.int64()),
-                "deferred": pa.array([def_], pa.int64()),
-                "results": pa.array([res], pa.int64()),
-            })
-
-        def process_shard(id_batch: pa.Table) -> pa.Table:
-            shard_id = int(id_batch.column("shard")[0].as_py())
-            files = sorted(glob.glob(os.path.join(
-                frontier_dir, f"shard-{shard_id:05d}-*.parquet")))
-            if not files:
-                return _stats_row(shard_id, 0, 0, 0, 0)
-            frontier = pa.concat_tables([pq.read_table(f) for f in files])
-            selected, deferred = split_budget(frontier, budget)
-
-            log = selected.select(
-                ["url", "host", "round_entered", "host_seq"]).append_column(
-                "round", pa.array([rnd] * selected.num_rows, pa.int32()))
-            pq.write_table(log, os.path.join(
-                rdir, "crawl_log", f"shard-{shard_id:05d}.parquet"))
-            if deferred.num_rows:
-                pq.write_table(
-                    deferred.select(FRONTIER_SCHEMA.names),
-                    os.path.join(nxt_dir,
-                                 f"shard-{shard_id:05d}-deferred.parquet"))
-
-            urls = selected.column("url").to_pylist()
-            hosts = selected.column("host").to_pylist()
-            by_bucket: dict[int, list[str]] = {}
-            for u, h in zip(urls, hosts):
-                by_bucket.setdefault(bucket_of(h, num_buckets), []).append(u)
-            pages: dict[str, bytes | None] = {}
-            for b, bucket_urls in sorted(by_bucket.items()):
-                pages.update(store.lookup(b, bucket_urls))
-
-            batch_in = pa.Table.from_arrays(
-                [
-                    selected.column("url"),
-                    pa.array([pages.get(u) for u in urls], pa.binary()),
-                    pa.array([u in pages for u in urls], pa.bool_()),
-                    selected.column("last_hash"),
-                    selected.column("round_entered"),
-                    selected.column("host_seq"),
-                ],
-                names=["url", "html", "present", "last_hash",
-                       "round_entered", "host_seq"],
-            )
-            scan = scan_batch(batch_in, scan_date=scan_date, node=node,
-                              carry_cols=("round_entered", "host_seq"))
-            scan = scan.append_column(
-                "round", pa.array([rnd] * scan.num_rows, pa.int32()))
-            pq.write_table(scan, os.path.join(
-                rdir, "scan_results", f"shard-{shard_id:05d}.parquet"))
-
-            cand = _explode_links(scan, num_shards)
-            per_target: dict[int, dict[str, tuple]] = {}
-            for url, host, path, t_shard, phost, pround, pseq in zip(
-                    cand.column("url").to_pylist(),
-                    cand.column("host").to_pylist(),
-                    cand.column("path").to_pylist(),
-                    cand.column("shard").to_pylist(),
-                    cand.column("parent_host").to_pylist(),
-                    cand.column("parent_round").to_pylist(),
-                    cand.column("parent_seq").to_pylist()):
-                key = (phost, pround, pseq, url)
-                best = per_target.setdefault(t_shard, {})
-                cur = best.get(url)
-                if cur is None or key < cur[0]:
-                    best[url] = (key, host, path)
-            pushes = [
-                shard_actors[t].buffer.remote(
-                    [(u, m[1], m[2], m[0])
-                     for u, m in per_target[t].items()])
-                for t in sorted(per_target)
-            ]
-            if pushes:
-                ray.get(pushes)
-            return _stats_row(shard_id, frontier.num_rows,
-                              selected.num_rows, deferred.num_rows,
-                              scan.num_rows)
-
-        rows = (
-            ray.data.from_items([{"shard": k} for k in range(num_shards)])
-            .map_batches(process_shard, batch_size=1,
-                         batch_format="pyarrow")
-            .take_all()
-        )
+        if self._shard_task is None:
+            self._shard_task = ray.remote(num_cpus=1)(_process_shard_impl)
+        rows = ray.get([
+            self._shard_task.remote(
+                k, rnd, frontier_dir, nxt_dir, rdir, store, shard_actors,
+                num_shards, num_buckets, budget, scan_date, node)
+            for k in range(num_shards)
+        ])
         n_selected = sum(r["selected"] for r in rows)
         n_deferred = sum(r["deferred"] for r in rows)
         n_results = sum(r["results"] for r in rows)
