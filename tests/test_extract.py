@@ -214,3 +214,62 @@ def test_scan_frontier_join_matches_bucket_semantics(ray_session, tmp_path,
         assert list(got[url]["new_urls"]) == list(direct[url]["new_urls"])
     for url in absent_urls:
         assert got[url]["online"] is False and got[url]["fault"] is None
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "https", "ftp", "wss"]),
+    hostkind=st.sampled_from(["abc123def456ghij.onion", "ex.com", ""]),
+    path=st.sampled_from(["/", "/p1.html", "/img.png", "/a/b.pdf", ""]),
+    present=st.booleans(),
+    directive=st.sampled_from(
+        [""] + [f"<!--web status={s}-->" for s in
+                (200, 201, 301, 404, 408, 299, 600)]
+        + ["<!--web status=302 location=/x-->",
+           "<!--web status=301 location=page2.html-->",
+           "<!--web status=303-->",
+           "<!--web exc=timeout-->", "<!--web exc=ssl-->",
+           "<!--web exc=chunked-->", "<!--web exc=memory-->",
+           "<!--web exc=conn-->", "<!--web exc=not_implemented-->",
+           "<!--web exc=too_many_redirects-->",
+           "<!--web content-type=image/png-->",
+           "<!--web content-type=none-->",
+           "<!--web bogus",  # malformed directive -> plain content
+           ]),
+    body=st.sampled_from(
+        ["", "<html><title>T</title><a href='/x'>l</a></html>",
+         "<a href='o.onion/p'>x</a><form><input type=text name=n></form>",
+         "<title>A</title><title>B</title>"]),
+    null_html=st.booleans(),
+    last_hash_mode=st.sampled_from(["", "match", "stale"]),
+)
+def test_scan_page_fuzz_vs_oracle(ref, scheme, hostkind, path, present,
+                                  directive, body, null_html,
+                                  last_hash_mode):
+    from torray.fetch import scan_page
+    from torray.parse import page_hash
+
+    from oracle_sim import sim_scan
+
+    url = f"{scheme}://{hostkind}{path}"
+    html = None if null_html else (directive + body).encode()
+    if last_hash_mode == "match" and html is not None:
+        last_hash = page_hash(html)
+    elif last_hash_mode == "stale":
+        last_hash = "deadbeef"
+    else:
+        last_hash = ""
+    got = scan_page(url, present, html, last_hash, "2026-01-01", "fz")
+    expected = sim_scan(ref, url, present, html, last_hash, "2026-01-01", "fz")
+    if expected is None:
+        assert got is None
+        return
+    assert got is not None
+    for field in ("url", "online", "fault", "redirect", "title", "hash",
+                  "scan_date", "last_node"):
+        assert getattr(got, field) == expected[field], field
+    assert got.new_urls == expected["new_urls"]
+    assert got.form_dicts == expected["form_dicts"]
