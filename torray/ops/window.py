@@ -30,6 +30,8 @@ def tumbling_window(events_ds, *, window_s: int = 21600,
     ``groupby`` (partial aggregation — the shuffle carries one row per
     (window, key) per batch, not per event)."""
 
+    import ray.data
+
     def partial(batch: pa.Table) -> pa.Table:
         epoch = pc.cast(batch.column("ts"), pa.int64())  # microseconds
         win = pc.cast(pc.divide(epoch, window_s * 1_000_000), pa.int64())
@@ -38,32 +40,30 @@ def tumbling_window(events_ds, *, window_s: int = 21600,
             key_col: batch.column(key_col),
             "event_id": batch.column("event_id"),
         })
-        # In-batch combine: one row per (window, key).
-        df = t.to_pandas().groupby(["window", key_col]).agg(
-            n=("event_id", "size"),
-            min_event=("event_id", "min"),
-            max_event=("event_id", "max"),
-        ).reset_index()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # In-batch combine: one row per (window, key), zero-conversion
+        # (Arrow hash-aggregate — no pandas round-trip).
+        agg = pa.TableGroupBy(t, ["window", key_col]).aggregate(
+            [("event_id", "count"), ("event_id", "min"), ("event_id", "max")])
+        mapping = {"event_id_count": "n", "event_id_min": "min_event",
+                   "event_id_max": "max_event"}
+        return agg.rename_columns(
+            [mapping.get(c, c) for c in agg.column_names])
 
     partials = events_ds.select_columns(
         ["ts", key_col, "event_id"]).map_batches(
         partial, batch_format="pyarrow")
 
-    def combine(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "window": group.column("window").slice(0, 1),
-            key_col: group.column(key_col).slice(0, 1),
-            "n": pa.array([int(pc.sum(group.column("n")).as_py())],
-                          pa.int64()),
-            "min_event": pa.array(
-                [int(pc.min(group.column("min_event")).as_py())], pa.int64()),
-            "max_event": pa.array(
-                [int(pc.max(group.column("max_event")).as_py())], pa.int64()),
-        })
-
-    return partials.groupby(["window", key_col]).map_groups(
-        combine, batch_format="pyarrow")
+    merged = partials.groupby(["window", key_col]).aggregate(
+        ray.data.aggregate.Sum("n"),
+        ray.data.aggregate.Min("min_event"),
+        ray.data.aggregate.Max("max_event"),
+    )
+    final = {"sum(n)": "n", "min(min_event)": "min_event",
+             "max(max_event)": "max_event"}
+    return merged.map_batches(
+        lambda t: t.rename_columns(
+            [final.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
 
 
 def sessionize(events_ds, *, gap_s: int = 1800):
@@ -148,32 +148,37 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
         ).map_batches(tag_right, batch_format="pyarrow"))
 
     def merge(group: pa.Table) -> pa.Table:
+        # Vectorized as-of merge: sort the right rows once by ts, then
+        # one np.searchsorted places every left row against the latest
+        # right ts <= its own (side='right' keeps the <= semantics at
+        # equal timestamps).  No Python rows.
         ts = group.column("__ts").to_numpy(zero_copy_only=False)
         side = group.column("__side").to_numpy(zero_copy_only=False)
-        # Right rows sort BEFORE left rows at equal ts (<= semantics):
-        # secondary key (1 - side) puts side=1 first.
-        order = np.lexsort((1 - side, ts))
-        out_rows = []
-        current_right = None
-        rows = group.to_pylist()
-        for i in order:
-            row = rows[i]
-            if row["__side"] == 1:
-                current_right = row
-            else:
-                out = {name: row["l_" + name] for name in _left_names}
-                for name in right_value_cols:
-                    out[name] = (current_right["r_" + name]
-                                 if current_right is not None else None)
-                out_rows.append(out)
-        if not out_rows:
-            return pa.table({
-                **{n: pa.array([], _left_types[n]) for n in _left_names},
-                **{n: pa.array([], _right_types[n])
-                   for n in right_value_cols},
-            })
-        return pa.Table.from_pylist(out_rows, schema=pa.schema(
-            [(n, _left_types[n]) for n in _left_names]
-            + [(n, _right_types[n]) for n in right_value_cols]))
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        cols: dict[str, pa.Array] = {}
+        l_take = pa.array(l_idx, pa.int64())
+        for n in _left_names:
+            cols[n] = pc.take(group.column("l_" + n), l_take)
+        if r_idx.size and l_idx.size:
+            r_order = np.argsort(ts[r_idx], kind="stable")
+            r_sorted_ts = ts[r_idx][r_order]
+            pos = np.searchsorted(r_sorted_ts, ts[l_idx], side="right") - 1
+            valid = pos >= 0
+            src = r_idx[r_order[np.clip(pos, 0, None)]]
+            r_take = pa.array(src, pa.int64())
+            valid_arr = pa.array(valid)
+            for n in right_value_cols:
+                taken = pc.take(group.column("r_" + n), r_take)
+                cols[n] = pc.if_else(
+                    valid_arr, taken, pa.nulls(len(valid), _right_types[n]))
+        else:
+            for n in right_value_cols:
+                cols[n] = pa.nulls(int(l_idx.size), _right_types[n])
+        return pa.Table.from_arrays(
+            [cols[n] for n in (*_left_names, *right_value_cols)],
+            schema=pa.schema(
+                [(n, _left_types[n]) for n in _left_names]
+                + [(n, _right_types[n]) for n in right_value_cols]))
 
     return tagged.groupby("__key").map_groups(merge, batch_format="pyarrow")
