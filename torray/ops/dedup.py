@@ -142,15 +142,22 @@ def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
 
 def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
                       threshold: float = 0.8, shingle_k: int = 3,
-                      text_col: str = "text"):
+                      text_col: str = "text", num_partitions: int = 8):
     """Near-duplicate PAIRS (id_a < id_b, true-Jaccard-verified >=
     threshold) via MinHash banding.
 
-    Pipeline: signatures (map_batches) -> explode to (band_key,
-    doc_id, text) -> groupby(band_key) -> in-bucket pairwise verify.
-    Texts ride along into buckets for verification; at 100 TB you'd
-    verify against a doc-store lookup instead — the shuffle key and
-    banding math are the scale-bearing parts.
+    Pipeline: signatures (map_batches) -> explode to (band_key, doc_id)
+    rows — the band shuffle moves NOTHING but a ~24-byte key pair per
+    band, never the text — -> groupby(band_key) emits candidate pairs
+    -> one dedup groupby collapses multi-band hits -> the surviving
+    pairs (a tiny fraction of the corpus) join the documents table
+    TWICE (id_a side, id_b side) to fetch texts for the exact-Jaccard
+    verify.  Text bytes thus cross the wire at most twice per
+    *candidate pair* instead of ``bands``× per *document*.
+
+    Partitioning note: a degenerate band bucket (many docs sharing one
+    band value) emits O(m^2) candidate rows; at adversarial scale,
+    cap bucket width or salt the band key with a signature prefix.
     """
     rows = num_perm // bands
 
@@ -159,49 +166,66 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
             batch, num_perm=num_perm, shingle_k=shingle_k, text_col=text_col)
         doc_ids = sig_batch.column("doc_id").to_pylist()
         sigs = sig_batch.column("minhash").to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out_band, out_id, out_text = [], [], []
-        for doc_id, sig, text in zip(doc_ids, sigs, texts):
+        out_band, out_id = [], []
+        for doc_id, sig in zip(doc_ids, sigs):
             arr = np.asarray(sig, dtype=np.uint64)
             for b in range(bands):
                 chunk = arr[b * rows:(b + 1) * rows].tobytes()
-                key = f"{b}:{_md5_64(chunk):x}"
-                out_band.append(key)
+                out_band.append(f"{b}:{_md5_64(chunk):x}")
                 out_id.append(doc_id)
-                out_text.append(text)
         return pa.table({
             "band_key": pa.array(out_band, pa.string()),
             "doc_id": pa.array(out_id, pa.int64()),
-            "text": pa.array(out_text, pa.string()),
         })
 
-    def verify_bucket(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        texts = group.column("text").to_pylist()
-        pairs = set()
-        if len(ids) > 1:
-            order = np.argsort(ids)
-            for i in range(len(order)):
-                for j in range(i + 1, len(order)):
-                    a, b = order[i], order[j]
-                    if jaccard(texts[a] or "", texts[b] or "",
-                               shingle_k) >= threshold:
-                        pairs.add((ids[a], ids[b]))
-        pairs = sorted(pairs)
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
         return pa.table({
-            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
         })
 
-    pair_ds = (
+    candidates = (
         docs_ds.select_columns(["doc_id", text_col])
         .map_batches(banded, batch_format="pyarrow")
         .groupby("band_key")
-        .map_groups(verify_bucket, batch_format="pyarrow")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        # Same pair can surface from several bands: one dedup groupby.
+        .groupby(["id_a", "id_b"]).count()
+        .map_batches(lambda t: t.select(["id_a", "id_b"]),
+                     batch_format="pyarrow")
     )
-    # Same pair can surface from several bands: one dedup groupby.
-    return pair_ds.groupby(["id_a", "id_b"]).count().map_batches(
-        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+    def side(ds, id_name: str, text_name: str):
+        return ds.select_columns(["doc_id", text_col]).map_batches(
+            lambda t: pa.table({id_name: t.column("doc_id"),
+                                text_name: t.column(text_col)}),
+            batch_format="pyarrow")
+
+    joined = candidates.join(
+        side(docs_ds, "id_a", "__text_a"), "inner",
+        num_partitions=num_partitions, on=("id_a",))
+    joined = joined.join(
+        side(docs_ds, "id_b", "__text_b"), "inner",
+        num_partitions=num_partitions, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        keep = [
+            jaccard(a or "", b or "", shingle_k) >= threshold
+            for a, b in zip(batch.column("__text_a").to_pylist(),
+                            batch.column("__text_b").to_pylist())
+        ]
+        return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
