@@ -170,6 +170,37 @@ def test_embedding_cosine_dedup_planted(ray_session):
     df = embedding_cosine_dedup(ds, threshold=0.999).to_pandas()
     pairs = set(zip(df["id_a"], df["id_b"]))
     assert (3, 10) in pairs and (7, 20) in pairs
+    # No duplicate pairs from the block-pair fan-out.
+    assert len(pairs) == len(df)
+
+
+def test_embedding_cosine_dedup_lsh_recall(ray_session):
+    """The LSH-blocked approximate variant finds the same pairs as the
+    exact block-pair path on planted near-dups (high-cosine pairs
+    collide in at least one of the OR-amplified tables with overwhelming
+    probability), and never emits a below-threshold pair."""
+    import ray
+
+    from torray.ops.similarity import (embedding_cosine_dedup,
+                                       embedding_cosine_dedup_lsh)
+
+    rng = np.random.RandomState(13)
+    mat = rng.normal(size=(80, 16))
+    for src, dst in [(2, 40), (11, 55), (23, 61)]:
+        mat[dst] = mat[src] + rng.normal(scale=1e-3, size=16)
+    table = pa.table({
+        "vec_id": pa.array(np.arange(80, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in mat.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(table).repartition(3)
+    exact = set(map(tuple, embedding_cosine_dedup(
+        ds, threshold=0.999).to_pandas()[["id_a", "id_b"]].values))
+    approx = set(map(tuple, embedding_cosine_dedup_lsh(
+        ds, threshold=0.999, bits=6, tables=8).to_pandas()[
+        ["id_a", "id_b"]].values))
+    assert approx <= exact          # precision 1 (exact verify)
+    assert {(2, 40), (11, 55), (23, 61)} <= approx  # planted recall
 
 
 def test_multimodal_stub_plumbing(ray_session):

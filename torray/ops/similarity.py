@@ -10,9 +10,12 @@
 - ``lsh_knn``: the scale path — random-hyperplane LSH (Charikar '02)
   buckets the corpus once; queries probe only their bucket (plus
   optional multiprobe neighbors).  Recall < 1, cost ~ corpus/2^bits.
-- ``embedding_cosine_dedup``: near-dup pairs above a cosine threshold,
-  blocked all-pairs against a broadcast normalized matrix (exact;
-  the LSH bucketing bounds the candidate set at scale).
+- ``embedding_cosine_dedup``: near-dup pairs above a cosine threshold —
+  exact distributed block-nested-loop (one task per block pair, blocks
+  read from the object store; the driver only ever holds refs).
+- ``embedding_cosine_dedup_lsh``: the approximate scale path — LSH
+  bucket blocking (OR-amplified hash tables) with an exact cosine
+  verify on the candidates; shuffles only (bucket_key, vec_id).
 """
 
 from __future__ import annotations
@@ -20,7 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["knn_bruteforce", "lsh_knn", "embedding_cosine_dedup"]
+__all__ = ["knn_bruteforce", "lsh_knn", "embedding_cosine_dedup",
+           "embedding_cosine_dedup_lsh"]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -175,43 +179,150 @@ def lsh_knn(emb_ds, query_vecs: np.ndarray, k: int = 10, bits: int = 8,
     )
 
 
+def _block_pair_table(ta: pa.Table, tb: pa.Table, diagonal: bool,
+                      threshold: float, vec_col: str,
+                      id_col: str) -> pa.Table:
+    """Exact cosine>=threshold pairs between two blocks (one task of the
+    block-pair fan-out).  Runs as a plain Ray task over two object-store
+    block refs — zero-copy reads, nothing lands on the driver."""
+    a_mat = _normalize(_batch_matrix(ta, vec_col))
+    b_mat = _normalize(_batch_matrix(tb, vec_col))
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    if a_mat.size == 0 or b_mat.size == 0:
+        return empty
+    a_ids = ta.column(id_col).to_numpy(zero_copy_only=False)
+    b_ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+    sims = a_mat @ b_mat.T
+    ai, bj = np.nonzero(sims >= threshold)
+    if ai.size == 0:
+        return empty
+    ida, idb = a_ids[ai], b_ids[bj]
+    if diagonal:
+        keep = ida < idb
+        ida, idb = ida[keep], idb[keep]
+    else:
+        lo = np.minimum(ida, idb)
+        hi = np.maximum(ida, idb)
+        keep = lo < hi  # drop (impossible) id self-collisions across blocks
+        ida, idb = lo[keep], hi[keep]
+    order = np.lexsort((idb, ida))
+    return pa.table({"id_a": pa.array(ida[order], pa.int64()),
+                     "id_b": pa.array(idb[order], pa.int64())})
+
+
 def embedding_cosine_dedup(emb_ds, threshold: float = 0.98,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id"):
-    """Near-duplicate pairs (id_a < id_b) with cosine >= threshold.
+                           id_col: str = "vec_id",
+                           num_blocks: int = 8):
+    """Near-duplicate pairs (id_a < id_b) with cosine >= threshold —
+    EXACT, with no whole-table materialization anywhere.
 
-    Exact blocked all-pairs: the full normalized matrix is broadcast
-    once (ray.put); each batch computes its block-vs-all slab.  At
-    10^9+ vectors, replace the broadcast with LSH bucketing (see
-    lsh_knn) — the per-batch kernel is identical."""
+    Distributed block-nested-loop: the (id, vec) projection is split
+    into ``num_blocks`` object-store blocks; one Ray task per block
+    pair (i <= j) computes its slab's matmul and emits only the
+    (id_a, id_b) hits.  The driver touches block *refs* and the tiny
+    pair tables, never a vector.  Total work is O(n^2/num_blocks^2) per
+    task — the unavoidable cost of an exact all-pairs; for approximate
+    scale-out see :func:`embedding_cosine_dedup_lsh`."""
     import ray
+    import ray.data
 
-    full = pa.concat_tables(
-        [t for t in ray.get(emb_ds.select_columns([id_col, vec_col])
-                            .to_arrow_refs()) if t.num_rows])
-    all_ids = full.column(id_col).to_numpy(zero_copy_only=False)
-    all_mat = _normalize(_batch_matrix(full, vec_col))
-    mat_ref = ray.put(all_mat)
-    ids_ref = ray.put(all_ids)
+    refs = (emb_ds.select_columns([id_col, vec_col])
+            .repartition(num_blocks).to_arrow_refs())
+    task = ray.remote(num_cpus=1)(_block_pair_table)
+    out_refs = [
+        task.remote(refs[i], refs[j], i == j, threshold, vec_col, id_col)
+        for i in range(len(refs)) for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out_refs)
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        mat_all = ray.get(mat_ref)
-        ids_all = ray.get(ids_ref)
-        block = _normalize(_batch_matrix(batch, vec_col))
-        block_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        if block.size == 0:
+
+def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
+                               bits: int = 8, tables: int = 8,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id", seed: int = 11,
+                               num_partitions: int = 8):
+    """Approximate near-dup pairs: random-hyperplane LSH blocking
+    (OR-amplified across ``tables`` independent hash tables), exact
+    cosine verify on the candidates — the 10^9+-vector path.
+
+    Shuffle discipline mirrors ``minhash_lsh_dedup``: the bucket
+    shuffle carries only (bucket_key, vec_id); candidate pairs join the
+    embeddings table twice to fetch vectors for the verify, so vector
+    bytes move at most twice per candidate pair.  Recall < 1 (a pair
+    survives iff it collides in >= 1 table: 1-(1-p^bits)^tables with
+    p = 1 - theta/pi); raise ``tables`` or lower ``bits`` for recall,
+    the reverse for cost."""
+    import ray  # noqa: F401  (Dataset ops only)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, vec_col)
+        if mat.size == 0:
+            return pa.table({"bucket_key": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64())})
+        mat = _normalize(mat)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keys, out_ids = [], []
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        for l in range(tables):
+            planes = _hyperplanes(mat.shape[1], bits, seed + 101 * l)
+            sigs = (mat @ planes.T > 0).astype(np.int64)
+            bucket = sigs @ weights
+            keys.extend(f"{l}:{b}" for b in bucket)
+            out_ids.extend(ids.tolist())
+        return pa.table({"bucket_key": pa.array(keys, pa.string()),
+                         id_col: pa.array(out_ids, pa.int64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column(id_col).to_pylist()))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
+
+    candidates = (
+        emb_ds.select_columns([id_col, vec_col])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"]).count()
+        .map_batches(lambda t: t.select(["id_a", "id_b"]),
+                     batch_format="pyarrow")
+    )
+
+    def side(name_id: str, name_vec: str):
+        # Arrow hash joins reject list-typed payload columns; carry the
+        # vector as a float32 byte blob and decode after the join.
+        def enc(t: pa.Table) -> pa.Table:
+            mat = _batch_matrix(t, vec_col).astype(np.float32)
+            blobs = [mat[i].tobytes() for i in range(mat.shape[0])]
+            return pa.table({name_id: t.column(id_col),
+                             name_vec: pa.array(blobs, pa.binary())})
+
+        return emb_ds.select_columns([id_col, vec_col]).map_batches(
+            enc, batch_format="pyarrow")
+
+    joined = candidates.join(side("id_a", "__vec_a"), "inner",
+                             num_partitions=num_partitions, on=("id_a",))
+    joined = joined.join(side("id_b", "__vec_b"), "inner",
+                         num_partitions=num_partitions, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
-        sims = block @ mat_all.T
-        bi, aj = np.nonzero(sims >= threshold)
-        out = set()
-        for i, j in zip(bi, aj):
-            a, b = int(block_ids[i]), int(ids_all[j])
-            if a < b:
-                out.add((a, b))
-        out = sorted(out)
-        return pa.table({"id_a": pa.array([p[0] for p in out], pa.int64()),
-                         "id_b": pa.array([p[1] for p in out], pa.int64())})
+        va = _normalize(np.stack([
+            np.frombuffer(b, np.float32).astype(np.float64)
+            for b in batch.column("__vec_a").to_pylist()]))
+        vb = _normalize(np.stack([
+            np.frombuffer(b, np.float32).astype(np.float64)
+            for b in batch.column("__vec_b").to_pylist()]))
+        cos = np.einsum("ij,ij->i", va, vb)
+        return batch.filter(pa.array(cos >= threshold)).select(
+            ["id_a", "id_b"])
 
-    return emb_ds.select_columns([id_col, vec_col]).map_batches(
-        block_pairs, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
