@@ -389,17 +389,16 @@ def _q_crawl_counts(sf_dir: str):
 
     crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
                      budget=6, max_rounds=8, fresh=False)
-    counts = crawl_counts(crawler.scan_results(), crawler.seen_snapshot())
+    counts = crawl_counts(crawler.scan_results(), crawler.seen_snapshot_ds())
     return ray.data.from_arrow(pa.Table.from_pylist([counts]))
 
 
 def _q_crawl_seen(sf_dir: str):
-    """Final URL-seen snapshot (FIXTURES F5) of the standard crawl."""
-    import ray
-
+    """Final URL-seen snapshot (FIXTURES F5) of the standard crawl, as
+    the streaming per-shard-Parquet Dataset."""
     crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
                      budget=6, max_rounds=8, fresh=False)
-    return ray.data.from_arrow(crawler.seen_snapshot())
+    return crawler.seen_snapshot_ds()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -306,7 +306,7 @@ def test_crawl_stats(ray_session, tmp_path):
     crawler = Crawler(cfg)
     crawler.run()
     scan = crawler.scan_results()
-    counts = crawl_counts(scan, crawler.seen_snapshot())
+    counts = crawl_counts(scan, crawler.seen_snapshot_ds())
     assert counts["url_count"] >= counts["url_count_scanned"] > 0
     assert counts["link_count"] > 0 and counts["page_count"] > 0
     assert 0 < counts["scan_coverage"] <= 1

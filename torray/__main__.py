@@ -113,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
         if done:
             crawler._restore_shards(done[-1])
         counts = crawl_counts(crawler.scan_results(),
-                              crawler.seen_snapshot())
+                              crawler.seen_snapshot_ds())
         print(json.dumps(counts))
 
     import ray

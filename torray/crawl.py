@@ -665,27 +665,42 @@ class Crawler:
 
     def _run_recrawl(self, rnd: int) -> dict:
         """One full rescan of every (non-suppressed) seen url carrying
-        its recorded content hash — the M9 change-detection pass."""
+        its recorded content hash — the M9 change-detection pass.
+
+        Everything is a Dataset over Parquet: the seen side streams
+        from per-shard snapshot files, the hash side streams from the
+        rounds' scan-result files with only (url, hash, round) read,
+        and latest-hash resolution + the join are Dataset shuffles.
+        Nothing global ever lands on the driver."""
         import ray
 
         cfg = self.cfg
         t0 = time.monotonic()
         rdir = _round_dir(self.ckpt, rnd)
 
-        snaps = ray.get([s.snapshot.remote() for s in self.shards])
-        seen = pa.concat_tables([t for t in snaps if t.num_rows])
-        seen = seen.filter(pc.field("first_round") >= 0)
+        seen_ds = (self.seen_snapshot_ds()
+                   .filter(expr="first_round >= 0")
+                   .select_columns(["url"]))
 
-        hash_files = glob.glob(os.path.join(
-            self.ckpt, "round=*", "scan_results", "*.parquet"))
-        parts = [pq.read_table(f, columns=["url", "hash"]) for f in hash_files]
-        hashes = pa.concat_tables(parts) if parts else None
-        if hashes is not None:
-            hashes = hashes.filter(pc.field("hash").is_valid())
+        hash_files = sorted(glob.glob(os.path.join(
+            self.ckpt, "round=*", "scan_results", "*.parquet")))
+        if hash_files:
+            hash_ds = ray.data.read_parquet(
+                hash_files, columns=["url", "hash", "round"]).map_batches(
+                lambda t: t.filter(pc.field("hash").is_valid()),
+                batch_format="pyarrow")
 
-        seen_ds = ray.data.from_arrow(seen.select(["url"]))
-        if hashes is not None and hashes.num_rows:
-            hash_ds = ray.data.from_arrow(hashes)
+            def latest(group: pa.Table) -> pa.Table:
+                # Keep the hash of the greatest round per url (requeue /
+                # repeat scans can record several).
+                import numpy as np
+
+                rounds = group.column("round").to_numpy(zero_copy_only=False)
+                i = int(np.argmax(rounds))
+                return group.select(["url", "hash"]).slice(i, 1)
+
+            hash_ds = hash_ds.groupby("url").map_groups(
+                latest, batch_format="pyarrow")
             joined = seen_ds.join(hash_ds, "left_outer",
                                   num_partitions=cfg.num_shards, on=("url",))
         else:
@@ -751,12 +766,40 @@ class Crawler:
         return ray.data.read_parquet(sorted(glob.glob(
             os.path.join(self.ckpt, "round=*", "crawl_log", "*.parquet"))))
 
-    def seen_snapshot(self) -> pa.Table:
+    def _snapshot_files(self) -> list[str]:
+        """Have every shard actor write its seen snapshot to Parquet
+        (actor-side writes — per-shard state never transits the driver)
+        and return the file list."""
         import ray
 
-        snaps = ray.get([s.snapshot.remote() for s in self.shards])
-        tables = [t for t in snaps if t.num_rows]
-        if not tables:
+        snap_dir = os.path.join(self.cfg.workdir, "seen_snapshot")
+        os.makedirs(snap_dir, exist_ok=True)
+        ray.get([
+            s.snapshot_to_parquet.remote(
+                os.path.join(snap_dir, f"shard={i}.parquet"))
+            for i, s in enumerate(self.shards)
+        ])
+        return sorted(glob.glob(os.path.join(snap_dir, "shard=*.parquet")))
+
+    def seen_snapshot_ds(self):
+        """The global URL-seen snapshot as a streaming Dataset over
+        per-shard Parquet files — the scale path every consumer
+        (crawl_counts, crawl_seen, recrawl) reads; no shard's state is
+        ever assembled whole in any one process."""
+        import ray
+
+        files = self._snapshot_files()
+        if not files:
+            from torray.frontier import SEEN_SNAPSHOT_SCHEMA
+            return ray.data.from_arrow(SEEN_SNAPSHOT_SCHEMA.empty_table())
+        return ray.data.read_parquet(files)
+
+    def seen_snapshot(self) -> pa.Table:
+        """Whole seen snapshot as ONE Arrow table — a test/CLI
+        convenience over the same per-shard Parquet files; unbounded at
+        crawl scale, use :meth:`seen_snapshot_ds` anywhere real."""
+        files = self._snapshot_files()
+        if not files:
             from torray.frontier import SEEN_SNAPSHOT_SCHEMA
             return SEEN_SNAPSHOT_SCHEMA.empty_table()
-        return pa.concat_tables(tables)
+        return pa.concat_tables([pq.read_table(f) for f in files])

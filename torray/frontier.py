@@ -364,6 +364,18 @@ class _SeenShardActor:
     def snapshot(self):
         return self.state.snapshot()
 
+    def snapshot_to_parquet(self, path):
+        """Write this shard's seen snapshot straight to Parquet from the
+        actor (no driver transfer — the 10^10-scale snapshot path: the
+        global seen set is only ever assembled as a Dataset over these
+        per-shard files).  Returns the row count."""
+        import pyarrow.parquet as _pq
+
+        table = self.state.snapshot()
+        if table.num_rows:
+            _pq.write_table(table, path)
+        return table.num_rows
+
     def restore(self, table):
         self.state.restore(table)
 

@@ -43,13 +43,15 @@ def count_where(ds, column: str, op: str, value=None) -> int:
     return ds.filter(expr=expr).count()
 
 
-def crawl_counts(scan_ds, seen_snapshot: pa.Table) -> dict:
+def crawl_counts(scan_ds, seen_ds) -> dict:
     """The eight SpiderStats numbers (reference SpiderStats.py:67-146):
     total / scanned urls + coverage ratio, domain totals, page / form /
-    link totals."""
+    link totals.  ``seen_ds`` is the seen-snapshot DATASET
+    (``Crawler.seen_snapshot_ds``) — counted as a streaming aggregate,
+    never assembled whole."""
     import ray.data
 
-    url_count = seen_snapshot.num_rows
+    url_count = seen_ds.count()
     scanned = scan_ds.count()
 
     def partial(batch: pa.Table) -> pa.Table:
