@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_CACHE_ROOT = "/tmp/torray_cache"
+_CACHE_ROOT = "/tmp/torray_cache_v2"  # v2: frontier schema gained retries
 
 
 # ---------------------------------------------------------------------------

@@ -13,8 +13,14 @@ Deterministic schedule spec (shared with the engine; SURVEY.md §2.6):
 - round-based BFS; frontier items carry (url, host, last_hash,
   round_entered, host_seq);
 - per-round politeness: each host contributes at most ``budget`` items,
-  chosen by (round_entered, host_seq); the rest defer to next round;
-- scan order within a round: (host, round_entered, host_seq);
+  chosen by (round_entered, host_seq, url); the rest defer to next
+  round (url is the tiebreak: requeued items keep their original
+  host_seq, which can collide with a fresh item's dense seq);
+- scan order within a round: (host, round_entered, host_seq, url);
+- requeue: a scan hitting a no-fault STATUS code (408/421/423/429/
+  503/504 — re-served by the reference backend, TorSpider.py:168)
+  re-enters the next round's frontier with retries+1, dropped once
+  retries reaches ``max_retries``; the recrawl pass never requeues;
 - candidates: per scanned parent in scan order, its sorted new_urls;
   first-wins per url by (parent_host, parent_round, parent_seq, url);
   dropped if already seen; robots-disallowed candidates are marked
@@ -134,6 +140,7 @@ def sim_scan(ref, url, present, html, last_hash, scan_date, node):
         result["fault"] = str(status)
         return result
     if status in _NO_FAULTS:
+        result["retry"] = True  # re-served by the backend (requeue)
         return result
     if status not in _GOOD:
         result["fault"] = str(status)
@@ -178,7 +185,7 @@ def parse_robots(body: bytes) -> list[str]:
 def sim_crawl(ref, pages: dict, seeds: list[str], budget: int,
               max_rounds: int, scan_date: str = "2026-01-01",
               node: str = "torray", respect_robots: bool = False,
-              recrawl: bool = False):
+              recrawl: bool = False, max_retries: int = 3):
     """Run the deterministic crawl over ``pages`` (url -> html bytes or
     None for binary rows; urls absent from the dict are offline).
 
@@ -202,7 +209,7 @@ def sim_crawl(ref, pages: dict, seeds: list[str], budget: int,
         path = urlsplit(url)[2]
         return any(path.startswith(r) for r in rules)
 
-    frontier = []  # (url, host, last_hash, round_entered, host_seq)
+    frontier = []  # (url, host, last_hash, round_entered, host_seq, retries)
     seen = set()
     per_host_counts: dict[str, int] = {}
     for u in seeds:
@@ -214,7 +221,7 @@ def sim_crawl(ref, pages: dict, seeds: list[str], budget: int,
         seen.add(u)
         hs = per_host_counts.get(host(u), 0)
         per_host_counts[host(u)] = hs + 1
-        frontier.append((u, host(u), "", 0, hs))
+        frontier.append((u, host(u), "", 0, hs, 0))
 
     results, crawl_log = [], []
     hash_by_url: dict[str, str] = {}
@@ -225,19 +232,23 @@ def sim_crawl(ref, pages: dict, seeds: list[str], budget: int,
             by_host.setdefault(item[1], []).append(item)
         selected, deferred = [], []
         for h in by_host:
-            items = sorted(by_host[h], key=lambda it: (it[3], it[4]))
+            items = sorted(by_host[h], key=lambda it: (it[3], it[4], it[0]))
             selected.extend(items[:budget])
             deferred.extend(items[budget:])
-        selected.sort(key=lambda it: (it[1], it[3], it[4]))
+        selected.sort(key=lambda it: (it[1], it[3], it[4], it[0]))
 
         candidates = []  # (url, parent_key)
-        for url, h, last_hash, r_ent, hseq in selected:
+        requeued = []
+        for url, h, last_hash, r_ent, hseq, retries in selected:
             res = sim_scan(ref, url, url in pages, pages.get(url),
                            last_hash, scan_date, node)
             crawl_log.append((rnd, url))
             if res is None:
                 continue
             results.append(res)
+            if res.get("retry") and retries < max_retries:
+                requeued.append((url, h, last_hash, rnd + 1, hseq,
+                                 retries + 1))
             if res["hash"] is not None:
                 hash_by_url[url] = res["hash"]
             for link in res["new_urls"]:
@@ -264,8 +275,8 @@ def sim_crawl(ref, pages: dict, seeds: list[str], budget: int,
         for h in fresh_by_host:
             ordered = sorted(fresh_by_host[h], key=lambda t: t[1])
             for i, (url, _k) in enumerate(ordered):
-                new_items.append((url, h, "", rnd + 1, i))
-        frontier = deferred + new_items
+                new_items.append((url, h, "", rnd + 1, i, 0))
+        frontier = deferred + requeued + new_items
         rnd += 1
 
     leftover = [it[0] for it in frontier]

@@ -224,6 +224,49 @@ def test_stop_sentinel_graceful(ray_session, web, tmp_path):
     assert _engine_log(c_crawler) == _engine_log(full)
 
 
+def test_requeue_no_fault_urls(ray_session, ref, tmp_path):
+    """A url answering a no-fault status (503) is rescanned once per
+    round until max_retries is exhausted — and the engine agrees with
+    the oracle on the whole schedule (TorSpider.py:168 re-serve
+    semantics, rendered as bounded requeue)."""
+    import pyarrow as pa
+
+    busy = "http://busy777aaaaaaaaaaaaaaaa.onion/"
+    home = "http://hub777aaaaaaaaaaaaaaaaa.onion/"
+    pages = {
+        home: (f'<html><a href="{busy}">b</a>'
+               f'<a href="{home}two">t</a></html>').encode(),
+        busy: b"<!--web status=503--><html>busy</html>",
+        home + "two": b"<html>two</html>",
+    }
+    table = pa.table({
+        "url": pa.array(list(pages), pa.string()),
+        "warc_ts": pa.array(["2026"] * len(pages), pa.string()),
+        "html": pa.array(list(pages.values()), pa.binary()),
+        "text": pa.array([""] * len(pages), pa.string()),
+        "lang": pa.array(["en"] * len(pages), pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "pages.parquet"))
+
+    for max_retries, sub in ((3, "a"), (0, "b")):
+        cfg = CrawlConfig(
+            pages_path=str(tmp_path / "pages.parquet"),
+            workdir=str(tmp_path / sub), seeds=[home], budget=5,
+            max_rounds=10, scan_date=SCAN_DATE, node=NODE,
+            num_shards=2, num_buckets=2, max_retries=max_retries,
+            small_round_threshold=0)
+        crawler = Crawler(cfg)
+        summary = crawler.run()
+        sim = sim_crawl(ref, pages, [home], 5, 10, SCAN_DATE, NODE,
+                        max_retries=max_retries)
+        _compare(crawler, summary, sim)
+        log = _engine_log(crawler)
+        busy_scans = [r for r, u in log if u == busy]
+        # Scanned once + one requeue per allowed retry, in consecutive
+        # rounds.
+        assert busy_scans == list(range(1, 2 + max_retries))
+
+
 def test_count_where_dsl(ray_session, web, tmp_path):
     import ray
 

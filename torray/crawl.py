@@ -70,6 +70,12 @@ class CrawlConfig:
     recrawl: bool = False
     num_shards: int = 8
     num_buckets: int = 16
+    # Retryable (no-fault-status) scans re-enter the next round's
+    # frontier up to this many times — the engine's deterministic
+    # rendering of the reference backend re-serving no_fault_codes urls
+    # (TorSpider.py:168); the reference retries forever, bounded only
+    # by the daemon's lifetime, so a cap is the batch-world analogue.
+    max_retries: int = 3
     # Rounds at or below this many frontier items run driver-local
     # (plain Arrow + the same shard actors): early BFS rounds are tiny,
     # and a Ray Data pipeline's fixed scheduling cost per stage would
@@ -90,7 +96,8 @@ class CrawlConfig:
         for key, attr in (("TORRAY_BUDGET", "budget"),
                           ("TORRAY_MAX_ROUNDS", "max_rounds"),
                           ("TORRAY_NUM_SHARDS", "num_shards"),
-                          ("TORRAY_NUM_BUCKETS", "num_buckets")):
+                          ("TORRAY_NUM_BUCKETS", "num_buckets"),
+                          ("TORRAY_MAX_RETRIES", "max_retries")):
             if env.get(key):
                 setattr(self, attr, int(env[key]))
         if env.get("TORRAY_RESPECT_ROBOTS"):
@@ -146,10 +153,34 @@ def _explode_links(batch: pa.Table, num_shards: int) -> pa.Table:
     )
 
 
+def _requeue_table(scan: pa.Table, rnd: int, max_retries: int) -> pa.Table:
+    """Rows of a scan output (with carried retries/last_hash and the
+    emit_retry marker) that re-enter round rnd+1, as a FRONTIER_SCHEMA
+    table.  Retryable = no-fault-status outcome with retries left."""
+    mask = pc.and_(scan.column("retry"),
+                   pc.less(scan.column("retries"), max_retries))
+    req = scan.filter(mask)
+    return pa.Table.from_arrays(
+        [
+            req.column("url").combine_chunks(),
+            req.column("host").combine_chunks(),
+            req.column("last_hash").combine_chunks(),
+            pa.array([rnd + 1] * req.num_rows, pa.int32()),
+            req.column("host_seq").combine_chunks(),
+            pc.add(req.column("retries"), 1).cast(pa.int32()).combine_chunks(),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+_SCAN_CARRY = ("round_entered", "host_seq", "retries", "last_hash")
+
+
 def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
                         nxt_dir: str, rdir: str, store, shard_actors,
                         num_shards: int, num_buckets: int, budget: int,
-                        scan_date: str, node: str) -> dict:
+                        scan_date: str, node: str,
+                        max_retries: int) -> dict:
     """One shard's share of a distributed round (see
     ``Crawler._run_round_sharded``): read own frontier files, politeness
     selection, bucketed page lookup, scan, write crawl-log /
@@ -164,7 +195,7 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
         frontier_dir, f"shard-{shard_id:05d}-*.parquet")))
     if not files:
         return {"shard": shard_id, "frontier": 0, "selected": 0,
-                "deferred": 0, "results": 0}
+                "deferred": 0, "results": 0, "requeued": 0}
     frontier = pa.concat_tables([pq.read_table(f) for f in files])
     selected, deferred = split_budget(frontier, budget)
 
@@ -195,12 +226,18 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
             selected.column("last_hash"),
             selected.column("round_entered"),
             selected.column("host_seq"),
+            selected.column("retries"),
         ],
         names=["url", "html", "present", "last_hash",
-               "round_entered", "host_seq"],
+               "round_entered", "host_seq", "retries"],
     )
     scan = scan_batch(batch_in, scan_date=scan_date, node=node,
-                      carry_cols=("round_entered", "host_seq"))
+                      carry_cols=_SCAN_CARRY, emit_retry=True)
+    requeue = _requeue_table(scan, rnd, max_retries)
+    if requeue.num_rows:
+        pq.write_table(requeue, os.path.join(
+            nxt_dir, f"shard-{shard_id:05d}-retry.parquet"))
+    scan = scan.drop_columns(["retry", "retries", "last_hash"])
     scan = scan.append_column(
         "round", pa.array([rnd] * scan.num_rows, pa.int32()))
     pq.write_table(scan, os.path.join(
@@ -230,7 +267,7 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
         ray.get(pushes)
     return {"shard": shard_id, "frontier": frontier.num_rows,
             "selected": selected.num_rows, "deferred": deferred.num_rows,
-            "results": scan.num_rows}
+            "results": scan.num_rows, "requeued": requeue.num_rows}
 
 
 def _frontier_count(rdir: str) -> int:
@@ -453,7 +490,7 @@ class Crawler:
         if frontier_in == 0:
             stats = {"round": rnd, "frontier_in": 0, "selected": 0,
                      "deferred": 0, "results": 0, "accepted": 0,
-                     "frontier_out": 0, "wall_s": 0.0}
+                     "requeued": 0, "frontier_out": 0, "wall_s": 0.0}
             with open(os.path.join(rdir, "metrics.json"), "w") as f:
                 json.dump(stats, f)
             with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
@@ -506,12 +543,14 @@ class Crawler:
         rows = ray.get([
             self._shard_task.remote(
                 k, rnd, frontier_dir, nxt_dir, rdir, store, shard_actors,
-                num_shards, num_buckets, budget, scan_date, node)
+                num_shards, num_buckets, budget, scan_date, node,
+                cfg.max_retries)
             for k in range(num_shards)
         ])
         n_selected = sum(r["selected"] for r in rows)
         n_deferred = sum(r["deferred"] for r in rows)
         n_results = sum(r["results"] for r in rows)
+        n_requeued = sum(r["requeued"] for r in rows)
 
         delta_dir = os.path.join(rdir, "seen_delta")
         os.makedirs(delta_dir, exist_ok=True)
@@ -531,7 +570,8 @@ class Crawler:
             "deferred": n_deferred,
             "results": n_results,
             "accepted": n_accepted,
-            "frontier_out": n_accepted + n_deferred,
+            "requeued": n_requeued,
+            "frontier_out": n_accepted + n_deferred + n_requeued,
             "wall_s": round(time.monotonic() - t0, 3),
             "path": "sharded",
         }
@@ -547,7 +587,6 @@ class Crawler:
         rounds are a handful of urls; per-stage distributed scheduling
         cost would dwarf the work (and at 10^10 scale the fat rounds —
         where throughput matters — take the distributed path above)."""
-        import numpy as np
         import ray
 
         cfg = self.cfg
@@ -556,21 +595,8 @@ class Crawler:
         files = sorted(glob.glob(os.path.join(rdir, "frontier", "*.parquet")))
         frontier = pa.concat_tables([pq.read_table(f) for f in files])
 
-        # Politeness selection (same ordering as select_step).
-        hosts = np.asarray(frontier.column("host").to_pylist())
-        rounds_e = frontier.column("round_entered").to_numpy(zero_copy_only=False)
-        seqs = frontier.column("host_seq").to_numpy(zero_copy_only=False)
-        order = np.lexsort((seqs, rounds_e, hosts))
-        sorted_hosts = hosts[order]
-        starts = np.flatnonzero(
-            np.r_[True, sorted_hosts[1:] != sorted_hosts[:-1]])
-        rank = np.arange(len(order)) - np.repeat(
-            starts, np.diff(np.r_[starts, len(order)]))
-        selected_mask = np.zeros(len(order), dtype=bool)
-        selected_mask[order[rank < cfg.budget]] = True
-
-        selected = frontier.filter(pa.array(selected_mask))
-        deferred = frontier.filter(pa.array(~selected_mask))
+        # Politeness selection (the one shared implementation).
+        selected, deferred = split_budget(frontier, cfg.budget)
 
         log_dir = os.path.join(rdir, "crawl_log")
         os.makedirs(log_dir, exist_ok=True)
@@ -597,12 +623,15 @@ class Crawler:
                 selected.column("last_hash"),
                 selected.column("round_entered"),
                 selected.column("host_seq"),
+                selected.column("retries"),
             ],
             names=["url", "html", "present", "last_hash",
-                   "round_entered", "host_seq"],
+                   "round_entered", "host_seq", "retries"],
         )
         scan = scan_batch(batch, scan_date=cfg.scan_date, node=cfg.node,
-                          carry_cols=("round_entered", "host_seq"))
+                          carry_cols=_SCAN_CARRY, emit_retry=True)
+        requeue = _requeue_table(scan, rnd, cfg.max_retries)
+        scan = scan.drop_columns(["retry", "retries", "last_hash"])
         scan = scan.append_column(
             "round", pa.array([rnd] * scan.num_rows, pa.int32()))
         scan_dir = os.path.join(rdir, "scan_results")
@@ -638,6 +667,7 @@ class Crawler:
 
         nxt = pa.concat_tables([
             deferred.select(FRONTIER_SCHEMA.names),
+            requeue,
             accepted_table(accepted, rnd + 1),
         ])
         self._write_frontier_shards(
@@ -653,7 +683,8 @@ class Crawler:
             "deferred": n_deferred,
             "results": int(scan.num_rows),
             "accepted": n_accepted,
-            "frontier_out": n_accepted + n_deferred,
+            "requeued": int(requeue.num_rows),
+            "frontier_out": n_accepted + n_deferred + requeue.num_rows,
             "wall_s": round(time.monotonic() - t0, 3),
             "path": "local",
         }

@@ -68,6 +68,7 @@ def scan_batch(
     node: str = "torray",
     carry_cols: tuple[str, ...] = (),
     extractors: tuple = (),
+    emit_retry: bool = False,
 ) -> pa.Table:
     """Scan a batch of page rows (columns ``url``, ``html``, optional
     ``present`` bool and ``last_hash``).
@@ -117,6 +118,11 @@ def scan_batch(
             c, pa.array(carried_out[c], batch.schema.field(c).type))
     for name, _fn, typ in extractors:
         out = out.append_column(name, pa.array(extra_out[name], typ))
+    if emit_retry:
+        # Requeue marker (not part of the reported SCAN_SCHEMA — the
+        # crawl engine peels it off after building the retry frontier).
+        out = out.append_column(
+            "retry", pa.array([r.retry for r in results], pa.bool_()))
     return out
 
 

@@ -191,6 +191,9 @@ def scan_page(
         result.fault = str(status)
         return result
     if route == "no_fault":
+        # Retryable: the reference backend re-serves these urls
+        # (no_fault_codes, TorSpider.py:168) — flag for requeue.
+        result.retry = True
         return result
 
     # Good status: the domain is online.

@@ -49,6 +49,9 @@ FRONTIER_SCHEMA = pa.schema([
     ("last_hash", pa.string()),
     ("round_entered", pa.int32()),
     ("host_seq", pa.int64()),
+    # Requeue counter for retryable (no-fault-status) scans; fresh
+    # candidates enter at 0.
+    ("retries", pa.int32()),
 ])
 
 SEEN_SNAPSHOT_SCHEMA = pa.schema([
@@ -130,6 +133,7 @@ def accepted_table(rows: list[tuple[str, str, int]], rnd: int) -> pa.Table:
             pa.array([""] * len(rows), pa.string()),
             pa.array([rnd] * len(rows), pa.int32()),
             pa.array([r[2] for r in rows], pa.int64()),
+            pa.array([0] * len(rows), pa.int32()),
         ],
         schema=FRONTIER_SCHEMA,
     )
@@ -393,7 +397,11 @@ def split_budget(frontier: pa.Table, budget: int) -> tuple[pa.Table, pa.Table]:
     hosts = np.asarray(frontier.column("host").to_pylist())
     rounds_e = frontier.column("round_entered").to_numpy(zero_copy_only=False)
     seqs = frontier.column("host_seq").to_numpy(zero_copy_only=False)
-    order = np.lexsort((seqs, rounds_e, hosts))
+    urls = np.asarray(frontier.column("url").to_pylist())
+    # url is the final tiebreak: a REQUEUED item keeps its original
+    # host_seq and can collide with a fresh item's dense seq in the
+    # same (round_entered, host_seq) cell.
+    order = np.lexsort((urls, seqs, rounds_e, hosts))
     sorted_hosts = hosts[order]
     starts = np.flatnonzero(np.r_[True, sorted_hosts[1:] != sorted_hosts[:-1]])
     rank = np.arange(len(order)) - np.repeat(
@@ -410,7 +418,8 @@ def select_step(frontier_group: pa.Table, budget: int) -> pa.Table:
     """
     rounds = frontier_group.column("round_entered").to_numpy(zero_copy_only=False)
     seqs = frontier_group.column("host_seq").to_numpy(zero_copy_only=False)
-    order = np.lexsort((seqs, rounds))
+    urls = np.asarray(frontier_group.column("url").to_pylist())
+    order = np.lexsort((urls, seqs, rounds))
     selected = np.zeros(len(order), dtype=bool)
     selected[order[:budget]] = True
     return frontier_group.append_column("selected", pa.array(selected))

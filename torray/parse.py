@@ -433,7 +433,8 @@ class ScanResult:
     """
 
     __slots__ = ("new_urls", "online", "url", "scan_date", "last_node",
-                 "fault", "title", "form_dicts", "hash", "redirect")
+                 "fault", "title", "form_dicts", "hash", "redirect",
+                 "retry")
 
     def __init__(self, scan_date: str) -> None:
         self.new_urls: list[str] = []
@@ -446,6 +447,10 @@ class ScanResult:
         self.form_dicts: list[dict] = []
         self.hash: str | None = None
         self.redirect: str | None = None
+        # Not a reported field: marks the retryable no-fault-status
+        # outcome (reference TorSpider.py:168 codes, re-served by the
+        # backend) so the engine can requeue the url.
+        self.retry: bool = False
 
     def to_json(self) -> str:
         """Reference-shaped JSON (same key order as ``SpiderURL.__dict__``
