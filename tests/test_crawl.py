@@ -224,6 +224,41 @@ def test_stop_sentinel_graceful(ray_session, web, tmp_path):
     assert _engine_log(c_crawler) == _engine_log(full)
 
 
+def test_spider_cfg_bootstrap_and_precedence(tmp_path, monkeypatch):
+    """First run writes a default config file and exits (reference
+    TorSpider.py:423-444); precedence is defaults < file < env
+    (TorSpider.py:450-467)."""
+    from torray.__main__ import main
+
+    cfgf = tmp_path / "spider.cfg"
+    rc = main(["crawl", "--pages", "x", "--workdir", str(tmp_path / "wd"),
+               "--seeds", "http://a.onion/", "--config", str(cfgf)])
+    assert rc == 0
+    assert cfgf.exists()
+    text = cfgf.read_text()
+    assert "[TorSpider]" in text and "Budget" in text
+
+    cfgf.write_text("[TorSpider]\nBudget = 3\nMaxRounds = 7\n"
+                    "Node = filenode\nRespectRobots = True\n"
+                    "[PARTITIONING]\nNumShards = 5\n")
+    cfg = CrawlConfig(pages_path="x", workdir="w", seeds=[])
+    cfg.apply_file(str(cfgf))
+    assert (cfg.budget, cfg.max_rounds, cfg.node, cfg.num_shards) == \
+        (3, 7, "filenode", 5)
+    assert cfg.respect_robots is True
+    assert cfg.num_buckets == 16  # untouched key keeps its default
+
+    monkeypatch.setenv("TORRAY_BUDGET", "5")
+    monkeypatch.setenv("TORRAY_NODE", "envnode")
+    cfg.apply_env()
+    assert cfg.budget == 5 and cfg.node == "envnode"
+    assert cfg.max_rounds == 7  # env without the var keeps file value
+
+    with pytest.raises(ValueError):
+        CrawlConfig(pages_path="x", workdir="w", seeds=[]).apply_file(
+            str(tmp_path / "missing.cfg"))
+
+
 def test_requeue_no_fault_urls(ray_session, ref, tmp_path):
     """A url answering a no-fault status (503) is rescanned once per
     round until max_retries is exhausted — and the engine agrees with

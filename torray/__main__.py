@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -44,14 +45,21 @@ def main(argv: list[str] | None = None) -> int:
     p_crawl.add_argument("--pages", required=True)
     p_crawl.add_argument("--workdir", required=True)
     p_crawl.add_argument("--seeds", nargs="+", required=True)
-    p_crawl.add_argument("--budget", type=int, default=8)
-    p_crawl.add_argument("--max-rounds", type=int, default=100)
-    p_crawl.add_argument("--scan-date", default="2026-01-01")
-    p_crawl.add_argument("--node", default="torray")
+    # None = "not given on the CLI": lets the precedence chain
+    # (defaults < config file < CLI flags < env) see through to the
+    # config file, mirroring the reference's spider.cfg handling.
+    p_crawl.add_argument("--config", default=None,
+                         help="spider.cfg-style file; written with "
+                              "defaults and exits on first run")
+    p_crawl.add_argument("--budget", type=int, default=None)
+    p_crawl.add_argument("--max-rounds", type=int, default=None)
+    p_crawl.add_argument("--max-retries", type=int, default=None)
+    p_crawl.add_argument("--scan-date", default=None)
+    p_crawl.add_argument("--node", default=None)
     p_crawl.add_argument("--respect-robots", action="store_true")
     p_crawl.add_argument("--recrawl", action="store_true")
-    p_crawl.add_argument("--num-shards", type=int, default=8)
-    p_crawl.add_argument("--num-buckets", type=int, default=16)
+    p_crawl.add_argument("--num-shards", type=int, default=None)
+    p_crawl.add_argument("--num-buckets", type=int, default=None)
 
     p_scan = sub.add_parser("scan", parents=[common])
     p_scan.add_argument("--pages", required=True)
@@ -70,18 +78,36 @@ def main(argv: list[str] | None = None) -> int:
     p_stats.add_argument("--pages", required=True)
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "crawl" and args.config and not os.path.exists(args.config):
+        # First-run bootstrap, before any Ray session: write the default
+        # config and exit so the user can edit it (the reference's
+        # spider.cfg path, TorSpider.py:423-444).
+        from torray.crawl import CrawlConfig
+
+        CrawlConfig.write_default_file(args.config)
+        print(f"Default configuration stored in {args.config}.")
+        print(f"Please edit {args.config} before running torray again.")
+        return 0
+
     _ray_init(args.num_cpus)
 
     if args.cmd == "crawl":
         from torray.crawl import CrawlConfig, Crawler
 
-        cfg = CrawlConfig(
-            pages_path=args.pages, workdir=args.workdir, seeds=args.seeds,
-            budget=args.budget, max_rounds=args.max_rounds,
-            scan_date=args.scan_date, node=args.node,
-            respect_robots=args.respect_robots, recrawl=args.recrawl,
-            num_shards=args.num_shards, num_buckets=args.num_buckets,
-        ).apply_env()
+        cfg = CrawlConfig(pages_path=args.pages, workdir=args.workdir,
+                          seeds=args.seeds, recrawl=args.recrawl)
+        if args.config:
+            cfg.apply_file(args.config)
+        # CLI flags override the file; env (apply_env) overrides both.
+        for attr in ("budget", "max_rounds", "max_retries", "scan_date",
+                     "node", "num_shards", "num_buckets"):
+            val = getattr(args, attr)
+            if val is not None:
+                setattr(cfg, attr, val)
+        if args.respect_robots:
+            cfg.respect_robots = True
+        cfg.apply_env()
         crawler = Crawler(cfg)
         summary = crawler.run()
         summary.pop("metrics", None)

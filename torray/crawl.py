@@ -84,6 +84,60 @@ class CrawlConfig:
     small_round_threshold: int = 2048
     extra: dict = field(default_factory=dict)
 
+    # -- spider.cfg parity (reference TorSpider.py:423-475) -------------
+
+    @staticmethod
+    def write_default_file(path: str) -> None:
+        """First-run bootstrap: write a default config file for the user
+        to edit — the reference's write-spider.cfg-and-exit path
+        (``TorSpider.py:423-444``)."""
+        import configparser
+
+        cp = configparser.RawConfigParser()
+        cp.optionxform = lambda option: option
+        cp["TorSpider"] = {
+            "Node": "torray",
+            "Budget": "8",
+            "MaxRounds": "100",
+            "MaxRetries": "3",
+            "RespectRobots": "False",
+            "ScanDate": "2026-01-01",
+        }
+        cp["PARTITIONING"] = {
+            "NumShards": "8",
+            "NumBuckets": "16",
+        }
+        with open(path, "w") as f:
+            cp.write(f)
+
+    def apply_file(self, path: str) -> "CrawlConfig":
+        """Apply a spider.cfg-style file (configparser).  Precedence is
+        file < CLI flags < env — env beats file exactly as the
+        reference resolves API settings (``TorSpider.py:450-467``)."""
+        import configparser
+
+        cp = configparser.ConfigParser()
+        if not cp.read(path):
+            raise ValueError(f"could not parse config file {path!r}")
+        spider = cp["TorSpider"] if "TorSpider" in cp else {}
+        if "Node" in spider:
+            self.node = spider["Node"]
+        if "ScanDate" in spider:
+            self.scan_date = spider["ScanDate"]
+        for key, attr in (("Budget", "budget"),
+                          ("MaxRounds", "max_rounds"),
+                          ("MaxRetries", "max_retries")):
+            if key in spider:
+                setattr(self, attr, int(spider[key]))
+        if "RespectRobots" in spider:
+            self.respect_robots = cp["TorSpider"].getboolean("RespectRobots")
+        part = cp["PARTITIONING"] if "PARTITIONING" in cp else {}
+        for key, attr in (("NumShards", "num_shards"),
+                          ("NumBuckets", "num_buckets")):
+            if key in part:
+                setattr(self, attr, int(part[key]))
+        return self
+
     def apply_env(self) -> "CrawlConfig":
         """Environment-variable overrides, mirroring the reference's
         config precedence (env beats file — ``/root/reference/
