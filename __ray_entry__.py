@@ -381,6 +381,19 @@ def _q_events_asof_orders(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_users_semijoin(sf_dir: str):
+    """Relationship-exists count (SpiderStats 'has' semi-join variant):
+    events whose user exists in the customer table."""
+    import ray
+
+    from torray.stats import count_where
+
+    n = count_where(_read(sf_dir, "events"), "user_id", "has",
+                    other_ds=_read(sf_dir, "customer"),
+                    other_col="c_custkey")
+    return ray.data.from_arrow(pa.table({"n": pa.array([n], pa.int64())}))
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -417,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "events_asof_orders": _q_events_asof_orders,
+        "events_users_semijoin": _q_events_users_semijoin,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
@@ -501,6 +515,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, epoch(ts - lag(ts) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id)) AS gap "
             "FROM events) t GROUP BY user_id"
+        ),
+        "events_users_semijoin": (
+            "SELECT count(*) AS n FROM events e WHERE EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
         ),
         "events_asof_orders": (
             "SELECT e.event_id, o.o_orderkey FROM events e "

@@ -320,3 +320,31 @@ def test_count_where_dsl(ray_session, web, tmp_path):
     assert count_where(scan, "hash", "has") == int(df["hash"].notna().sum())
     with pytest.raises(ValueError):
         count_where(scan, "online", "gt", 1)
+
+
+def test_count_where_semijoin_matches_duckdb(ray_session):
+    """`has` with a second Dataset = the urls ⋉ domains relationship
+    count (SpiderStats.py:117-143), checked against a DuckDB EXISTS."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from torray.stats import count_where
+
+    left = pa.table({
+        "host": pa.array(["a", "b", "c", "a", None, "d", "b"], pa.string()),
+        "x": pa.array(range(7), pa.int64()),
+    })
+    right = pa.table({
+        "domain": pa.array(["a", "b", "b", "e"], pa.string()),
+    })
+    got = count_where(ray.data.from_arrow(left), "host", "has",
+                      other_ds=ray.data.from_arrow(right),
+                      other_col="domain")
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    expected = con.execute(
+        "SELECT count(*) FROM l WHERE EXISTS "
+        "(SELECT 1 FROM r WHERE r.domain = l.host)").fetchone()[0]
+    assert got == expected == 4

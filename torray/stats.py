@@ -19,13 +19,19 @@ import pyarrow.compute as pc
 __all__ = ["crawl_counts", "domain_status", "link_graph", "count_where"]
 
 
-def count_where(ds, column: str, op: str, value=None) -> int:
+def count_where(ds, column: str, op: str, value=None, *,
+                other_ds=None, other_col: str | None = None,
+                num_partitions: int = 8) -> int:
     """Filtered count with the reference's little filter DSL
     (``count_field``'s ``eq`` / ``ne`` / ``has`` operators,
     ``/root/reference/SpiderStats.py:22-43``): ``eq``/``ne`` compare a
-    column to a value, ``has`` counts non-null rows (the
-    relationship-exists filter).  Streams one filter+count, no
-    materialization."""
+    column to a value; ``has`` with no second Dataset counts non-null
+    rows, and with ``other_ds``/``other_col`` counts rows whose key
+    EXISTS in the other table — the cross-table relationship filter
+    (``urls`` ⋉ ``domains`` via ``has domain_info``,
+    ``SpiderStats.py:117-143``), expressed as a distinct-reduce of the
+    right side followed by one hash-partitioned inner join; only key
+    columns shuffle.  Streams throughout, no materialization."""
     import pyarrow.dataset  # noqa: F401  (pc import at module top)
 
     if op == "eq":
@@ -33,11 +39,24 @@ def count_where(ds, column: str, op: str, value=None) -> int:
     elif op == "ne":
         expr = f"{column} != {value!r}"
     elif op == "has":
-        return ds.map_batches(
-            lambda t: pa.table({"n": pa.array(
-                [int(pc.sum(t.column(column).is_valid().cast(
-                    pa.int64())).as_py() or 0)], pa.int64())}),
-            batch_format="pyarrow").sum("n")
+        if other_ds is None:
+            return ds.map_batches(
+                lambda t: pa.table({"n": pa.array(
+                    [int(pc.sum(t.column(column).is_valid().cast(
+                        pa.int64())).as_py() or 0)], pa.int64())}),
+                batch_format="pyarrow").sum("n")
+        key = other_col or column
+        distinct = (other_ds.select_columns([key])
+                    .groupby(key).count()
+                    .map_batches(
+                        lambda t: pa.table({column: t.column(key)}),
+                        batch_format="pyarrow"))
+        left = ds.select_columns([column]).map_batches(
+            lambda t: t.filter(t.column(column).is_valid()),
+            batch_format="pyarrow")
+        return left.join(distinct, "inner",
+                         num_partitions=num_partitions,
+                         on=(column,)).count()
     else:
         raise ValueError(f"unknown op {op!r} (eq|ne|has)")
     return ds.filter(expr=expr).count()
