@@ -202,6 +202,15 @@ def test_partitioning_invariance(ray_session, web, tmp_path):
         assert list(ra[k]["new_urls"]) == list(rb[k]["new_urls"])
     assert (set(a.seen_snapshot().column("url").to_pylist())
             == set(b.seen_snapshot().column("url").to_pylist()))
+    # Analytics folds must also be layout-invariant (domain_status
+    # replays per-host scans by the schedule key, not arrival order).
+    from torray.stats import domain_status
+
+    da = domain_status(a.scan_results()).to_pandas().sort_values(
+        "host").reset_index(drop=True)
+    db = domain_status(b.scan_results()).to_pandas().sort_values(
+        "host").reset_index(drop=True)
+    assert da.equals(db)
 
 
 def test_stop_sentinel_graceful(ray_session, web, tmp_path):

@@ -115,7 +115,14 @@ def domain_status(scan_ds):
         host = group.column("host")[0].as_py()
         rounds = group.column("round").to_numpy(zero_copy_only=False)
         online = group.column("online").to_numpy(zero_copy_only=False)
-        order = np.argsort(rounds, kind="stable")
+        # Replay order is pinned by the full schedule key — (round,
+        # round_entered, host_seq, url) — not arrival order, so the
+        # fold is invariant to shard/bucket layout even when a host
+        # has both online and offline scans in one round.
+        res = group.column("round_entered").to_numpy(zero_copy_only=False)
+        seqs = group.column("host_seq").to_numpy(zero_copy_only=False)
+        urls = np.asarray(group.column("url").to_pylist())
+        order = np.lexsort((urls, seqs, res, rounds))
         tries = 0
         offline_scans = 0
         last_online = -1
@@ -135,8 +142,9 @@ def domain_status(scan_ds):
             "scans": pa.array([group.num_rows], pa.int64()),
         })
 
-    return scan_ds.select_columns(["host", "round", "online"]).groupby(
-        "host").map_groups(fold, batch_format="pyarrow")
+    return scan_ds.select_columns(
+        ["host", "round", "online", "round_entered", "host_seq", "url"]
+    ).groupby("host").map_groups(fold, batch_format="pyarrow")
 
 
 def link_graph(scan_ds):
