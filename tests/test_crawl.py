@@ -125,9 +125,11 @@ def _compare(crawler, summary, sim, max_rounds_hit=False):
 def test_crawl_conformance_basic(ray_session, ref, web, tmp_path):
     # Force every round through the distributed path (the default
     # threshold would run these small rounds driver-local; the other
-    # tests cover that path).
+    # tests cover that path), with a tiny scan_chunk so the sub-shard
+    # fan-out path is exercised under full conformance.
     crawler, summary, cfg = _run_engine(web, tmp_path,
-                                        small_round_threshold=0)
+                                        small_round_threshold=0,
+                                        scan_chunk=8)
     sim = sim_crawl(ref, web.pages_dict, cfg.seeds, cfg.budget,
                     cfg.max_rounds, SCAN_DATE, NODE)
     _compare(crawler, summary, sim, max_rounds_hit=True)

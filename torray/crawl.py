@@ -76,6 +76,10 @@ class CrawlConfig:
     # (TorSpider.py:168); the reference retries forever, bounded only
     # by the daemon's lifetime, so a cap is the batch-world analogue.
     max_retries: int = 3
+    # Sub-shard scan fan-out: a shard whose selected set exceeds
+    # ~1.5x this many rows scans in nested tasks of this size, so scan
+    # parallelism follows data volume, not shard count.  0 disables.
+    scan_chunk: int = 8192
     # Rounds at or below this many frontier items run driver-local
     # (plain Arrow + the same shard actors): early BFS rounds are tiny,
     # and a Ray Data pipeline's fixed scheduling cost per stage would
@@ -151,7 +155,8 @@ class CrawlConfig:
                           ("TORRAY_MAX_ROUNDS", "max_rounds"),
                           ("TORRAY_NUM_SHARDS", "num_shards"),
                           ("TORRAY_NUM_BUCKETS", "num_buckets"),
-                          ("TORRAY_MAX_RETRIES", "max_retries")):
+                          ("TORRAY_MAX_RETRIES", "max_retries"),
+                          ("TORRAY_SCAN_CHUNK", "scan_chunk")):
             if env.get(key):
                 setattr(self, attr, int(env[key]))
         if env.get("TORRAY_RESPECT_ROBOTS"):
@@ -230,38 +235,18 @@ def _requeue_table(scan: pa.Table, rnd: int, max_retries: int) -> pa.Table:
 _SCAN_CARRY = ("round_entered", "host_seq", "retries", "last_hash")
 
 
-def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
-                        nxt_dir: str, rdir: str, store, shard_actors,
-                        num_shards: int, num_buckets: int, budget: int,
+def _scan_selected_impl(selected: pa.Table, shard_id: int, chunk_id: int,
+                        rnd: int, nxt_dir: str, rdir: str, store,
+                        shard_actors, num_shards: int, num_buckets: int,
                         scan_date: str, node: str,
                         max_retries: int) -> dict:
-    """One shard's share of a distributed round (see
-    ``Crawler._run_round_sharded``): read own frontier files, politeness
-    selection, bucketed page lookup, scan, write crawl-log /
-    scan-results / deferred shards (deterministic names ->
-    retry-idempotent), push pre-deduped candidates to the target
-    seen-shard actors.  Runs as a plain Ray task: the round is a fixed
-    fan-out of side-effecting workers, which raw tasks dispatch with
-    less per-round overhead than a Dataset execution."""
+    """Scan one chunk of a shard's selected frontier: bucketed page
+    lookup, fused scan, write this chunk's scan-results / retry files
+    (deterministic names -> retry-idempotent), push pre-deduped
+    candidates to the target seen-shard actors.  Runs inline for small
+    shards and as a nested Ray task for fat ones (sub-shard fan-out:
+    scan parallelism scales with rows, not with the shard count)."""
     import ray
-
-    files = sorted(glob.glob(os.path.join(
-        frontier_dir, f"shard-{shard_id:05d}-*.parquet")))
-    if not files:
-        return {"shard": shard_id, "frontier": 0, "selected": 0,
-                "deferred": 0, "results": 0, "requeued": 0}
-    frontier = pa.concat_tables([pq.read_table(f) for f in files])
-    selected, deferred = split_budget(frontier, budget)
-
-    log = selected.select(
-        ["url", "host", "round_entered", "host_seq"]).append_column(
-        "round", pa.array([rnd] * selected.num_rows, pa.int32()))
-    pq.write_table(log, os.path.join(
-        rdir, "crawl_log", f"shard-{shard_id:05d}.parquet"))
-    if deferred.num_rows:
-        pq.write_table(
-            deferred.select(FRONTIER_SCHEMA.names),
-            os.path.join(nxt_dir, f"shard-{shard_id:05d}-deferred.parquet"))
 
     urls = selected.column("url").to_pylist()
     hosts = selected.column("host").to_pylist()
@@ -290,12 +275,14 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
     requeue = _requeue_table(scan, rnd, max_retries)
     if requeue.num_rows:
         pq.write_table(requeue, os.path.join(
-            nxt_dir, f"shard-{shard_id:05d}-retry.parquet"))
+            nxt_dir,
+            f"shard-{shard_id:05d}-retry-{chunk_id:03d}.parquet"))
     scan = scan.drop_columns(["retry", "retries", "last_hash"])
     scan = scan.append_column(
         "round", pa.array([rnd] * scan.num_rows, pa.int32()))
     pq.write_table(scan, os.path.join(
-        rdir, "scan_results", f"shard-{shard_id:05d}.parquet"))
+        rdir, "scan_results",
+        f"shard-{shard_id:05d}-{chunk_id:03d}.parquet"))
 
     cand = _explode_links(scan, num_shards)
     per_target: dict[int, dict[str, tuple]] = {}
@@ -319,9 +306,81 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
     ]
     if pushes:
         ray.get(pushes)
+    return {"results": scan.num_rows, "requeued": requeue.num_rows}
+
+
+_SCAN_CHUNK_TASK = None
+
+
+def _scan_chunk_task():
+    global _SCAN_CHUNK_TASK
+    if _SCAN_CHUNK_TASK is None:
+        import ray
+
+        _SCAN_CHUNK_TASK = ray.remote(num_cpus=1)(_scan_selected_impl)
+    return _SCAN_CHUNK_TASK
+
+
+def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
+                        nxt_dir: str, rdir: str, store, shard_actors,
+                        num_shards: int, num_buckets: int, budget: int,
+                        scan_date: str, node: str, max_retries: int,
+                        scan_chunk: int) -> dict:
+    """One shard's share of a distributed round (see
+    ``Crawler._run_round_sharded``): read own frontier files, politeness
+    selection, write crawl-log / deferred shards, then scan — inline
+    when the selected set is small, else fanned out over nested Ray
+    tasks in ``scan_chunk``-row slices sorted by bucket (sub-shard
+    parallelism; a blocked parent task releases its CPU while waiting).
+    Runs as a plain Ray task: the round is a fixed fan-out of
+    side-effecting workers, which raw tasks dispatch with less
+    per-round overhead than a Dataset execution."""
+    import numpy as np
+    import ray
+
+    files = sorted(glob.glob(os.path.join(
+        frontier_dir, f"shard-{shard_id:05d}-*.parquet")))
+    if not files:
+        return {"shard": shard_id, "frontier": 0, "selected": 0,
+                "deferred": 0, "results": 0, "requeued": 0}
+    frontier = pa.concat_tables([pq.read_table(f) for f in files])
+    selected, deferred = split_budget(frontier, budget)
+
+    log = selected.select(
+        ["url", "host", "round_entered", "host_seq"]).append_column(
+        "round", pa.array([rnd] * selected.num_rows, pa.int32()))
+    pq.write_table(log, os.path.join(
+        rdir, "crawl_log", f"shard-{shard_id:05d}.parquet"))
+    if deferred.num_rows:
+        pq.write_table(
+            deferred.select(FRONTIER_SCHEMA.names),
+            os.path.join(nxt_dir, f"shard-{shard_id:05d}-deferred.parquet"))
+
+    scan_args = (rnd, nxt_dir, rdir, store, shard_actors, num_shards,
+                 num_buckets, scan_date, node, max_retries)
+    if scan_chunk and selected.num_rows > scan_chunk * 3 // 2:
+        # Sub-shard fan-out: bucket-sort the selected rows (each store
+        # bucket is then read by ~one chunk) and slice deterministically.
+        buckets = np.array([bucket_of(h, num_buckets)
+                            for h in selected.column("host").to_pylist()])
+        order = np.argsort(buckets, kind="stable")
+        ordered = selected.take(pa.array(order, pa.int64()))
+        task = _scan_chunk_task()
+        chunk_refs = [
+            task.remote(ordered.slice(lo, scan_chunk), shard_id,
+                        ci, *scan_args)
+            for ci, lo in enumerate(range(0, ordered.num_rows, scan_chunk))
+        ]
+        chunk_stats = ray.get(chunk_refs)
+        n_results = sum(c["results"] for c in chunk_stats)
+        n_requeued = sum(c["requeued"] for c in chunk_stats)
+    else:
+        stats = _scan_selected_impl(selected, shard_id, 0, *scan_args)
+        n_results = stats["results"]
+        n_requeued = stats["requeued"]
     return {"shard": shard_id, "frontier": frontier.num_rows,
             "selected": selected.num_rows, "deferred": deferred.num_rows,
-            "results": scan.num_rows, "requeued": requeue.num_rows}
+            "results": n_results, "requeued": n_requeued}
 
 
 def _frontier_count(rdir: str) -> int:
@@ -598,7 +657,7 @@ class Crawler:
             self._shard_task.remote(
                 k, rnd, frontier_dir, nxt_dir, rdir, store, shard_actors,
                 num_shards, num_buckets, budget, scan_date, node,
-                cfg.max_retries)
+                cfg.max_retries, cfg.scan_chunk)
             for k in range(num_shards)
         ])
         n_selected = sum(r["selected"] for r in rows)
