@@ -295,6 +295,28 @@ def _q_media_features(sf_dir: str):
     return extract_media_features(media, concurrency=2, batch_size=16)
 
 
+def _q_media_image_features(sf_dir: str):
+    """REAL image decode (binary PPM, numpy-only) through the actor-pool
+    stage: deterministic synthetic images seeded from doc_ids."""
+    import ray
+
+    from torray.ops.multimodal import (encode_ppm, extract_media_features,
+                                       media_table_from_payloads)
+
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_pylist()[:100]
+    payloads = []
+    for i in ids:
+        rng = np.random.RandomState(int(i) % (2**31))
+        payloads.append(encode_ppm(
+            rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8).astype(
+                np.uint8)))
+    media = ray.data.from_arrow(media_table_from_payloads(
+        payloads, media_type="image", mime="image/x-portable-pixmap"))
+    return extract_media_features(media, decoder="ppm", concurrency=2,
+                                  batch_size=16)
+
+
 def _q_crawl_scan(sf_dir: str):
     """Whole-web scan (no frontier): the extraction surface end-to-end."""
     import ray
@@ -440,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "knn_lsh": _q_knn_lsh,
         "media_features": _q_media_features,
+        "media_image_features": _q_media_image_features,
         "crawl_scan": _q_crawl_scan,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_link_graph": _q_crawl_link_graph,

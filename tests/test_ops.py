@@ -263,6 +263,57 @@ def test_multimodal_stub_plumbing(ray_session):
         MediaFeatureExtractor(decoder="pil")
 
 
+def test_multimodal_real_decoders(ray_session):
+    """PPM and WAV decode paths are REAL (numpy / stdlib wave): decoded
+    dimensions and features reflect actual payload content; corrupt
+    payloads yield null features, not failures."""
+    import ray
+
+    from torray.ops.multimodal import (encode_ppm, encode_wav,
+                                       extract_media_features,
+                                       media_table_from_payloads)
+
+    # Images: constant-intensity frames -> thumbnail mean == intensity.
+    rng = np.random.RandomState(7)
+    levels = [0, 64, 128, 255]
+    payloads = [encode_ppm(np.full((h, w, 3), lvl, np.uint8))
+                for lvl, (h, w) in zip(levels, [(10, 12), (5, 9),
+                                                (16, 16), (3, 30)])]
+    payloads.append(b"P6\n10 10\n255\nshort")          # truncated
+    payloads.append(b"\x89PNG not a ppm")              # wrong magic
+    def collect(ds):
+        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        return tbl.sort_by("media_id")
+
+    media = ray.data.from_arrow(media_table_from_payloads(payloads))
+    out = collect(extract_media_features(media, decoder="ppm", batch_size=4))
+    widths = out.column("width").to_pylist()
+    heights = out.column("height").to_pylist()
+    feats = out.column("features").to_pylist()
+    assert widths[:4] == [12, 9, 16, 30]
+    assert heights[:4] == [10, 5, 16, 3]
+    for i, lvl in enumerate(levels):
+        assert np.allclose(np.mean(feats[i]), lvl / 255, atol=1e-6)
+    assert feats[4] is None and widths[4] == -1
+    assert feats[5] is None
+
+    # Audio: pure tones -> spectral peak moves with frequency, and the
+    # duration is decoded from the container.
+    rate = 8000
+    t = np.arange(rate)  # 1 s
+    tones = [np.int16(10000 * np.sin(2 * np.pi * f * t / rate))
+             for f in (200, 1500, 3500)]
+    wavs = [encode_wav(s, rate) for s in tones] + [b"RIFFgarbage"]
+    media = ray.data.from_arrow(media_table_from_payloads(
+        wavs, media_type="audio", mime="audio/wav"))
+    out = collect(extract_media_features(media, decoder="wav", batch_size=2))
+    feats = out.column("features").to_pylist()
+    assert out.column("duration_ms").to_pylist()[:3] == [1000, 1000, 1000]
+    peaks = [int(np.argmax(f)) for f in feats[:3]]
+    assert peaks[0] < peaks[1] < peaks[2]
+    assert feats[3] is None
+
+
 def test_text_ops_shapes(ray_session):
     import ray
 

@@ -3,13 +3,25 @@
 Images / audio / video are opaque ``binary`` columns with typed
 metadata, processed by actor-pool ``map_batches`` stages: decoder
 state (codec contexts, model weights) loads once per actor in
-``__init__``, batches flow through ``__call__``.  The decode kernels
-themselves are STUBBED (this container has no image/audio libraries):
-``decoder="stub"`` produces deterministic fake features so the
-Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real and tested end-to-end; ``decoder="pil"`` /
-``decoder="librosa"`` raise NotImplementedError until the real
-libraries are importable.
+``__init__``, batches flow through ``__call__``.
+
+Decoders:
+
+- ``decoder="ppm"`` — REAL image decode for binary PPM/PGM (P6/P5):
+  header parse + numpy pixel reshape, 8x8 block-mean thumbnail
+  features, width/height emitted.  Pure numpy; no external libs.
+- ``decoder="wav"`` — REAL audio decode via the stdlib ``wave``
+  module: PCM16 samples -> 64-bin coarse magnitude spectrum
+  (``np.fft.rfft``), duration emitted.
+- ``decoder="stub"`` — deterministic sha-seeded fake features, for
+  payloads in formats this container cannot decode (JPEG/PNG/MP3/...).
+- ``decoder="pil"`` / ``"librosa"`` / ``"ffmpeg"`` — raise
+  NotImplementedError until the real libraries are importable (the
+  documented extension point; the actor/batch plumbing is identical).
+
+Undecodable payloads (truncated header, wrong magic) yield null
+features rather than failing the batch — at 100 TB a fraction of any
+media corpus is always corrupt.
 
 Batch-size guidance: large payload columns need SMALL batch sizes —
 ``batch_size * avg_payload * concurrency`` must fit in worker heaps;
@@ -19,12 +31,13 @@ callers pass ``batch_size`` explicitly for that reason.
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
 
 __all__ = ["MEDIA_SCHEMA", "MediaFeatureExtractor", "extract_media_features",
-           "media_table_from_payloads"]
+           "media_table_from_payloads", "encode_ppm", "encode_wav"]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -57,11 +70,128 @@ def media_table_from_payloads(payloads: list[bytes],
     )
 
 
+# -- tiny encoders (test/synth side of the real decoders) -------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 array (h, w) or (h, w, 3) -> binary PGM/PPM bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        magic, h, w = b"P5", *arr.shape
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        magic, (h, w) = b"P6", arr.shape[:2]
+    else:
+        raise ValueError("expected (h,w) or (h,w,3) uint8 pixels")
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + arr.tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples -> WAV bytes (stdlib wave)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+# -- decode kernels ---------------------------------------------------------
+
+
+def _decode_ppm(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """Binary PPM (P6) / PGM (P5) -> (float gray array (h, w), w, h)."""
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        return None
+    # Header: magic, whitespace/comment-separated width height maxval,
+    # one whitespace byte, then raw samples.
+    pos, fields = 2, []
+    try:
+        while len(fields) < 3:
+            while payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        channels = 3 if payload[:2] == b"P6" else 1
+        need = w * h * channels * (2 if maxval > 255 else 1)
+        raw = payload[pos:pos + need]
+        if len(raw) < need or w <= 0 or h <= 0:
+            return None
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        arr = arr.reshape(h, w, channels).mean(axis=2) / maxval
+        return arr, w, h
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """WAV bytes -> (float mono samples, duration_ms)."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload or b""), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            channels = w.getnchannels()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError):
+        return None
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+               - 128.0) / 128.0
+    else:
+        return None
+    if channels > 1:
+        arr = arr[: (len(arr) // channels) * channels]
+        arr = arr.reshape(-1, channels).mean(axis=1)
+    duration_ms = int(round(1000.0 * n / rate)) if rate else 0
+    return arr, duration_ms
+
+
+def _thumbnail_features(gray: np.ndarray, dim: int) -> np.ndarray:
+    """8x8 block-mean thumbnail (the classic resize-to-grid feature) —
+    pure-numpy 'resize' over arbitrary image sizes."""
+    side = int(np.sqrt(dim))
+    h, w = gray.shape
+    ys = np.linspace(0, h, side + 1).astype(int)
+    xs = np.linspace(0, w, side + 1).astype(int)
+    out = np.empty((side, side), dtype=np.float64)
+    for i in range(side):
+        for j in range(side):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.mean()
+    return out.reshape(-1).astype(np.float32)
+
+
+def _spectrum_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Coarse magnitude spectrum: |rfft| folded into ``dim`` bins."""
+    if samples.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    mag = np.abs(np.fft.rfft(samples))
+    bins = np.array_split(mag, dim)
+    return np.array([b.mean() if b.size else 0.0 for b in bins],
+                    dtype=np.float32)
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode + featurize binary payloads.
 
     Use as ``ds.map_batches(MediaFeatureExtractor,
-    fn_constructor_kwargs={"decoder": "stub"}, concurrency=N,
+    fn_constructor_kwargs={"decoder": "ppm"}, concurrency=N,
     batch_size=B, batch_format="pyarrow")`` — construction cost (model
     load / codec init) is paid once per actor, per the stateful-stage
     pattern."""
@@ -69,13 +199,11 @@ class MediaFeatureExtractor:
     def __init__(self, decoder: str = "stub", feature_dim: int = FEATURE_DIM):
         self.feature_dim = feature_dim
         self.decoder = decoder
-        if decoder == "stub":
-            self._decode = self._decode_stub
-        elif decoder in ("pil", "librosa", "ffmpeg"):
-            raise NotImplementedError(
-                f"decoder {decoder!r} requires libraries not present in "
-                f"this environment; wire the real decode here")
-        else:
+        if decoder not in ("stub", "ppm", "wav"):
+            if decoder in ("pil", "librosa", "ffmpeg"):
+                raise NotImplementedError(
+                    f"decoder {decoder!r} requires libraries not present in "
+                    f"this environment; wire the real decode here")
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:
@@ -86,16 +214,40 @@ class MediaFeatureExtractor:
         rng = np.random.RandomState(seed)
         return rng.normal(size=self.feature_dim).astype(np.float32)
 
+    def _one(self, payload: bytes):
+        """-> (features | None, width, height, duration_ms)."""
+        if self.decoder == "ppm":
+            dec = _decode_ppm(payload)
+            if dec is None:
+                return None, -1, -1, -1
+            gray, w, h = dec
+            return _thumbnail_features(gray, self.feature_dim), w, h, -1
+        if self.decoder == "wav":
+            dec = _decode_wav(payload)
+            if dec is None:
+                return None, -1, -1, -1
+            samples, dur = dec
+            return _spectrum_features(samples, self.feature_dim), -1, -1, dur
+        return self._decode_stub(payload), -1, -1, -1
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = [self._decode(p) for p in payloads]
+        feats, widths, heights, durs = [], [], [], []
+        for p in payloads:
+            f, w, h, d = self._one(p)
+            feats.append(None if f is None else f.tolist())
+            widths.append(w)
+            heights.append(h)
+            durs.append(d)
         sizes = [len(p) if p else 0 for p in payloads]
         return pa.table({
             "media_id": batch.column("media_id"),
             "media_type": batch.column("media_type"),
             "payload_bytes": pa.array(sizes, pa.int64()),
-            "features": pa.array([f.tolist() for f in feats],
-                                 pa.list_(pa.float32(), self.feature_dim)),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+            "features": pa.array(feats, pa.list_(pa.float32())),
         })
 
 
