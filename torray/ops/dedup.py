@@ -233,23 +233,38 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
 # ---------------------------------------------------------------------------
 
 
+# Token-hash memo: vocabularies are zipfian, so most tokens repeat;
+# the memo turns the md5-per-token cost into a dict hit.  Capped so a
+# long-lived worker cannot grow without bound.
+_TOKEN_HASHES: dict[str, int] = {}
+_TOKEN_HASHES_CAP = 1 << 20
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_HASHES.get(tok)
+    if h is None:
+        h = _md5_64(tok.encode())
+        if len(_TOKEN_HASHES) < _TOKEN_HASHES_CAP:
+            _TOKEN_HASHES[tok] = h
+    return h
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     out = []
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
     for t in texts:
         tokens = _WORD_RE.findall((t or "").lower())
         if not tokens:
             out.append(0)
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in tokens:
-            h = _md5_64(tok.encode())
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = 0
-        for bit_idx in np.nonzero(acc > 0)[0]:
-            sig |= 1 << int(bit_idx)
-        out.append(sig)
+        hs = np.fromiter((_token_hash(tok) for tok in tokens),
+                         dtype=np.uint64, count=len(tokens))
+        # (n_tokens, 64) bit matrix -> per-bit vote in one reduction.
+        votes = ((hs[:, None] >> shifts) & np.uint64(1)).astype(
+            np.int64).sum(axis=0) * 2 - len(tokens)
+        out.append(int(weights[votes > 0].sum()))
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "simhash": pa.array(out, pa.uint64()),

@@ -32,7 +32,6 @@ _TOKEN_RE = re.compile(r"\S+")
 # BPE-ish word/number/punct splitter (GPT-2-style coarse classes,
 # public regex idiom): words, numbers, punctuation runs.
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
-_PUNCT_RE = re.compile(r"[^\w\s]")
 _WORD_RE = re.compile(r"[A-Za-z']+")
 
 # Tiny per-language stopword profiles (language-ID heuristic: stopword
@@ -100,23 +99,37 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality signals per document: length, mean word length,
     punctuation ratio, stopword ratio, uppercase ratio, and a composite
     0-1 score (C4/Gopher-style filters, public recipes)."""
-    texts = batch.column(text_col).to_pylist()
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    # Character-class counts run as vectorized RE2 kernels over the
+    # whole column (no per-character Python).  RE2's ``\w`` is ASCII;
+    # these are heuristic quality signals, documented as such.
+    n_chars = pc.utf8_length(filled).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_punct = pc.count_substring_regex(filled, r"[^\w\s]").to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    n_upper = pc.count_substring_regex(filled, r"\p{Lu}").to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    safe_len = np.maximum(n_chars, 1).astype(np.float64)
+    punct_ratio = n_punct / safe_len
+    upper_ratio = n_upper / safe_len
+
+    # Word-level signals need the token stream (stopword membership is
+    # exact-match per extracted word); the per-row findall is a single
+    # compiled-regex C scan per document.
+    texts = filled.to_pylist()
     n = len(texts)
-    n_chars = np.zeros(n, np.int64)
-    punct_ratio = np.zeros(n, np.float64)
     stop_ratio = np.zeros(n, np.float64)
-    upper_ratio = np.zeros(n, np.float64)
     mean_word_len = np.zeros(n, np.float64)
     for i, t in enumerate(texts):
         if not t:
             continue
-        n_chars[i] = len(t)
-        punct_ratio[i] = len(_PUNCT_RE.findall(t)) / len(t)
-        upper_ratio[i] = sum(1 for c in t if c.isupper()) / len(t)
         words = _WORD_RE.findall(t.lower())
         if words:
             stop_ratio[i] = sum(1 for w in words if w in _STOPWORDS["en"]) / len(words)
-            mean_word_len[i] = float(np.mean([len(w) for w in words]))
+            mean_word_len[i] = sum(map(len, words)) / len(words)
     score = (
         np.clip(n_chars / 500.0, 0, 1) * 0.3
         + np.clip(1.0 - punct_ratio * 4.0, 0, 1) * 0.2
