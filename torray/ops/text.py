@@ -154,31 +154,39 @@ def quality_scores(docs_ds):
 
 
 _FP_BASE = 1000003
-_FP_MOD = (1 << 61) - 1
+# Arithmetic is mod 2^64 (native uint64 wrap-around), which makes the
+# whole rolling-hash computable as vectorized prefix ops: the base is
+# odd, hence invertible mod 2^64.
+_FP_INV = pow(_FP_BASE, -1, 1 << 64)
 
 
 def _rolling_fingerprint(text: str, window: int = 64) -> int:
     """Deterministic document fingerprint: max of a Rabin-Karp rolling
     hash over byte windows (winnowing-style selection, Schleimer et al.
-    SIGMOD'03 — public algorithm)."""
-    data = text.encode("utf-8", "replace")
-    if not data:
+    SIGMOD'03 — public algorithm).
+
+    Fully vectorized: window hash H_i = B^(w-1+i) * (P_{i+w-1} - P_{i-1})
+    where P is the prefix sum of b_j * B^(-j) — cumprod/cumsum in
+    uint64, no per-byte Python."""
+    data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    n = int(data.size)
+    if n == 0:
         return 0
-    if len(data) <= window:
-        h = 0
-        for b in data:
-            h = (h * _FP_BASE + b) % _FP_MOD
-        return h
-    pw = pow(_FP_BASE, window - 1, _FP_MOD)
-    h = 0
-    for b in data[:window]:
-        h = (h * _FP_BASE + b) % _FP_MOD
-    best = h
-    for i in range(window, len(data)):
-        h = ((h - data[i - window] * pw) * _FP_BASE + data[i]) % _FP_MOD
-        if h > best:
-            best = h
-    return best
+    w = min(window, n)
+    inv = np.uint64(_FP_INV)
+    inv_pows = np.empty(n, np.uint64)
+    inv_pows[0] = 1
+    if n > 1:
+        np.cumprod(np.full(n - 1, inv, np.uint64), out=inv_pows[1:])
+    prefix = np.cumsum(data.astype(np.uint64) * inv_pows, dtype=np.uint64)
+    s = prefix[w - 1:].copy()
+    s[1:] -= prefix[: n - w]
+    b_pows = np.empty(n - w + 1, np.uint64)
+    b_pows[0] = np.uint64(pow(_FP_BASE, w - 1, 1 << 64))
+    if n - w > 0:
+        np.cumprod(np.full(n - w, _FP_BASE, np.uint64), out=b_pows[1:])
+        b_pows[1:] *= b_pows[0]
+    return int((s * b_pows).max())
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
