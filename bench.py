@@ -120,9 +120,8 @@ def bench_crawl(sf: float, num_cpus: int, fat: bool = False) -> dict:
         # count scales with nodes, not cores-per-node.
         num_shards=16,
         num_buckets=64,
-        # Fat rounds put ~10k+ rows in single shards: chunk the scans so
-        # parallelism follows rows, not shard count.
-        scan_chunk=2048 if fat else 8192,
+        # scan_chunk left at None: per-round auto-sizing from the
+        # cluster CPU count (sub-shard fan-out past the shard count).
         # Even the seed round is large here; send it distributed.
         small_round_threshold=256,
     )

@@ -78,8 +78,10 @@ class CrawlConfig:
     max_retries: int = 3
     # Sub-shard scan fan-out: a shard whose selected set exceeds
     # ~1.5x this many rows scans in nested tasks of this size, so scan
-    # parallelism follows data volume, not shard count.  0 disables.
-    scan_chunk: int = 8192
+    # parallelism follows data volume, not shard count.  None (default)
+    # sizes the chunk per round from the cluster CPU count (targeting
+    # ~2 chunks per core per round); 0 disables; >0 pins it.
+    scan_chunk: int | None = None
     # Rounds at or below this many frontier items run driver-local
     # (plain Arrow + the same shard actors): early BFS rounds are tiny,
     # and a Ray Data pipeline's fixed scheduling cost per stage would
@@ -651,13 +653,21 @@ class Crawler:
         scan_date, node = cfg.scan_date, cfg.node
         frontier_dir = os.path.join(rdir, "frontier")
 
+        scan_chunk = cfg.scan_chunk
+        if scan_chunk is None:
+            # Auto: ~2 chunks per core per round keeps every CPU busy
+            # without flooding the scheduler; floor bounds the per-task
+            # fixed cost on small rounds.
+            cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+            scan_chunk = max(512, -(-frontier_in // (2 * cpus)))
+
         if self._shard_task is None:
             self._shard_task = ray.remote(num_cpus=1)(_process_shard_impl)
         rows = ray.get([
             self._shard_task.remote(
                 k, rnd, frontier_dir, nxt_dir, rdir, store, shard_actors,
                 num_shards, num_buckets, budget, scan_date, node,
-                cfg.max_retries, cfg.scan_chunk)
+                cfg.max_retries, scan_chunk)
             for k in range(num_shards)
         ])
         n_selected = sum(r["selected"] for r in rows)
