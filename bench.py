@@ -125,13 +125,20 @@ def bench_crawl(sf: float, num_cpus: int, fat: bool = False) -> dict:
         # Even the seed round is large here; send it distributed.
         small_round_threshold=256,
     )
-    # Warm the worker pool (64-task fan-outs otherwise pay ~8s of
-    # python worker spawn inside the first timed round).
+    # Warm the worker pool (shard tasks + nested scan chunks need
+    # ~3x num_cpus worker processes; spawning them inside the first
+    # timed rounds costs seconds).  Concurrent zero-cpu sleepers force
+    # distinct workers into existence.
+    import time as _time
+
     import ray
 
-    (ray.data.from_items([{"i": i} for i in range(256)])
-        .map_batches(lambda t: t, batch_size=1, batch_format="pyarrow")
-        .count())
+    @ray.remote(num_cpus=0)
+    def _warm():
+        _time.sleep(0.4)
+        return 0
+
+    ray.get([_warm.remote() for _ in range(3 * num_cpus)])
 
     t_build0 = time.monotonic()
     crawler = Crawler(cfg)

@@ -670,6 +670,7 @@ class Crawler:
                 cfg.max_retries, scan_chunk)
             for k in range(num_shards)
         ])
+        t_scan = time.monotonic() - t0
         n_selected = sum(r["selected"] for r in rows)
         n_deferred = sum(r["deferred"] for r in rows)
         n_results = sum(r["results"] for r in rows)
@@ -696,6 +697,9 @@ class Crawler:
             "requeued": n_requeued,
             "frontier_out": n_accepted + n_deferred + n_requeued,
             "wall_s": round(time.monotonic() - t0, 3),
+            "scan_s": round(t_scan, 3),
+            "finalize_s": round(time.monotonic() - t0 - t_scan, 3),
+            "scan_chunk": scan_chunk,
             "path": "sharded",
         }
         with open(os.path.join(rdir, "metrics.json"), "w") as f:
