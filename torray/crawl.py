@@ -286,26 +286,27 @@ def _scan_selected_impl(selected: pa.Table, shard_id: int, chunk_id: int,
         rdir, "scan_results",
         f"shard-{shard_id:05d}-{chunk_id:03d}.parquet"))
 
+    import numpy as np
+
     cand = _explode_links(scan, num_shards)
-    per_target: dict[int, dict[str, tuple]] = {}
-    for url, host, path, t_shard, phost, pround, pseq in zip(
-            cand.column("url").to_pylist(),
-            cand.column("host").to_pylist(),
-            cand.column("path").to_pylist(),
-            cand.column("shard").to_pylist(),
-            cand.column("parent_host").to_pylist(),
-            cand.column("parent_round").to_pylist(),
-            cand.column("parent_seq").to_pylist()):
-        key = (phost, pround, pseq, url)
-        best = per_target.setdefault(t_shard, {})
-        cur = best.get(url)
-        if cur is None or key < cur[0]:
-            best[url] = (key, host, path)
-    pushes = [
-        shard_actors[t].buffer.remote(
-            [(u, m[1], m[2], m[0]) for u, m in per_target[t].items()])
-        for t in sorted(per_target)
-    ]
+    pushes = []
+    if cand.num_rows:
+        # Vectorized local first-wins per url (cross-task winners are
+        # re-resolved by the actor's finalize), then one Arrow-table
+        # push per target shard — no per-candidate Python tuples.
+        urls = np.asarray(cand.column("url").to_pylist())
+        phost = np.asarray(cand.column("parent_host").to_pylist())
+        pround = cand.column("parent_round").to_numpy(zero_copy_only=False)
+        pseq = cand.column("parent_seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pseq, pround, phost, urls))
+        su = urls[order]
+        keep = order[np.r_[True, su[1:] != su[:-1]]]
+        kept = cand.take(pa.array(np.sort(keep), pa.int64()))
+        shards_np = kept.column("shard").to_numpy(zero_copy_only=False)
+        for t in np.unique(shards_np):
+            sub = kept.filter(pa.array(shards_np == t)).drop_columns(
+                ["shard"])
+            pushes.append(shard_actors[int(t)].buffer_table.remote(sub))
     if pushes:
         ray.get(pushes)
     return {"results": scan.num_rows, "requeued": requeue.num_rows}

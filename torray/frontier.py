@@ -254,20 +254,63 @@ class SeenShardState:
         self._buffer.extend(rows)
         return len(self._buffer)
 
+    def buffer_table(self, table: pa.Table) -> int:
+        """Arrow-table variant of :meth:`buffer` — columns (url, host,
+        path, parent_host, parent_round, parent_seq).  Pushing Arrow
+        through the actor mailbox skips per-candidate Python tuple
+        pickling (the old hot spot on fat rounds)."""
+        if not hasattr(self, "_tbl_buffer"):
+            self._tbl_buffer: list[pa.Table] = []
+        self._tbl_buffer.append(table)
+        return table.num_rows
+
     def finalize(self, round_entered: int) -> list[tuple[str, str, int]]:
         """Sort buffered candidates by first-wins key, dedup per url,
-        run the offer protocol, clear the buffer, return accepted
+        run the offer protocol, clear the buffers, return accepted
         (url, host, host_seq).  Deterministic regardless of buffer
         arrival order; idempotent against double-buffered duplicates
-        (task retries) because first-wins dedup collapses them."""
+        (task retries) because first-wins dedup collapses them.
+        The sort+dedup is vectorized (lexsort + boundary mask)."""
+        tables = getattr(self, "_tbl_buffer", [])
+        self._tbl_buffer = []
         buffered = getattr(self, "_buffer", [])
         self._buffer = []
-        best: dict[str, tuple] = {}
-        for url, host, path, key in buffered:
-            if url not in best or key < best[url][0]:
-                best[url] = (key, host, path)
-        ordered = sorted(best.items(), key=lambda kv: kv[1][0])
-        payload = [(url, meta[1], meta[2]) for url, meta in ordered]
+        if buffered:
+            # Legacy tuple form (url, host, path, (phost, pround, pseq,
+            # url)) -> the same columnar shape.
+            tables.append(pa.table({
+                "url": pa.array([r[0] for r in buffered], pa.string()),
+                "host": pa.array([r[1] for r in buffered], pa.string()),
+                "path": pa.array([r[2] for r in buffered], pa.string()),
+                "parent_host": pa.array([r[3][0] for r in buffered],
+                                        pa.string()),
+                "parent_round": pa.array([r[3][1] for r in buffered],
+                                         pa.int32()),
+                "parent_seq": pa.array([r[3][2] for r in buffered],
+                                       pa.int64()),
+            }))
+        if not tables:
+            return []
+        cols = ["url", "host", "path", "parent_host", "parent_round",
+                "parent_seq"]
+        cand = pa.concat_tables([t.select(cols) for t in tables],
+                                promote_options="permissive")
+        urls_py = cand.column("url").to_pylist()
+        urls = np.asarray(urls_py)
+        phost = np.asarray(cand.column("parent_host").to_pylist())
+        pround = cand.column("parent_round").to_numpy(zero_copy_only=False)
+        pseq = cand.column("parent_seq").to_numpy(zero_copy_only=False)
+        # Group by url with the first-wins key (phost, pround, pseq)
+        # ascending inside each group -> boundary mask keeps the winner.
+        order = np.lexsort((pseq, pround, phost, urls))
+        su = urls[order]
+        keep = order[np.r_[True, su[1:] != su[:-1]]]
+        # Offer order = first-wins key order across urls.
+        k = keep[np.lexsort((urls[keep], pseq[keep], pround[keep],
+                             phost[keep]))]
+        hosts = cand.column("host").to_pylist()
+        paths = cand.column("path").to_pylist()
+        payload = [(urls_py[i], hosts[i], paths[i]) for i in k]
         return self.offer(payload, round_entered)
 
     def drain_delta(self) -> pa.Table:
@@ -345,6 +388,9 @@ class _SeenShardActor:
 
     def buffer(self, rows):
         return self.state.buffer(rows)
+
+    def buffer_table(self, table):
+        return self.state.buffer_table(table)
 
     def finalize(self, round_entered):
         return self.state.finalize(round_entered)
