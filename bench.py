@@ -83,7 +83,8 @@ def bench_scan_dedup(sf: float) -> dict:
             "urls_per_s": round(num_pages / wall, 1)}
 
 
-def bench_crawl(sf: float, num_cpus: int, fat: bool = False) -> dict:
+def bench_crawl(sf: float, num_cpus: int, fat: bool = False,
+                scale_mult: int = 1) -> dict:
     """The full BFS crawl loop (politeness + seen-set + checkpoint).
 
     ``fat=True`` is the amortization configuration: seeds on every host
@@ -97,10 +98,10 @@ def bench_crawl(sf: float, num_cpus: int, fat: bool = False) -> dict:
     from torray.crawl import CrawlConfig, Crawler
     from torray.synth import SynthWeb
 
-    num_pages = max(1000, int(2_000_000 * sf))
+    num_pages = max(1000, int(2_000_000 * sf)) * scale_mult
     num_hosts = max(30, num_pages // 60)
     web_dir = _ensure_web("crawl", num_pages, num_hosts)
-    tag = "fat" if fat else "bfs"
+    tag = f"fat{scale_mult}" if fat else "bfs"
     workdir = os.path.join(_CACHE, f"crawlwd-{tag}-{num_pages}-{num_cpus}")
     shutil.rmtree(workdir, ignore_errors=True)
 
@@ -119,7 +120,10 @@ def bench_crawl(sf: float, num_cpus: int, fat: bool = False) -> dict:
         # still saturating the box. On a real multi-node cluster shard
         # count scales with nodes, not cores-per-node.
         num_shards=16,
-        num_buckets=64,
+        # Buckets scale with data (target ~3k pages per bucket file):
+        # coarse buckets at large webs force near-whole-store decodes
+        # per round once the frontier spans most hosts.
+        num_buckets=max(64, num_pages // 3000),
         # scan_chunk left at None: per-round auto-sizing from the
         # cluster CPU count (sub-shard fan-out past the shard count).
         # Even the seed round is large here; send it distributed.
@@ -226,6 +230,10 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
     fns = {
         "crawl_bfs": lambda: bench_crawl(sf, num_cpus),
         "crawl_fat": lambda: bench_crawl(sf, num_cpus, fat=True),
+        # XL amortization evidence (rounds of ~10^5+ urls): not in the
+        # default suite — run via TORRAY_BENCH_ONLY=crawl_fatxl.
+        "crawl_fatxl": lambda: bench_crawl(sf, num_cpus, fat=True,
+                                           scale_mult=10),
         "scan_dedup": lambda: bench_scan_dedup(sf),
         "docs_dedup": lambda: bench_docs_dedup(sf_dir),
         "knn": lambda: bench_knn(sf_dir),

@@ -362,17 +362,32 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
     scan_args = (rnd, nxt_dir, rdir, store, shard_actors, num_shards,
                  num_buckets, scan_date, node, max_retries)
     if scan_chunk and selected.num_rows > scan_chunk * 3 // 2:
-        # Sub-shard fan-out: bucket-sort the selected rows (each store
-        # bucket is then read by ~one chunk) and slice deterministically.
+        # Sub-shard fan-out: bucket-sort the selected rows and cut
+        # chunks ON BUCKET BOUNDARIES (greedy fill to ~scan_chunk rows)
+        # so every store bucket is decoded by exactly ONE chunk task —
+        # mid-bucket cuts would multiply each bucket's Parquet decode
+        # by the number of chunks that touch it.
         buckets = np.array([bucket_of(h, num_buckets)
                             for h in selected.column("host").to_pylist()])
         order = np.argsort(buckets, kind="stable")
         ordered = selected.take(pa.array(order, pa.int64()))
+        b_sorted = buckets[order]
+        n = len(b_sorted)
+        bounds = np.flatnonzero(
+            np.r_[True, b_sorted[1:] != b_sorted[:-1]]).tolist() + [n]
+        slices: list[tuple[int, int]] = []
+        start = 0
+        for i in range(len(bounds) - 1):
+            if bounds[i + 1] - start >= scan_chunk:
+                slices.append((start, bounds[i + 1]))
+                start = bounds[i + 1]
+        if start < n:
+            slices.append((start, n))
         task = _scan_chunk_task()
         chunk_refs = [
-            task.remote(ordered.slice(lo, scan_chunk), shard_id,
+            task.remote(ordered.slice(lo, hi - lo), shard_id,
                         ci, *scan_args)
-            for ci, lo in enumerate(range(0, ordered.num_rows, scan_chunk))
+            for ci, (lo, hi) in enumerate(slices)
         ]
         chunk_stats = ray.get(chunk_refs)
         n_results = sum(c["results"] for c in chunk_stats)
