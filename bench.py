@@ -351,10 +351,53 @@ def run_scaling(sf_dir: str) -> dict:
     return out
 
 
+def run_ceiling() -> dict:
+    """Hardware-ceiling probe (no Ray): the fused parser's per-page
+    core-cost at process concurrency 1 / 8 / 32.  On a shared-memory
+    box, bandwidth saturation inflates per-page cost with concurrency;
+    the 8-vs-32 inflation ratio is the measured UPPER BOUND on any
+    8->32-cpu scaling efficiency for parse-bound stages — engine
+    efficiency should be judged against this ceiling, not against 1.0."""
+    import glob
+    import multiprocessing as mp
+
+    web_dir = _ensure_web("scan", 500_000, 8333)
+    files = sorted(glob.glob(os.path.join(web_dir, "*.parquet")))
+
+    def worker(path, out):
+        import pyarrow.parquet as pq
+
+        from torray.extract import scan_batch
+
+        t = pq.read_table(path, columns=["url", "html"]).slice(0, 4000)
+        t0 = time.monotonic()
+        scan_batch(t, scan_date="2026-01-01", node="probe")
+        out.put((t.num_rows, time.monotonic() - t0))
+
+    probe = {}
+    for conc in (1, 8, 32):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(files[i % len(files)], q))
+              for i in range(conc)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        res = [q.get() for _ in ps]
+        rows = sum(r for r, _ in res)
+        core_s = sum(s for _, s in res)
+        probe[conc] = {"pages": rows, "core_s": round(core_s, 2),
+                       "ms_per_page": round(1000 * core_s / rows, 4)}
+    ceiling = probe[8]["ms_per_page"] / probe[32]["ms_per_page"]
+    return {"metric": "parse core-cost vs process concurrency (no Ray)",
+            "unit": "ms/page", "probe": probe,
+            "eff_ceiling_8_to_32": round(ceiling, 3)}
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", _SF_DEFAULT)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--ceiling" in sys.argv:
+        print(json.dumps(run_ceiling()))
     else:
         print(json.dumps(run_suite(sf_dir, num_cpus)))

@@ -250,6 +250,7 @@ def _scan_selected_impl(selected: pa.Table, shard_id: int, chunk_id: int,
     scan parallelism scales with rows, not with the shard count)."""
     import ray
 
+    t0 = time.monotonic()
     urls = selected.column("url").to_pylist()
     hosts = selected.column("host").to_pylist()
     by_bucket: dict[int, list[str]] = {}
@@ -258,6 +259,7 @@ def _scan_selected_impl(selected: pa.Table, shard_id: int, chunk_id: int,
     pages: dict[str, bytes | None] = {}
     for b, bucket_urls in sorted(by_bucket.items()):
         pages.update(store.lookup(b, bucket_urls))
+    t_lookup = time.monotonic() - t0
 
     batch_in = pa.Table.from_arrays(
         [
@@ -272,8 +274,10 @@ def _scan_selected_impl(selected: pa.Table, shard_id: int, chunk_id: int,
         names=["url", "html", "present", "last_hash",
                "round_entered", "host_seq", "retries"],
     )
+    t1 = time.monotonic()
     scan = scan_batch(batch_in, scan_date=scan_date, node=node,
                       carry_cols=_SCAN_CARRY, emit_retry=True)
+    t_parse = time.monotonic() - t1
     requeue = _requeue_table(scan, rnd, max_retries)
     if requeue.num_rows:
         pq.write_table(requeue, os.path.join(
@@ -309,7 +313,9 @@ def _scan_selected_impl(selected: pa.Table, shard_id: int, chunk_id: int,
             pushes.append(shard_actors[int(t)].buffer_table.remote(sub))
     if pushes:
         ray.get(pushes)
-    return {"results": scan.num_rows, "requeued": requeue.num_rows}
+    return {"results": scan.num_rows, "requeued": requeue.num_rows,
+            "t_lookup": round(t_lookup, 3), "t_parse": round(t_parse, 3),
+            "t_rest": round(time.monotonic() - t0 - t_lookup - t_parse, 3)}
 
 
 _SCAN_CHUNK_TASK = None
@@ -390,15 +396,17 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
             for ci, (lo, hi) in enumerate(slices)
         ]
         chunk_stats = ray.get(chunk_refs)
-        n_results = sum(c["results"] for c in chunk_stats)
-        n_requeued = sum(c["requeued"] for c in chunk_stats)
     else:
-        stats = _scan_selected_impl(selected, shard_id, 0, *scan_args)
-        n_results = stats["results"]
-        n_requeued = stats["requeued"]
-    return {"shard": shard_id, "frontier": frontier.num_rows,
-            "selected": selected.num_rows, "deferred": deferred.num_rows,
-            "results": n_results, "requeued": n_requeued}
+        chunk_stats = [_scan_selected_impl(selected, shard_id, 0,
+                                           *scan_args)]
+    out = {"shard": shard_id, "frontier": frontier.num_rows,
+           "selected": selected.num_rows, "deferred": deferred.num_rows,
+           "results": sum(c["results"] for c in chunk_stats),
+           "requeued": sum(c["requeued"] for c in chunk_stats),
+           "chunks": len(chunk_stats)}
+    for key in ("t_lookup", "t_parse", "t_rest"):
+        out[key] = round(sum(c[key] for c in chunk_stats), 3)
+    return out
 
 
 def _frontier_count(rdir: str) -> int:
@@ -716,6 +724,12 @@ class Crawler:
             "scan_s": round(t_scan, 3),
             "finalize_s": round(time.monotonic() - t0 - t_scan, 3),
             "scan_chunk": scan_chunk,
+            # Aggregate worker-side phase time (sums of parallel work —
+            # divide by effective parallelism to relate to wall).
+            "t_lookup": round(sum(r["t_lookup"] for r in rows), 3),
+            "t_parse": round(sum(r["t_parse"] for r in rows), 3),
+            "t_rest": round(sum(r["t_rest"] for r in rows), 3),
+            "chunks": sum(r["chunks"] for r in rows),
             "path": "sharded",
         }
         with open(os.path.join(rdir, "metrics.json"), "w") as f:
