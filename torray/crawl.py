@@ -351,7 +351,8 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
         frontier_dir, f"shard-{shard_id:05d}-*.parquet")))
     if not files:
         return {"shard": shard_id, "frontier": 0, "selected": 0,
-                "deferred": 0, "results": 0, "requeued": 0}
+                "deferred": 0, "results": 0, "requeued": 0, "chunks": 0,
+                "t_lookup": 0.0, "t_parse": 0.0, "t_rest": 0.0}
     frontier = pa.concat_tables([pq.read_table(f) for f in files])
     selected, deferred = split_budget(frontier, budget)
 
