@@ -375,6 +375,25 @@ def _q_events_windowed(sf_dir: str):
     return tumbling_window(_read(sf_dir, "events"), window_s=21600)
 
 
+def _q_events_hopping(sf_dir: str):
+    from torray.ops.window import hopping_window
+
+    return hopping_window(_read(sf_dir, "events"), window_s=21600,
+                          hop_s=7200)
+
+
+def _q_knn_ivf(sf_dir: str):
+    from torray.ops.similarity import ivf_knn
+
+    first = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q = np.asarray(
+        first.filter(pa.compute.equal(first.column("vec_id"), 0))
+        .column("embedding").to_pylist()[0], dtype=np.float64)
+    return ivf_knn(_read(sf_dir, "embeddings"), q[None, :], k=10,
+                   n_clusters=8, nprobe=3)
+
+
 def _q_events_sessions(sf_dir: str):
     from torray.ops.window import sessionize
 
@@ -450,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": _q_knn_top10,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "events_windowed": _q_events_windowed,
+        "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
         "events_asof_orders": _q_events_asof_orders,
         "events_users_semijoin": _q_events_users_semijoin,
@@ -461,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "media_features": _q_media_features,
         "media_image_features": _q_media_image_features,
         "crawl_scan": _q_crawl_scan,
@@ -530,6 +551,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS window, "
             "event_type, count(*) AS n, min(event_id) AS min_event, "
             "max(event_id) AS max_event FROM events GROUP BY 1, 2"
+        ),
+        "events_hopping": (
+            'SELECT "window", event_type, count(*) AS n FROM ('
+            "SELECT unnest(generate_series("
+            "CAST(floor((epoch(ts) - 21600) / 7200) AS BIGINT) + 1, "
+            'CAST(floor(epoch(ts) / 7200) AS BIGINT))) AS "window", '
+            "event_type FROM events) GROUP BY 1, 2"
         ),
         "events_sessions": (
             "SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 "

@@ -191,6 +191,65 @@ def test_lsh_knn_bits16_multiprobe_recall(ray_session):
     assert probe6.groupby("query_idx").size().max() <= 10
 
 
+def test_ivf_knn_recall_and_scores(ray_session):
+    """IVF probing against exact brute-force: recall rises with nprobe,
+    full-probe equals exact, and scores are true cosines."""
+    import ray
+
+    from torray.ops.similarity import ivf_knn, knn_bruteforce
+
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    tbl = pq.read_table(emb_path, columns=["embedding"])
+    q = np.asarray(tbl.column("embedding").to_pylist()[:4], dtype=np.float64)
+    ds = ray.data.read_parquet(emb_path)
+    exact = knn_bruteforce(ds, q, k=10).to_pandas()
+    truth = {qi: set(g["vec_id"]) for qi, g in exact.groupby("query_idx")}
+
+    def recall(df):
+        if len(df) == 0:
+            return 0.0
+        return sum(len(set(g["vec_id"]) & truth[qi])
+                   for qi, g in df.groupby("query_idx")) / 40
+
+    few = ivf_knn(ds, q, k=10, n_clusters=8, nprobe=2).to_pandas()
+    many = ivf_knn(ds, q, k=10, n_clusters=8, nprobe=5).to_pandas()
+    allp = ivf_knn(ds, q, k=10, n_clusters=8, nprobe=8).to_pandas()
+    assert recall(few) <= recall(many) <= recall(allp)
+    assert recall(allp) == 1.0  # probing every cell == exact
+    assert recall(many) >= 0.6
+    assert many.groupby("query_idx").size().max() <= 10
+
+
+def test_hopping_window_ground_truth(ray_session):
+    """Hopping windows vs a direct per-event expansion."""
+    import collections
+
+    import ray
+
+    from torray.ops.window import hopping_window
+
+    rng = np.random.RandomState(3)
+    base = 1_700_000_000
+    ts = base + rng.randint(0, 86400, size=500)
+    types = rng.choice(["a", "b", "c"], size=500)
+    table = pa.table({
+        "ts": pa.array((ts * 1_000_000).astype("int64"),
+                       pa.timestamp("us")),
+        "event_type": pa.array(types.tolist(), pa.string()),
+    })
+    got = hopping_window(ray.data.from_arrow(table).repartition(4),
+                         window_s=21600, hop_s=7200).to_pandas()
+    expected: dict = collections.Counter()
+    for t, k in zip(ts.tolist(), types.tolist()):
+        hi = t // 7200
+        lo = (t - 21600) // 7200 + 1
+        for w in range(lo, hi + 1):
+            expected[(w, k)] += 1
+    got_map = {(int(r["window"]), r["event_type"]): int(r["n"])
+               for _, r in got.iterrows()}
+    assert got_map == dict(expected)
+
+
 def test_embedding_cosine_dedup_planted(ray_session):
     import ray
 

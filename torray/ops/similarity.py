@@ -10,6 +10,9 @@
 - ``lsh_knn``: the scale path — random-hyperplane LSH (Charikar '02)
   buckets the corpus once; queries probe only their bucket (plus
   optional multiprobe neighbors).  Recall < 1, cost ~ corpus/2^bits.
+- ``ivf_knn``: the other scale path — k-means coarse quantizer (IVF,
+  Jégou et al.) trained on a bounded sample; queries probe their
+  ``nprobe`` nearest cells.
 - ``embedding_cosine_dedup``: near-dup pairs above a cosine threshold —
   exact distributed block-nested-loop (one task per block pair, blocks
   read from the object store; the driver only ever holds refs).
@@ -24,8 +27,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["knn_bruteforce", "lsh_knn", "embedding_cosine_dedup",
-           "embedding_cosine_dedup_lsh"]
+__all__ = ["knn_bruteforce", "lsh_knn", "ivf_knn",
+           "embedding_cosine_dedup", "embedding_cosine_dedup_lsh"]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -241,6 +244,113 @@ def _block_pair_table(ta: pa.Table, tb: pa.Table, diagonal: bool,
     order = np.lexsort((idb, ida))
     return pa.table({"id_a": pa.array(ida[order], pa.int64()),
                      "id_b": pa.array(idb[order], pa.int64())})
+
+
+def ivf_knn(emb_ds, query_vecs: np.ndarray, k: int = 10,
+            n_clusters: int = 16, nprobe: int = 4,
+            train_sample: int = 4096, iters: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            seed: int = 17):
+    """IVF (inverted-file) approximate top-k: k-means centroids trained
+    on a bounded sample, corpus assigned to its nearest centroid (one
+    narrow groupby), each query probed against only its ``nprobe``
+    nearest cells — the classic coarse-quantizer ANN layout (Jégou et
+    al., TPAMI'11; public algorithm).
+
+    Scale shape: training reads a ``train_sample``-row sample (bounded
+    regardless of corpus size), centroids broadcast once via
+    ``ray.put``, assignment is a vectorized matmul per batch, and the
+    cell search shuffles only (cell, vec_id, vec) rows of probed
+    cells.  Recall rises with ``nprobe`` (= 1 - P(true neighbor in an
+    unprobed cell))."""
+    import ray
+
+    queries = _normalize(np.asarray(query_vecs, dtype=np.float64))
+
+    # -- train: k-means on a bounded sample (driver-side numpy over
+    # train_sample rows only — never the corpus).
+    sample_tbl = pa.concat_tables(
+        [t for t in ray.get(
+            emb_ds.select_columns([vec_col]).limit(train_sample)
+            .to_arrow_refs()) if t.num_rows])
+    sample = _normalize(_batch_matrix(sample_tbl, vec_col))
+    rng = np.random.RandomState(seed)
+    n_clusters = min(n_clusters, len(sample))
+    centroids = sample[rng.choice(len(sample), n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    cent_ref = ray.put(centroids)
+    q_ref = ray.put(queries)
+
+    # Each query probes its nprobe nearest cells.
+    q_cells = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
+    by_cell: dict[int, list[int]] = {}
+    for qi, cells in enumerate(q_cells):
+        for c in cells:
+            by_cell.setdefault(int(c), []).append(qi)
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _batch_matrix(batch, vec_col)
+        if mat.size == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             vec_col: batch.column(vec_col)})
+        cells = np.argmax(_normalize(mat) @ cents.T, axis=1)
+        keep = np.isin(cells, list(by_cell))  # drop unprobed cells early
+        t = batch.append_column("cell", pa.array(cells, pa.int64()))
+        return t.filter(pa.array(keep)).select([
+            "cell", id_col, vec_col])
+
+    def search_cell(group: pa.Table) -> pa.Table:
+        cell = group.column("cell")[0].as_py()
+        q_idxs = by_cell.get(cell, [])
+        empty = pa.table({"query_idx": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if not q_idxs:
+            return empty
+        q = ray.get(q_ref)[q_idxs]
+        mat = _normalize(_batch_matrix(group, vec_col))
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sims = mat @ q.T
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[0])
+        for col_i, qi in enumerate(q_idxs):
+            col = sims[:, col_i]
+            idx = np.lexsort((ids, -col))[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table({"query_idx": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    per_cell = (
+        emb_ds.select_columns([id_col, vec_col])
+        .map_batches(assign_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(search_cell, batch_format="pyarrow")
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        scores = group.column("score").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((ids, -scores))[:k]
+        take = pa.array(idx, pa.int64())
+        return pa.table({
+            "query_idx": pc.take(group.column("query_idx"), take),
+            "vec_id": pc.take(group.column("vec_id"), take),
+            "score": pc.take(group.column("score"), take),
+        })
+
+    return per_cell.groupby("query_idx").map_groups(
+        final_topk, batch_format="pyarrow")
 
 
 def embedding_cosine_dedup(emb_ds, threshold: float = 0.98,

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_window", "sessionize", "asof_join"]
+__all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -63,6 +63,53 @@ def tumbling_window(events_ds, *, window_s: int = 21600,
     return merged.map_batches(
         lambda t: t.rename_columns(
             [final.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def hopping_window(events_ds, *, window_s: int = 21600, hop_s: int = 7200,
+                   key_col: str = "event_type"):
+    """Count aggregate per (hopping window, key): windows of
+    ``window_s`` advancing every ``hop_s`` — each event belongs to the
+    windows indexed ``floor((t-window)/hop)+1 .. floor(t/hop)``.
+
+    The explode is vectorized (np.repeat over a constant-ish window
+    count per event) and pre-combined per batch exactly like
+    :func:`tumbling_window`: the shuffle carries one row per
+    (window, key) per batch, never per (event, window)."""
+    import ray.data
+
+    win_us = window_s * 1_000_000
+    hop_us = hop_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hi = us // hop_us
+        lo = (us - win_us) // hop_us + 1
+        counts = (hi - lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        # exploded window index: lo[i] + 0..counts[i]-1 per event.
+        reps = np.repeat(lo, counts)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        windows = reps + offs
+        keys = pc.take(batch.column(key_col),
+                       pa.array(np.repeat(np.arange(len(us)), counts),
+                                pa.int64()))
+        t = pa.table({"window": pa.array(windows, pa.int64()),
+                      key_col: keys})
+        agg = pa.TableGroupBy(t, ["window", key_col]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(
+            ["n" if c == "count_all" else c for c in agg.column_names])
+
+    partials = events_ds.select_columns(["ts", key_col]).map_batches(
+        partial, batch_format="pyarrow")
+    merged = partials.groupby(["window", key_col]).aggregate(
+        ray.data.aggregate.Sum("n"))
+    return merged.map_batches(
+        lambda t: t.rename_columns(
+            ["n" if c == "sum(n)" else c for c in t.column_names]),
         batch_format="pyarrow")
 
 
