@@ -208,11 +208,12 @@ def bench_events(sf_dir: str) -> dict:
     qs = entry_mod.queries()
     t0 = time.monotonic()
     n_win = qs["events_windowed"](sf_dir).count()
+    n_hop = qs["events_hopping"](sf_dir).count()
     n_sess = qs["events_sessions"](sf_dir).count()
     n_asof = qs["events_asof_orders"](sf_dir).count()
     wall = time.monotonic() - t0
-    return {"sec": wall, "windows": n_win, "users": n_sess,
-            "asof_rows": n_asof}
+    return {"sec": wall, "windows": n_win, "hop_windows": n_hop,
+            "users": n_sess, "asof_rows": n_asof}
 
 
 _ALL_QUERIES = ("crawl_bfs", "crawl_fat", "scan_dedup", "docs_dedup",
