@@ -317,6 +317,30 @@ def _q_media_image_features(sf_dir: str):
                                   batch_size=16)
 
 
+def _q_docs_hash_split(sf_dir: str):
+    """Deterministic hash train/test split (reproducible across any
+    partitioning), counted per split."""
+    import ray.data
+
+    from torray.ops.sampling import hash_split
+
+    ds = hash_split(_read(sf_dir, "documents").select_columns(["doc_id"]),
+                    "doc_id", test_frac=0.25, salt="v1")
+    agg = ds.groupby("split").aggregate(ray.data.aggregate.Count(),
+                                        ray.data.aggregate.Min("doc_id"))
+    return _rename(agg, {"count()": "n", "min(doc_id)": "min_doc"})
+
+
+def _q_docs_sample_per_lang(sf_dir: str):
+    from torray.ops.sampling import sample_per_group
+
+    ds = sample_per_group(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang"]),
+        "lang", 20, "doc_id", salt="v1")
+    return ds.map_batches(lambda t: t.select(["doc_id", "lang"]),
+                          batch_format="pyarrow")
+
+
 def _q_crawl_scan(sf_dir: str):
     """Whole-web scan (no frontier): the extraction surface end-to-end."""
     import ray
@@ -473,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_asof_orders": _q_events_asof_orders,
         "events_users_semijoin": _q_events_users_semijoin,
+        "docs_hash_split": _q_docs_hash_split,
+        "docs_sample_per_lang": _q_docs_sample_per_lang,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
@@ -566,6 +592,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, epoch(ts - lag(ts) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id)) AS gap "
             "FROM events) t GROUP BY user_id"
+        ),
+        "docs_hash_split": (
+            "SELECT split, count(*) AS n, min(doc_id) AS min_doc FROM ("
+            "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)"
+            " || 'v1'), 1, 8) < '40000000' THEN 'test' ELSE 'train' END "
+            "AS split FROM documents) GROUP BY split"
+        ),
+        "docs_sample_per_lang": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+            "ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)"
+            ", doc_id) AS rn FROM documents) WHERE rn <= 20"
         ),
         "events_users_semijoin": (
             "SELECT count(*) AS n FROM events e WHERE EXISTS "
