@@ -250,6 +250,36 @@ def test_hopping_window_ground_truth(ray_session):
     assert got_map == dict(expected)
 
 
+def test_sampling_ops_partition_invariant(ray_session):
+    """hash_split and sample_per_group give identical results under any
+    partitioning — the property that makes splits reproducible."""
+    import ray
+
+    from torray.ops.sampling import hash_split, sample_per_group
+
+    table = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(200)],
+                         pa.string()),
+    })
+
+    def run(nparts):
+        ds = ray.data.from_arrow(table).repartition(nparts)
+        split = hash_split(ds, "doc_id", test_frac=0.3, salt="s").to_pandas()
+        split = split.sort_values("doc_id").reset_index(drop=True)
+        samp = sample_per_group(ds, "lang", 10, "doc_id",
+                                salt="s").to_pandas()
+        return split, set(samp["doc_id"])
+
+    s1, ids1 = run(1)
+    s2, ids2 = run(7)
+    assert s1.equals(s2)
+    assert ids1 == ids2
+    assert len(ids1) == 30  # 10 per lang
+    frac = (s1["split"] == "test").mean()
+    assert 0.15 < frac < 0.45  # md5 uniformity at n=200
+
+
 def test_embedding_cosine_dedup_planted(ray_session):
     import ray
 
