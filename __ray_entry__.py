@@ -341,6 +341,19 @@ def _q_docs_sample_per_lang(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def _q_docs_curation(sf_dir: str):
+    """Flagship curation chain: annotate -> filter -> exact dedup ->
+    near-dup removal -> split tag (heuristic stages: rows-only)."""
+    from torray.pipelines import curate_documents
+
+    # num_partitions=2: the chain holds several concurrent hash-shuffle
+    # operators (each with its own aggregator pool); small-session
+    # runs (4-cpu driver checks) deadlock at wider partitioning.
+    return curate_documents(_read(sf_dir, "documents"), langs=None,
+                            min_quality=0.1, near_dup_threshold=0.5,
+                            num_partitions=2)
+
+
 def _q_crawl_scan(sf_dir: str):
     """Whole-web scan (no frontier): the extraction surface end-to-end."""
     import ray
@@ -510,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "media_features": _q_media_features,
         "media_image_features": _q_media_image_features,
+        "docs_curation": _q_docs_curation,
         "crawl_scan": _q_crawl_scan,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_link_graph": _q_crawl_link_graph,

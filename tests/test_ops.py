@@ -250,6 +250,48 @@ def test_hopping_window_ground_truth(ray_session):
     assert got_map == dict(expected)
 
 
+def test_curate_documents_pipeline(ray_session):
+    """End-to-end curation chain on planted data: language filter,
+    quality floor, exact dedup, near-dup removal, split tagging."""
+    import ray
+
+    from torray.ops.sampling import _hash_prefix
+    from torray.pipelines import curate_documents
+
+    en = ("the quick brown fox is one of the animals that you can "
+          "find in this text and it is not a short one for sure")
+    texts = {
+        0: en + " variant zero with extra tokens here",
+        1: ("this is a different english document that talks about the "
+            "weather and the sea and it is also long enough to pass"),
+        2: en + " variant zero with extra tokens here",   # exact dup of 0
+        3: en + " variant zero with extra tokens there",  # near dup of 0
+        4: "der hund und die katze sind nicht im haus und das ist gut",
+        5: "",                                            # quality 0
+        6: en + " a genuinely distinct document about onion routing "
+               "that is long enough to pass the quality floor",
+    }
+    table = pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    })
+    ds = ray.data.from_arrow(table).repartition(3)
+    out = curate_documents(ds, langs=("en",), min_quality=0.25,
+                           near_dup_threshold=0.6, num_partitions=2,
+                           test_frac=0.5, salt="t").to_pandas()
+    got = set(out["doc_id"])
+    # 2 dropped (exact dup of 0), 3 dropped (near dup of 0),
+    # 4 dropped (German), 5 dropped (quality).
+    assert got == {0, 1, 6}
+    assert set(out.columns) == {"doc_id", "lang_pred", "quality", "split"}
+    assert (out["lang_pred"] == "en").all()
+    # Split matches the deterministic hash rule.
+    for _, r in out.iterrows():
+        expected = ("test" if _hash_prefix(r["doc_id"], "t") < "80000000"
+                    else "train")
+        assert r["split"] == expected
+
+
 def test_sampling_ops_partition_invariant(ray_session):
     """hash_split and sample_per_group give identical results under any
     partitioning — the property that makes splits reproducible."""

@@ -81,7 +81,7 @@ def test_sql_checked_queries_match_duckdb(ray_session, contract, duck):
 def test_rows_only_queries_run(ray_session, contract):
     qs = contract.queries()
     oracles = contract.oracle_sql()
-    for name in set(qs) - set(oracles):
+    for name in sorted(set(qs) - set(oracles)):
         df = _to_df(qs[name](SF))
         assert df is not None, name
         assert len(df.columns) > 0, name

@@ -190,6 +190,8 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
             "id_b": pa.array(out_b, pa.int64()),
         })
 
+    import ray.data
+
     candidates = (
         docs_ds.select_columns(["doc_id", text_col])
         .map_batches(banded, batch_format="pyarrow")
@@ -200,6 +202,20 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
         .map_batches(lambda t: t.select(["id_a", "id_b"]),
                      batch_format="pyarrow")
     )
+    # Candidates are id pairs only — object-store materialization is
+    # cheap at any corpus size and avoids re-running the banding DAG
+    # for each join below.  The repartition folds away the schemaless
+    # 0-row blocks that empty map_groups partitions emit (Arrow's hash
+    # join rejects them); the count() short-circuits no-candidates.
+    candidates = candidates.materialize()
+    if candidates.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+    # Materialized again so the joins below see only clean,
+    # pre-computed blocks (keeps the join DAG's operator count —
+    # and thus its aggregator CPU reservations — minimal).
+    candidates = candidates.repartition(num_partitions).materialize()
 
     def side(ds, id_name: str, text_name: str):
         return ds.select_columns(["doc_id", text_col]).map_batches(

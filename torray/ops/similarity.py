@@ -426,6 +426,8 @@ def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
         return pa.table({"id_a": pa.array(out_a, pa.int64()),
                          "id_b": pa.array(out_b, pa.int64())})
 
+    import ray.data
+
     candidates = (
         emb_ds.select_columns([id_col, vec_col])
         .map_batches(bucketize, batch_format="pyarrow")
@@ -435,6 +437,18 @@ def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
         .map_batches(lambda t: t.select(["id_a", "id_b"]),
                      batch_format="pyarrow")
     )
+    # Id pairs only — bounded; the repartition folds away schemaless
+    # 0-row blocks from empty map_groups partitions (Arrow's hash join
+    # rejects them) and the count() short-circuits no-candidates.
+    candidates = candidates.materialize()
+    if candidates.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+    # Materialized again so the joins below see only clean,
+    # pre-computed blocks (keeps the join DAG's operator count —
+    # and thus its aggregator CPU reservations — minimal).
+    candidates = candidates.repartition(num_partitions).materialize()
 
     def side(name_id: str, name_vec: str):
         # Arrow hash joins reject list-typed payload columns; carry the

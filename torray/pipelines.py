@@ -1,0 +1,113 @@
+"""Composed pipelines over the operator library — the "what a user
+actually runs" layer.
+
+``curate_documents`` is the canonical LLM-corpus curation chain
+(C4/Gopher/RefinedWeb-style, public recipes) expressed Ray-Data-first:
+
+    annotate (lang-ID + quality, one fused map_batches)
+      -> filter (language allowlist, quality floor)
+      -> exact dedup        (hash groupby -> keeper join; text never
+                             rides a shuffle)
+      -> near-dup removal   (MinHash-LSH pairs -> anti-join the losers)
+      -> hash_split         (deterministic train/test tag)
+
+Every stage is a streaming Dataset transform; the only driver-side
+values are tiny stage counters.  Shuffle discipline: the exact-dedup
+and near-dup stages shuffle (hash, doc_id) / (band_key, doc_id) rows
+only, and the anti-joins move ids — document text stays in its blocks
+from read to write.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["curate_documents"]
+
+
+def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
+                     min_quality: float = 0.25,
+                     near_dup_threshold: float = 0.8,
+                     test_frac: float = 0.1, salt: str = "v1",
+                     num_partitions: int = 8):
+    """Returns a Dataset of surviving documents with columns
+    (doc_id, lang_pred, quality, split).
+
+    ``langs=None`` disables the language filter.  Near-dup removal
+    keeps the smaller doc_id of every verified pair (the canonical
+    keeper rule, matching exact dedup)."""
+    import hashlib
+
+    import ray.data
+
+    from torray.ops.dedup import minhash_lsh_dedup
+    from torray.ops.sampling import hash_split
+    from torray.ops.text import lang_id_batch, quality_batch
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        lang = lang_id_batch(batch)
+        qual = quality_batch(batch)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": batch.column("text"),
+            "lang_pred": lang.column("lang_pred"),
+            "quality": qual.column("quality"),
+        })
+
+    ann = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        annotate, batch_format="pyarrow")
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch.column("quality"), min_quality)
+        if langs is not None:
+            mask = pc.and_(mask, pc.is_in(
+                batch.column("lang_pred"),
+                value_set=pa.array(list(langs), pa.string())))
+        return batch.filter(mask)
+
+    kept = ann.map_batches(keep_filter, batch_format="pyarrow")
+
+    # Exact dedup, scale shape: hash -> min-doc_id keepers -> inner join
+    # back on doc_id (ids shuffle, text does not).
+    def hash_ids(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5((t or "").encode()).hexdigest()
+                  for t in batch.column("text").to_pylist()]
+        return pa.table({"text_hash": pa.array(hashes, pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    keepers = (kept.map_batches(hash_ids, batch_format="pyarrow")
+               .groupby("text_hash")
+               .aggregate(ray.data.aggregate.Min("doc_id"))
+               .map_batches(
+                   lambda t: pa.table({"doc_id": t.column("min(doc_id)")}),
+                   batch_format="pyarrow"))
+    unique_docs = kept.join(keepers, "inner",
+                            num_partitions=num_partitions, on=("doc_id",))
+
+    # Near-dup removal: verified pairs -> drop every larger id.  The
+    # loser-id set is ids only (bounded), so materializing it both
+    # avoids re-executing the pair DAG and anchors the join schema.
+    pairs = minhash_lsh_dedup(unique_docs, threshold=near_dup_threshold,
+                              num_partitions=num_partitions)
+    losers = (pairs.groupby("id_b").count().map_batches(
+        lambda t: pa.table({"doc_id": t.column("id_b"),
+                            "__loser": pa.array([True] * t.num_rows,
+                                                pa.bool_())}),
+        batch_format="pyarrow")).materialize()
+    if losers.count() == 0:
+        survivors = unique_docs
+    else:
+        losers = losers.repartition(num_partitions).materialize()
+        tagged = unique_docs.join(losers, "left_outer",
+                                  num_partitions=num_partitions,
+                                  on=("doc_id",))
+        survivors = tagged.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("__loser"))).drop_columns(
+                ["__loser"]),
+            batch_format="pyarrow")
+
+    out = hash_split(survivors, "doc_id", test_frac=test_frac, salt=salt)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang_pred", "quality", "split"]),
+        batch_format="pyarrow")
