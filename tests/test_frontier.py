@@ -137,3 +137,71 @@ def test_split_budget_empty():
                   "host_seq": pa.array([], pa.int64())})
     s, d = split_budget(t, 3)
     assert s.num_rows == 0 and d.num_rows == 0
+
+
+def test_seen_shard_spill_equivalence(tmp_path):
+    """A shard with a tiny in-heap cap + Parquet spill behaves
+    identically to the all-in-heap shard: same accept decisions, same
+    membership, same count, same snapshot rows."""
+    from torray.frontier import SeenShardState
+
+    plain = SeenShardState(0)
+    spilled = SeenShardState(0, max_inheap=7, spill_dir=str(tmp_path))
+
+    rounds = [
+        [(f"http://h{i % 5}a.onion/p{i}", f"h{i % 5}a.onion", f"/p{i}")
+         for i in range(r * 9, r * 9 + 9)]
+        for r in range(6)
+    ]
+    # Re-offer every earlier url too: dedup must hold across spills.
+    for rnd, batch in enumerate(rounds):
+        earlier = [item for b in rounds[:rnd] for item in b[:3]]
+        payload = sorted(batch + earlier)
+        a = plain.offer(list(payload), rnd)
+        b = spilled.offer(list(payload), rnd)
+        assert a == b, rnd
+        plain.drain_delta()
+        spilled.drain_delta()  # spill point
+
+    assert spilled.spill is not None and spilled.spill.runs, \
+        "cap was never exceeded — test misconfigured"
+    assert plain.count() == spilled.count()
+    snap_a = plain.snapshot().sort_by("url")
+    snap_b = spilled.snapshot().sort_by("url")
+    assert snap_a.equals(snap_b)
+    # Membership through the run-probe path.
+    for b in rounds:
+        for url, _h, _p in b:
+            assert spilled._is_seen(url)
+    assert not spilled._is_seen("http://neverseen.onion/")
+
+
+def test_crawl_with_seen_spill_matches_default(ray_session, tmp_path):
+    """Engine-level: a crawl with an aggressive spill threshold produces
+    the identical schedule, results, and seen set as the default."""
+    import pyarrow.parquet as pq
+
+    from torray.crawl import CrawlConfig, Crawler
+    from torray.synth import SynthWeb
+
+    web = SynthWeb(250, 10, seed=7)
+    pq.write_table(web.table(), str(tmp_path / "pages.parquet"))
+
+    def run(sub, threshold):
+        cfg = CrawlConfig(
+            pages_path=str(tmp_path / "pages.parquet"),
+            workdir=str(tmp_path / sub), seeds=web.seeds(2), budget=5,
+            max_rounds=8, num_shards=2, num_buckets=4,
+            seen_spill_threshold=threshold, small_round_threshold=0)
+        c = Crawler(cfg)
+        c.run()
+        log = c.crawl_log().to_pandas().sort_values(
+            ["round", "host", "round_entered", "host_seq", "url"],
+            kind="mergesort")
+        return (list(zip(log["round"], log["url"])),
+                set(c.seen_snapshot().column("url").to_pylist()))
+
+    log_a, seen_a = run("plain", None)
+    log_b, seen_b = run("spill", 10)
+    assert log_a == log_b
+    assert seen_a == seen_b

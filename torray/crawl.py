@@ -82,6 +82,11 @@ class CrawlConfig:
     # sizes the chunk per round from the cluster CPU count (targeting
     # ~2 chunks per core per round); 0 disables; >0 pins it.
     scan_chunk: int | None = None
+    # Bounded-memory seen set: when set, a shard whose in-heap exact
+    # layer exceeds this many urls spills it to sorted Parquet runs at
+    # the round boundary (workdir/seen_spill); membership then probes
+    # cuckoo -> heap -> runs.  None keeps everything in-heap.
+    seen_spill_threshold: int | None = None
     # Rounds at or below this many frontier items run driver-local
     # (plain Arrow + the same shard actors): early BFS rounds are tiny,
     # and a Ray Data pipeline's fixed scheduling cost per stage would
@@ -444,7 +449,11 @@ class Crawler:
         if cfg.respect_robots:
             robots = {h: parse_robots(b)
                       for h, b in self.store.robots_bodies().items()}
-        self.shards = make_seen_shards(cfg.num_shards, robots)
+        self.shards = make_seen_shards(
+            cfg.num_shards, robots,
+            max_inheap=cfg.seen_spill_threshold,
+            spill_dir=(os.path.join(cfg.workdir, "seen_spill")
+                       if cfg.seen_spill_threshold else None))
         self.metrics: list[dict] = []
         self._shard_task = None  # lazily-created ray.remote wrapper
 

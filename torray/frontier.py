@@ -152,12 +152,119 @@ def parse_robots(body: bytes) -> list[str]:
     return prefixes
 
 
+class _SpillRuns:
+    """Sorted on-disk runs of (url, first_round, first_seq) rows — the
+    exact seen layer's spill store.  Each run is one url-sorted Parquet
+    file with small row groups; the run/row-group url boundaries are
+    recorded at write time (never trusted from possibly-truncated
+    Parquet string statistics), so a membership probe is: run range
+    check -> bisect to ONE row group -> decode (LRU-cached) -> binary
+    search.  The cuckoo filter in front keeps the common negative case
+    off this path entirely."""
+
+    ROW_GROUP = 512
+    CACHE_SLOTS = 16
+
+    def __init__(self, spill_dir: str, shard_id: int):
+        import collections
+        import glob as _glob
+        import os
+
+        self.dir = spill_dir
+        self.shard_id = shard_id
+        # per run: (path, rg_first_urls, rg_last_urls, num_rows)
+        self.runs: list[tuple[str, list[str], list[str], int]] = []
+        self._cache: "collections.OrderedDict" = collections.OrderedDict()
+        # Runs are process-private working state (durability lives in
+        # the round checkpoints): clear any stale files from a previous
+        # process so indices never alias.
+        for stale in _glob.glob(os.path.join(
+                spill_dir, f"shard={shard_id}-run=*.parquet")):
+            os.unlink(stale)
+
+    def spill(self, meta: dict[str, tuple[int, int]]) -> None:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        urls = sorted(meta)
+        if not urls:
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(
+            self.dir, f"shard={self.shard_id}-run={len(self.runs):04d}.parquet")
+        table = pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array([meta[u][0] for u in urls], pa.int32()),
+                pa.array([meta[u][1] for u in urls], pa.int64()),
+            ],
+            names=["url", "first_round", "first_seq"],
+        )
+        _pq.write_table(table, path, row_group_size=self.ROW_GROUP)
+        firsts = [urls[i] for i in range(0, len(urls), self.ROW_GROUP)]
+        lasts = [urls[min(i + self.ROW_GROUP, len(urls)) - 1]
+                 for i in range(0, len(urls), self.ROW_GROUP)]
+        self.runs.append((path, firsts, lasts, len(urls)))
+
+    def _row_group(self, run_idx: int, rg: int) -> list[str]:
+        import pyarrow.parquet as _pq
+
+        key = (run_idx, rg)
+        cached = self._cache.get(key)
+        if cached is not None:
+            self._cache.move_to_end(key)
+            return cached
+        path = self.runs[run_idx][0]
+        urls = _pq.ParquetFile(path).read_row_group(
+            rg, columns=["url"]).column("url").to_pylist()
+        self._cache[key] = urls
+        if len(self._cache) > self.CACHE_SLOTS:
+            self._cache.popitem(last=False)
+        return urls
+
+    def contains(self, url: str) -> bool:
+        import bisect
+
+        for run_idx in range(len(self.runs) - 1, -1, -1):
+            _path, firsts, lasts, _n = self.runs[run_idx]
+            if not firsts or url < firsts[0] or url > lasts[-1]:
+                continue
+            rg = bisect.bisect_right(firsts, url) - 1
+            if rg < 0 or url > lasts[rg]:
+                continue
+            urls = self._row_group(run_idx, rg)
+            i = bisect.bisect_left(urls, url)
+            if i < len(urls) and urls[i] == url:
+                return True
+        return False
+
+    def num_rows(self) -> int:
+        return sum(n for _p, _f, _l, n in self.runs)
+
+    def all_rows(self) -> pa.Table | None:
+        import pyarrow.parquet as _pq
+
+        if not self.runs:
+            return None
+        return pa.concat_tables(
+            [_pq.read_table(p) for p, _f, _l, _n in self.runs])
+
+
 class SeenShardState:
     """The state machine of one seen shard.  Kept separate from the Ray
     actor wrapper so the logic is unit-testable in-process; the actor
-    below is a thin shell."""
+    below is a thin shell.
 
-    def __init__(self, shard_id: int, robots: dict[str, list[str]] | None = None):
+    With ``max_inheap``/``spill_dir`` set, the exact layer spills to
+    sorted Parquet runs at round boundaries once the in-heap set
+    exceeds the cap — the bounded-memory configuration for 10^10-url
+    shards.  The cuckoo filter always covers the full url population
+    (its ~2 bytes/key IS the in-memory budget at scale)."""
+
+    def __init__(self, shard_id: int, robots: dict[str, list[str]] | None = None,
+                 max_inheap: int | None = None,
+                 spill_dir: str | None = None):
         self.shard_id = shard_id
         self.robots = robots or {}
         self.seen: set[str] = set()
@@ -167,6 +274,9 @@ class SeenShardState:
         # Newly-seen urls since the last drain (the per-round incremental
         # snapshot — full-set rewrites per round would not scale).
         self.delta: list[tuple[str, int, int]] = []
+        self.max_inheap = max_inheap
+        self.spill = (_SpillRuns(spill_dir, shard_id)
+                      if max_inheap and spill_dir else None)
 
     # -- membership -----------------------------------------------------
 
@@ -187,7 +297,9 @@ class SeenShardState:
         # Cuckoo fast-negative first; exact set confirms positives.
         if not self.filter.may_contain_hash(stable_hash(url)):
             return False
-        return url in self.seen
+        if url in self.seen:
+            return True
+        return self.spill is not None and self.spill.contains(url)
 
     def _disallowed(self, host: str, path: str) -> bool:
         rules = self.robots.get(host)
@@ -315,7 +427,14 @@ class SeenShardState:
 
     def drain_delta(self) -> pa.Table:
         """Newly-seen urls since the last drain, as a snapshot-schema
-        table; clears the buffer."""
+        table; clears the buffer.  Round boundary = the spill point:
+        every in-heap url has complete first_meta here, so the whole
+        heap can move to a sorted run when over the cap."""
+        if (self.spill is not None
+                and len(self.seen) > self.max_inheap):
+            self.spill.spill({u: self.first_meta[u] for u in self.seen})
+            self.seen.clear()
+            self.first_meta.clear()
         rows = self.delta
         self.delta = []
         return pa.Table.from_arrays(
@@ -331,7 +450,7 @@ class SeenShardState:
     def snapshot(self) -> pa.Table:
         urls = sorted(self.seen)
         meta = [self.first_meta.get(u, (-1, -1)) for u in urls]
-        return pa.Table.from_arrays(
+        heap = pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),
                 pa.array([self.shard_id] * len(urls), pa.int32()),
@@ -340,6 +459,19 @@ class SeenShardState:
             ],
             schema=SEEN_SNAPSHOT_SCHEMA,
         )
+        spilled = self.spill.all_rows() if self.spill is not None else None
+        if spilled is None:
+            return heap
+        spilled = pa.Table.from_arrays(
+            [
+                spilled.column("url"),
+                pa.array([self.shard_id] * spilled.num_rows, pa.int32()),
+                spilled.column("first_round"),
+                spilled.column("first_seq"),
+            ],
+            schema=SEEN_SNAPSHOT_SCHEMA,
+        )
+        return pa.concat_tables([spilled, heap]).sort_by("url")
 
     def restore(self, table: pa.Table) -> None:
         urls = table.column("url").to_pylist()
@@ -350,14 +482,20 @@ class SeenShardState:
             self.first_meta[url] = (rnd, seq)
 
     def count(self) -> int:
-        return len(self.seen)
+        n = len(self.seen)
+        if self.spill is not None:
+            n += self.spill.num_rows()
+        return n
 
 
-def make_seen_shards(num_shards: int, robots: dict[str, list[str]] | None):
+def make_seen_shards(num_shards: int, robots: dict[str, list[str]] | None,
+                     max_inheap: int | None = None,
+                     spill_dir: str | None = None):
     """Spawn the seen-shard actor pool.  Robots rules are pre-split per
     shard so each actor holds only its hosts' rules (at 10^7-host scale
     this split would itself be a Dataset->per-shard write; here it is a
-    driver-side dict split)."""
+    driver-side dict split).  ``max_inheap``/``spill_dir`` enable the
+    bounded-memory exact layer (spill-to-Parquet runs)."""
     import ray
 
     robots = robots or {}
@@ -366,7 +504,8 @@ def make_seen_shards(num_shards: int, robots: dict[str, list[str]] | None):
         per_shard[stable_hash(host) % num_shards][host] = rules
 
     shard_actor = ray.remote(num_cpus=0)(_SeenShardActor)
-    return [shard_actor.remote(i, per_shard[i]) for i in range(num_shards)]
+    return [shard_actor.remote(i, per_shard[i], max_inheap, spill_dir)
+            for i in range(num_shards)]
 
 
 class _SeenShardActor:
@@ -374,8 +513,12 @@ class _SeenShardActor:
     are memory-bound bookkeeping, not compute — they must not starve
     the fetch/extract pool of CPU slots)."""
 
-    def __init__(self, shard_id: int, robots: dict[str, list[str]]):
-        self.state = SeenShardState(shard_id, robots)
+    def __init__(self, shard_id: int, robots: dict[str, list[str]],
+                 max_inheap: int | None = None,
+                 spill_dir: str | None = None):
+        self.state = SeenShardState(shard_id, robots,
+                                    max_inheap=max_inheap,
+                                    spill_dir=spill_dir)
 
     def add_seeds(self, items):
         return self.state.add_seeds(items)
