@@ -12,12 +12,15 @@ transforms.  Design:
 - Each shard holds a cuckoo filter for O(1) fast-negative membership
   (the 10^10-scale story: ~2 bytes/key fingerprints vs ~100 bytes/key
   exact) IN FRONT OF an exact set that guarantees zero false-positive
-  drops.  At 10^10 urls the exact layer becomes a per-shard spill-to-
-  Parquet map keyed by fingerprint-partition; in this repo it is an
-  in-heap set, snapshotted per round (FIXTURES.md F5) for resume and
-  for the final-seen-set oracle comparison.
+  drops.  With ``seen_spill_threshold`` set the exact layer is
+  BOUNDED-MEMORY: it spills to url-sorted Parquet runs at round
+  boundaries and confirms rare filter-positives via a cached row-group
+  probe (the 10^10-url configuration); by default it is an in-heap
+  set.  Either way it is snapshotted per round (FIXTURES.md F5) for
+  resume and for the final-seen-set oracle comparison.
 - Politeness: each host contributes at most ``budget`` frontier items
-  per round, in (round_entered, host_seq) order; the remainder defers.
+  per round, in (round_entered, host_seq, url) order; the remainder
+  defers.
   This is the deterministic replacement for the reference backend's
   ``next`` endpoint (``/root/reference/TorSpider.py:120``), per
   BASELINE.json's north_rule.
