@@ -205,3 +205,39 @@ def test_crawl_with_seen_spill_matches_default(ray_session, tmp_path):
     log_b, seen_b = run("spill", 10)
     assert log_a == log_b
     assert seen_a == seen_b
+
+
+def test_crawl_resume_with_seen_spill(ray_session, tmp_path):
+    """Checkpoint resume rebuilds spilled shards correctly: an
+    interrupted spill-mode crawl converges to the uninterrupted run."""
+    import pyarrow.parquet as pq
+
+    from torray.crawl import CrawlConfig, Crawler
+    from torray.synth import SynthWeb
+
+    web = SynthWeb(250, 10, seed=7)
+    pq.write_table(web.table(), str(tmp_path / "pages.parquet"))
+
+    def mk(sub, max_rounds):
+        cfg = CrawlConfig(
+            pages_path=str(tmp_path / "pages.parquet"),
+            workdir=str(tmp_path / sub), seeds=web.seeds(2), budget=5,
+            max_rounds=max_rounds, num_shards=2, num_buckets=4,
+            seen_spill_threshold=10, small_round_threshold=0)
+        c = Crawler(cfg)
+        c.run()
+        return c
+
+    full = mk("full", 7)
+    mk("part", 3)
+    resumed = mk("part", 7)
+
+    def log_of(c):
+        df = c.crawl_log().to_pandas().sort_values(
+            ["round", "host", "round_entered", "host_seq", "url"],
+            kind="mergesort")
+        return list(zip(df["round"], df["url"]))
+
+    assert log_of(resumed) == log_of(full)
+    assert (set(resumed.seen_snapshot().column("url").to_pylist())
+            == set(full.seen_snapshot().column("url").to_pylist()))
