@@ -121,3 +121,53 @@ def test_expand_schemes_matches_reference_branch():
             if ".onion" in candidate and ".onion." not in candidate:
                 expected.append(candidate)
         assert expand_schemes(url) == expected
+
+
+def test_hosts_paths_arrays_matches_urlsplit():
+    """The vectorized splitter must equal urlsplit()[1]/[2] row-for-row,
+    including shapes outside the canonical stored form (regex-miss
+    fallback path)."""
+    from urllib.parse import urlsplit
+
+    import pyarrow as pa
+
+    from torray.urlnorm import hosts_paths_arrays
+
+    urls = [
+        "http://abc.onion/x?q=1",
+        "https://h.onion:8080/a/b.html",
+        "http://h.onion",
+        "http://h.onion/",
+        "ftp://site.onion/p?x=2",
+        "wss+x.y://weird.onion/z",
+        "http://h.onion/a b/c,d;e",
+        "http://h.onion/p?q=/slash?more",
+        # regex-miss shapes -> urlsplit fallback:
+        "no-scheme-at-all",
+        "//authority.onion/only",
+        "relative/path?q=1",
+        "",
+        "1http://bad-scheme.onion/x",
+        "http:///empty-netloc",
+        "http://h.onion/frag#ment",
+        None,
+    ]
+    hosts, paths = hosts_paths_arrays(pa.array(urls, pa.string()))
+    for url, host, path in zip(urls, hosts.to_pylist(), paths.to_pylist()):
+        parts = urlsplit(url or "")
+        assert host == parts[1], url
+        assert path == parts[2], url
+
+
+def test_hash_mod_dict_matches_per_row():
+    import pyarrow as pa
+
+    from torray.pagestore import stable_hash
+    from torray.urlnorm import hash_mod_dict
+
+    hosts = ["a.onion", "b.onion", "a.onion", "c.onion", "b.onion"] * 3
+    got = hash_mod_dict(pa.array(hosts, pa.string()), 7,
+                        stable_hash).to_pylist()
+    assert got == [stable_hash(h) % 7 for h in hosts]
+    assert hash_mod_dict(pa.array([], pa.string()), 7,
+                         stable_hash).to_pylist() == []

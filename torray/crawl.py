@@ -52,7 +52,7 @@ from torray.frontier import (
     split_budget,
 )
 from torray.pagestore import PageStore, bucket_of, stable_hash
-from torray.urlnorm import host_of
+from torray.urlnorm import hash_mod_dict, host_of, hosts_paths_arrays
 
 __all__ = ["CrawlConfig", "Crawler"]
 
@@ -178,7 +178,11 @@ def _round_dir(ckpt: str, rnd: int) -> str:
 
 def _explode_links(batch: pa.Table, num_shards: int) -> pa.Table:
     """scan_results batch -> candidate rows (vectorized explode of the
-    new_urls list column; parent key columns repeated by list length)."""
+    new_urls list column; parent key columns repeated by list length).
+
+    Host/path extraction is one ``pc.extract_regex`` pass and the
+    shard hash is computed once per DISTINCT host (dictionary-encoded)
+    — no per-candidate Python in this per-round hot path."""
     import numpy as np
 
     links = batch.column("new_urls")
@@ -186,15 +190,11 @@ def _explode_links(batch: pa.Table, num_shards: int) -> pa.Table:
         links = links.combine_chunks()
     lengths = pc.list_value_length(links).to_numpy(zero_copy_only=False)
     lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
-    flat = links.flatten().to_pylist()
+    flat = links.flatten()
     parent_idx = np.repeat(np.arange(len(batch)), lengths)
 
-    hosts, paths, shards = [], [], []
-    for url in flat:
-        parts = urlsplit(url)
-        hosts.append(parts[1])
-        paths.append(parts[2])
-        shards.append(stable_hash(parts[1]) % num_shards)
+    hosts, paths = hosts_paths_arrays(flat)
+    shards = hash_mod_dict(hosts, num_shards, stable_hash)
 
     def rep(col):
         if col not in batch.column_names:
@@ -206,10 +206,10 @@ def _explode_links(batch: pa.Table, num_shards: int) -> pa.Table:
 
     return pa.Table.from_arrays(
         [
-            pa.array(flat, pa.string()),
-            pa.array(hosts, pa.string()),
-            pa.array(paths, pa.string()),
-            pa.array(shards, pa.int32()),
+            flat.cast(pa.string()),
+            hosts,
+            paths,
+            shards,
             rep("host"),
             rep("round_entered"),
             rep("host_seq"),
@@ -499,8 +499,9 @@ class Crawler:
         os.makedirs(out_dir, exist_ok=True)
         if table.num_rows == 0:
             return
-        shards = np.array([stable_hash(h) % self.cfg.num_shards
-                           for h in table.column("host").to_pylist()])
+        shards = hash_mod_dict(
+            table.column("host"), self.cfg.num_shards,
+            stable_hash).to_numpy(zero_copy_only=False)
         for k in sorted(set(shards.tolist())):
             part = table.filter(pa.array(shards == k))
             pq.write_table(part, os.path.join(
@@ -909,18 +910,20 @@ class Crawler:
         num_buckets = self.store.num_buckets
 
         def to_frontier(t: pa.Table) -> pa.Table:
-            urls = t.column("url").to_pylist()
-            hosts = [host_of(u) for u in urls]
-            hs = t.column("hash").to_pylist()
+            urls = t.column("url")
+            if isinstance(urls, pa.ChunkedArray):
+                urls = urls.combine_chunks()
+            hosts, _ = hosts_paths_arrays(urls)
+            hashes = t.column("hash")
             return pa.Table.from_arrays(
                 [
-                    pa.array(urls, pa.string()),
-                    pa.array(hosts, pa.string()),
-                    pa.array([h if h else "" for h in hs], pa.string()),
-                    pa.array([-1] * len(urls), pa.int32()),
-                    pa.array([-1] * len(urls), pa.int64()),
-                    pa.array([bucket_of(h, num_buckets) for h in hosts],
-                             pa.int32()),
+                    urls,
+                    hosts,
+                    pc.if_else(hashes.is_valid(), hashes,
+                               pa.scalar("", pa.string())).combine_chunks(),
+                    pa.array([-1] * t.num_rows, pa.int32()),
+                    pa.array([-1] * t.num_rows, pa.int64()),
+                    hash_mod_dict(hosts, num_buckets, stable_hash),
                 ],
                 names=["url", "host", "last_hash", "round_entered",
                        "host_seq", "bucket"],

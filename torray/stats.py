@@ -74,7 +74,11 @@ def crawl_counts(scan_ds, seen_ds) -> dict:
     scanned = scan_ds.count()
 
     def partial(batch: pa.Table) -> pa.Table:
-        forms = batch.column("form_dicts").to_pylist()
+        # Most pages have zero forms: decode JSON only for the rows
+        # whose canonical form string is non-trivial.
+        fd = batch.column("form_dicts")
+        forms = fd.filter(pc.and_kleene(
+            fd.is_valid(), pc.not_equal(fd, "[]"))).to_pylist()
         links = pc.list_value_length(batch.column("new_urls"))
         return pa.table({
             "pages": pa.array([int(pc.sum(
@@ -150,7 +154,7 @@ def domain_status(scan_ds):
 def link_graph(scan_ds):
     """Host-level link-graph edges with counts (A6): explode new_urls,
     one groupby((src,dst)) shuffle over narrow host pairs."""
-    from urllib.parse import urlsplit
+    from torray.urlnorm import hosts_paths_arrays
 
     def edges(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -160,13 +164,13 @@ def link_graph(scan_ds):
             links = links.combine_chunks()
         lengths = pc.list_value_length(links).to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
-        flat = links.flatten().to_pylist()
+        flat = links.flatten()
         src = np.repeat(
             batch.column("host").to_numpy(zero_copy_only=False), lengths)
-        dst = [urlsplit(u)[1] for u in flat]
+        dst, _ = hosts_paths_arrays(flat)
         return pa.table({
             "src_host": pa.array(src.tolist(), pa.string()),
-            "dst_host": pa.array(dst, pa.string()),
+            "dst_host": dst,
         })
 
     return (

@@ -164,3 +164,66 @@ def expand_schemes(url: str) -> list[str]:
         if is_onion(candidate):
             out.append(candidate)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow) host/path extraction for the hot paths.
+#
+# Every URL the engine *stores* (``new_urls``, frontier, redirects) is
+# an ``urlunsplit`` product: ``scheme://netloc[path][?query]`` with a
+# lowercase valid scheme, no fragment, and netloc/path free of the
+# delimiters urlsplit would stop at earlier.  For that shape, one
+# ``pc.extract_regex`` reproduces ``urlsplit``'s netloc/path exactly;
+# any row the regex rejects (malformed input, null) falls back to the
+# real ``urlsplit`` so parity holds unconditionally (diff-tested in
+# ``tests/test_urlnorm.py``).
+# ---------------------------------------------------------------------------
+
+# urlsplit: netloc = after '://' up to '/', '?' or '#'; path = up to
+# '?' or '#'.  The scheme class matches urlsplit's RFC-3986 rule.
+_URL_SPLIT_RE = (r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://"
+                 r"(?P<host>[^/?#]*)(?P<path>[^?#]*)")
+
+
+def hosts_paths_arrays(url_arr):
+    """``(hosts, paths)`` Arrow string arrays for a URL array —
+    vectorized ``urlsplit(u)[1]``/``[2]`` with a per-row fallback for
+    anything outside the canonical stored shape."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(url_arr, pa.ChunkedArray):
+        url_arr = url_arr.combine_chunks()
+    ex = pc.extract_regex(url_arr, _URL_SPLIT_RE)
+    hosts = pc.struct_field(ex, "host")
+    paths = pc.struct_field(ex, "path")
+    if ex.null_count:
+        miss = pc.is_null(ex)
+        idx = pc.indices_nonzero(miss).to_pylist()
+        hs, ps = hosts.to_pylist(), paths.to_pylist()
+        urls = url_arr.to_pylist()
+        for i in idx:
+            parts = urlsplit(urls[i] or "")
+            hs[i], ps[i] = parts[1], parts[2]
+        hosts = pa.array(hs, pa.string())
+        paths = pa.array(ps, pa.string())
+    return hosts, paths
+
+
+def hash_mod_dict(host_arr, mod: int, hash_fn):
+    """``hash_fn(host) % mod`` per row, computed once per DISTINCT host
+    via Arrow dictionary encoding (hosts repeat heavily: a crawl batch
+    holds many URLs per host).  Returns an int32 Arrow array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(host_arr, pa.ChunkedArray):
+        host_arr = host_arr.combine_chunks()
+    denc = host_arr.dictionary_encode()
+    per_val = pa.array(
+        [hash_fn(h) % mod if h is not None else 0
+         for h in denc.dictionary.to_pylist()],
+        pa.int32())
+    if len(per_val) == 0:
+        return pa.array([], pa.int32())
+    return pc.take(per_val, denc.indices)
