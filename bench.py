@@ -92,11 +92,25 @@ def bench_crawl(sf: float, num_cpus: int, fat: bool = False,
     into a handful of very large rounds — the regime a 10^7+-url-per-
     round production crawl actually runs in, where the ~0.3 s fixed
     coordination cost per round is noise and scan work (which the
-    sub-shard fan-out parallelizes past the shard count) dominates."""
+    sub-shard fan-out parallelizes past the shard count) dominates.
+
+    Fat configurations run with the bounded-memory seen set ON by
+    default (``seen_spill_threshold`` — the flagship 10^10-url
+    configuration; per-shard in-heap cap, spill to sorted Parquet
+    runs).  ``TORRAY_BENCH_SPILL=0`` benches the in-heap mode for the
+    overhead comparison; any other integer overrides the cap."""
     import shutil
 
     from torray.crawl import CrawlConfig, Crawler
     from torray.synth import SynthWeb
+
+    spill_env = os.environ.get("TORRAY_BENCH_SPILL", "")
+    if fat:
+        # Default 8k/shard: both fat sizes actually exercise the spill
+        # path at bench scale (fat1 ~11k seen/shard, fatxl ~94k).
+        spill = None if spill_env == "0" else int(spill_env or 8000)
+    else:
+        spill = int(spill_env) if spill_env not in ("", "0") else None
 
     num_pages = max(1000, int(2_000_000 * sf)) * scale_mult
     num_hosts = max(30, num_pages // 60)
@@ -128,6 +142,7 @@ def bench_crawl(sf: float, num_cpus: int, fat: bool = False,
         # cluster CPU count (sub-shard fan-out past the shard count).
         # Even the seed round is large here; send it distributed.
         small_round_threshold=256,
+        seen_spill_threshold=spill,
     )
     # Warm the worker pool (shard tasks + nested scan chunks need
     # ~3x num_cpus worker processes; spawning them inside the first
@@ -153,7 +168,8 @@ def bench_crawl(sf: float, num_cpus: int, fat: bool = False,
     scanned = sum(m.get("selected", 0) for m in summary["metrics"])
     return {"sec": wall, "pagestore_build_sec": round(build_s, 2),
             "rounds": summary["rounds"], "seen": summary["seen"],
-            "scanned": scanned, "urls_per_s": round(scanned / wall, 1)}
+            "scanned": scanned, "urls_per_s": round(scanned / wall, 1),
+            "seen_spill_threshold": spill}
 
 
 def bench_docs_dedup(sf_dir: str) -> dict:
@@ -169,6 +185,21 @@ def bench_docs_dedup(sf_dir: str) -> dict:
         threshold=0.5).count()
     wall = time.monotonic() - t0
     return {"sec": wall, "exact_groups": n_groups, "near_dup_pairs": n_pairs}
+
+
+def bench_docs_curation(sf_dir: str) -> dict:
+    """The flagship user pipeline: annotate -> filter -> exact dedup ->
+    near-dup removal -> split, end to end over the documents table."""
+    import ray
+
+    from torray.pipelines import curate_documents
+
+    t0 = time.monotonic()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = curate_documents(docs, langs=None, min_quality=0.0,
+                         near_dup_threshold=0.5).count()
+    wall = time.monotonic() - t0
+    return {"sec": wall, "survivors": n}
 
 
 def bench_knn(sf_dir: str) -> dict:
@@ -217,7 +248,7 @@ def bench_events(sf_dir: str) -> dict:
 
 
 _ALL_QUERIES = ("crawl_bfs", "crawl_fat", "scan_dedup", "docs_dedup",
-                "knn", "lineitem", "events")
+                "docs_curation", "knn", "lineitem", "events")
 
 
 def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
@@ -237,6 +268,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
                                            scale_mult=10),
         "scan_dedup": lambda: bench_scan_dedup(sf),
         "docs_dedup": lambda: bench_docs_dedup(sf_dir),
+        "docs_curation": lambda: bench_docs_curation(sf_dir),
         "knn": lambda: bench_knn(sf_dir),
         "lineitem": lambda: bench_lineitem(sf_dir),
         "events": lambda: bench_events(sf_dir),

@@ -241,3 +241,48 @@ def test_crawl_resume_with_seen_spill(ray_session, tmp_path):
     assert log_of(resumed) == log_of(full)
     assert (set(resumed.seen_snapshot().column("url").to_pylist())
             == set(full.seen_snapshot().column("url").to_pylist()))
+
+
+def test_spill_survives_filter_growth(tmp_path):
+    """Regression: when the cuckoo filter saturates and rebuilds AFTER
+    part of the seen set has spilled, spilled fingerprints must survive
+    the rebuild — a heap-only rebuild re-accepts every spilled url
+    (caught as 30% duplicate re-scans in a fat-crawl bench)."""
+    from torray.frontier import CuckooFilter, SeenShardState
+
+    s = SeenShardState(0, max_inheap=500, spill_dir=str(tmp_path))
+    s.filter = CuckooFilter(1 << 10)  # small start -> forced growth
+
+    n = 6000
+    all_urls = []
+    for rnd in range(6):
+        batch = [(f"http://g{i % 7}.onion/page{i}", f"g{i % 7}.onion",
+                  f"/page{i}")
+                 for i in range(rnd * 1000, rnd * 1000 + 1000)]
+        accepted = s.offer(sorted(batch), rnd)
+        assert len(accepted) == 1000
+        all_urls.extend(u for u, _h, _p in batch)
+        s.drain_delta()  # spill point (heap cap 500 < 1000/round)
+
+    assert s.spill.runs, "nothing spilled — test misconfigured"
+    assert s.filter.capacity >= n, "filter never grew"
+    # Every url — heap or spilled — must still be seen: zero re-accepts.
+    re_offer = sorted((u, f"g{i % 7}.onion", "/x")
+                      for i, u in enumerate(all_urls))
+    assert s.offer(re_offer, 99) == []
+    assert s.count() == n
+
+
+def test_contains_many_matches_contains(tmp_path):
+    """The batched spill probe equals the per-url probe."""
+    from torray.frontier import _SpillRuns
+
+    runs = _SpillRuns(str(tmp_path), 1)
+    runs.spill({f"http://a.onion/{i:04d}": (0, i) for i in range(0, 900, 2)})
+    runs.spill({f"http://a.onion/{i:04d}": (1, i) for i in range(901, 1800, 3)})
+    queries = [f"http://a.onion/{i:04d}" for i in range(-5, 1810)] + [
+        "http://zzz.onion/", ""]
+    got = runs.contains_many(queries)
+    expected = {q for q in queries if runs.contains(q)}
+    assert got == expected
+    assert runs.contains_many([]) == set()

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_dedup",
     "jaccard",
     "ngram_jaccard_pairs",
+    "bounded_pair_positions",
 ]
 
 _WORD_RE = re.compile(r"\S+")
@@ -44,6 +45,69 @@ _WORD_RE = re.compile(r"\S+")
 
 def _md5_64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain; Steele et al. '14) —
+    deterministic, process-stable 64-bit mixing for salt assignment."""
+    x = x.astype(np.uint64).copy()
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def bounded_pair_positions(ids_sorted: np.ndarray,
+                           cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate-pair POSITIONS (i < j into ``ids_sorted``) for one LSH
+    bucket, with degenerate buckets bounded.
+
+    A bucket of m docs naively emits O(m^2) pairs; at web scale one
+    boilerplate/empty-document bucket would quadratically flood the
+    pair shuffle.  Buckets wider than ``cap`` are salt-split into
+    ~``m/cap`` sub-buckets by a splitmix64 hash of the doc id (all
+    pairs within a sub-bucket) plus a connectivity star: the global
+    bucket minimum is paired with each sub-bucket minimum, so every
+    member stays reachable from the bucket's keeper — a group of
+    identical documents still collapses to one keeper even though not
+    every cross-sub-bucket pair is emitted.  Output size is O(m*cap)
+    instead of O(m^2); the lost pairs are the documented recall
+    trade-off of capping (raise ``cap`` to recover them).
+    """
+    n = len(ids_sorted)
+    if n < 2:
+        e = np.empty(0, np.int64)
+        return e, e
+    if n <= cap:
+        ii, jj = np.triu_indices(n, 1)
+        return ii.astype(np.int64), jj.astype(np.int64)
+    n_groups = -(-n // cap)
+    salt = (_mix64(ids_sorted) % np.uint64(n_groups)).astype(np.int64)
+    pos = np.arange(n, dtype=np.int64)
+    out_i, out_j = [], []
+    star_targets = []
+    for g in range(n_groups):
+        members = pos[salt == g]
+        m = len(members)
+        if m == 0:
+            continue
+        if members[0] != 0:
+            star_targets.append(members[0])
+        if m >= 2:
+            ii, jj = np.triu_indices(m, 1)
+            out_i.append(members[ii])
+            out_j.append(members[jj])
+    if star_targets:
+        t = np.asarray(star_targets, np.int64)
+        out_i.append(np.zeros(len(t), np.int64))
+        out_j.append(t)
+    if not out_i:
+        e = np.empty(0, np.int64)
+        return e, e
+    return np.concatenate(out_i), np.concatenate(out_j)
 
 
 # ---------------------------------------------------------------------------
@@ -89,6 +153,11 @@ def exact_dedup(docs_ds, text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+
+# Candidate sets at or below this many pairs take the broadcast
+# verify path (id set shipped once via ray.put; ~16 MB of int64 ids
+# at the cap).  Larger sets stay fully distributed.
+_PREFILTER_MAX_PAIRS = 2_000_000
 
 
 def _shingles(text: str, k: int = 3) -> set[int]:
@@ -142,7 +211,8 @@ def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
 
 def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
                       threshold: float = 0.8, shingle_k: int = 3,
-                      text_col: str = "text", num_partitions: int = 8):
+                      text_col: str = "text", num_partitions: int = 8,
+                      max_bucket: int = 256):
     """Near-duplicate PAIRS (id_a < id_b, true-Jaccard-verified >=
     threshold) via MinHash banding.
 
@@ -150,14 +220,17 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
     rows — the band shuffle moves NOTHING but a ~24-byte key pair per
     band, never the text — -> groupby(band_key) emits candidate pairs
     -> one dedup groupby collapses multi-band hits -> the surviving
-    pairs (a tiny fraction of the corpus) join the documents table
-    TWICE (id_a side, id_b side) to fetch texts for the exact-Jaccard
-    verify.  Text bytes thus cross the wire at most twice per
-    *candidate pair* instead of ``bands``× per *document*.
+    pairs fetch texts for the exact-Jaccard verify via two hash joins
+    against the documents table PRE-FILTERED to candidate ids (the
+    candidate id set is broadcast once with ``ray.put``; the filter is
+    a streaming ``np.isin`` per batch), so only candidate documents'
+    text ever enters a shuffle — non-candidate text bytes never leave
+    their blocks.
 
-    Partitioning note: a degenerate band bucket (many docs sharing one
-    band value) emits O(m^2) candidate rows; at adversarial scale,
-    cap bucket width or salt the band key with a signature prefix.
+    Degenerate band buckets (many docs sharing one band value —
+    boilerplate, empty pages, adversarial corpora) are bounded by
+    ``max_bucket``: see :func:`bounded_pair_positions` (salt-split +
+    connectivity star, O(m*cap) candidate rows instead of O(m^2)).
     """
     rows = num_perm // bands
 
@@ -179,15 +252,12 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
         })
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        ids = np.unique(group.column("doc_id").to_numpy(
+            zero_copy_only=False))
+        ii, jj = bounded_pair_positions(ids, max_bucket)
         return pa.table({
-            "id_a": pa.array(out_a, pa.int64()),
-            "id_b": pa.array(out_b, pa.int64()),
+            "id_a": pa.array(ids[ii], pa.int64()),
+            "id_b": pa.array(ids[jj], pa.int64()),
         })
 
     import ray.data
@@ -204,30 +274,60 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
     )
     # Candidates are id pairs only — object-store materialization is
     # cheap at any corpus size and avoids re-running the banding DAG
-    # for each join below.  The repartition folds away the schemaless
-    # 0-row blocks that empty map_groups partitions emit (Arrow's hash
-    # join rejects them); the count() short-circuits no-candidates.
+    # for each join below; the count() short-circuits no-candidates.
     candidates = candidates.materialize()
-    if candidates.count() == 0:
+    n_cand = candidates.count()
+    if n_cand == 0:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()),
             "id_b": pa.array([], pa.int64())}))
-    # Materialized again so the joins below see only clean,
-    # pre-computed blocks (keeps the join DAG's operator count —
-    # and thus its aggregator CPU reservations — minimal).
-    candidates = candidates.repartition(num_partitions).materialize()
+    verify_ds = docs_ds.select_columns(["doc_id", text_col])
+    if n_cand <= _PREFILTER_MAX_PAIRS:
+        # Common case: candidates are a tiny fraction of the corpus.
+        # Pull the (bounded) id pairs once, rebuild them as ONE clean
+        # block (sidesteps the schemaless-0-row-block join bug without
+        # a second repartition+materialize), and broadcast the id set
+        # so the verify joins below shuffle ONLY candidate documents —
+        # non-candidate text never leaves its block.
+        import ray as _ray
+
+        cand_tbl = pa.concat_tables(
+            [t for t in _ray.get(candidates.to_arrow_refs())
+             if t.num_rows])
+        candidates = ray.data.from_arrow(cand_tbl)
+        cand_ids = np.unique(np.concatenate([
+            cand_tbl.column("id_a").to_numpy(zero_copy_only=False),
+            cand_tbl.column("id_b").to_numpy(zero_copy_only=False)]))
+        ids_ref = _ray.put(cand_ids)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            import ray as _r
+
+            mask = np.isin(
+                t.column("doc_id").to_numpy(zero_copy_only=False),
+                _r.get(ids_ref))
+            return t.filter(pa.array(mask))
+
+        verify_ds = verify_ds.map_batches(prefilter,
+                                          batch_format="pyarrow")
+    else:
+        # Adversarially-huge candidate sets: stay fully distributed.
+        # The repartition folds away the schemaless 0-row blocks that
+        # empty map_groups partitions emit; the second materialize
+        # keeps the join DAG's aggregator CPU reservations minimal.
+        candidates = candidates.repartition(num_partitions).materialize()
 
     def side(ds, id_name: str, text_name: str):
-        return ds.select_columns(["doc_id", text_col]).map_batches(
+        return ds.map_batches(
             lambda t: pa.table({id_name: t.column("doc_id"),
                                 text_name: t.column(text_col)}),
             batch_format="pyarrow")
 
     joined = candidates.join(
-        side(docs_ds, "id_a", "__text_a"), "inner",
+        side(verify_ds, "id_a", "__text_a"), "inner",
         num_partitions=num_partitions, on=("id_a",))
     joined = joined.join(
-        side(docs_ds, "id_b", "__text_b"), "inner",
+        side(verify_ds, "id_b", "__text_b"), "inner",
         num_partitions=num_partitions, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -287,13 +387,31 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
-def simhash_dedup(docs_ds, *, max_hamming: int = 3, text_col: str = "text"):
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a byte lookup table."""
+    v = v.astype(np.uint64)
+    out = np.zeros(len(v), np.int64)
+    for k in range(8):
+        out += _POP8[((v >> np.uint64(8 * k)) &
+                      np.uint64(0xFF)).astype(np.int64)]
+    return out
+
+
+def simhash_dedup(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
+                  max_bucket: int = 256):
     """Near-dup pairs with simhash Hamming distance <= max_hamming.
 
     Candidate generation: split the 64-bit signature into 4 16-bit
     bands; any pair within Hamming <= 3 shares at least one exact band
     (pigeonhole, Manku et al.) -> groupby(band value) then in-bucket
-    verify.  Shuffles only (band_key, doc_id, simhash)."""
+    verify.  Shuffles only (band_key, doc_id, simhash).  Degenerate
+    buckets are bounded by ``max_bucket`` exactly as in
+    :func:`minhash_lsh_dedup` (salt-split + connectivity star via
+    :func:`bounded_pair_positions`); the Hamming check itself is a
+    vectorized xor+popcount over the candidate positions."""
 
     def banded(batch: pa.Table) -> pa.Table:
         sig_batch = simhash_batch(batch, text_col)
@@ -313,17 +431,21 @@ def simhash_dedup(docs_ds, *, max_hamming: int = 3, text_col: str = "text"):
         })
 
     def verify(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        sigs = group.column("simhash").to_pylist()
-        pairs = set()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming:
-                    pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
-        pairs = sorted(pairs)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = group.column("simhash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        ii, jj = bounded_pair_positions(ids, max_bucket)
+        if len(ii) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        keep = _popcount64(sigs[ii] ^ sigs[jj]) <= max_hamming
+        ia, ib = ids[ii[keep]], ids[jj[keep]]
+        order = np.lexsort((ib, ia))
         return pa.table({
-            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "id_a": pa.array(ia[order], pa.int64()),
+            "id_b": pa.array(ib[order], pa.int64()),
         })
 
     pair_ds = (

@@ -384,19 +384,25 @@ def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
                                bits: int = 8, tables: int = 8,
                                vec_col: str = "embedding",
                                id_col: str = "vec_id", seed: int = 11,
-                               num_partitions: int = 8):
+                               num_partitions: int = 8,
+                               max_bucket: int = 256):
     """Approximate near-dup pairs: random-hyperplane LSH blocking
     (OR-amplified across ``tables`` independent hash tables), exact
     cosine verify on the candidates — the 10^9+-vector path.
 
     Shuffle discipline mirrors ``minhash_lsh_dedup``: the bucket
-    shuffle carries only (bucket_key, vec_id); candidate pairs join the
-    embeddings table twice to fetch vectors for the verify, so vector
-    bytes move at most twice per candidate pair.  Recall < 1 (a pair
-    survives iff it collides in >= 1 table: 1-(1-p^bits)^tables with
+    shuffle carries only (bucket_key, vec_id); the verify joins run
+    against the embeddings table pre-filtered to candidate ids
+    (broadcast id set), so only candidate vectors enter a shuffle.
+    Degenerate buckets are bounded by ``max_bucket``
+    (:func:`torray.ops.dedup.bounded_pair_positions`: salt-split +
+    connectivity star, O(m*cap) rows).  Recall < 1 (a pair survives
+    iff it collides in >= 1 table: 1-(1-p^bits)^tables with
     p = 1 - theta/pi); raise ``tables`` or lower ``bits`` for recall,
     the reverse for cost."""
     import ray  # noqa: F401  (Dataset ops only)
+
+    from torray.ops.dedup import _PREFILTER_MAX_PAIRS, bounded_pair_positions
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = _batch_matrix(batch, vec_col)
@@ -417,14 +423,11 @@ def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
                          id_col: pa.array(out_ids, pa.int64())})
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column(id_col).to_pylist()))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64())})
+        ids = np.unique(group.column(id_col).to_numpy(
+            zero_copy_only=False))
+        ii, jj = bounded_pair_positions(ids, max_bucket)
+        return pa.table({"id_a": pa.array(ids[ii], pa.int64()),
+                         "id_b": pa.array(ids[jj], pa.int64())})
 
     import ray.data
 
@@ -437,18 +440,43 @@ def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
         .map_batches(lambda t: t.select(["id_a", "id_b"]),
                      batch_format="pyarrow")
     )
-    # Id pairs only — bounded; the repartition folds away schemaless
-    # 0-row blocks from empty map_groups partitions (Arrow's hash join
-    # rejects them) and the count() short-circuits no-candidates.
+    # Id pairs only — bounded; the count() short-circuits no-candidates.
     candidates = candidates.materialize()
-    if candidates.count() == 0:
+    n_cand = candidates.count()
+    if n_cand == 0:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()),
             "id_b": pa.array([], pa.int64())}))
-    # Materialized again so the joins below see only clean,
-    # pre-computed blocks (keeps the join DAG's operator count —
-    # and thus its aggregator CPU reservations — minimal).
-    candidates = candidates.repartition(num_partitions).materialize()
+    verify_src = emb_ds.select_columns([id_col, vec_col])
+    if n_cand <= _PREFILTER_MAX_PAIRS:
+        # Rebuild the bounded pair set as one clean block (avoids the
+        # schemaless-0-row-block join bug without a second
+        # repartition+materialize) and broadcast the candidate id set:
+        # the verify joins then shuffle only candidate vectors.
+        cand_tbl = pa.concat_tables(
+            [t for t in ray.get(candidates.to_arrow_refs())
+             if t.num_rows])
+        candidates = ray.data.from_arrow(cand_tbl)
+        cand_ids = np.unique(np.concatenate([
+            cand_tbl.column("id_a").to_numpy(zero_copy_only=False),
+            cand_tbl.column("id_b").to_numpy(zero_copy_only=False)]))
+        ids_ref = ray.put(cand_ids)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            import ray as _r
+
+            mask = np.isin(
+                t.column(id_col).to_numpy(zero_copy_only=False),
+                _r.get(ids_ref))
+            return t.filter(pa.array(mask))
+
+        verify_src = verify_src.map_batches(prefilter,
+                                            batch_format="pyarrow")
+    else:
+        # The repartition folds away schemaless 0-row blocks from empty
+        # map_groups partitions; the second materialize keeps the join
+        # DAG's aggregator CPU reservations minimal.
+        candidates = candidates.repartition(num_partitions).materialize()
 
     def side(name_id: str, name_vec: str):
         # Arrow hash joins reject list-typed payload columns; carry the
@@ -459,8 +487,7 @@ def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
             return pa.table({name_id: t.column(id_col),
                              name_vec: pa.array(blobs, pa.binary())})
 
-        return emb_ds.select_columns([id_col, vec_col]).map_batches(
-            enc, batch_format="pyarrow")
+        return verify_src.map_batches(enc, batch_format="pyarrow")
 
     joined = candidates.join(side("id_a", "__vec_a"), "inner",
                              num_partitions=num_partitions, on=("id_a",))

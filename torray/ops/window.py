@@ -8,8 +8,12 @@ All three follow the same shape: derive the partition key in a
 ``map_batches`` (vectorized), then ONE ``groupby(key)`` with the
 order-sensitive logic inside ``map_groups`` (sort within group —
 partitioning assumption: a group fits in a task, which holds for
-per-user/per-window slices of even very large event streams; a hot key
-would be salted by time range first).
+per-user/per-window slices of even very large event streams).  For
+keys too hot for that assumption, :func:`sessionize` and
+:func:`asof_join` take ``salt_range_s``: the group is salt-split by
+coarse time range and merged exactly (algebraic session partials /
+carry rows), bounding every task at the price of one extra narrow
+shuffle.
 """
 
 from __future__ import annotations
@@ -113,11 +117,24 @@ def hopping_window(events_ds, *, window_s: int = 21600, hop_s: int = 7200,
         batch_format="pyarrow")
 
 
-def sessionize(events_ds, *, gap_s: int = 1800):
+def sessionize(events_ds, *, gap_s: int = 1800,
+               salt_range_s: int | None = None):
     """Per-user session count under a gap threshold: a new session
     starts when the time since the previous event (by (ts, event_id)
     order) exceeds ``gap_s``.  One groupby(user) shuffle; the windowed
-    scan inside the group is pure numpy."""
+    scan inside the group is pure numpy.
+
+    ``salt_range_s`` is the hot-key path: the per-user group is
+    salt-split by coarse time range (``salt = ts // salt_range_s``), a
+    session PARTIAL (first_ts, last_ts, n_sessions, n_events) is
+    computed per (user, range), and a second narrow groupby(user)
+    merges the partials algebraically — two adjacent ranges bridge
+    into one session iff the boundary gap <= ``gap_s`` (time ranges
+    partition the timeline monotonically, so consecutive non-empty
+    partials are consecutive in time and the merge is exact, verified
+    equal to the unsalted path by test).  A user with 10^9 events thus
+    costs many bounded tasks plus one tiny merge instead of one giant
+    task."""
 
     def per_user(group: pa.Table) -> pa.Table:
         ts = group.column("ts").cast(pa.int64()).to_numpy(
@@ -133,14 +150,61 @@ def sessionize(events_ds, *, gap_s: int = 1800):
             "n_events": pa.array([group.num_rows], pa.int64()),
         })
 
-    return events_ds.select_columns(
-        ["user_id", "ts", "event_id"]).groupby("user_id").map_groups(
-        per_user, batch_format="pyarrow")
+    narrow = events_ds.select_columns(["user_id", "ts", "event_id"])
+    if salt_range_s is None:
+        return narrow.groupby("user_id").map_groups(
+            per_user, batch_format="pyarrow")
+
+    range_us = salt_range_s * 1_000_000
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch.column("ts"), pa.int64())
+        return batch.append_column(
+            "__salt", pc.cast(pc.divide(epoch, range_us), pa.int64()))
+
+    def partial(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts_sorted = ts[np.lexsort((eid, ts))]
+        gaps = np.diff(ts_sorted)
+        n_sessions = 1 + int((gaps > gap_s * 1_000_000).sum())
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "__salt": group.column("__salt").slice(0, 1),
+            "first_ts": pa.array([int(ts_sorted[0])], pa.int64()),
+            "last_ts": pa.array([int(ts_sorted[-1])], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_events": pa.array([group.num_rows], pa.int64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("__salt").to_numpy(
+            zero_copy_only=False), kind="stable")
+        first = group.column("first_ts").to_numpy(
+            zero_copy_only=False)[order]
+        last = group.column("last_ts").to_numpy(
+            zero_copy_only=False)[order]
+        n_sess = int(pc.sum(group.column("n_sessions")).as_py())
+        bridged = int((first[1:] - last[:-1] <= gap_s * 1_000_000).sum())
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_sessions": pa.array([n_sess - bridged], pa.int64()),
+            "n_events": pa.array(
+                [int(pc.sum(group.column("n_events")).as_py())],
+                pa.int64()),
+        })
+
+    partials = narrow.map_batches(
+        add_salt, batch_format="pyarrow").groupby(
+        ["user_id", "__salt"]).map_groups(partial, batch_format="pyarrow")
+    return partials.groupby("user_id").map_groups(
+        merge, batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_ts: str, right_ts: str, right_value_cols: list[str],
-              num_partitions: int = 8):
+              num_partitions: int = 8, salt_range_s: int | None = None):
     """As-of LEFT join: for each left row, the right row with the same
     key and the greatest ``right_ts`` <= ``left_ts`` (nulls when none).
 
@@ -148,16 +212,37 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     aligned), ONE ``groupby(key)``, and a per-group merge scan over the
     time-sorted union — the standard distributed as-of strategy (the
     partitioning assumption is per-key group size, as for any
-    co-grouped join; a hot key would be range-salted by time).
+    co-grouped join).
+
+    ``salt_range_s`` is the hot-key path: both sides are additionally
+    salted by coarse time range (``salt = ts // salt_range_s``) and the
+    merge groups become (key, range) — bounded however hot the key.
+    Exactness across range boundaries is restored by CARRY rows: the
+    latest right row per (key, range) is reduced first (narrow), and
+    for every left-occupied range the latest right from any EARLIER
+    range is injected into that range's group with its true timestamp
+    (it precedes every left in the range, and loses to any in-range
+    right, exactly reproducing the unsalted scan — equivalence is
+    test-verified).  Cost: one extra narrow shuffle of per-range
+    right maxima and left (key, range) presence.
 
     The right side must be unique per (key, ts) — pre-reduce it if not
     (ties at equal ts would otherwise be resolved by arrival order,
     which is partitioning-dependent)."""
 
+    range_us = (salt_range_s * 1_000_000) if salt_range_s else None
+
+    def _salt_of(ts_arr: pa.Array) -> pa.Array:
+        if range_us is None:
+            return pa.array([0] * len(ts_arr), pa.int64())
+        return pc.cast(pc.divide(ts_arr, range_us), pa.int64())
+
     def tag_left(t: pa.Table) -> pa.Table:
+        ts = t.column(left_ts).cast(pa.int64())
         cols = {
             "__key": t.column(left_key).cast(pa.int64()),
-            "__ts": t.column(left_ts).cast(pa.int64()),
+            "__ts": ts,
+            "__salt": _salt_of(ts),
             "__side": pa.array([0] * t.num_rows, pa.int8()),
         }
         for name in t.column_names:
@@ -177,22 +262,121 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     _left_types = {n: left_schema.base_schema.field(n).type
                    for n in _left_names}
 
-    def tag_right(t: pa.Table) -> pa.Table:
+    def _right_rows_table(key_arr, ts_arr, salt_arr, r_cols: dict,
+                          n: int) -> pa.Table:
         cols = {
-            "__key": t.column(right_key).cast(pa.int64()),
-            "__ts": t.column(right_ts).cast(pa.int64()),
-            "__side": pa.array([1] * t.num_rows, pa.int8()),
+            "__key": key_arr,
+            "__ts": ts_arr,
+            "__salt": salt_arr,
+            "__side": pa.array([1] * n, pa.int8()),
         }
         for name in _left_names:
-            cols["l_" + name] = pa.nulls(t.num_rows, _left_types[name])
+            cols["l_" + name] = pa.nulls(n, _left_types[name])
         for name in right_value_cols:
-            cols["r_" + name] = t.column(name)
+            cols["r_" + name] = r_cols[name]
         return pa.table(cols)
 
+    def tag_right(t: pa.Table) -> pa.Table:
+        ts = t.column(right_ts).cast(pa.int64())
+        return _right_rows_table(
+            t.column(right_key).cast(pa.int64()), ts, _salt_of(ts),
+            {name: t.column(name) for name in right_value_cols},
+            t.num_rows)
+
+    right_narrow = right_ds.select_columns(
+        list({right_key, right_ts, *right_value_cols}))
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
-        right_ds.select_columns(
-            list({right_key, right_ts, *right_value_cols})
-        ).map_batches(tag_right, batch_format="pyarrow"))
+        right_narrow.map_batches(tag_right, batch_format="pyarrow"))
+
+    if range_us is not None:
+        # -- carry rows: exactness across range boundaries ------------
+        # (1) Left-occupied (key, range) pairs — narrow presence set,
+        # pre-distinct per batch before the shuffle.
+        def left_presence(t: pa.Table) -> pa.Table:
+            ts = t.column(left_ts).cast(pa.int64())
+            nt = pa.table({"__key": t.column(left_key).cast(pa.int64()),
+                           "__salt": _salt_of(ts)})
+            return pa.TableGroupBy(nt, ["__key", "__salt"]).aggregate(
+                [([], "count_all")]).select(["__key", "__salt"])
+
+        presence = (left_ds.map_batches(left_presence,
+                                        batch_format="pyarrow")
+                    .groupby(["__key", "__salt"]).count()
+                    .map_batches(lambda t: t.select(["__key", "__salt"]),
+                                 batch_format="pyarrow"))
+
+        # (2) Latest right row per (key, range) — one narrow reduce of
+        # the right side (per-range maxima rise monotonically with the
+        # range index, so "latest right in any earlier range" is just
+        # the highest earlier range's maximum).
+        def latest_in_range(group: pa.Table) -> pa.Table:
+            ts = group.column("__ts").to_numpy(zero_copy_only=False)
+            i = int(np.argmax(ts))
+            return group.slice(i, 1)
+
+        right_latest = (right_narrow.map_batches(
+            tag_right, batch_format="pyarrow")
+            .groupby(["__key", "__salt"])
+            .map_groups(latest_in_range, batch_format="pyarrow"))
+
+        # (3) Per key: for every left-occupied range, inject the latest
+        # right from the nearest earlier range (true timestamp kept —
+        # it precedes all lefts in the range and loses to in-range
+        # rights, so the merge below needs no special casing).
+        def build_carry(group: pa.Table) -> pa.Table:
+            side = group.column("__side").to_numpy(zero_copy_only=False)
+            salts = group.column("__salt").to_numpy(zero_copy_only=False)
+            l_idx = np.flatnonzero(side == 0)
+            r_idx = np.flatnonzero(side == 1)
+            empty = _right_rows_table(
+                pa.array([], pa.int64()), pa.array([], pa.int64()),
+                pa.array([], pa.int64()),
+                {n: pa.array([], _right_types[n])
+                 for n in right_value_cols}, 0)
+            if l_idx.size == 0 or r_idx.size == 0:
+                return empty
+            ro = r_idx[np.argsort(salts[r_idx], kind="stable")]
+            r_salts = salts[ro]
+            src, tgt = [], []
+            for s in np.unique(salts[l_idx]):
+                pos = int(np.searchsorted(r_salts, s, side="left")) - 1
+                if pos >= 0:
+                    src.append(int(ro[pos]))
+                    tgt.append(int(s))
+            if not src:
+                return empty
+            take = pa.array(src, pa.int64())
+            return _right_rows_table(
+                pc.take(group.column("__key"), take),
+                pc.take(group.column("__ts"), take),
+                pa.array(tgt, pa.int64()),
+                {n: pc.take(group.column("r_" + n), take)
+                 for n in right_value_cols},
+                len(src))
+
+        # Presence rows ride as side=0 markers (no payload) so one
+        # groupby(key) sees both; they are consumed by build_carry and
+        # never reach the merge.
+        def presence_as_marker(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {
+                "__key": t.column("__key"),
+                "__ts": pa.nulls(n, pa.int64()),
+                "__salt": t.column("__salt"),
+                "__side": pa.array([0] * n, pa.int8()),
+            }
+            for name in _left_names:
+                cols["l_" + name] = pa.nulls(n, _left_types[name])
+            for name in right_value_cols:
+                cols["r_" + name] = pa.nulls(n, _right_types[name])
+            return pa.table(cols)
+
+        carry = (presence.map_batches(presence_as_marker,
+                                      batch_format="pyarrow")
+                 .union(right_latest)
+                 .groupby("__key")
+                 .map_groups(build_carry, batch_format="pyarrow"))
+        tagged = tagged.union(carry)
 
     def merge(group: pa.Table) -> pa.Table:
         # Vectorized as-of merge: sort the right rows once by ts, then
@@ -228,4 +412,7 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
                 [(n, _left_types[n]) for n in _left_names]
                 + [(n, _right_types[n]) for n in right_value_cols]))
 
-    return tagged.groupby("__key").map_groups(merge, batch_format="pyarrow")
+    # Unsalted mode has a constant __salt of 0, so grouping on both
+    # keys is the identical partition in that case.
+    return tagged.groupby(["__key", "__salt"]).map_groups(
+        merge, batch_format="pyarrow")
