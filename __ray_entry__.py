@@ -437,7 +437,17 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(_read(sf_dir, "events"), gap_s=1800)
 
 
-def _q_events_asof_orders(sf_dir: str):
+def _q_events_sessions_salted(sf_dir: str):
+    """The hot-key configuration of sessionize: daily time-range salt
+    partials merged per user — must equal the unsalted result (same
+    oracle SQL hash-checks both)."""
+    from torray.ops.window import sessionize
+
+    return sessionize(_read(sf_dir, "events"), gap_s=1800,
+                      salt_range_s=86400)
+
+
+def _q_events_asof_orders(sf_dir: str, salt_range_s: int | None = None):
     """As-of join: each event matched to the user's latest order at or
     before the event time."""
     import ray.data
@@ -453,10 +463,17 @@ def _q_events_asof_orders(sf_dir: str):
         _read(sf_dir, "events"), dedup,
         left_key="user_id", right_key="o_custkey",
         left_ts="ts", right_ts="o_orderdate",
-        right_value_cols=["o_orderkey"], num_partitions=4)
+        right_value_cols=["o_orderkey"], num_partitions=4,
+        salt_range_s=salt_range_s)
     return joined.map_batches(
         lambda t: t.select(["event_id", "o_orderkey"]),
         batch_format="pyarrow")
+
+
+def _q_events_asof_salted(sf_dir: str):
+    """Hot-key as-of: 30-day time-range salt with carry rows — same
+    oracle SQL as the unsalted as-of (results must be identical)."""
+    return _q_events_asof_orders(sf_dir, salt_range_s=86400 * 30)
 
 
 def _q_events_users_semijoin(sf_dir: str):
@@ -508,7 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
+        "events_sessions_salted": _q_events_sessions_salted,
         "events_asof_orders": _q_events_asof_orders,
+        "events_asof_salted": _q_events_asof_salted,
         "events_users_semijoin": _q_events_users_semijoin,
         "docs_hash_split": _q_docs_hash_split,
         "docs_sample_per_lang": _q_docs_sample_per_lang,
@@ -624,6 +643,23 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
         ),
         "events_asof_orders": (
+            "SELECT e.event_id, o.o_orderkey FROM events e "
+            "ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders "
+            "GROUP BY 1, 2) o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        # The salted variants MUST produce byte-identical results to
+        # their unsalted twins; the same SQL hash-checks both paths.
+        "events_sessions_salted": (
+            "SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM ("
+            "SELECT user_id, epoch(ts - lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)) AS gap "
+            "FROM events) t GROUP BY user_id"
+        ),
+        "events_asof_salted": (
             "SELECT e.event_id, o.o_orderkey FROM events e "
             "ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, "
             "max(o_orderkey) AS o_orderkey FROM orders "

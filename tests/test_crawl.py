@@ -359,3 +359,46 @@ def test_count_where_semijoin_matches_duckdb(ray_session):
         "SELECT count(*) FROM l WHERE EXISTS "
         "(SELECT 1 FROM r WHERE r.domain = l.host)").fetchone()[0]
     assert got == expected == 4
+
+
+def test_stats_cli_report(ray_session, tmp_path, monkeypatch, capsys):
+    """`python -m torray stats` prints the SpiderStats-shaped report
+    (reference SpiderStats.py:148-170) and its numbers match the
+    machine-readable dict (--json) exactly."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from torray.__main__ import main
+    from torray.crawl import CrawlConfig, Crawler
+    from torray.synth import SynthWeb
+
+    web = SynthWeb(150, 8, seed=42)
+    pq.write_table(web.table(), str(tmp_path / "pages.parquet"))
+    cfg = CrawlConfig(pages_path=str(tmp_path / "pages.parquet"),
+                      workdir=str(tmp_path / "wd"), seeds=web.seeds(2),
+                      budget=6, max_rounds=4, num_shards=2, num_buckets=4)
+    Crawler(cfg).run()
+
+    # main() owns a Ray session in real use; under the shared test
+    # session its init is a no-op and its shutdown must be too.
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    args = ["stats", "--workdir", str(tmp_path / "wd"),
+            "--pages", str(tmp_path / "pages.parquet")]
+    assert main(args + ["--json"]) == 0
+    d = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(args) == 0
+    out = capsys.readouterr().out
+
+    assert "Results:" in out and "Table Stats:" in out
+    assert f"Total Onions: {d['total_onions']:,}" in out
+    assert f"Total Urls: {d['url_count']:,}" in out
+    assert f"Total Pages: {d['page_count']:,}" in out
+    assert f"Total Forms: {d['form_count']:,}" in out
+    assert f"Total Links: {d['link_count']:,}" in out
+    assert ("scanned {:,} ({:.2%})".format(
+        d["url_count_scanned"], d["scan_coverage"])) in out
+    assert d["total_onions"] >= d["onion_count"] >= 0
+    assert d["remaining_onions"] >= 0
+    assert d["url_count"] >= d["url_count_scanned"] > 0

@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     p_stats = sub.add_parser("stats", parents=[common])
     p_stats.add_argument("--workdir", required=True)
     p_stats.add_argument("--pages", required=True)
+    p_stats.add_argument("--json", action="store_true",
+                         help="machine-readable dict instead of the "
+                              "formatted report")
 
     args = parser.parse_args(argv)
 
@@ -130,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
                           "hosts": args.hosts}))
     elif args.cmd == "stats":
         from torray.crawl import CrawlConfig, Crawler
-        from torray.stats import crawl_counts
+        from torray.stats import stats_report
 
         cfg = CrawlConfig(pages_path=args.pages, workdir=args.workdir,
                           seeds=[])
@@ -138,9 +141,13 @@ def main(argv: list[str] | None = None) -> int:
         done = crawler._completed_rounds()
         if done:
             crawler._restore_shards(done[-1])
-        counts = crawl_counts(crawler.scan_results(),
-                              crawler.seen_snapshot_ds())
-        print(json.dumps(counts))
+        text, numbers = stats_report(crawler.scan_results(),
+                                     crawler.seen_snapshot_ds())
+        if args.json:
+            print(json.dumps(numbers))
+        else:
+            # The reference's report surface (SpiderStats.py:148-170).
+            print(text)
 
     import ray
 

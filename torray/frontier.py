@@ -210,16 +210,26 @@ class _SpillRuns:
                  for i in range(0, len(urls), self.ROW_GROUP)]
         self.runs.append((path, firsts, lasts, len(urls)))
 
-    def _row_group(self, run_idx: int, rg: int) -> list[str]:
+    def _file(self, run_idx: int):
+        # ParquetFile handles cached per run: reopening per row-group
+        # probe re-parses the footer every time.
         import pyarrow.parquet as _pq
 
+        if not hasattr(self, "_handles"):
+            self._handles: dict[int, _pq.ParquetFile] = {}
+        pf = self._handles.get(run_idx)
+        if pf is None:
+            pf = _pq.ParquetFile(self.runs[run_idx][0])
+            self._handles[run_idx] = pf
+        return pf
+
+    def _row_group(self, run_idx: int, rg: int) -> list[str]:
         key = (run_idx, rg)
         cached = self._cache.get(key)
         if cached is not None:
             self._cache.move_to_end(key)
             return cached
-        path = self.runs[run_idx][0]
-        urls = _pq.ParquetFile(path).read_row_group(
+        urls = self._file(run_idx).read_row_group(
             rg, columns=["url"]).column("url").to_pylist()
         self._cache[key] = urls
         if len(self._cache) > self.CACHE_SLOTS:
@@ -255,7 +265,30 @@ class _SpillRuns:
         hits: set[str] = set()
         if not self.runs or not urls:
             return hits
-        q = np.asarray(sorted(set(urls)), dtype=object)
+        q_list = sorted(set(urls))
+        # Dense regime (spilled set comparable to the probe set — the
+        # fat-crawl shape): one whole-run decode + Arrow is_in hash
+        # probe per run beats row-group routing (a few large C calls
+        # instead of hundreds of small reads).  Sparse regime (runs
+        # vastly larger than the probe set — the 10^10-url shape):
+        # route to row groups so IO stays proportional to the probe
+        # set, not the spilled population.
+        if self.num_rows() <= max(64_000, 4 * len(q_list)):
+            qa = pa.array(q_list, pa.string())
+            mask = np.zeros(len(q_list), bool)
+            for run_idx in range(len(self.runs)):
+                run_urls = self._file(run_idx).read(
+                    columns=["url"]).column("url")
+                import pyarrow.compute as _pc
+
+                mask |= _pc.is_in(qa, value_set=run_urls).to_numpy(
+                    zero_copy_only=False)
+            hits.update(u for u, m in zip(q_list, mask) if m)
+            return hits
+        # Fixed-width numpy unicode arrays: searchsorted / equality run
+        # as C comparisons (object arrays fall back to Python-level
+        # compares — ~10x slower at 10^5 probes per round).
+        q = np.asarray(q_list)
         for run_idx, (_path, firsts, lasts, _n) in enumerate(self.runs):
             if not firsts:
                 continue
@@ -264,14 +297,13 @@ class _SpillRuns:
             if lo >= hi:
                 continue
             sub = q[lo:hi]
-            firsts_arr = np.asarray(firsts, dtype=object)
-            lasts_arr = np.asarray(lasts, dtype=object)
+            firsts_arr = np.asarray(firsts)
+            lasts_arr = np.asarray(lasts)
             rg = np.searchsorted(firsts_arr, sub, side="right") - 1
             valid = rg >= 0
             valid &= sub <= lasts_arr[np.clip(rg, 0, None)]
             for g in np.unique(rg[valid]):
-                rows = np.asarray(self._row_group(run_idx, int(g)),
-                                  dtype=object)
+                rows = np.asarray(self._row_group(run_idx, int(g)))
                 qs = sub[valid & (rg == g)]
                 pos = np.searchsorted(rows, qs, side="left")
                 inb = pos < len(rows)

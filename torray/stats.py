@@ -16,7 +16,8 @@ import json
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["crawl_counts", "domain_status", "link_graph", "count_where"]
+__all__ = ["crawl_counts", "domain_status", "link_graph", "count_where",
+           "stats_report"]
 
 
 def count_where(ds, column: str, op: str, value=None, *,
@@ -103,6 +104,73 @@ def crawl_counts(scan_ds, seen_ds) -> dict:
         "link_count": totals["sum(links)"],
         "online_scans": totals["sum(online)"],
     }
+
+
+def stats_report(scan_ds, seen_ds) -> tuple[str, dict]:
+    """The formatted SpiderStats report (reference
+    ``/root/reference/SpiderStats.py:148-170``): the prose block plus
+    the table totals, computed from the engine's outputs.
+
+    Field mapping (backend table -> engine surface): urls counts come
+    from :func:`crawl_counts`; "active onions" = hosts whose
+    :func:`domain_status` fold ends online; "onions pending an initial
+    scan" = hosts discovered in the seen set but never scanned.  All
+    inputs stream (two Dataset aggregations over narrow host columns);
+    returns ``(report_text, numbers_dict)``."""
+    from torray.urlnorm import hosts_paths_arrays
+
+    counts = crawl_counts(scan_ds, seen_ds)
+    doms = domain_status(scan_ds).select_columns(["host", "online"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "onions": pa.array([t.num_rows], pa.int64()),
+            "active": pa.array([int(pc.sum(
+                t.column("online").cast(pa.int64())).as_py() or 0)],
+                pa.int64()),
+        })
+
+    dsum = doms.map_batches(fold, batch_format="pyarrow").sum(
+        ["onions", "active"])
+    scanned_onions = dsum["sum(onions)"]
+    active_onions = dsum["sum(active)"]
+
+    def seen_hosts(t: pa.Table) -> pa.Table:
+        hosts, _ = hosts_paths_arrays(t.column("url"))
+        return pa.table({"host": hosts})
+
+    total_onions = (seen_ds.select_columns(["url"])
+                    .map_batches(seen_hosts, batch_format="pyarrow")
+                    .groupby("host").count().count())
+    remaining_onions = max(0, total_onions - scanned_onions)
+
+    numbers = dict(
+        counts,
+        onion_count=active_onions,
+        total_onions=total_onions,
+        remaining_onions=remaining_onions,
+    )
+    messages = [
+        "So far, torray has scanned {:,} ({:.2%}) of the {:,} urls it has",
+        "discovered. Of the scanned urls, it found {:,} live scans on"
+        " {:,} active onions.  ",
+        "There are {:,} onions that are pending an initial scan.\n",
+        "Table Stats:\n",
+        "Total Onions: {:,}\n",
+        "Total Urls: {:,}\n",
+        "Total Urls (scanned): {:,}\n",
+        "Total Pages: {:,}\n",
+        "Total Forms: {:,}\n",
+        "Total Links: {:,}",
+    ]
+    body = " ".join(messages).format(
+        numbers["url_count_scanned"], numbers["scan_coverage"],
+        numbers["url_count"], numbers["online_scans"], active_onions,
+        remaining_onions, total_onions, numbers["url_count"],
+        numbers["url_count_scanned"], numbers["page_count"],
+        numbers["form_count"], numbers["link_count"])
+    text = "–" * 70 + "\nResults:\n" + body
+    return text, numbers
 
 
 def domain_status(scan_ds):
