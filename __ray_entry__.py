@@ -279,6 +279,95 @@ def _q_knn_lsh(sf_dir: str):
     return lsh_knn(_read(sf_dir, "embeddings"), q[None, :], k=10, bits=6)
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Duplicate-pair transitive closure: exact cosine dup pairs ->
+    connected components (min-id labels). SQL oracle: recursive CTE."""
+    from torray.ops.graph import connected_components
+    from torray.ops.similarity import embedding_cosine_dedup
+
+    pairs = embedding_cosine_dedup(_read(sf_dir, "embeddings"),
+                                   threshold=0.45)
+    return connected_components(pairs, num_partitions=2)
+
+
+def _q_parts_pagerank(sf_dir: str):
+    """PageRank over the symmetrized part<->supplier graph derived from
+    lineitem (node ids: part*2, supplier*2+1). 3 power iterations,
+    ranks scaled to int64 (hash-stable); SQL oracle unrolls the same
+    three iterations."""
+    from torray.ops.graph import pagerank
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        p = pa.compute.multiply(t.column("l_partkey"), 2)
+        s = pa.compute.add(
+            pa.compute.multiply(t.column("l_suppkey").cast(pa.int64()), 2),
+            1)
+        return pa.table({
+            "src": pa.concat_arrays(
+                [p.combine_chunks(), s.combine_chunks()]),
+            "dst": pa.concat_arrays(
+                [s.combine_chunks(), p.combine_chunks()]),
+        })
+
+    edges = (li.map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow"))
+    return pagerank(edges, damping=0.85, iters=3, num_partitions=2)
+
+
+def _q_crawl_host_rank(sf_dir: str):
+    """Host-level PageRank over the crawl's link graph — the frontier
+    prioritization signal ("crawl reputable hosts first"). Host
+    strings get stable 64-bit md5 node ids (tiny table here; the
+    pagerank op itself is int64-vectorized end to end)."""
+    import hashlib
+
+    import ray.data
+
+    from torray.ops.graph import pagerank
+    from torray.stats import link_graph
+
+    crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
+                     budget=6, max_rounds=8, fresh=False)
+    lg = link_graph(crawler.scan_results())
+
+    def h64(vals):
+        return pa.array(
+            [int.from_bytes(hashlib.md5(v.encode()).digest()[:8],
+                            "big") >> 1 for v in vals], pa.int64())
+
+    def hashed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": h64(t.column("src_host").to_pylist()),
+            "dst": h64(t.column("dst_host").to_pylist()),
+        })
+
+    def names(t: pa.Table) -> pa.Table:
+        hosts = t.column("dst_host").to_pylist()
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "node": h64(hosts)})
+
+    lg = lg.materialize()
+    ranks = pagerank(lg.map_batches(hashed, batch_format="pyarrow"),
+                     damping=0.85, iters=3, num_partitions=2)
+    name_map = (lg.map_batches(names, batch_format="pyarrow")
+                .union(lg.map_batches(
+                    lambda t: pa.table({
+                        "host": t.column("src_host"),
+                        "node": h64(t.column("src_host").to_pylist())}),
+                    batch_format="pyarrow"))
+                .groupby("node").aggregate(
+                    __import__("ray").data.aggregate.Min("host")))
+    name_map = _rename(name_map, {"min(host)": "host"})
+    out = ranks.join(name_map, "inner", num_partitions=2, on=("node",))
+    return out.map_batches(lambda t: t.select(["host", "rank_e9"]),
+                           batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     """Stub-decoder multimodal plumbing over binary payloads derived
     from the documents table (no media libs in this container)."""
@@ -531,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_semijoin": _q_events_users_semijoin,
         "docs_hash_split": _q_docs_hash_split,
         "docs_sample_per_lang": _q_docs_sample_per_lang,
+        "dup_clusters": _q_dup_clusters,
+        "parts_pagerank": _q_parts_pagerank,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
@@ -546,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scan": _q_crawl_scan,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_link_graph": _q_crawl_link_graph,
+        "crawl_host_rank": _q_crawl_host_rank,
         "crawl_domains": _q_crawl_domains,
         "crawl_counts": _q_crawl_counts,
         "crawl_seen": _q_crawl_seen,
@@ -637,6 +729,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)"
             ", doc_id) AS rn FROM documents) WHERE rn <= 20"
+        ),
+        "dup_clusters": (
+            "WITH RECURSIVE pairs AS ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            ">= 0.45), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(x, r) AS (SELECT u, u FROM e UNION "
+            "SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.x) "
+            "SELECT x AS node, MIN(r) AS component FROM reach GROUP BY x"
+        ),
+        "parts_pagerank": (
+            "WITH e AS ("
+            "SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst "
+            "FROM lineitem "
+            "UNION SELECT DISTINCT l_suppkey*2+1, l_partkey*2 "
+            "FROM lineitem), "
+            "nodes AS (SELECT DISTINCT src AS node FROM e), "
+            "deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1), "
+            "r0 AS (SELECT node, 1.0/(SELECT COUNT(*) FROM nodes) AS pr "
+            "FROM nodes), "
+            "r1 AS (SELECT n.node, (1-0.85)/(SELECT COUNT(*) FROM nodes) "
+            "+ 0.85*COALESCE(s.m, 0) AS pr FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r0.pr / deg.d) AS m FROM e "
+            "JOIN r0 ON e.src = r0.node JOIN deg ON deg.node = e.src "
+            "GROUP BY e.dst) s ON n.node = s.node), "
+            "r2 AS (SELECT n.node, (1-0.85)/(SELECT COUNT(*) FROM nodes) "
+            "+ 0.85*COALESCE(s.m, 0) AS pr FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r1.pr / deg.d) AS m FROM e "
+            "JOIN r1 ON e.src = r1.node JOIN deg ON deg.node = e.src "
+            "GROUP BY e.dst) s ON n.node = s.node), "
+            "r3 AS (SELECT n.node, (1-0.85)/(SELECT COUNT(*) FROM nodes) "
+            "+ 0.85*COALESCE(s.m, 0) AS pr FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r2.pr / deg.d) AS m FROM e "
+            "JOIN r2 ON e.src = r2.node JOIN deg ON deg.node = e.src "
+            "GROUP BY e.dst) s ON n.node = s.node) "
+            "SELECT node, CAST(ROUND(pr * 1e9) AS BIGINT) AS rank_e9 "
+            "FROM r3"
         ),
         "events_users_semijoin": (
             "SELECT count(*) AS n FROM events e WHERE EXISTS "

@@ -576,8 +576,12 @@ def test_bounded_pair_positions_contract():
     assert len(ii) == 45  # C(10,2): cap not hit
     assert (ii < jj).all()
 
-    n = 5000
-    ids = np.sort(np.random.RandomState(3).choice(10**9, n, replace=False))
+    # NB: not RandomState.choice(10**9, n, replace=False) — legacy
+    # choice without replacement permutes the WHOLE population (8 GB).
+    draw = np.unique(np.random.RandomState(3).randint(0, 10**9, 6000))
+    ids = draw[:5000]
+    n = len(ids)
+    assert n == 5000
     ii, jj = bounded_pair_positions(ids.astype(np.int64), 32)
     assert len(ii) <= n * 32  # bounded, nowhere near C(n,2) ~ 12.5M
     assert (ii < jj).all()
@@ -734,3 +738,121 @@ def test_asof_join_salted_matches_unsalted(ray_session):
                        **kwargs).to_pandas().sort_values(
         "event_id").reset_index(drop=True)
     assert plain.equals(salted)
+
+
+# ---------------------------------------------------------------------------
+# Graph ops: connected components + PageRank.
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_vs_union_find(ray_session):
+    """Random pair soup vs a direct union-find reference."""
+    import ray
+
+    from torray.ops.graph import connected_components
+
+    rng = np.random.RandomState(11)
+    n_nodes, n_pairs = 400, 300
+    a = rng.randint(0, n_nodes, n_pairs).astype(np.int64)
+    b = rng.randint(0, n_nodes, n_pairs).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pairs = pa.table({"id_a": pa.array(np.minimum(a, b), pa.int64()),
+                      "id_b": pa.array(np.maximum(a, b), pa.int64())})
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a, b):
+        parent[find(int(u))] = find(int(v))
+    members = sorted({int(x) for x in np.concatenate([a, b])})
+    # canonical label = min node id in the component, members only
+    comp_min = {}
+    for m in members:
+        r = find(m)
+        comp_min[r] = min(comp_min.get(r, m), m)
+    expected = {m: comp_min[find(m)] for m in members}
+
+    ds = ray.data.from_arrow(pairs).repartition(3)
+    got = connected_components(ds).to_pandas()
+    assert sorted(got["node"]) == members
+    got_map = dict(zip(got["node"], got["component"]))
+    assert got_map == expected
+
+
+def test_connected_components_chain_and_empty(ray_session):
+    """A long chain needs multiple propagation rounds (diameter > 1);
+    empty input returns an empty (node, component) table."""
+    import ray
+
+    from torray.ops.graph import connected_components
+
+    m = 40  # chain 0-1-2-...-40 plus a separate pair (100, 101)
+    pairs = pa.table({
+        "id_a": pa.array(list(range(m)) + [100], pa.int64()),
+        "id_b": pa.array(list(range(1, m + 1)) + [101], pa.int64())})
+    got = connected_components(
+        ray.data.from_arrow(pairs).repartition(4)).to_pandas()
+    got_map = dict(zip(got["node"], got["component"]))
+    assert all(got_map[k] == 0 for k in range(m + 1))
+    assert got_map[100] == 100 and got_map[101] == 100
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    out = connected_components(ray.data.from_arrow(empty))
+    assert out.count() == 0
+    # (0-row Datasets surface an empty schema through to_pandas — check
+    # the declared schema instead.)
+    assert out.schema().names == ["node", "component"]
+
+
+def test_pagerank_vs_dense_reference(ray_session):
+    """Random directed graph WITH a dangling node vs the dense
+    numpy power iteration (same damping, same iteration count)."""
+    import ray
+
+    from torray.ops.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    n = 50
+    src = rng.randint(0, n - 1, 200).astype(np.int64)
+    dst = rng.randint(0, n, 200).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # node n-1 receives edges but never emits: dangling
+    dst[0] = n - 1
+    edges = np.unique(np.stack([src, dst], axis=1), axis=0)
+    src, dst = edges[:, 0], edges[:, 1]
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    nn = len(nodes)
+    M = np.zeros((nn, nn))
+    for u, v in zip(src, dst):
+        M[idx[int(v)], idx[int(u)]] = 1.0
+    out_deg = M.sum(axis=0)
+    damping, iters = 0.85, 4
+    r = np.full(nn, 1.0 / nn)
+    for _ in range(iters):
+        dangling = r[out_deg == 0].sum()
+        contrib = M @ np.divide(r, out_deg, out=np.zeros_like(r),
+                                where=out_deg > 0)
+        r = (1 - damping) / nn + damping * (contrib + dangling / nn)
+    assert abs(r.sum() - 1.0) < 1e-9  # mass conserved (sanity)
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())})).repartition(3)
+    got = pagerank(ds, damping=damping, iters=iters,
+                   scaled_int=False).to_pandas()
+    got = got.set_index("node").loc[nodes, "rank"].to_numpy()
+    np.testing.assert_allclose(got, r, rtol=1e-12, atol=1e-15)
+
+    scaled = pagerank(ds, damping=damping, iters=iters).to_pandas()
+    assert scaled["rank_e9"].dtype == np.int64
+    assert abs(scaled["rank_e9"].sum() - 10**9) < 100
