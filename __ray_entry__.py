@@ -430,6 +430,131 @@ def _q_docs_sample_per_lang(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def _q_docs_top_by_lang(sf_dir: str):
+    """Deterministic top-5 documents per language by n_chars (ties by
+    doc_id) — the per-group cut of corpus curation.  SQL oracle:
+    row_number() window."""
+    from torray.ops.rank import group_topk
+
+    ds = group_topk(
+        _read(sf_dir, "documents").select_columns(
+            ["doc_id", "lang", "n_chars"]),
+        "lang", "n_chars", 5, "doc_id")
+    return ds.map_batches(lambda t: t.select(["lang", "doc_id", "n_chars"]),
+                          batch_format="pyarrow")
+
+
+def _q_events_order_window(sf_dir: str):
+    """Range join: events landing inside each user's 2-day order
+    "anniversary" window (the order's day-of-month mapped into the
+    events' January-2024 span — the tables' native date ranges are
+    disjoint), counted per order.  SQL oracle: inner join with a
+    half-open BETWEEN over the same derived window."""
+    import pyarrow.compute as pc
+
+    from torray.ops.window import interval_join
+
+    day_us = 86_400 * 1_000_000
+    # TIMESTAMP '2024-01-01' in µs since epoch (UTC).
+    base_us = 1_704_067_200 * 1_000_000
+
+    def widen(t: pa.Table) -> pa.Table:
+        day = pc.day(t.column("o_orderdate")).cast(
+            pa.int64()).combine_chunks()
+        start = pc.add(pc.multiply(pc.subtract(day, 1), day_us), base_us)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "w_start": start,
+            "w_end": pc.add(start, 2 * day_us),
+        })
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        widen, batch_format="pyarrow")
+    joined = interval_join(
+        _read(sf_dir, "events").select_columns(["event_id", "ts",
+                                                "user_id"]),
+        orders, left_ts="ts", right_start="w_start",
+        right_end="w_end", left_key="user_id", right_key="o_custkey",
+        right_value_cols=["o_orderkey"], bin_s=2 * 86_400)
+    agg = joined.groupby("o_orderkey").count()
+    return _rename(agg, {"count()": "n_events"})
+
+
+def _q_docs_line_stats(sf_dir: str):
+    """Per-document line counts + duplicate-line counts (the SQL-
+    checkable slice of the repetition signals)."""
+    from torray.ops.text import repetition_scores
+
+    ds = repetition_scores(_read(sf_dir, "documents"))
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "n_lines", "n_dup_lines"]),
+        batch_format="pyarrow")
+
+
+def _q_docs_repetition(sf_dir: str):
+    """Full Gopher-style repetition signals (char-fraction definitions
+    documented at torray/ops/text.py::_doc_repetition; ground-truth
+    tested in tests/)."""
+    from torray.ops.text import repetition_scores
+
+    return repetition_scores(_read(sf_dir, "documents"))
+
+
+def _q_docs_decontam(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out set; the rest of the corpus is probed for 8-gram overlap
+    (broadcast hash set, no shuffle).  Returns the per-document overlap
+    report for the whole corpus side (stable schema at any sf — how
+    many docs get flagged depends on the corpus's planted overlap)."""
+    from torray.ops.decontam import build_ngram_set, decontaminate
+
+    docs = _read(sf_dir, "documents")
+
+    def _mod97(t: pa.Table) -> "np.ndarray":
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return ids % 97 == 0
+
+    def test_side(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(_mod97(t)))
+
+    def corpus_side(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(~_mod97(t)))
+
+    hashes = build_ngram_set(
+        docs.map_batches(test_side, batch_format="pyarrow"), n=8)
+    return decontaminate(
+        docs.map_batches(corpus_side, batch_format="pyarrow"),
+        hashes, n=8, threshold=0.5, concurrency=2)
+
+
+def _q_events_approx_users(sf_dir: str):
+    """HyperLogLog approximate distinct users (b=12 -> ~1.6% rel err;
+    deterministic for the fixed hash) — no shuffle, registers merge
+    driver-side.  Error bound vs exact is test-verified."""
+    from torray.ops.sketch import approx_distinct
+
+    n = approx_distinct(_read(sf_dir, "events"), "user_id", b=12)
+    return pa.table({"approx_users": pa.array([n], pa.int64())})
+
+
+def _q_emb_clusters(sf_dir: str):
+    """Semantic k-means clustering of the embedding corpus (SemDeDup-
+    style curation signal), summarized per cluster."""
+    import ray.data
+
+    from torray.ops.similarity import kmeans_cluster
+
+    ds = kmeans_cluster(_read(sf_dir, "embeddings"), n_clusters=8,
+                        train_sample=2048, iters=8)
+    agg = ds.groupby("cluster").aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Min("vec_id"))
+    return _rename(agg, {"count()": "n", "min(vec_id)": "min_vec"})
+
+
 def _q_docs_curation(sf_dir: str):
     """Flagship curation chain: annotate -> filter -> exact dedup ->
     near-dup removal -> split tag (heuristic stages: rows-only)."""
@@ -622,7 +747,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_per_lang": _q_docs_sample_per_lang,
         "dup_clusters": _q_dup_clusters,
         "parts_pagerank": _q_parts_pagerank,
+        "docs_top_by_lang": _q_docs_top_by_lang,
+        "events_order_window": _q_events_order_window,
+        "docs_line_stats": _q_docs_line_stats,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
+        "docs_repetition": _q_docs_repetition,
+        "docs_decontam": _q_docs_decontam,
+        "events_approx_users": _q_events_approx_users,
+        "emb_clusters": _q_emb_clusters,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprints,
@@ -773,6 +905,28 @@ def oracle_sql() -> dict[str, str]:
         "events_users_semijoin": (
             "SELECT count(*) AS n FROM events e WHERE EXISTS "
             "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
+        ),
+        "docs_top_by_lang": (
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5"
+        ),
+        "events_order_window": (
+            "SELECT o.o_orderkey, count(*) AS n_events "
+            "FROM events e JOIN ("
+            "SELECT o_orderkey, o_custkey, TIMESTAMP '2024-01-01' + "
+            "(day(o_orderdate) - 1) * INTERVAL 1 DAY AS w_start "
+            "FROM orders) o ON e.user_id = o.o_custkey "
+            "AND e.ts >= o.w_start "
+            "AND e.ts < o.w_start + INTERVAL 2 DAY "
+            "GROUP BY o.o_orderkey"
+        ),
+        "docs_line_stats": (
+            "SELECT doc_id, count(*) AS n_lines, "
+            "count(*) - count(DISTINCT line) AS n_dup_lines FROM ("
+            "SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
+            "FROM documents) GROUP BY doc_id"
         ),
         "events_asof_orders": (
             "SELECT e.event_id, o.o_orderkey FROM events e "

@@ -856,3 +856,218 @@ def test_pagerank_vs_dense_reference(ray_session):
     scaled = pagerank(ds, damping=damping, iters=iters).to_pandas()
     assert scaled["rank_e9"].dtype == np.int64
     assert abs(scaled["rank_e9"].sum() - 10**9) < 100
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: group_topk, interval_join, repetition scores,
+# decontamination, HLL sketch, k-means clustering.
+# ---------------------------------------------------------------------------
+
+
+def test_group_topk_vs_pandas(ray_session):
+    """Random scores with heavy ties vs a pandas reference; result must
+    be partition-invariant."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.rank import group_topk
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "hot"], n,
+                        p=[0.2, 0.2, 0.1, 0.5]),
+        "score": rng.randint(0, 20, n).astype(np.int64),  # many ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    expected = (df.sort_values(["g", "score", "id"],
+                               ascending=[True, False, True])
+                .groupby("g").head(7)
+                .sort_values("id").reset_index(drop=True))
+
+    for parts in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (group_topk(ds, "g", "score", 7, "id")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["g", "score", "id"]],
+                                      expected[["g", "score", "id"]])
+
+
+def test_group_topk_ascending_and_small_groups(ray_session):
+    import ray
+
+    from torray.ops.rank import group_topk
+
+    t = pa.table({"g": ["x", "x", "y"], "score": [3.0, 1.0, 9.9],
+                  "id": [1, 2, 3]})
+    got = group_topk(ray.data.from_arrow(t), "g", "score", 1, "id",
+                     descending=False).to_pandas().sort_values("id")
+    assert got["id"].tolist() == [2, 3]  # min score per group; y has 1 row
+
+
+def test_interval_join_vs_bruteforce(ray_session):
+    """Random keyed events x intervals (interval length <= bin) vs an
+    O(n*m) reference; exercises bin-edge intervals and replication."""
+    import ray
+
+    from torray.ops.window import interval_join
+
+    rng = np.random.RandomState(9)
+    n_l, n_r, bin_s = 500, 80, 100
+    l_ts = rng.randint(0, 2000, n_l) * 1_000_000
+    l_key = rng.randint(0, 5, n_l).astype(np.int64)
+    r_start = rng.randint(0, 2000, n_r) * 1_000_000
+    r_len = rng.randint(0, bin_s + 1, n_r) * 1_000_000  # incl. 0 and == bin
+    r_end = r_start + r_len
+    r_key = rng.randint(0, 5, n_r).astype(np.int64)
+
+    expected = set()
+    for i in range(n_l):
+        for j in range(n_r):
+            if (l_key[i] == r_key[j] and r_start[j] <= l_ts[i] < r_end[j]):
+                expected.add((i, j))
+
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+        "ts": pa.array(l_ts, pa.int64()),
+        "k": pa.array(l_key, pa.int64())})).repartition(3)
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array(np.arange(n_r), pa.int64()),
+        "start": pa.array(r_start, pa.int64()),
+        "end": pa.array(r_end, pa.int64()),
+        "k": pa.array(r_key, pa.int64())})).repartition(2)
+    got = interval_join(left, right, left_ts="ts", right_start="start",
+                        right_end="end", left_key="k", right_key="k",
+                        right_value_cols=["rid"], bin_s=bin_s).to_pandas()
+    got_pairs = set(zip(got["lid"], got["rid"]))
+    assert got_pairs == expected
+    assert len(got) == len(got_pairs)  # exactly-once, no bin dups
+
+
+def test_interval_join_keyless_and_auto_bin(ray_session):
+    """No key column + bin width derived from the right side."""
+    import ray
+
+    from torray.ops.window import interval_join
+
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([5_000_000, 50_000_000, 500_000_000], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array([7, 8], pa.int64()),
+        "start": pa.array([0, 400_000_000], pa.int64()),
+        "end": pa.array([60_000_000, 600_000_000], pa.int64())}))
+    got = interval_join(left, right, left_ts="ts", right_start="start",
+                        right_end="end",
+                        right_value_cols=["rid"]).to_pandas()
+    pairs = sorted(zip(got["lid"], got["rid"]))
+    assert pairs == [(0, 7), (1, 7), (2, 8)]
+
+
+def test_repetition_scores_ground_truth(ray_session):
+    """Hand-computed Gopher-style signals on crafted documents."""
+    import ray
+
+    from torray.ops.text import repetition_scores
+
+    doc_rep = "spam ham " * 10                # one repeated 2-gram
+    doc_lines = "aa\nbb\naa\ncc\naa"          # 5 lines, 'aa' x3
+    words10 = " ".join(f"w{i}" for i in range(10))
+    doc_10g = words10 + " " + words10         # every 10-gram duplicated
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([doc_rep, doc_lines, doc_10g, ""], pa.string()),
+    }))
+    got = repetition_scores(docs).to_pandas().set_index("doc_id")
+
+    # doc 1: 20 words, all chars in the top 2-gram ("spam ham" x10 over
+    # and wrapping; count of ('spam','ham') = 10, chars 7 per gram * 10
+    # = 70 of 70 total word chars).
+    assert got.loc[1, "top_2gram_char_frac"] == 1.0
+    # doc 2: 5 lines, 3 distinct -> 2 dup; dup chars = 2*2 of 10.
+    assert got.loc[2, "n_lines"] == 5
+    assert got.loc[2, "n_dup_lines"] == 2
+    assert got.loc[2, "dup_line_char_frac"] == pytest.approx(4 / 10)
+    # doc 3: both halves' 10-grams repeat -> full coverage.
+    assert got.loc[3, "dup_10gram_char_frac"] == 1.0
+    # doc 1 has only 2 distinct words: its 10-grams also all repeat.
+    assert got.loc[1, "dup_10gram_char_frac"] == 1.0
+    # empty doc: one empty line, zero fractions.
+    assert got.loc[4, "n_lines"] == 1
+    assert got.loc[4, "dup_line_char_frac"] == 0.0
+    assert got.loc[4, "top_2gram_char_frac"] == 0.0
+
+
+def test_decontaminate_planted(ray_session):
+    """A corpus doc copied into the test set is flagged; disjoint docs
+    are not; sub-n-gram shared phrases do not trigger."""
+    import ray
+
+    from torray.ops.decontam import build_ngram_set, decontaminate
+
+    secret = ("the held out benchmark answer sequence alpha beta gamma "
+              "delta epsilon zeta eta theta")
+    clean = "totally unrelated prose about distributed data processing"
+    partial = "benchmark answer sequence alpha"  # < 8 words shared
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([secret, clean, partial + " with more filler "
+                          "words appended here"], pa.string())}))
+    test_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([99], pa.int64()),
+        "text": pa.array([secret], pa.string())}))
+
+    hashes = build_ngram_set(test_ds, n=8)
+    assert len(hashes) == 14 - 8 + 1  # 14 words -> 7 8-grams
+    got = decontaminate(corpus, hashes, n=8, threshold=0.5,
+                        concurrency=2).to_pandas().set_index("doc_id")
+    assert bool(got.loc[1, "contaminated"])
+    assert got.loc[1, "n_hits"] == got.loc[1, "n_ngrams"]
+    assert got.loc[2, "n_hits"] == 0 and not bool(got.loc[2, "contaminated"])
+    assert got.loc[3, "n_hits"] == 0
+
+
+def test_approx_distinct_error_bound(ray_session):
+    """HLL estimate within the published error envelope, invariant to
+    partitioning, exact-ish via linear counting at tiny cardinality."""
+    import ray
+
+    from torray.ops.sketch import approx_distinct
+
+    vals = np.repeat(np.arange(10_000, dtype=np.int64), 3)  # dups galore
+    for parts in (2, 7):
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})
+                                 ).repartition(parts)
+        est = approx_distinct(ds, "v", b=12)
+        assert abs(est - 10_000) / 10_000 < 0.05
+
+    small = ray.data.from_arrow(pa.table({
+        "s": pa.array([f"host{i % 37}" for i in range(500)], pa.string())}))
+    est = approx_distinct(small, "s", b=12)
+    assert abs(est - 37) <= 2  # linear-counting regime
+
+
+def test_kmeans_cluster_assignment(ray_session):
+    """Every vector assigned exactly once to a valid cluster; separable
+    blobs land in distinct clusters; sim is the true centroid cosine."""
+    import ray
+
+    from torray.ops.similarity import kmeans_cluster
+
+    rng = np.random.RandomState(3)
+    blob_a = rng.normal(0, 0.05, (50, 8)) + np.eye(8)[0]
+    blob_b = rng.normal(0, 0.05, (50, 8)) + np.eye(8)[3]
+    vecs = np.vstack([blob_a, blob_b])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(100), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = kmeans_cluster(ds, n_clusters=2, train_sample=100,
+                         iters=10).to_pandas().sort_values("vec_id")
+    assert len(got) == 100
+    assert set(got["cluster"]) <= {0, 1}
+    a_cl = set(got["cluster"][:50])
+    b_cl = set(got["cluster"][50:])
+    assert len(a_cl) == 1 and len(b_cl) == 1 and a_cl != b_cl
+    assert (got["sim"] > 0.9).all()

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["knn_bruteforce", "lsh_knn", "ivf_knn",
+__all__ = ["knn_bruteforce", "lsh_knn", "ivf_knn", "kmeans_cluster",
            "embedding_cosine_dedup", "embedding_cosine_dedup_lsh"]
 
 
@@ -246,6 +246,66 @@ def _block_pair_table(ta: pa.Table, tb: pa.Table, diagonal: bool,
                      "id_b": pa.array(idb[order], pa.int64())})
 
 
+def _train_centroids(emb_ds, n_clusters: int, train_sample: int,
+                     iters: int, vec_col: str, seed: int) -> np.ndarray:
+    """Spherical k-means on a bounded sample (driver-side numpy over
+    ``train_sample`` rows only — never the corpus)."""
+    import ray
+
+    sample_tbl = pa.concat_tables(
+        [t for t in ray.get(
+            emb_ds.select_columns([vec_col]).limit(train_sample)
+            .to_arrow_refs()) if t.num_rows])
+    sample = _normalize(_batch_matrix(sample_tbl, vec_col))
+    rng = np.random.RandomState(seed)
+    n_clusters = min(n_clusters, len(sample))
+    centroids = sample[rng.choice(len(sample), n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def kmeans_cluster(emb_ds, n_clusters: int = 16, train_sample: int = 4096,
+                   iters: int = 10, vec_col: str = "embedding",
+                   id_col: str = "vec_id", seed: int = 17):
+    """Semantic clustering of an embedding corpus -> (vec_id, cluster,
+    sim) — cosine similarity to the assigned centroid included (the
+    SemDeDup-style signal: within-cluster near-centroid duplicates).
+
+    Scale shape: the quantizer trains on a bounded sample, centroids
+    broadcast once via ``ray.put``, and assignment is one vectorized
+    matmul per batch — the corpus streams, nothing shuffles."""
+    import ray
+
+    centroids = _train_centroids(emb_ds, n_clusters, train_sample,
+                                 iters, vec_col, seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _batch_matrix(batch, vec_col)
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = _normalize(mat) @ cents.T
+        best = np.argmax(sims, axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(best, pa.int64()),
+            "sim": pa.array(sims[np.arange(len(best)), best],
+                            pa.float64()),
+        })
+
+    return emb_ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow")
+
+
 def ivf_knn(emb_ds, query_vecs: np.ndarray, k: int = 10,
             n_clusters: int = 16, nprobe: int = 4,
             train_sample: int = 4096, iters: int = 10,
@@ -266,24 +326,8 @@ def ivf_knn(emb_ds, query_vecs: np.ndarray, k: int = 10,
     import ray
 
     queries = _normalize(np.asarray(query_vecs, dtype=np.float64))
-
-    # -- train: k-means on a bounded sample (driver-side numpy over
-    # train_sample rows only — never the corpus).
-    sample_tbl = pa.concat_tables(
-        [t for t in ray.get(
-            emb_ds.select_columns([vec_col]).limit(train_sample)
-            .to_arrow_refs()) if t.num_rows])
-    sample = _normalize(_batch_matrix(sample_tbl, vec_col))
-    rng = np.random.RandomState(seed)
-    n_clusters = min(n_clusters, len(sample))
-    centroids = sample[rng.choice(len(sample), n_clusters, replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(sample @ centroids.T, axis=1)
-        for c in range(n_clusters):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = _normalize(centroids)
+    centroids = _train_centroids(emb_ds, n_clusters, train_sample,
+                                 iters, vec_col, seed)
     cent_ref = ray.put(centroids)
     q_ref = ray.put(queries)
 

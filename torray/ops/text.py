@@ -26,6 +26,8 @@ __all__ = [
     "quality_scores",
     "fingerprint_batch",
     "fingerprints",
+    "repetition_batch",
+    "repetition_scores",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -201,3 +203,83 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def fingerprints(docs_ds):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow")
+
+
+def _doc_repetition(text: str) -> tuple:
+    """Repetition signals for ONE document (Gopher-style repetition
+    filters — Rae et al. 2021 §A1.1, public recipe; definitions below
+    are the documented exact semantics of THIS implementation):
+
+    - ``n_lines`` / ``n_dup_lines``: ``text.split('\\n')`` lines; dup
+      count is occurrences beyond first of each distinct line.
+    - ``dup_line_char_frac``: characters of those beyond-first line
+      occurrences / total line characters.
+    - ``top_2gram_char_frac``: characters covered by the most frequent
+      word 2-gram (count * chars-in-gram) / total word characters.
+    - ``dup_10gram_char_frac``: fraction of word characters covered by
+      any word belonging to at least one duplicated (count >= 2)
+      overlapping 10-gram.
+
+    Single linear pass per doc (Counter + coverage mask) over the
+    compiled-regex token stream."""
+    from collections import Counter
+
+    lines = text.split("\n")
+    n_lines = len(lines)
+    line_counts = Counter(lines)
+    n_dup_lines = n_lines - len(line_counts)
+    total_line_chars = sum(map(len, lines))
+    dup_line_chars = sum(len(ln) * (c - 1)
+                         for ln, c in line_counts.items() if c > 1)
+    dup_line_char_frac = (dup_line_chars / total_line_chars
+                          if total_line_chars else 0.0)
+
+    words = _WORD_RE.findall(text.lower())
+    word_lens = np.array([len(w) for w in words], np.int64)
+    total_word_chars = int(word_lens.sum())
+
+    top_2gram_char_frac = 0.0
+    if len(words) >= 2 and total_word_chars:
+        grams2 = Counter(zip(words, words[1:]))
+        (w1, w2), cnt = max(
+            grams2.items(),
+            key=lambda kv: (kv[1], -len(kv[0][0]) - len(kv[0][1])))
+        top_2gram_char_frac = min(
+            1.0, cnt * (len(w1) + len(w2)) / total_word_chars)
+
+    dup_10gram_char_frac = 0.0
+    n = 10
+    if len(words) >= n and total_word_chars:
+        grams = [tuple(words[i:i + n]) for i in range(len(words) - n + 1)]
+        counts = Counter(grams)
+        covered = np.zeros(len(words), np.bool_)
+        for i, g in enumerate(grams):
+            if counts[g] > 1:
+                covered[i:i + n] = True
+        dup_10gram_char_frac = float(
+            word_lens[covered].sum() / total_word_chars)
+
+    return (n_lines, n_dup_lines, dup_line_char_frac,
+            top_2gram_char_frac, dup_10gram_char_frac)
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    rows = [_doc_repetition(t or "") for t in texts]
+    cols = list(zip(*rows)) if rows else ([], [], [], [], [])
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_lines": pa.array(cols[0], pa.int64()),
+        "n_dup_lines": pa.array(cols[1], pa.int64()),
+        "dup_line_char_frac": pa.array(cols[2], pa.float64()),
+        "top_2gram_char_frac": pa.array(cols[3], pa.float64()),
+        "dup_10gram_char_frac": pa.array(cols[4], pa.float64()),
+    })
+
+
+def repetition_scores(docs_ds):
+    """Per-document repetition signals (see :func:`_doc_repetition`)
+    -> (doc_id, n_lines, n_dup_lines, dup_line_char_frac,
+    top_2gram_char_frac, dup_10gram_char_frac)."""
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow")

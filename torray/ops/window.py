@@ -22,7 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join"]
+__all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
+           "interval_join"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -416,3 +417,146 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     # keys is the identical partition in that case.
     return tagged.groupby(["__key", "__salt"]).map_groups(
         merge, batch_format="pyarrow")
+
+
+def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
+                  right_end: str, left_key: str | None = None,
+                  right_key: str | None = None,
+                  right_value_cols: list[str], bin_s: int | None = None):
+    """INNER range join: every (left, right) pair with equal keys (when
+    given) and ``right_start <= left_ts < right_end``.  The operator
+    Ray Data lacks outright ("range join" row of SURVEY.md §2's
+    custom-op guidance) — e.g. "attach each event to the order whose
+    fulfilment window it fell into".
+
+    Distributed strategy (standard bounded-interval binning): pick a
+    time-bin width ``bin_s`` >= the longest right interval.  Each left
+    row lands in exactly ONE bin (``ts // bin``); each right interval
+    is replicated to every bin it overlaps (<= 2 when the bound
+    holds, bounded by interval/bin otherwise).  A matching pair then
+    meets in exactly the left row's bin — no cross-bin pairs, no
+    dedup pass.  ONE groupby((key, bin)) shuffle; within a group the
+    pairs are emitted by two ``np.searchsorted`` calls per side over
+    time-sorted lefts (output-linear, no Python rows).
+
+    ``bin_s=None`` computes max(right_end - right_start) with one
+    narrow aggregate pass over the right side.  Partitioning
+    assumption: a (key, bin) slice fits in a task — tighten ``bin_s``
+    for hot keys (more bins, more right replication, smaller groups).
+    """
+    us = 1_000_000
+
+    if bin_s is None:
+        span = right_ds.map_batches(
+            lambda t: pa.table({"span": [
+                int(pc.max(pc.subtract(
+                    t.column(right_end).cast(pa.int64()),
+                    t.column(right_start).cast(pa.int64()))
+                ).as_py() or 0) if t.num_rows else 0]}),
+            batch_format="pyarrow").max("span")
+        bin_us = max(int(span or 0), us)
+    else:
+        bin_us = bin_s * us
+
+    left_schema = left_ds.schema()
+    _left_names = list(left_schema.names)
+    _left_types = {n: left_schema.base_schema.field(n).type
+                   for n in _left_names}
+    right_schema = right_ds.schema()
+    _right_types = {n: right_schema.base_schema.field(n).type
+                    for n in right_value_cols}
+
+    def _key_arr(t: pa.Table, col: str | None) -> pa.Array:
+        if col is None:
+            return pa.array(np.zeros(t.num_rows, np.int64))
+        return t.column(col).cast(pa.int64()).combine_chunks()
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = t.column(left_ts).cast(pa.int64())
+        cols = {
+            "__key": _key_arr(t, left_key),
+            "__bin": pc.cast(pc.divide(ts, bin_us), pa.int64()),
+            "__ts": ts,
+            "__end": pa.nulls(t.num_rows, pa.int64()),
+            "__side": pa.array([0] * t.num_rows, pa.int8()),
+        }
+        for name in _left_names:
+            cols["l_" + name] = t.column(name)
+        for name in right_value_cols:
+            cols["r_" + name] = pa.nulls(t.num_rows, _right_types[name])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # Replicate each interval to every bin it overlaps (vectorized:
+        # one pass per replication offset; offsets are bounded by the
+        # bin_s >= interval-length contract, typically 0 and 1).
+        start = t.column(right_start).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        end = t.column(right_end).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        key = _key_arr(t, right_key).to_numpy(zero_copy_only=False)
+        b0 = start // bin_us
+        # Half-open [start, end): an interval ending exactly on a bin
+        # edge does not reach into that bin.
+        b1 = np.maximum(b0, (end - 1) // bin_us)
+        n_bins = (b1 - b0 + 1).astype(np.int64)
+        total = int(n_bins.sum())
+        src = np.repeat(np.arange(len(start), dtype=np.int64), n_bins)
+        offs = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(n_bins) - n_bins, n_bins))
+        take = pa.array(src, pa.int64())
+        cols = {
+            "__key": pa.array(key[src], pa.int64()),
+            "__bin": pa.array(b0[src] + offs, pa.int64()),
+            "__ts": pa.array(start[src], pa.int64()),
+            "__end": pa.array(end[src], pa.int64()),
+            "__side": pa.array(np.ones(total, np.int8)),
+        }
+        for name in _left_names:
+            cols["l_" + name] = pa.nulls(total, _left_types[name])
+        for name in right_value_cols:
+            cols["r_" + name] = pc.take(t.column(name), take)
+        return pa.table(cols)
+
+    right_narrow = right_ds.select_columns(
+        list(dict.fromkeys(
+            ([right_key] if right_key else [])
+            + [right_start, right_end] + right_value_cols)))
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_narrow.map_batches(tag_right, batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [(n, _left_types[n]) for n in _left_names]
+        + [(n, _right_types[n]) for n in right_value_cols])
+
+    def emit(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        ts = group.column("__ts").to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        if l_idx.size == 0 or r_idx.size == 0:
+            return out_schema.empty_table()
+        l_order = l_idx[np.argsort(ts[l_idx], kind="stable")]
+        l_ts = ts[l_order]
+        start = ts[r_idx]
+        end = group.column("__end").to_numpy(zero_copy_only=False)[r_idx]
+        lo = np.searchsorted(l_ts, start, side="left")
+        hi = np.searchsorted(l_ts, end, side="left")  # half-open end
+        counts = (hi - lo).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        r_pos = np.repeat(np.arange(len(r_idx), dtype=np.int64), counts)
+        l_pos = (np.arange(total, dtype=np.int64)
+                 - np.repeat(np.cumsum(counts) - counts, counts)
+                 + np.repeat(lo, counts))
+        l_take = pa.array(l_order[l_pos], pa.int64())
+        r_take = pa.array(r_idx[r_pos], pa.int64())
+        cols = [pc.take(group.column("l_" + n), l_take)
+                for n in _left_names]
+        cols += [pc.take(group.column("r_" + n), r_take)
+                 for n in right_value_cols]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return tagged.groupby(["__key", "__bin"]).map_groups(
+        emit, batch_format="pyarrow")
