@@ -531,6 +531,51 @@ def _q_docs_decontam(sf_dir: str):
         hashes, n=8, threshold=0.5, concurrency=2)
 
 
+def _q_lineitem_top_parts(sf_dir: str):
+    """Exact heavy hitters: the 20 most-ordered part keys (ties by
+    ascending key).  Pre-combined distinct-per-block shuffle; SQL
+    oracle: GROUP BY + ORDER BY count DESC LIMIT."""
+    from torray.ops.rank import top_frequent
+
+    return top_frequent(_read(sf_dir, "lineitem"), "l_partkey", 20)
+
+
+def _q_lineitem_urgent_semijoin(sf_dir: str):
+    """Bloom-prefiltered EXACT semi-join: lineitems belonging to
+    1-URGENT orders.  The urgent order keys fold into a broadcast
+    Bloom filter; only probe survivors enter the verify join.  SQL
+    oracle: WHERE EXISTS."""
+    import pyarrow.compute as pc
+
+    from torray.ops.bloom import bloom_semijoin
+
+    urgent = _read(sf_dir, "orders").map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                    "1-URGENT")).select(["o_orderkey"]),
+        batch_format="pyarrow")
+    out = bloom_semijoin(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_partkey"]),
+        urgent, big_key="l_orderkey", small_key="o_orderkey",
+        m_bits=1 << 18, num_partitions=4)
+    return out.map_batches(
+        lambda t: t.select(["l_orderkey", "l_linenumber", "l_partkey"]),
+        batch_format="pyarrow")
+
+
+def _q_events_value_quantiles(sf_dir: str):
+    """Streaming approximate quantiles of the event value column (one
+    pass, no shuffle; error bound test-verified in tests/)."""
+    from torray.ops.sketch import approx_quantiles
+
+    got = approx_quantiles(_read(sf_dir, "events"), "value",
+                           [0.5, 0.9, 0.99])
+    qs = sorted(got)
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array([got[q] for q in qs],
+                                       pa.float64())})
+
+
 def _q_events_approx_users(sf_dir: str):
     """HyperLogLog approximate distinct users (b=12 -> ~1.6% rel err;
     deterministic for the fixed hash) — no shuffle, registers merge
@@ -750,7 +795,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_by_lang": _q_docs_top_by_lang,
         "events_order_window": _q_events_order_window,
         "docs_line_stats": _q_docs_line_stats,
+        "lineitem_top_parts": _q_lineitem_top_parts,
+        "lineitem_urgent_semijoin": _q_lineitem_urgent_semijoin,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
+        "events_value_quantiles": _q_events_value_quantiles,
         "docs_repetition": _q_docs_repetition,
         "docs_decontam": _q_docs_decontam,
         "events_approx_users": _q_events_approx_users,
@@ -927,6 +975,16 @@ def oracle_sql() -> dict[str, str]:
             "count(*) - count(DISTINCT line) AS n_dup_lines FROM ("
             "SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
             "FROM documents) GROUP BY doc_id"
+        ),
+        "lineitem_top_parts": (
+            "SELECT l_partkey, count(*) AS n FROM lineitem "
+            "GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 20"
+        ),
+        "lineitem_urgent_semijoin": (
+            "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey "
+            "AND o.o_orderpriority = '1-URGENT')"
         ),
         "events_asof_orders": (
             "SELECT e.event_id, o.o_orderkey FROM events e "

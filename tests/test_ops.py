@@ -1071,3 +1071,94 @@ def test_kmeans_cluster_assignment(ray_session):
     b_cl = set(got["cluster"][50:])
     assert len(a_cl) == 1 and len(b_cl) == 1 and a_cl != b_cl
     assert (got["sim"] > 0.9).all()
+
+
+def test_top_frequent_vs_pandas(ray_session):
+    """Exact heavy hitters vs pandas value_counts, ties by ascending
+    value, invariant to partitioning; string keys too."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.rank import top_frequent
+
+    rng = np.random.RandomState(21)
+    vals = rng.zipf(1.5, 5000) % 400  # heavy skew + ties
+    df = pd.DataFrame({"v": vals.astype(np.int64)})
+    counts = df["v"].value_counts()
+    ref = (counts.rename_axis("v").reset_index(name="n")
+           .sort_values(["n", "v"], ascending=[False, True])
+           .head(15).reset_index(drop=True))
+
+    for parts in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (top_frequent(ds, "v", 15).to_pandas()
+               .sort_values(["n", "v"], ascending=[False, True])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+    sds = ray.data.from_arrow(pa.table(
+        {"s": pa.array([f"h{int(x) % 7}" for x in vals[:500]])}
+    )).repartition(3)
+    got_s = top_frequent(sds, "s", 3).to_pandas()
+    ref_s = (pd.Series([f"h{int(x) % 7}" for x in vals[:500]])
+             .value_counts().rename_axis("s").reset_index(name="n")
+             .sort_values(["n", "s"], ascending=[False, True]).head(3)
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got_s.sort_values(["n", "s"], ascending=[False, True])
+        .reset_index(drop=True), ref_s, check_dtype=False)
+
+
+def test_bloom_semijoin_exact_and_superset(ray_session):
+    """Exact mode equals a set-membership filter; probe-only mode is a
+    superset that contains every true match."""
+    import ray
+
+    from torray.ops.bloom import bloom_semijoin
+
+    rng = np.random.RandomState(33)
+    big_keys = rng.randint(0, 10_000, 5000).astype(np.int64)
+    small_keys = np.unique(rng.randint(0, 10_000, 300).astype(np.int64))
+    big = ray.data.from_arrow(pa.table({
+        "k": pa.array(big_keys, pa.int64()),
+        "rid": pa.array(np.arange(5000), pa.int64())})).repartition(4)
+    # duplicate small-side keys: each big row must still appear once
+    small = ray.data.from_arrow(pa.table({
+        "sk": pa.array(np.concatenate([small_keys, small_keys]),
+                       pa.int64())})).repartition(2)
+
+    expected = set(np.flatnonzero(np.isin(big_keys, small_keys)))
+
+    got = bloom_semijoin(big, small, big_key="k", small_key="sk",
+                         m_bits=1 << 16, num_partitions=2).to_pandas()
+    assert set(got["rid"]) == expected
+    assert len(got) == len(expected)
+
+    loose = bloom_semijoin(big, small, big_key="k", small_key="sk",
+                           m_bits=1 << 16, exact=False).to_pandas()
+    assert expected <= set(loose["rid"])  # no false negatives
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    """Rank error under 1% on a lognormal sample across partitions;
+    nulls dropped; empty input -> NaNs."""
+    import ray
+
+    from torray.ops.sketch import approx_quantiles
+
+    rng = np.random.RandomState(44)
+    vals = rng.lognormal(3.0, 1.0, 50_000)
+    with_nulls = pa.table({"x": pa.array(
+        list(vals) + [None] * 100, pa.float64())})
+    ds = ray.data.from_arrow(with_nulls).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = approx_quantiles(ds, "x", qs, block_cap=1024, merge_cap=4096)
+    svals = np.sort(vals)
+    for q in qs:
+        est = got[q]
+        rank = np.searchsorted(svals, est) / len(svals)
+        assert abs(rank - q) < 0.01, (q, est, rank)
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    out = approx_quantiles(empty, "x", [0.5])
+    assert np.isnan(out[0.5])

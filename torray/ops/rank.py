@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["group_topk", "topk_table"]
+__all__ = ["group_topk", "topk_table", "top_frequent"]
 
 
 def topk_table(t: pa.Table, group_col: str, score_col: str, k: int,
@@ -69,3 +69,46 @@ def group_topk(ds, group_col: str, score_col: str, k: int, id_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(final, batch_format="pyarrow"))
+
+
+def top_frequent(ds, col: str, k: int, *, out_count: str = "n"):
+    """EXACT top-k most frequent values of ``col`` (ties broken by
+    ascending value) -> ``(col, n)``, the heavy-hitters cut (hot hosts,
+    boilerplate sources, dominant n-grams).
+
+    Scale shape: each block collapses to its DISTINCT (value, count)
+    partial via one Arrow ``group_by`` (the combiner — the shuffle
+    carries distinct-per-block rows, never raw rows), a single
+    ``groupby().sum`` folds partials, then every result batch is cut to
+    its local top-k and one final single-task merge picks the global
+    top-k from ``k x blocks`` candidate rows.  No full sort, no
+    second pass: unlike a lossy Misra-Gries sketch this is exact for
+    any distribution, at the cost of the distinct-key shuffle (bounded
+    by total DISTINCT values, which is what a count must touch
+    anyway)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([col]).group_by(col).aggregate([([], "count_all")])
+        return pa.table({col: g.column(col),
+                         "__n": g.column("count_all").cast(pa.int64())})
+
+    def local_cut(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        n = t.column(out_count).to_numpy(zero_copy_only=False)
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(vals, return_inverse=True)
+        order = np.lexsort((codes, -n))[:k]
+        return t.take(pa.array(np.sort(order), pa.int64()))
+
+    summed = (ds.select_columns([col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(col).aggregate(Sum("__n")))
+    summed = summed.map_batches(
+        lambda t: t.rename_columns(
+            [out_count if c == "sum(__n)" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    return (summed.map_batches(local_cut, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(local_cut, batch_format="pyarrow"))

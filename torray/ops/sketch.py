@@ -23,7 +23,8 @@ import pyarrow as pa
 
 from torray.ops.dedup import _mix64
 
-__all__ = ["hll_registers", "hll_estimate", "approx_distinct"]
+__all__ = ["hll_registers", "hll_estimate", "approx_distinct",
+           "approx_quantiles"]
 
 
 def _hash_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -98,3 +99,71 @@ def approx_distinct(ds, col: str, b: int = 12) -> int:
         np.maximum(merged, np.frombuffer(row["reg"], np.uint8),
                    out=merged)
     return int(round(hll_estimate(merged)))
+
+
+def _compress_weighted(vals: np.ndarray, wts: np.ndarray,
+                       cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Re-compress a weighted sorted sample to <= cap points by strided
+    selection over cumulative weight (each kept point absorbs the
+    weight of the run it ends).  Rank error added per compression is
+    <= total_weight / cap."""
+    if vals.size <= cap:
+        return vals, wts
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    # cut points at equal cumulative-weight strides
+    targets = (np.arange(1, cap + 1) / cap) * total
+    idx = np.unique(np.searchsorted(cum, targets, side="left").clip(
+        0, vals.size - 1))
+    new_w = np.diff(np.concatenate(([0.0], cum[idx])))
+    return vals[idx], new_w
+
+
+def approx_quantiles(ds, col: str, quantiles, *,
+                     block_cap: int = 4096,
+                     merge_cap: int = 16384) -> dict[float, float]:
+    """Approximate quantiles of a numeric column in ONE streaming pass.
+
+    Each block contributes a sorted strided sample of <= ``block_cap``
+    weighted points (weight = rows absorbed); the driver folds block
+    samples into a running weighted sample re-compressed to
+    ``merge_cap`` points whenever it doubles, so driver memory stays
+    O(merge_cap) no matter how many blocks stream past — no shuffle,
+    no sort.  Rank error is bounded by ~N/block_cap per block plus
+    N/merge_cap per driver compression (log-many of them); with the
+    defaults that's well under 1% of N.  Nulls/NaNs are dropped."""
+    vals_acc = np.empty(0, np.float64)
+    wts_acc = np.empty(0, np.float64)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        v = np.sort(v[~np.isnan(v)])
+        if v.size > block_cap:
+            v, w = _compress_weighted(v, np.ones(v.size), block_cap)
+        else:
+            w = np.ones(v.size)
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "w": pa.array(w, pa.float64())})
+
+    for batch in ds.select_columns([col]).map_batches(
+            fold, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        bv = batch.column("v").to_numpy(zero_copy_only=False)
+        bw = batch.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(np.concatenate([vals_acc, bv]), kind="stable")
+        vals_acc = np.concatenate([vals_acc, bv])[order]
+        wts_acc = np.concatenate([wts_acc, bw])[order]
+        if vals_acc.size > 2 * merge_cap:
+            vals_acc, wts_acc = _compress_weighted(vals_acc, wts_acc,
+                                                   merge_cap)
+    if vals_acc.size == 0:
+        return {float(q): float("nan") for q in quantiles}
+    cum = np.cumsum(wts_acc)
+    total = cum[-1]
+    out = {}
+    for q in quantiles:
+        pos = int(np.searchsorted(cum, q * total, side="left").clip(
+            0, vals_acc.size - 1))
+        out[float(q)] = float(vals_acc[pos])
+    return out
