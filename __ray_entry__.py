@@ -586,6 +586,16 @@ def _q_events_approx_users(sf_dir: str):
     return pa.table({"approx_users": pa.array([n], pa.int64())})
 
 
+def _q_events_users_per_type(sf_dir: str):
+    """Grouped approximate distinct: users per event type (HLL register
+    rows through the groupby — bounded by groups x blocks; error bound
+    test-verified in tests/)."""
+    from torray.ops.sketch import approx_distinct_by
+
+    return approx_distinct_by(_read(sf_dir, "events"), "event_type",
+                              "user_id", b=12, out_col="approx_users")
+
+
 def _q_emb_clusters(sf_dir: str):
     """Semantic k-means clustering of the embedding corpus (SemDeDup-
     style curation signal), summarized per cluster."""
@@ -799,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_urgent_semijoin": _q_lineitem_urgent_semijoin,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_users_per_type": _q_events_users_per_type,
         "docs_repetition": _q_docs_repetition,
         "docs_decontam": _q_docs_decontam,
         "events_approx_users": _q_events_approx_users,

@@ -1162,3 +1162,30 @@ def test_approx_quantiles_error_bound(ray_session):
     empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     out = approx_quantiles(empty, "x", [0.5])
     assert np.isnan(out[0.5])
+
+
+def test_approx_distinct_by_group(ray_session):
+    """Per-group HLL estimates within the error envelope of exact
+    per-group distinct counts; string group keys; partition-invariant."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.sketch import approx_distinct_by
+
+    rng = np.random.RandomState(55)
+    n = 30_000
+    groups = rng.choice(["g1", "g2", "g3"], n, p=[0.6, 0.3, 0.1])
+    # distinct cardinality differs wildly per group
+    vals = np.where(groups == "g1", rng.randint(0, 8000, n),
+                    np.where(groups == "g2", rng.randint(0, 500, n),
+                             rng.randint(0, 25, n))).astype(np.int64)
+    df = pd.DataFrame({"g": groups, "v": vals})
+    exact = df.groupby("g")["v"].nunique()
+
+    for parts in (2, 6):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (approx_distinct_by(ds, "g", "v", b=12).to_pandas()
+               .set_index("g")["approx_distinct"])
+        for g in exact.index:
+            rel = abs(got[g] - exact[g]) / exact[g]
+            assert rel < 0.05, (g, got[g], exact[g])

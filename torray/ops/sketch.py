@@ -24,7 +24,7 @@ import pyarrow as pa
 from torray.ops.dedup import _mix64
 
 __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
-           "approx_quantiles"]
+           "approx_distinct_by", "approx_quantiles"]
 
 
 def _hash_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -99,6 +99,47 @@ def approx_distinct(ds, col: str, b: int = 12) -> int:
         np.maximum(merged, np.frombuffer(row["reg"], np.uint8),
                    out=merged)
     return int(round(hll_estimate(merged)))
+
+
+def approx_distinct_by(ds, group_col: str, col: str, b: int = 12,
+                       out_col: str = "approx_distinct"):
+    """Approximate COUNT(DISTINCT col) PER GROUP -> Dataset
+    ``(group_col, approx_distinct)``.
+
+    Per batch, values fold into one register row per (group, block) —
+    so the groupby shuffle carries ``2^b``-byte sketch rows bounded by
+    groups x blocks, never the raw values; a ``map_groups`` pass
+    merges registers with an elementwise max and estimates.  The same
+    register-merge shape every warehouse engine uses for grouped
+    approx_count_distinct."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_numpy(zero_copy_only=False)
+        hashes = _hash_values(batch.column(col))
+        uniq, inv = np.unique(keys, return_inverse=True)
+        regs = []
+        for gi in range(len(uniq)):
+            regs.append(hll_registers(hashes[inv == gi], b).tobytes())
+        return pa.table({
+            group_col: pa.array(uniq, type=batch.schema.field(
+                group_col).type),
+            "__reg": pa.array(regs, pa.binary()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        reg = np.zeros(1 << b, np.uint8)
+        for buf in group.column("__reg").to_pylist():
+            np.maximum(reg, np.frombuffer(buf, np.uint8), out=reg)
+        return pa.table({
+            group_col: group.column(group_col).slice(0, 1),
+            out_col: pa.array([int(round(hll_estimate(reg)))],
+                              pa.int64()),
+        })
+
+    return (ds.select_columns([group_col, col])
+            .map_batches(fold, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(merge, batch_format="pyarrow"))
 
 
 def _compress_weighted(vals: np.ndarray, wts: np.ndarray,
