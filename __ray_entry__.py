@@ -586,6 +586,17 @@ def _q_events_approx_users(sf_dir: str):
     return pa.table({"approx_users": pa.array([n], pa.int64())})
 
 
+def _q_emb_semantic_dedup(sf_dir: str):
+    """SemDeDup-style near-dup pairs: k-means cluster blocking + exact
+    within-cluster cosine (planted-pair recovery tested in tests/)."""
+    from torray.ops.similarity import semantic_dedup
+
+    # threshold matches the exact `embedding_dup_pairs` query so the
+    # cluster-blocked result is a directly comparable subset.
+    return semantic_dedup(_read(sf_dir, "embeddings"), n_clusters=8,
+                          threshold=0.45, train_sample=2048)
+
+
 def _q_events_users_per_type(sf_dir: str):
     """Grouped approximate distinct: users per event type (HLL register
     rows through the groupby — bounded by groups x blocks; error bound
@@ -810,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_repetition": _q_docs_repetition,
         "docs_decontam": _q_docs_decontam,
         "events_approx_users": _q_events_approx_users,

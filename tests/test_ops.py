@@ -1189,3 +1189,36 @@ def test_approx_distinct_by_group(ray_session):
         for g in exact.index:
             rel = abs(got[g] - exact[g]) / exact[g]
             assert rel < 0.05, (g, got[g], exact[g])
+
+
+def test_semantic_dedup_planted_pairs(ray_session):
+    """Planted near-identical vectors land in the same cluster and are
+    all recovered; pair sims match direct cosine; chunked path
+    exercised with a small pair_chunk."""
+    import ray
+
+    from torray.ops.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(0, 1, (40, 16))
+    # 10 planted dup pairs: vec i and vec 100+i nearly identical
+    dups = base[:10] + rng.normal(0, 0.001, (10, 16))
+    vecs = np.vstack([base, dups])
+    ids = np.concatenate([np.arange(40), np.arange(100, 110)])
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = semantic_dedup(ds, n_clusters=4, threshold=0.99,
+                         train_sample=50, pair_chunk=8).to_pandas()
+    expected = {(i, 100 + i) for i in range(10)}
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert expected <= got_pairs
+    assert (got["id_a"] < got["id_b"]).all()
+    # sims are true cosines
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    by_id = dict(zip(ids, normed))
+    for a, b, s in zip(got["id_a"], got["id_b"], got["sim"]):
+        # f32 storage round-trip bounds the error
+        assert abs(float(np.dot(by_id[a], by_id[b])) - s) < 1e-6

@@ -28,7 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["knn_bruteforce", "lsh_knn", "ivf_knn", "kmeans_cluster",
-           "embedding_cosine_dedup", "embedding_cosine_dedup_lsh"]
+           "embedding_cosine_dedup", "embedding_cosine_dedup_lsh",
+           "semantic_dedup"]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -304,6 +305,87 @@ def kmeans_cluster(emb_ds, n_clusters: int = 16, train_sample: int = 4096,
 
     return emb_ds.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def semantic_dedup(emb_ds, *, n_clusters: int = 16,
+                   threshold: float = 0.95, train_sample: int = 4096,
+                   iters: int = 10, vec_col: str = "embedding",
+                   id_col: str = "vec_id", seed: int = 17,
+                   pair_chunk: int = 2048):
+    """SemDeDup-style near-duplicate pairs (Abbas et al. 2023, public
+    recipe): cluster the corpus with a bounded-sample k-means, then
+    search for cosine-similar pairs ONLY within each cluster ->
+    ``(id_a, id_b, sim)`` with ``id_a < id_b``.
+
+    Scale shape: centroids broadcast once; ONE groupby(cluster)
+    shuffle carries (cluster, id, vector-as-binary) rows; each cluster
+    group runs a chunked in-task matmul (``pair_chunk`` x ``pair_chunk``
+    tiles, so task memory is bounded regardless of cluster width).
+    Cross-cluster near-dups are missed by construction — that is the
+    approximation; size ``n_clusters ~ corpus/10k`` so groups stay
+    task-sized.  The exact twin is
+    :func:`embedding_cosine_dedup`; the LSH twin is
+    :func:`embedding_cosine_dedup_lsh`."""
+    import ray
+
+    centroids = _train_centroids(emb_ds, n_clusters, train_sample,
+                                 iters, vec_col, seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _batch_matrix(batch, vec_col)
+        if mat.size == 0:
+            return pa.table({
+                "cluster": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "__vec": pa.array([], pa.binary())})
+        normed = _normalize(mat)
+        best = np.argmax(normed @ cents.T, axis=1)
+        return pa.table({
+            "cluster": pa.array(best, pa.int64()),
+            id_col: batch.column(id_col),
+            "__vec": pa.array(
+                [normed[i].astype(np.float32).tobytes()
+                 for i in range(len(best))], pa.binary()),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        bufs = group.column("__vec").to_pylist()
+        m = len(ids)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if m < 2:
+            return empty
+        mat = np.frombuffer(b"".join(bufs), np.float32).reshape(
+            m, -1).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, m, pair_chunk):
+            a = mat[i0:i0 + pair_chunk]
+            for j0 in range(i0, m, pair_chunk):
+                sims = a @ mat[j0:j0 + pair_chunk].T
+                ii, jj = np.nonzero(sims >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[gj[keep]])
+                out_s.append(sims[ii[keep], jj[keep]])
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    return (emb_ds.select_columns([id_col, vec_col])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(pairs, batch_format="pyarrow"))
 
 
 def ivf_knn(emb_ds, query_vecs: np.ndarray, k: int = 10,
