@@ -586,6 +586,15 @@ def _q_events_approx_users(sf_dir: str):
     return pa.table({"approx_users": pa.array([n], pa.int64())})
 
 
+def _q_docs_top_terms(sf_dir: str):
+    """Top-3 characteristic terms per document by tf-idf (document
+    frequencies from a combiner-bounded shuffle, broadcast idf probe;
+    ground-truth tested in tests/)."""
+    from torray.ops.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(sf_dir, "documents"), k=3)
+
+
 def _q_emb_semantic_dedup(sf_dir: str):
     """SemDeDup-style near-dup pairs: k-means cluster blocking + exact
     within-cluster cosine (planted-pair recovery tested in tests/)."""
@@ -822,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "docs_top_terms": _q_docs_top_terms,
         "docs_repetition": _q_docs_repetition,
         "docs_decontam": _q_docs_decontam,
         "events_approx_users": _q_events_approx_users,

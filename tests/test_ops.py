@@ -1222,3 +1222,42 @@ def test_semantic_dedup_planted_pairs(ray_session):
     for a, b, s in zip(got["id_a"], got["id_b"], got["sim"]):
         # f32 storage round-trip bounds the error
         assert abs(float(np.dot(by_id[a], by_id[b])) - s) < 1e-6
+
+
+def test_tfidf_top_terms_ground_truth(ray_session):
+    """df counts match a direct computation; the planted rare term wins
+    each doc's ranking; ubiquitous terms score zero."""
+    import ray
+
+    from torray.ops.text import term_doc_frequency, tfidf_top_terms
+
+    texts = [
+        "the cat sat on the mat zebra",
+        "the dog ran in the park",
+        "the cat and the dog and the fish quasar quasar",
+        "the fish swam in the sea",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+
+    df_got = dict(zip(*[
+        term_doc_frequency(ds).to_pandas()[c] for c in ("term", "df")]))
+    import collections
+    df_ref = collections.Counter()
+    for t in texts:
+        for w in set(t.split()):
+            df_ref[w] += 1
+    assert df_got == dict(df_ref)
+
+    got = tfidf_top_terms(ds, k=2).to_pandas()
+    # doc 0 has four df=1 terms (mat/on/sat/zebra) all at tf=1: equal
+    # scores, ties broken by ascending term.
+    assert sorted(got.loc[got["doc_id"] == 0, "term"]) == ["mat", "on"]
+    # doc 2's df=1/tf=2 terms ('and', 'quasar') out-score everything.
+    assert sorted(got.loc[got["doc_id"] == 2, "term"]) == ["and", "quasar"]
+    # 'the' appears in every doc -> idf = ln(1) = 0
+    the_rows = got[got["term"] == "the"]
+    assert (the_rows["score"] == 0.0).all() if len(the_rows) else True
+    # exactly k rows per doc (all docs have >= 2 distinct terms)
+    assert (got.groupby("doc_id").size() == 2).all()

@@ -28,6 +28,8 @@ __all__ = [
     "fingerprints",
     "repetition_batch",
     "repetition_scores",
+    "term_doc_frequency",
+    "tfidf_top_terms",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -283,3 +285,111 @@ def repetition_scores(docs_ds):
     top_2gram_char_frac, dup_10gram_char_frac)."""
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         repetition_batch, batch_format="pyarrow")
+
+
+def term_doc_frequency(docs_ds, text_col: str = "text"):
+    """(term, df) document frequencies of the lowercased word
+    vocabulary -> Dataset.
+
+    The combiner shape: each block emits its DISTINCT (term,
+    per-block df) partials via one ``np.unique`` pass, so the
+    ``groupby(term)`` shuffle is bounded by distinct-terms-per-block
+    (Zipf makes that a small multiple of the vocabulary), never by
+    token count."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per_doc = [
+            np.unique(_WORD_RE.findall(t.lower())) if t else
+            np.empty(0, dtype=object)
+            for t in batch.column(text_col).to_pylist()
+        ]
+        if not per_doc:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "__df": pa.array([], pa.int64())})
+        terms, counts = np.unique(np.concatenate(per_doc),
+                                  return_counts=True)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "__df": pa.array(counts, pa.int64())})
+
+    out = (docs_ds.select_columns([text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("__df")))
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["df" if c == "sum(__df)" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def tfidf_top_terms(docs_ds, k: int = 5, *, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Top-k characteristic terms per document by tf-idf ->
+    ``(doc_id, term, tf, score)``, ties broken by ascending term.
+
+    idf = ln(N / df); score = tf * idf (raw counts — the classic
+    formulation, deterministic given the corpus).
+
+    Scale shape: document frequencies come from
+    :func:`term_doc_frequency` (combiner-bounded shuffle), then fold
+    into a BROADCAST (sorted term-hash, df) array pair — 16 bytes per
+    distinct term, fine up to ~10M vocab — and the scoring pass
+    streams with one ``np.searchsorted`` probe per document.  Corpora
+    whose vocabulary exceeds broadcast range need the join formulation
+    instead (explode (doc, term, tf) and shuffle-join on term); this
+    implementation documents that boundary rather than hiding it."""
+    import hashlib
+
+    import ray
+
+    df_parts = []
+    for batch in term_doc_frequency(docs_ds, text_col).iter_batches(
+            batch_format="pyarrow"):
+        terms = batch.column("term").to_pylist()
+        hs = np.array([
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for t in terms], np.uint64)
+        df_parts.append((hs, batch.column("df").to_numpy(
+            zero_copy_only=False).astype(np.int64)))
+    if df_parts:
+        all_h = np.concatenate([p[0] for p in df_parts])
+        all_df = np.concatenate([p[1] for p in df_parts])
+        order = np.argsort(all_h)
+        vocab_h, vocab_df = all_h[order], all_df[order]
+    else:
+        vocab_h = np.empty(0, np.uint64)
+        vocab_df = np.empty(0, np.int64)
+    n_docs = max(docs_ds.count(), 1)
+    vocab_ref = ray.put((vocab_h, vocab_df))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vh, vdf = ray.get(vocab_ref)
+        ids_out, terms_out, tf_out, sc_out = [], [], [], []
+        for did, t in zip(
+                batch.column(id_col).to_pylist(),
+                batch.column(text_col).to_pylist()):
+            words = _WORD_RE.findall((t or "").lower())
+            if not words:
+                continue
+            terms, tf = np.unique(words, return_counts=True)
+            hs = np.array([
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                               "big") for w in terms], np.uint64)
+            pos = np.searchsorted(vh, hs)
+            pos = pos.clip(0, max(len(vh) - 1, 0))
+            df = np.where((len(vh) > 0) & (vh[pos] == hs),
+                          vdf[pos], n_docs)
+            sc = tf * np.log(n_docs / df)
+            order = np.lexsort((terms, -sc))[:k]
+            ids_out.extend([did] * len(order))
+            terms_out.extend(terms[order])
+            tf_out.extend(tf[order])
+            sc_out.extend(sc[order])
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "term": pa.array(terms_out, pa.string()),
+            "tf": pa.array(tf_out, pa.int64()),
+            "score": pa.array(sc_out, pa.float64()),
+        })
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
