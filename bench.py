@@ -225,6 +225,43 @@ def bench_docs_curation(sf_dir: str) -> dict:
     return {"sec": wall, "survivors": n}
 
 
+def bench_docs_hygiene(sf_dir: str) -> dict:
+    """The round-3 corpus-hygiene layer end to end over the documents
+    table: repetition signals + tf-idf top terms + n-gram
+    decontamination (1/97th of the corpus as the held-out set) +
+    exact heavy-hitter sources."""
+    import ray
+
+    from torray.ops.decontam import build_ngram_set, decontaminate
+    from torray.ops.rank import top_frequent
+    from torray.ops.text import repetition_scores, tfidf_top_terms
+
+    _warm_pool()
+    t0 = time.monotonic()
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def docs():
+        return ray.data.read_parquet(path)
+
+    n_rep = repetition_scores(docs()).count()
+    n_terms = tfidf_top_terms(docs(), k=3).count()
+
+    import numpy as np
+    import pyarrow as pa
+
+    def test_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    hashes = build_ngram_set(
+        docs().map_batches(test_side, batch_format="pyarrow"), n=8)
+    n_probe = decontaminate(docs(), hashes, n=8).count()
+    n_top = top_frequent(docs(), "source", 10).count()
+    wall = time.monotonic() - t0
+    return {"sec": wall, "rep_rows": n_rep, "tfidf_rows": n_terms,
+            "probed": n_probe, "top_sources": n_top}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -274,7 +311,8 @@ def bench_events(sf_dir: str) -> dict:
 
 
 _ALL_QUERIES = ("crawl_bfs", "crawl_fat", "scan_dedup", "docs_dedup",
-                "docs_curation", "knn", "lineitem", "events")
+                "docs_curation", "docs_hygiene", "knn", "lineitem",
+                "events")
 
 
 def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
@@ -295,6 +333,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "scan_dedup": lambda: bench_scan_dedup(sf),
         "docs_dedup": lambda: bench_docs_dedup(sf_dir),
         "docs_curation": lambda: bench_docs_curation(sf_dir),
+        "docs_hygiene": lambda: bench_docs_hygiene(sf_dir),
         "knn": lambda: bench_knn(sf_dir),
         "lineitem": lambda: bench_lineitem(sf_dir),
         "events": lambda: bench_events(sf_dir),
