@@ -586,6 +586,15 @@ def _q_events_approx_users(sf_dir: str):
     return pa.table({"approx_users": pa.array([n], pa.int64())})
 
 
+def _q_docs_shared_passages(sf_dir: str):
+    """Exact shared-passage pairs (20-word n-grams): documents that
+    embed the same passage even when globally dissimilar (planted-
+    passage tested in tests/)."""
+    from torray.ops.dedup import shared_passage_pairs
+
+    return shared_passage_pairs(_read(sf_dir, "documents"), n=20)
+
+
 def _q_docs_top_terms(sf_dir: str):
     """Top-3 characteristic terms per document by tf-idf (document
     frequencies from a combiner-bounded shuffle, broadcast idf probe;
@@ -832,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_per_type": _q_events_users_per_type,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_top_terms": _q_docs_top_terms,
+        "docs_shared_passages": _q_docs_shared_passages,
         "docs_repetition": _q_docs_repetition,
         "docs_decontam": _q_docs_decontam,
         "events_approx_users": _q_events_approx_users,

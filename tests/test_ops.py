@@ -1261,3 +1261,43 @@ def test_tfidf_top_terms_ground_truth(ray_session):
     assert (the_rows["score"] == 0.0).all() if len(the_rows) else True
     # exactly k rows per doc (all docs have >= 2 distinct terms)
     assert (got.groupby("doc_id").size() == 2).all()
+
+
+def test_shared_passage_pairs_planted(ray_session):
+    """Two globally-dissimilar docs embedding the same 25-word passage
+    are caught; disjoint docs are not; identical docs share every gram;
+    sampling still catches a long passage; min_shared filters."""
+    import ray
+
+    from torray.ops.dedup import shared_passage_pairs
+
+    passage = " ".join(f"boiler{i}" for i in range(25))
+    twin = " ".join(f"tw{i}" for i in range(40))  # 21 distinct 20-grams
+    docs = [
+        "unique text one about crawl frontiers " * 5 + passage,
+        passage + " totally different tail content here " * 5,
+        "no overlap with anything else at all " * 8,
+        twin,
+        twin,
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(docs, pa.string())})).repartition(3)
+
+    got = shared_passage_pairs(ds, n=20).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (0, 1) in pairs
+    assert (3, 4) in pairs
+    assert not any(2 in p for p in pairs)
+    # docs 0/1 share exactly the 25-word passage -> 6 overlapping 20-grams
+    n01 = got.set_index(["id_a", "id_b"]).loc[(0, 1), "n_shared"]
+    assert n01 == 6
+    # identical twins share all 21 grams
+    assert got.set_index(["id_a", "id_b"]).loc[(3, 4), "n_shared"] == 21
+    # min_shared filters the 6-gram pair but keeps the 21-gram twins
+    strict = shared_passage_pairs(ds, n=20, min_shared=7).to_pandas()
+    strict_pairs = set(zip(strict["id_a"], strict["id_b"]))
+    assert (0, 1) not in strict_pairs and (3, 4) in strict_pairs
+    # deterministic sampling still catches the long passage
+    sampled = shared_passage_pairs(ds, n=20, sample_mod=2).to_pandas()
+    assert (0, 1) in set(zip(sampled["id_a"], sampled["id_b"]))

@@ -38,6 +38,7 @@ __all__ = [
     "jaccard",
     "ngram_jaccard_pairs",
     "bounded_pair_positions",
+    "shared_passage_pairs",
 ]
 
 _WORD_RE = re.compile(r"\S+")
@@ -489,3 +490,71 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
         .repartition(1)
         .map_batches(all_pairs, batch_format="pyarrow", batch_size=None)
     )
+
+
+def shared_passage_pairs(docs_ds, *, n: int = 20, min_shared: int = 1,
+                         sample_mod: int = 1, max_bucket: int = 256,
+                         text_col: str = "text",
+                         num_partitions: int = 8):
+    """Document pairs sharing at least ``min_shared`` exact word
+    ``n``-gram passages -> ``(id_a, id_b, n_shared)``.
+
+    The exact-substring complement to whole-document minhash (the
+    motivation of Lee et al. 2022, "Deduplicating Training Data...",
+    public recipe at n-gram granularity): two documents that are
+    globally dissimilar but embed the same boilerplate paragraph are
+    invisible to document-level similarity yet caught here, because
+    detection is per PASSAGE, not per document.
+
+    Scale shape: each document emits its DISTINCT n-gram hashes once
+    (vectorized rolling hash — :func:`torray.ops.decontam.ngram_hashes`);
+    the one shuffle carries narrow ``(gram, doc_id)`` int64 rows,
+    O(tokens) worst case, reducible by ``sample_mod`` (keep only grams
+    with ``hash %% sample_mod == 0`` — winnowing-style deterministic
+    fingerprint sampling; a shared passage of w words still collides
+    with probability ~1-(1-1/mod)^(w-n+1)).  Per-gram buckets are
+    bounded by :func:`bounded_pair_positions` exactly like the LSH
+    family, so a corpus-wide boilerplate passage cannot flood the pair
+    stream; the final pair dedup/count is a second narrow groupby.
+    """
+    from torray.ops.decontam import ngram_hashes
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gram_out, id_out = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            g = np.unique(ngram_hashes(t or "", n))
+            if sample_mod > 1 and g.size:
+                g = g[g % np.uint64(sample_mod) == 0]
+            if g.size:
+                gram_out.append(g.view(np.int64))
+                id_out.append(np.full(g.size, did, np.int64))
+        if not gram_out:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "gram": pa.array(np.concatenate(gram_out), pa.int64()),
+            "doc_id": pa.array(np.concatenate(id_out), pa.int64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column("doc_id").to_numpy(
+            zero_copy_only=False))
+        ii, jj = bounded_pair_positions(ids, max_bucket)
+        return pa.table({"id_a": pa.array(ids[ii], pa.int64()),
+                         "id_b": pa.array(ids[jj], pa.int64())})
+
+    pairs = (docs_ds.select_columns(["doc_id", text_col])
+             .map_batches(explode, batch_format="pyarrow")
+             .groupby("gram")
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    counted = pairs.groupby(["id_a", "id_b"]).count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            ["n_shared" if c == "count()" else c for c in t.column_names])
+        if min_shared > 1:
+            t = t.filter(pa.compute.greater_equal(
+                t.column("n_shared"), min_shared))
+        return t.select(["id_a", "id_b", "n_shared"])
+
+    return counted.map_batches(finish, batch_format="pyarrow")
