@@ -82,8 +82,14 @@ def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
                .map_batches(
                    lambda t: pa.table({"doc_id": t.column("min(doc_id)")}),
                    batch_format="pyarrow"))
+    # Materialized ONCE: four downstream consumers (minhash banding,
+    # its two verify joins, the final loser tag join) would otherwise
+    # each re-execute the annotate+filter+join lineage.  Blocks pin in
+    # the object store and spill to disk at scale — recomputing the
+    # per-document annotation 4x is the costlier side everywhere.
     unique_docs = kept.join(keepers, "inner",
-                            num_partitions=num_partitions, on=("doc_id",))
+                            num_partitions=num_partitions,
+                            on=("doc_id",)).materialize()
 
     # Near-dup removal: verified pairs -> drop every larger id.  The
     # loser-id set is ids only (bounded), so materializing it both
