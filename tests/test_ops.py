@@ -1301,3 +1301,46 @@ def test_shared_passage_pairs_planted(ray_session):
     # deterministic sampling still catches the long passage
     sampled = shared_passage_pairs(ds, n=20, sample_mod=2).to_pandas()
     assert (0, 1) in set(zip(sampled["id_a"], sampled["id_b"]))
+
+
+def test_write_partitioned_resume(ray_session, tmp_path):
+    """First run writes every partition; a re-run after deleting one
+    partition rewrites ONLY that one (untouched markers keep their
+    mtime); data round-trips exactly."""
+    import shutil
+    import time as _time
+
+    import pandas as pd
+    import ray
+
+    from torray.ops.sampling import hash_split  # noqa: F401 (env check)
+    from torray.sinks import done_partitions, write_partitioned
+
+    root = str(tmp_path / "out")
+    df = pd.DataFrame({
+        "bucket": np.repeat(["a", "b", "c"], 40),
+        "v": np.arange(120, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    first = write_partitioned(ds, root, "bucket")
+    assert first == {"a": 40, "b": 40, "c": 40}
+    assert done_partitions(root, "bucket") == {"a", "b", "c"}
+
+    # round-trip
+    back = ray.data.read_parquet(root).to_pandas()
+    assert sorted(back["v"]) == list(range(120))
+
+    marker_b = tmp_path / "out" / "bucket=b" / "_DONE"
+    mtime_b = marker_b.stat().st_mtime_ns
+    shutil.rmtree(tmp_path / "out" / "bucket=a")
+    _time.sleep(0.01)
+
+    second = write_partitioned(ds, root, "bucket")
+    assert second == {"a": 40}                      # only the missing one
+    assert marker_b.stat().st_mtime_ns == mtime_b   # b untouched
+    back = ray.data.read_parquet(root).to_pandas()
+    assert sorted(back["v"]) == list(range(120))
+
+    # skip_done=False rewrites everything
+    third = write_partitioned(ds, root, "bucket", skip_done=False)
+    assert third == {"a": 40, "b": 40, "c": 40}
