@@ -688,6 +688,22 @@ def _q_crawl_bfs(sf_dir: str):
     return ray.data.from_arrow(table)
 
 
+def _q_crawl_corpus(sf_dir: str):
+    """Discover-then-curate end to end: BFS crawl -> seen snapshot ->
+    Bloom semi-join against the pages table -> curation chain ->
+    (doc_id, url, lang_pred, quality, split)."""
+    import ray
+
+    from torray.pipelines import corpus_from_crawl
+
+    crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
+                     budget=6, max_rounds=8, fresh=False)
+    pages = ray.data.read_parquet(crawler.cfg.pages_path)
+    return corpus_from_crawl(pages, crawler.seen_snapshot_ds(),
+                             langs=None, min_quality=0.0,
+                             near_dup_threshold=0.95)
+
+
 def _q_crawl_link_graph(sf_dir: str):
     from torray.stats import link_graph
 
@@ -859,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation": _q_docs_curation,
         "crawl_scan": _q_crawl_scan,
         "crawl_bfs": _q_crawl_bfs,
+        "crawl_corpus": _q_crawl_corpus,
         "crawl_link_graph": _q_crawl_link_graph,
         "crawl_host_rank": _q_crawl_host_rank,
         "crawl_domains": _q_crawl_domains,

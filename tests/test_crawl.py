@@ -402,3 +402,36 @@ def test_stats_cli_report(ray_session, tmp_path, monkeypatch, capsys):
     assert d["total_onions"] >= d["onion_count"] >= 0
     assert d["remaining_onions"] >= 0
     assert d["url_count"] >= d["url_count_scanned"] > 0
+
+
+def test_corpus_from_crawl_end_to_end(ray_session, web, tmp_path):
+    """Discover-then-curate: crawl the synthetic web, feed the seen
+    snapshot + pages table into the curation chain; every output url
+    was crawled, exact-dup texts collapse to one keeper, ids are
+    stable url hashes."""
+    import hashlib
+
+    import ray
+
+    from torray.pipelines import corpus_from_crawl
+
+    crawler, summary, _ = _run_engine(web, tmp_path)
+    assert summary["seen"] > 0
+    pages = ray.data.read_parquet(web.pages_path)
+    out = corpus_from_crawl(
+        pages, crawler.seen_snapshot_ds(),
+        langs=None, min_quality=0.0,
+        near_dup_threshold=0.95).to_pandas()
+
+    assert len(out) > 0
+    seen_urls = set(crawler.seen_snapshot().column("url").to_pylist())
+    assert set(out["url"]) <= seen_urls
+    # ids are the documented stable hash of the url
+    for u, did in zip(out["url"].head(20), out["doc_id"].head(20)):
+        assert did == int.from_bytes(
+            hashlib.md5(u.encode()).digest()[:8], "big") >> 1
+    # exact dedup happened: survivors' texts are unique
+    table = pages.to_pandas().set_index("url")["text"]
+    texts = [table[u] for u in out["url"]]
+    assert len(texts) == len(set(texts))
+    assert set(out["split"]) <= {"train", "test"}

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["curate_documents"]
+__all__ = ["curate_documents", "corpus_from_crawl"]
 
 
 def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
@@ -116,4 +116,53 @@ def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
     out = hash_split(survivors, "doc_id", test_frac=test_frac, salt=salt)
     return out.map_batches(
         lambda t: t.select(["doc_id", "lang_pred", "quality", "split"]),
+        batch_format="pyarrow")
+
+
+def corpus_from_crawl(pages_ds, seen_ds, *, url_col: str = "url",
+                      num_partitions: int = 8, **curate_kwargs):
+    """Crawl output -> train-ready corpus, end to end: the pages the
+    crawl actually discovered (semi-join of the Common-Crawl-style
+    pages table against the crawl's URL-seen snapshot —
+    ``Crawler.seen_snapshot_ds()``) flow straight into
+    :func:`curate_documents`.  Returns curated rows
+    ``(doc_id, url, lang_pred, quality, split)``.
+
+    Scale shape: the seen set folds into a broadcast Bloom prefilter
+    (``ops.bloom.bloom_semijoin``), so the wide pages table is cut
+    BEFORE any shuffle; doc ids are stable 63-bit url hashes, so
+    re-running over a grown crawl keeps earlier ids (incremental
+    corpus builds); the curation chain then shuffles ids/hashes only,
+    exactly as in :func:`curate_documents`.
+    """
+    import hashlib
+
+    from torray.ops.bloom import bloom_semijoin
+
+    crawled = bloom_semijoin(
+        pages_ds.select_columns([url_col, "text"]),
+        seen_ds.select_columns([url_col]),
+        big_key=url_col, small_key=url_col,
+        num_partitions=num_partitions)
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        ids = [int.from_bytes(hashlib.md5(u.encode()).digest()[:8],
+                              "big") >> 1 for u in urls]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "text": t.column("text"),
+        })
+
+    docs = crawled.map_batches(to_docs, batch_format="pyarrow")
+    id_map = docs.map_batches(lambda t: t.select(["doc_id", "url"]),
+                              batch_format="pyarrow")
+    curated = curate_documents(docs, num_partitions=num_partitions,
+                               **curate_kwargs)
+    joined = curated.join(id_map, "inner", num_partitions=num_partitions,
+                          on=("doc_id",))
+    return joined.map_batches(
+        lambda t: t.select(["doc_id", "url", "lang_pred", "quality",
+                            "split"]),
         batch_format="pyarrow")
