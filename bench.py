@@ -209,6 +209,61 @@ def bench_docs_dedup(sf_dir: str) -> dict:
     return {"sec": wall, "exact_groups": n_groups, "near_dup_pairs": n_pairs}
 
 
+def _ensure_docs_xl(sf_dir: str, mult: int = 20) -> str:
+    """Generate-and-cache a ``mult``x documents table: copy k of doc d
+    gets doc_id ``d + k*10^7`` and every 7th word replaced by a
+    copy-specific marker, so each copy keeps the base corpus's planted
+    dup structure but copies are NOT near-dups of each other (the
+    marker words shred cross-copy shingles)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(_CACHE, f"docsxl-{mult}.parquet")
+    if os.path.exists(out):
+        return out
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = src.column("doc_id").to_pylist()
+    texts = src.column("text").to_pylist()
+    all_ids, all_texts = [], []
+    for k in range(mult):
+        tag = f"m{k}"
+        for d, t in zip(ids, texts):
+            words = (t or "").split(" ")
+            words[::7] = [tag] * len(words[::7])
+            all_ids.append(d + k * 10_000_000)
+            all_texts.append(" ".join(words))
+    os.makedirs(_CACHE, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "text": pa.array(all_texts, pa.string())}), out,
+        row_group_size=8192)
+    return out
+
+
+def bench_docs_dedup_xl(sf_dir: str) -> dict:
+    """Dedup at 20x the documents volume (100k docs at sf0.1) — the
+    data-scale probe for the banded minhash shuffle and the exact-hash
+    groupby; the small-sf rows measure per-DAG constants, this one
+    measures the data path.  Not in the default suite (run via
+    TORRAY_BENCH_ONLY=docs_dedup_xl)."""
+    import ray
+
+    from torray.ops.dedup import exact_dedup, minhash_lsh_dedup
+
+    path = _ensure_docs_xl(sf_dir)
+    _warm_pool()
+    t0 = time.monotonic()
+    n_groups = exact_dedup(ray.data.read_parquet(path)).count()
+    t1 = time.monotonic()
+    n_pairs = minhash_lsh_dedup(ray.data.read_parquet(path),
+                                threshold=0.5).count()
+    wall = time.monotonic() - t0
+    return {"sec": wall, "exact_sec": round(t1 - t0, 2),
+            "minhash_sec": round(wall - (t1 - t0), 2),
+            "exact_groups": n_groups, "near_dup_pairs": n_pairs}
+
+
 def bench_docs_curation(sf_dir: str) -> dict:
     """The flagship user pipeline: annotate -> filter -> exact dedup ->
     near-dup removal -> split, end to end over the documents table."""
@@ -332,6 +387,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
                                            scale_mult=10),
         "scan_dedup": lambda: bench_scan_dedup(sf),
         "docs_dedup": lambda: bench_docs_dedup(sf_dir),
+        "docs_dedup_xl": lambda: bench_docs_dedup_xl(sf_dir),
         "docs_curation": lambda: bench_docs_curation(sf_dir),
         "docs_hygiene": lambda: bench_docs_hygiene(sf_dir),
         "knn": lambda: bench_knn(sf_dir),

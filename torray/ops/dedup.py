@@ -38,6 +38,7 @@ __all__ = [
     "jaccard",
     "ngram_jaccard_pairs",
     "bounded_pair_positions",
+    "salted_bucket_pairs",
     "shared_passage_pairs",
 ]
 
@@ -109,6 +110,64 @@ def bounded_pair_positions(ids_sorted: np.ndarray,
         e = np.empty(0, np.int64)
         return e, e
     return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
+                        max_bucket: int, num_partitions: int = 64):
+    """(int64 key, int64 id) rows -> bounded candidate ``(id_a, id_b)``
+    pairs, one pair stream per BUCKET (= distinct key) — without one
+    Python call per bucket.
+
+    ``groupby(key).map_groups`` invokes Python once per distinct key;
+    at web scale almost every band bucket is a singleton, so that is
+    millions of no-op calls (measured: 14 s of a 34 s minhash run at
+    100k docs).  Instead the keys are salted into ``num_partitions``
+    coarse groups (a bucket never straddles two — the salt is a pure
+    function of the key), and within a partition buckets are RUNS of
+    the lexsorted key column: multi-member runs are selected
+    vectorized, and only those few reach Python
+    (:func:`bounded_pair_positions` per run, same capping contract).
+    """
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_mix64(k) % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            key_col: t.column(key_col),
+            id_col: t.column(id_col),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    def run_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        if len(k) < 2:
+            return empty
+        order = np.lexsort((ids, k))
+        k, ids = k[order], ids[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.append(starts[1:], len(k))
+        multi = np.flatnonzero(ends - starts >= 2)
+        out_a, out_b = [], []
+        for m in multi:
+            run_ids = np.unique(ids[starts[m]:ends[m]])
+            if len(run_ids) < 2:
+                continue
+            ii, jj = bounded_pair_positions(run_ids, max_bucket)
+            out_a.append(run_ids[ii])
+            out_b.append(run_ids[jj])
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(run_pairs, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -234,40 +293,40 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
     connectivity star, O(m*cap) candidate rows instead of O(m^2)).
     """
     rows = num_perm // bands
+    _FNV = np.uint64(1099511628211)
 
     def banded(batch: pa.Table) -> pa.Table:
         sig_batch = minhash_signatures_batch(
             batch, num_perm=num_perm, shingle_k=shingle_k, text_col=text_col)
-        doc_ids = sig_batch.column("doc_id").to_pylist()
-        sigs = sig_batch.column("minhash").to_pylist()
-        out_band, out_id = [], []
-        for doc_id, sig in zip(doc_ids, sigs):
-            arr = np.asarray(sig, dtype=np.uint64)
+        n = len(sig_batch)
+        col = sig_batch.column("minhash").combine_chunks()
+        sigs = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.uint64).reshape(n, num_perm)
+        ids = sig_batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # int64 band key: band index in the top 6 bits, FNV fold of the
+        # band's rows below (56-bit value space per band — collisions
+        # only create extra verify candidates, never wrong results,
+        # because every pair is exact-Jaccard verified downstream).
+        keys = np.empty(bands * n, np.uint64)
+        with np.errstate(over="ignore"):
             for b in range(bands):
-                chunk = arr[b * rows:(b + 1) * rows].tobytes()
-                out_band.append(f"{b}:{_md5_64(chunk):x}")
-                out_id.append(doc_id)
+                h = np.zeros(n, np.uint64)
+                for r in range(rows):
+                    h = h * _FNV + sigs[:, b * rows + r]
+                keys[b * n:(b + 1) * n] = (
+                    (np.uint64(b) << np.uint64(56)) | (h >> np.uint64(8)))
         return pa.table({
-            "band_key": pa.array(out_band, pa.string()),
-            "doc_id": pa.array(out_id, pa.int64()),
-        })
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(
-            zero_copy_only=False))
-        ii, jj = bounded_pair_positions(ids, max_bucket)
-        return pa.table({
-            "id_a": pa.array(ids[ii], pa.int64()),
-            "id_b": pa.array(ids[jj], pa.int64()),
+            "band_key": pa.array(keys.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
         })
 
     import ray.data
 
     candidates = (
-        docs_ds.select_columns(["doc_id", text_col])
-        .map_batches(banded, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        salted_bucket_pairs(
+            docs_ds.select_columns(["doc_id", text_col])
+            .map_batches(banded, batch_format="pyarrow"),
+            "band_key", "doc_id", max_bucket=max_bucket)
         # Same pair can surface from several bands: one dedup groupby.
         .groupby(["id_a", "id_b"]).count()
         .map_batches(lambda t: t.select(["id_a", "id_b"]),
@@ -309,8 +368,12 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
                 _r.get(ids_ref))
             return t.filter(pa.array(mask))
 
-        verify_ds = verify_ds.map_batches(prefilter,
-                                          batch_format="pyarrow")
+        # Materialized: both verify joins consume this stream; without
+        # the pin each join re-reads and re-filters the whole corpus.
+        # It holds CANDIDATE documents only, so it is bounded by the
+        # candidate set, not the corpus.
+        verify_ds = verify_ds.map_batches(
+            prefilter, batch_format="pyarrow").materialize()
     else:
         # Adversarially-huge candidate sets: stay fully distributed.
         # The repartition folds away the schemaless 0-row blocks that
