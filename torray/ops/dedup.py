@@ -113,7 +113,9 @@ def bounded_pair_positions(ids_sorted: np.ndarray,
 
 
 def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
-                        max_bucket: int, num_partitions: int = 64):
+                        max_bucket: int, num_partitions: int = 64,
+                        payload_col: str | None = None,
+                        pair_filter=None):
     """(int64 key, int64 id) rows -> bounded candidate ``(id_a, id_b)``
     pairs, one pair stream per BUCKET (= distinct key) — without one
     Python call per bucket.
@@ -127,16 +129,19 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
     the lexsorted key column: multi-member runs are selected
     vectorized, and only those few reach Python
     (:func:`bounded_pair_positions` per run, same capping contract).
+
+    ``payload_col`` (uint64/int64) rides along sorted with the ids;
+    ``pair_filter(pay_a, pay_b)`` then vets each candidate pair
+    vectorized (e.g. simhash xor+popcount) before it is emitted.
     """
+    cols = [key_col, id_col] + ([payload_col] if payload_col else [])
 
     def tag(t: pa.Table) -> pa.Table:
         k = t.column(key_col).to_numpy(zero_copy_only=False)
         part = (_mix64(k) % np.uint64(num_partitions)).astype(np.int64)
-        return pa.table({
-            key_col: t.column(key_col),
-            id_col: t.column(id_col),
-            "__part": pa.array(part, pa.int64()),
-        })
+        out = {c: t.column(c) for c in cols}
+        out["__part"] = pa.array(part, pa.int64())
+        return pa.table(out)
 
     def run_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),
@@ -147,17 +152,32 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
             return empty
         order = np.lexsort((ids, k))
         k, ids = k[order], ids[order]
+        pay = None
+        if payload_col is not None:
+            pay = group.column(payload_col).to_numpy(
+                zero_copy_only=False)[order]
         starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
         ends = np.append(starts[1:], len(k))
         multi = np.flatnonzero(ends - starts >= 2)
         out_a, out_b = [], []
         for m in multi:
-            run_ids = np.unique(ids[starts[m]:ends[m]])
+            s, e = starts[m], ends[m]
+            run_ids = ids[s:e]
+            run_pay = pay[s:e] if pay is not None else None
+            # dedup repeated ids within the bucket (keep first payload)
+            keep = np.concatenate(([True], run_ids[1:] != run_ids[:-1]))
+            run_ids = run_ids[keep]
+            if run_pay is not None:
+                run_pay = run_pay[keep]
             if len(run_ids) < 2:
                 continue
             ii, jj = bounded_pair_positions(run_ids, max_bucket)
-            out_a.append(run_ids[ii])
-            out_b.append(run_ids[jj])
+            if pair_filter is not None and len(ii):
+                mask = pair_filter(run_pay[ii], run_pay[jj])
+                ii, jj = ii[mask], jj[mask]
+            if len(ii):
+                out_a.append(run_ids[ii])
+                out_b.append(run_ids[jj])
         if not out_a:
             return empty
         return pa.table({
@@ -479,45 +499,33 @@ def simhash_dedup(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
 
     def banded(batch: pa.Table) -> pa.Table:
         sig_batch = simhash_batch(batch, text_col)
-        ids = sig_batch.column("doc_id").to_pylist()
-        sigs = sig_batch.column("simhash").to_pylist()
-        out_key, out_id, out_sig = [], [], []
-        for doc_id, sig in zip(ids, sigs):
-            for band in range(4):
-                chunk = (sig >> (band * 16)) & 0xFFFF
-                out_key.append(f"{band}:{chunk:04x}")
-                out_id.append(doc_id)
-                out_sig.append(sig)
-        return pa.table({
-            "band_key": pa.array(out_key, pa.string()),
-            "doc_id": pa.array(out_id, pa.int64()),
-            "simhash": pa.array(out_sig, pa.uint64()),
-        })
-
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        sigs = group.column("simhash").to_numpy(
+        n = len(sig_batch)
+        ids = sig_batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = sig_batch.column("simhash").to_numpy(
             zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
-        ii, jj = bounded_pair_positions(ids, max_bucket)
-        if len(ii) == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        keep = _popcount64(sigs[ii] ^ sigs[jj]) <= max_hamming
-        ia, ib = ids[ii[keep]], ids[jj[keep]]
-        order = np.lexsort((ib, ia))
+        # int64 band key: band index in bits 16-17, 16-bit chunk below
+        # — fully vectorized, no per-doc Python.
+        keys = np.empty(4 * n, np.uint64)
+        for band in range(4):
+            chunk = (sigs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            keys[band * n:(band + 1) * n] = (
+                (np.uint64(band) << np.uint64(16)) | chunk)
         return pa.table({
-            "id_a": pa.array(ia[order], pa.int64()),
-            "id_b": pa.array(ib[order], pa.int64()),
+            "band_key": pa.array(keys.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+            "simhash": pa.array(np.tile(sigs, 4).view(np.int64),
+                                pa.int64()),
         })
 
-    pair_ds = (
+    def hamming_ok(pay_a: np.ndarray, pay_b: np.ndarray) -> np.ndarray:
+        return _popcount64(pay_a.view(np.uint64)
+                           ^ pay_b.view(np.uint64)) <= max_hamming
+
+    pair_ds = salted_bucket_pairs(
         docs_ds.select_columns(["doc_id", text_col])
-        .map_batches(banded, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pyarrow")
-    )
+        .map_batches(banded, batch_format="pyarrow"),
+        "band_key", "doc_id", max_bucket=max_bucket,
+        payload_col="simhash", pair_filter=hamming_ok)
     return pair_ds.groupby(["id_a", "id_b"]).count().map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
 
@@ -599,17 +607,13 @@ def shared_passage_pairs(docs_ds, *, n: int = 20, min_shared: int = 1,
             "gram": pa.array(np.concatenate(gram_out), pa.int64()),
             "doc_id": pa.array(np.concatenate(id_out), pa.int64())})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column("doc_id").to_numpy(
-            zero_copy_only=False))
-        ii, jj = bounded_pair_positions(ids, max_bucket)
-        return pa.table({"id_a": pa.array(ids[ii], pa.int64()),
-                         "id_b": pa.array(ids[jj], pa.int64())})
-
-    pairs = (docs_ds.select_columns(["doc_id", text_col])
-             .map_batches(explode, batch_format="pyarrow")
-             .groupby("gram")
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # One bucket per distinct gram — cardinality ~ token count, the
+    # worst case for per-bucket Python calls; the salted run-scan
+    # (salted_bucket_pairs) is what makes this op viable at scale.
+    pairs = salted_bucket_pairs(
+        docs_ds.select_columns(["doc_id", text_col])
+        .map_batches(explode, batch_format="pyarrow"),
+        "gram", "doc_id", max_bucket=max_bucket)
     counted = pairs.groupby(["id_a", "id_b"]).count()
 
     def finish(t: pa.Table) -> pa.Table:

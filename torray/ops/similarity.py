@@ -528,40 +528,35 @@ def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
     the reverse for cost."""
     import ray  # noqa: F401  (Dataset ops only)
 
-    from torray.ops.dedup import _PREFILTER_MAX_PAIRS, bounded_pair_positions
+    from torray.ops.dedup import _PREFILTER_MAX_PAIRS, salted_bucket_pairs
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = _batch_matrix(batch, vec_col)
         if mat.size == 0:
-            return pa.table({"bucket_key": pa.array([], pa.string()),
+            return pa.table({"bucket_key": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64())})
         mat = _normalize(mat)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        keys, out_ids = [], []
+        n = len(ids)
         weights = 1 << np.arange(bits, dtype=np.int64)
+        keys = np.empty(tables * n, np.int64)
         for l in range(tables):
             planes = _hyperplanes(mat.shape[1], bits, seed + 101 * l)
             sigs = (mat @ planes.T > 0).astype(np.int64)
-            bucket = sigs @ weights
-            keys.extend(f"{l}:{b}" for b in bucket)
-            out_ids.extend(ids.tolist())
-        return pa.table({"bucket_key": pa.array(keys, pa.string()),
-                         id_col: pa.array(out_ids, pa.int64())})
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column(id_col).to_numpy(
-            zero_copy_only=False))
-        ii, jj = bounded_pair_positions(ids, max_bucket)
-        return pa.table({"id_a": pa.array(ids[ii], pa.int64()),
-                         "id_b": pa.array(ids[jj], pa.int64())})
+            # int64 bucket key: table index above the bits-wide bucket —
+            # vectorized, no per-row Python string keys.
+            keys[l * n:(l + 1) * n] = (l << bits) | (sigs @ weights)
+        return pa.table({"bucket_key": pa.array(keys, pa.int64()),
+                         id_col: pa.array(np.tile(ids, tables),
+                                          pa.int64())})
 
     import ray.data
 
     candidates = (
-        emb_ds.select_columns([id_col, vec_col])
-        .map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket_key")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        salted_bucket_pairs(
+            emb_ds.select_columns([id_col, vec_col])
+            .map_batches(bucketize, batch_format="pyarrow"),
+            "bucket_key", id_col, max_bucket=max_bucket)
         .groupby(["id_a", "id_b"]).count()
         .map_batches(lambda t: t.select(["id_a", "id_b"]),
                      batch_format="pyarrow")
