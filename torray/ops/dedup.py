@@ -418,11 +418,28 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
         if batch.num_rows == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
-        keep = [
-            jaccard(a or "", b or "", shingle_k) >= threshold
-            for a, b in zip(batch.column("__text_a").to_pylist(),
-                            batch.column("__text_b").to_pylist())
-        ]
+        # A hub document appears in MANY candidate pairs (boilerplate);
+        # memoize its shingle set per batch instead of re-shingling it
+        # for every pair it participates in.
+        ida = batch.column("id_a").to_pylist()
+        idb = batch.column("id_b").to_pylist()
+        ta = batch.column("__text_a").to_pylist()
+        tb = batch.column("__text_b").to_pylist()
+        sh: dict[int, set] = {}
+        for i, t in zip(ida + idb, ta + tb):
+            if i not in sh:
+                sh[i] = _shingles(t or "", shingle_k)
+        keep = []
+        for a, b in zip(ida, idb):
+            sa, sb = sh[a], sh[b]
+            if not sa and not sb:
+                keep.append(1.0 >= threshold)
+            elif not sa or not sb:
+                keep.append(0.0 >= threshold)
+            else:
+                inter = len(sa & sb)
+                keep.append(
+                    inter / (len(sa) + len(sb) - inter) >= threshold)
         return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
 
     return joined.map_batches(verify, batch_format="pyarrow")
