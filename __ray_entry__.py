@@ -852,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_stats": _q_docs_line_stats,
         "lineitem_top_parts": _q_lineitem_top_parts,
         "lineitem_urgent_semijoin": _q_lineitem_urgent_semijoin,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -867,7 +868,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "minhash_dup_pairs": _q_minhash_pairs,
         "simhash_dup_pairs": _q_simhash_pairs,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "media_features": _q_media_features,
@@ -1052,6 +1052,33 @@ def oracle_sql() -> dict[str, str]:
             "max(o_orderkey) AS o_orderkey FROM orders "
             "GROUP BY 1, 2) o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        # Exact word-3-gram Jaccard >= 0.5: the SQL mirrors _shingles'
+        # semantics (distinct lowercased word 3-grams; 1-2-word docs
+        # collapse to one whole-text shingle; empty docs pair with
+        # nothing) and the division-form threshold comparison.
+        "ngram_jaccard_pairs": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS ws "
+            "FROM documents), "
+            "g AS ("
+            "SELECT DISTINCT doc_id, "
+            "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM ("
+            "SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws) - 2)) AS i "
+            "FROM w WHERE len(ws) >= 3) "
+            "UNION "
+            "SELECT doc_id, array_to_string(ws, ' ') FROM w "
+            "WHERE len(ws) IN (1, 2)), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS shared FROM g a "
+            "JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = inter.id_a "
+            "JOIN sz sb ON sb.doc_id = inter.id_b "
+            "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5"
         ),
         # The salted variants MUST produce byte-identical results to
         # their unsalted twins; the same SQL hash-checks both paths.

@@ -89,6 +89,26 @@ def test_ngram_jaccard_matches_bruteforce(docs_with_dups):
     assert got == expected
 
 
+def test_ngram_jaccard_capped_buckets_are_conservative(docs_with_dups):
+    # max_bucket bounds degenerate gram buckets (salt-split + star).
+    # Capping UNDERCOUNTS shared grams for salt-separated pairs, so the
+    # capped op is a high-precision subset: it may drop true pairs but
+    # never invents one (sizes stay exact; the count only shrinks).
+    from torray.ops.dedup import jaccard, ngram_jaccard_pairs
+
+    ds, texts = docs_with_dups
+    df = ngram_jaccard_pairs(ds, threshold=0.5, max_bucket=2).to_pandas()
+    got = set(zip(df["id_a"], df["id_b"]))
+    expected = {(i, j) for i in range(len(texts))
+                for j in range(i + 1, len(texts))
+                if jaccard(texts[i], texts[j]) >= 0.5}
+    assert got <= expected
+    # Deterministic on this fixture: every planted exact dup survives
+    # even the extreme cap=2 (verified recall; salts are stable).
+    for k in range(5):
+        assert (3 * k, 3 * k + 1) in got
+
+
 def test_simhash_exact_dups_have_zero_distance(docs_with_dups):
     from torray.ops.dedup import simhash_dedup
 

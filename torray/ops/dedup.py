@@ -63,7 +63,7 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def bounded_pair_positions(ids_sorted: np.ndarray,
-                           cap: int) -> tuple[np.ndarray, np.ndarray]:
+                           cap: int | None) -> tuple[np.ndarray, np.ndarray]:
     """Candidate-pair POSITIONS (i < j into ``ids_sorted``) for one LSH
     bucket, with degenerate buckets bounded.
 
@@ -77,13 +77,15 @@ def bounded_pair_positions(ids_sorted: np.ndarray,
     identical documents still collapses to one keeper even though not
     every cross-sub-bucket pair is emitted.  Output size is O(m*cap)
     instead of O(m^2); the lost pairs are the documented recall
-    trade-off of capping (raise ``cap`` to recover them).
+    trade-off of capping (raise ``cap`` to recover them, or pass
+    ``cap=None`` for the exact all-pairs emission — used by the exact
+    set-similarity ops where capping would change the answer).
     """
     n = len(ids_sorted)
     if n < 2:
         e = np.empty(0, np.int64)
         return e, e
-    if n <= cap:
+    if cap is None or n <= cap:
         ii, jj = np.triu_indices(n, 1)
         return ii.astype(np.int64), jj.astype(np.int64)
     n_groups = -(-n // cap)
@@ -113,9 +115,9 @@ def bounded_pair_positions(ids_sorted: np.ndarray,
 
 
 def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
-                        max_bucket: int, num_partitions: int = 64,
+                        max_bucket: int | None, num_partitions: int = 64,
                         payload_col: str | None = None,
-                        pair_filter=None):
+                        pair_filter=None, emit_payload: bool = False):
     """(int64 key, int64 id) rows -> bounded candidate ``(id_a, id_b)``
     pairs, one pair stream per BUCKET (= distinct key) — without one
     Python call per bucket.
@@ -133,8 +135,14 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
     ``payload_col`` (uint64/int64) rides along sorted with the ids;
     ``pair_filter(pay_a, pay_b)`` then vets each candidate pair
     vectorized (e.g. simhash xor+popcount) before it is emitted.
+    With ``emit_payload=True`` the surviving pairs carry their
+    payloads out as ``pay_a`` / ``pay_b`` int64 columns (e.g. set
+    sizes for exact Jaccard, where the downstream aggregate needs
+    them without a second join against the corpus).
     """
     cols = [key_col, id_col] + ([payload_col] if payload_col else [])
+    out_cols = (["id_a", "id_b", "pay_a", "pay_b"]
+                if emit_payload else ["id_a", "id_b"])
 
     def tag(t: pa.Table) -> pa.Table:
         k = t.column(key_col).to_numpy(zero_copy_only=False)
@@ -144,8 +152,7 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
         return pa.table(out)
 
     def run_pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64())})
+        empty = pa.table({c: pa.array([], pa.int64()) for c in out_cols})
         k = group.column(key_col).to_numpy(zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         if len(k) < 2:
@@ -159,7 +166,7 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
         starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
         ends = np.append(starts[1:], len(k))
         multi = np.flatnonzero(ends - starts >= 2)
-        out_a, out_b = [], []
+        out_a, out_b, out_pa, out_pb = [], [], [], []
         for m in multi:
             s, e = starts[m], ends[m]
             run_ids = ids[s:e]
@@ -178,12 +185,21 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
             if len(ii):
                 out_a.append(run_ids[ii])
                 out_b.append(run_ids[jj])
+                if emit_payload:
+                    out_pa.append(run_pay[ii])
+                    out_pb.append(run_pay[jj])
         if not out_a:
             return empty
-        return pa.table({
+        out = {
             "id_a": pa.array(np.concatenate(out_a), pa.int64()),
             "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-        })
+        }
+        if emit_payload:
+            out["pay_a"] = pa.array(
+                np.concatenate(out_pa).view(np.int64), pa.int64())
+            out["pay_b"] = pa.array(
+                np.concatenate(out_pb).view(np.int64), pa.int64())
+        return pa.table(out)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
@@ -548,36 +564,80 @@ def simhash_dedup(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
-                        shingle_k: int = 3, text_col: str = "text"):
-    """All-pairs n-gram Jaccard >= threshold (exact, no LSH) — the
-    small-input baseline the probabilistic methods are validated
-    against.  O(n^2) over one coalesced block: use only on bounded
-    inputs (the LSH variants are the scale path)."""
+                        shingle_k: int = 3, text_col: str = "text",
+                        max_bucket: int | None = None,
+                        num_partitions: int = 64):
+    """All pairs with word ``shingle_k``-gram Jaccard >= threshold —
+    EXACT set similarity, computed distributed (no LSH, no O(n^2)
+    driver block).  The exact baseline the probabilistic family
+    (:func:`minhash_lsh_dedup`, :func:`simhash_dedup`) is validated
+    against, and a real operator in its own right on corpora where
+    exactness matters (eval-set contamination audits, gold dedup).
 
-    def all_pairs(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        shingle_sets = [_shingles(t or "", shingle_k) for t in texts]
-        pairs = []
-        order = np.argsort(ids)
-        for oi in range(len(order)):
-            for oj in range(oi + 1, len(order)):
-                i, j = order[oi], order[oj]
-                sa, sb = shingle_sets[i], shingle_sets[j]
-                if not sa or not sb:
-                    continue
-                if len(sa & sb) / len(sa | sb) >= threshold:
-                    pairs.append((ids[i], ids[j]))
+    Scale shape (the shared-token inverted-index construction behind
+    PPJoin-style exact joins, without the prefix filter): each
+    document emits its DISTINCT shingle hashes once as narrow
+    ``(gram, doc_id, set_size)`` int64 rows — text bytes never leave
+    their blocks.  One shuffle groups by gram; the per-pair emission
+    count across buckets IS ``|A ∩ B|``, and with the set sizes
+    carried on the pair rows the Jaccard is
+    ``shared / (|A| + |B| - shared)`` after the final pair-count
+    groupby — no verify join back to the corpus at all.
+
+    ``max_bucket=None`` (default) keeps the op exact; a corpus-wide
+    gram (stopword run, boilerplate) emits O(m^2) pairs for its m
+    members, which is inherent to exactness.  Pass ``max_bucket`` to
+    bound degenerate buckets with the LSH family's salt-split
+    semantics; capping UNDERCOUNTS shared grams for salt-separated
+    pairs, so the capped mode is a high-precision subset — it may
+    drop borderline pairs, never invent one.
+
+    Docs whose shingle set is empty (no tokens) pair with nothing,
+    matching :func:`jaccard`'s empty-vs-nonempty = 0.0 convention.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gram_out, id_out, sz_out = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            sh = _shingles(t or "", shingle_k)
+            if not sh:
+                continue
+            g = np.fromiter(sh, np.uint64, len(sh)).view(np.int64)
+            gram_out.append(g)
+            id_out.append(np.full(g.size, did, np.int64))
+            sz_out.append(np.full(g.size, len(sh), np.int64))
+        if not gram_out:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "set_size": pa.array([], pa.int64())})
         return pa.table({
-            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
-        })
+            "gram": pa.array(np.concatenate(gram_out), pa.int64()),
+            "doc_id": pa.array(np.concatenate(id_out), pa.int64()),
+            "set_size": pa.array(np.concatenate(sz_out), pa.int64())})
 
-    return (
+    pairs = salted_bucket_pairs(
         docs_ds.select_columns(["doc_id", text_col])
-        .repartition(1)
-        .map_batches(all_pairs, batch_format="pyarrow", batch_size=None)
-    )
+        .map_batches(explode, batch_format="pyarrow"),
+        "gram", "doc_id", max_bucket=max_bucket,
+        num_partitions=num_partitions,
+        payload_col="set_size", emit_payload=True)
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(), Max("pay_a"), Max("pay_b"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        shared = t.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sa = t.column("max(pay_a)").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sb = t.column("max(pay_b)").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = shared / (sa + sb - shared) >= threshold
+        return t.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def shared_passage_pairs(docs_ds, *, n: int = 20, min_shared: int = 1,
