@@ -576,6 +576,73 @@ def _q_events_value_quantiles(sf_dir: str):
                                        pa.float64())})
 
 
+def _q_events_quantiles_exact(sf_dir: str):
+    """Exact quantile_disc quantiles via shuffle-free multipass
+    histogram selection (``ops.sketch.exact_quantiles``)."""
+    from torray.ops.sketch import exact_quantiles
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = exact_quantiles(_read(sf_dir, "events"), "value", qs)
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array([got[q] for q in qs],
+                                       pa.float64())})
+
+
+def _q_events_quantiles_by_type(sf_dir: str):
+    """Exact per-group quantiles (long format) —
+    ``ops.sketch.group_quantiles``."""
+    from torray.ops.sketch import group_quantiles
+
+    return group_quantiles(_read(sf_dir, "events"), "event_type",
+                           "value", [0.25, 0.5, 0.75])
+
+
+def _q_events_running_total(sf_dir: str, salt_range_s: int | None = None):
+    """Per-user cumulative sum ordered by (ts, event_id), integer
+    cents — ``ops.window.running_total``."""
+    from torray.ops.window import running_total
+
+    return running_total(_read(sf_dir, "events"),
+                         salt_range_s=salt_range_s)
+
+
+def _q_events_running_salted(sf_dir: str):
+    """Hot-key two-phase running total (3-day time-range salt) — must
+    be byte-identical to the unsalted path, same oracle SQL."""
+    return _q_events_running_total(sf_dir, salt_range_s=86400 * 3)
+
+
+def _q_customers_no_events(sf_dir: str):
+    """Bloom-prefiltered EXACT anti-join (NOT EXISTS): customers with
+    no event activity — ``ops.bloom.bloom_antijoin``."""
+    from torray.ops.bloom import bloom_antijoin
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_mktsegment"])
+    ev = _read(sf_dir, "events").select_columns(["user_id"])
+    return bloom_antijoin(cust, ev, big_key="c_custkey",
+                          small_key="user_id")
+
+
+def _q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) sum+count —
+    ``ops.rollup.rollup`` (single raw-data shuffle; coarser levels
+    re-aggregate finest partials)."""
+    from torray.ops.rollup import rollup
+
+    return rollup(_read(sf_dir, "lineitem"),
+                  ["l_returnflag", "l_linestatus"], "l_quantity",
+                  sum_name="sum_qty", count_name="n")
+
+
+def _q_docs_char_classes(sf_dir: str):
+    """Vectorized per-document char-class counts (RE2 kernels) —
+    ``ops.text.char_class_counts``."""
+    from torray.ops.text import char_class_counts
+
+    return char_class_counts(_read(sf_dir, "documents"))
+
+
 def _q_events_approx_users(sf_dir: str):
     """HyperLogLog approximate distinct users (b=12 -> ~1.6% rel err;
     deterministic for the fixed hash) — no shuffle, registers merge
@@ -853,6 +920,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_top_parts": _q_lineitem_top_parts,
         "lineitem_urgent_semijoin": _q_lineitem_urgent_semijoin,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "events_quantiles_exact": _q_events_quantiles_exact,
+        "events_quantiles_by_type": _q_events_quantiles_by_type,
+        "events_running_total": _q_events_running_total,
+        "events_running_salted": _q_events_running_salted,
+        "customers_no_events": _q_customers_no_events,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "docs_char_classes": _q_docs_char_classes,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1096,5 +1170,51 @@ def oracle_sql() -> dict[str, str]:
             "max(o_orderkey) AS o_orderkey FROM orders "
             "GROUP BY 1, 2) o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "events_quantiles_exact": (
+            "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q, "
+            "unnest(quantile_disc(value, [0.1, 0.25, 0.5, 0.75, 0.9])) "
+            "AS value FROM events"
+        ),
+        "events_quantiles_by_type": (
+            "SELECT event_type, unnest([0.25, 0.5, 0.75]) AS q, "
+            "unnest(quantile_disc(value, [0.25, 0.5, 0.75])) AS value "
+            "FROM events GROUP BY event_type"
+        ),
+        # Integer-cents running sum: exact and associativity-safe on
+        # both sides (float window sums are summation-order-dependent).
+        "events_running_total": (
+            "SELECT event_id, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS running FROM events"
+        ),
+        "events_running_salted": (
+            "SELECT event_id, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS running FROM events"
+        ),
+        "customers_no_events": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM events e "
+            "WHERE e.user_id = c.c_custkey)"
+        ),
+        "lineitem_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "count(*) AS n FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "docs_char_classes": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_utf8, "
+            "CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) "
+            "AS n_alpha, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) "
+            "AS n_digit, "
+            "CAST(len(regexp_extract_all(text, '\\s')) AS BIGINT) "
+            "AS n_space, "
+            "CAST(len(regexp_extract_all(text, '[^\\sa-zA-Z0-9]')) "
+            "AS BIGINT) AS n_punct FROM documents"
         ),
     }

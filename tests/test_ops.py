@@ -1364,3 +1364,175 @@ def test_write_partitioned_resume(ray_session, tmp_path):
     # skip_done=False rewrites everything
     third = write_partitioned(ds, root, "bucket", skip_done=False)
     assert third == {"a": 40, "b": 40, "c": 40}
+
+
+def test_bloom_antijoin_exact(ray_session):
+    """Anti-join equals the set-complement filter: every emitted row's
+    key is absent from the small side, and no absent-key row is lost
+    (Bloom false positives must be verified away, not kept)."""
+    import ray
+
+    from torray.ops.bloom import bloom_antijoin
+
+    rng = np.random.RandomState(71)
+    big_keys = rng.randint(0, 2_000, 4000).astype(np.int64)
+    small_keys = np.unique(rng.randint(0, 2_000, 600).astype(np.int64))
+    big = ray.data.from_arrow(pa.table({
+        "k": pa.array(big_keys, pa.int64()),
+        "rid": pa.array(np.arange(4000), pa.int64())})).repartition(4)
+    small = ray.data.from_arrow(pa.table({
+        "sk": pa.array(np.concatenate([small_keys, small_keys]),
+                       pa.int64())})).repartition(2)
+
+    expected = set(np.flatnonzero(~np.isin(big_keys, small_keys)))
+    # tiny filter -> lots of false positives -> exercises the verify
+    got = bloom_antijoin(big, small, big_key="k", small_key="sk",
+                         m_bits=1 << 10, num_partitions=2).to_pandas()
+    assert set(got["rid"]) == expected
+    assert len(got) == len(expected)
+    assert list(got.columns) == ["k", "rid"]
+
+
+def test_running_total_plain_and_salted_match_groundtruth(ray_session):
+    """Cumulative per-key sums ordered by (ts, id): both paths equal a
+    pandas groupby-cumsum ground truth, including negative values and
+    a hot key owning most rows."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.window import running_total
+
+    rng = np.random.RandomState(72)
+    n = 5000
+    user = np.where(rng.rand(n) < 0.7, 1, rng.randint(2, 40, n))
+    ts = np.sort(rng.randint(0, 10**6, n)).astype("datetime64[us]")
+    rng.shuffle(ts)
+    val = np.round(rng.randn(n) * 50, 2)  # negatives included
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "user_id": user.astype(np.int64),
+                       "ts": ts, "value": val})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+
+    cents = np.round(val * 100).astype(np.int64)
+    ref = (pd.DataFrame({"event_id": df.event_id, "user_id": df.user_id,
+                         "ts": df.ts, "c": cents})
+           .sort_values(["user_id", "ts", "event_id"]))
+    ref["running"] = ref.groupby("user_id")["c"].cumsum()
+    ref = ref[["event_id", "running"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+    for salt in (None, 200):  # 200 s ranges -> many partials per key
+        got = (running_total(ds, salt_range_s=salt).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_exact_quantiles_matches_numpy_rank(ray_session):
+    """quantile_disc rank rule on a multimodal sample with heavy
+    duplicates — exact element equality, forced through multiple
+    refinement passes by tiny bins/final_cap."""
+    import ray
+
+    from torray.ops.sketch import exact_quantiles
+
+    rng = np.random.RandomState(73)
+    vals = np.concatenate([
+        rng.lognormal(2.0, 1.5, 20_000),
+        np.full(15_000, 42.0),          # heavy duplicate spike
+        rng.uniform(-100, -1, 5_000),
+    ])
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(vals, pa.float64())})).repartition(8)
+    qs = [0.0, 0.1, 0.5, 0.55, 0.9, 1.0]
+    got = exact_quantiles(ds, "x", qs, bins=32, final_cap=64,
+                          max_passes=10)
+    s = np.sort(vals)
+    n = len(s)
+    for q in qs:
+        rank = max(0, int(np.ceil(q * n)) - 1)
+        assert got[q] == s[rank], (q, got[q], s[rank])
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert np.isnan(exact_quantiles(empty, "x", [0.5])[0.5])
+
+
+def test_group_quantiles_exact(ray_session):
+    """Per-group quantile_disc against a per-group numpy ground truth."""
+    import ray
+
+    from torray.ops.sketch import group_quantiles
+
+    rng = np.random.RandomState(74)
+    n = 9000
+    g = rng.choice(["a", "b", "c"], n)
+    x = rng.randn(n) * 10
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(g), "x": pa.array(x, pa.float64())})).repartition(5)
+    got = group_quantiles(ds, "g", "x", [0.25, 0.5, 0.75]).to_pandas()
+    for grp in "abc":
+        s = np.sort(x[g == grp])
+        for q in (0.25, 0.5, 0.75):
+            rank = max(0, int(np.ceil(q * len(s))) - 1)
+            row = got[(got.g == grp) & (got.q == q)]
+            assert len(row) == 1
+            assert float(row.value.iloc[0]) == s[rank]
+
+
+def test_rollup_levels_sum_consistently(ray_session):
+    """ROLLUP over two keys: finest rows, per-prefix subtotals with
+    NULL fill, and the all-NULL grand total all agree with pandas."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.rollup import rollup
+
+    rng = np.random.RandomState(75)
+    n = 4000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], n),
+        "b": rng.choice(["p", "q", "r"], n),
+        "v": rng.randint(0, 100, n).astype(np.float64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = rollup(ds, ["a", "b"], "v").to_pandas()
+
+    finest = got[got.a.notna() & got.b.notna()]
+    ref = df.groupby(["a", "b"], as_index=False).agg(
+        sum_value=("v", "sum"), n=("v", "size"))
+    pd.testing.assert_frame_equal(
+        finest.sort_values(["a", "b"]).reset_index(drop=True),
+        ref.sort_values(["a", "b"]).reset_index(drop=True),
+        check_dtype=False)
+
+    lvl1 = got[got.a.notna() & got.b.isna()]
+    ref1 = df.groupby("a", as_index=False).agg(
+        sum_value=("v", "sum"), n=("v", "size"))
+    assert (lvl1.sort_values("a").sum_value.to_numpy()
+            == ref1.sort_values("a").sum_value.to_numpy()).all()
+
+    grand = got[got.a.isna() & got.b.isna()]
+    assert len(grand) == 1
+    assert int(grand.sum_value.iloc[0]) == int(df.v.sum())
+    assert int(grand.n.iloc[0]) == n
+
+
+def test_char_class_counts_vectorized(ray_session):
+    """RE2 char-class counts equal Python-side reference counts."""
+    import ray
+
+    from torray.ops.text import char_class_counts
+
+    texts = ["Hello, World! 123", "", "no punct here", "???!!!...",
+             "tabs\tand\nnewlines mix 42"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    got = char_class_counts(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    import re as _re
+    for i, t in enumerate(texts):
+        assert got.n_alpha[i] == len(_re.findall(r"[a-zA-Z]", t))
+        assert got.n_digit[i] == len(_re.findall(r"[0-9]", t))
+        assert got.n_space[i] == len(_re.findall(r"\s", t))
+        assert got.n_punct[i] == len(_re.findall(r"[^\sa-zA-Z0-9]", t))
+        assert got.n_chars_utf8[i] == len(t)

@@ -33,7 +33,8 @@ import pyarrow as pa
 
 from torray.ops.dedup import _mix64
 
-__all__ = ["bloom_bits", "bloom_probe", "bloom_semijoin"]
+__all__ = ["bloom_bits", "bloom_probe", "bloom_semijoin",
+           "bloom_antijoin"]
 
 _SALTS = (0x243F6A8885A308D3, 0x13198A2E03707344,
           0xA4093822299F31D0, 0x082EFA98EC4E6C89)
@@ -141,3 +142,66 @@ def bloom_semijoin(big_ds, small_ds, *, big_key: str, small_key: str,
     return joined.map_batches(
         lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
         batch_format="pyarrow")
+
+
+def bloom_antijoin(big_ds, small_ds, *, big_key: str, small_key: str,
+                   m_bits: int = 1 << 23, n_hashes: int = 4,
+                   num_partitions: int = 8):
+    """EXACT anti-join: rows of ``big_ds`` whose ``big_key`` does NOT
+    appear in ``small_ds[small_key]`` (SQL ``NOT EXISTS``).
+
+    The Bloom filter's no-false-negatives guarantee works for the
+    anti side too, just inverted: a row that FAILS the broadcast probe
+    is definitely absent from the small side and streams straight to
+    the output with ZERO shuffle.  Only probe survivors — true
+    matches plus the ~0.6% false positives — need the exact check, a
+    left-outer join against the small side's distinct keys keeping
+    the unmatched rows.  At the "event stream vs dimension table"
+    shape, the shuffle therefore carries ``matches + fp_rate x big``
+    rows, not the big side.
+
+    Null big-side keys never probe equal to anything (NOT EXISTS
+    semantics keeps them); key columns are assumed non-null, matching
+    :func:`bloom_semijoin`.
+    """
+    import ray
+
+    bits_ref = ray.put(bloom_bits(small_ds, small_key, m_bits=m_bits,
+                                  n_hashes=n_hashes))
+
+    def split(batch: pa.Table, want_hit: bool) -> pa.Table:
+        bits = ray.get(bits_ref)
+        mask = bloom_probe(_key_hashes(batch.column(big_key)), bits,
+                           m_bits, n_hashes)
+        return batch.filter(pa.array(mask if want_hit else ~mask))
+
+    out_cols = big_ds.schema().names
+    definite = big_ds.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow")
+    maybe = big_ds.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow")
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        g = t.select([small_key]).group_by(small_key).aggregate([])
+        g = g.rename_columns(["__aj_key"])
+        return g.append_column(
+            "__aj_hit", pa.array(np.ones(len(g), np.int8), pa.int8()))
+
+    keys = (small_ds.select_columns([small_key])
+            .map_batches(distinct_keys, batch_format="pyarrow")
+            .groupby("__aj_key").map_groups(
+                lambda t: t.slice(0, 1), batch_format="pyarrow"))
+    # Same schemaless-empty-block join workaround as bloom_semijoin.
+    keys = keys.repartition(2).materialize()
+    joined = maybe.join(keys, "left_outer",
+                        num_partitions=num_partitions,
+                        on=(big_key,), right_on=("__aj_key",))
+
+    def unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.is_null(
+            t.column("__aj_hit"))).select(out_cols)
+
+    verified = joined.map_batches(unmatched, batch_format="pyarrow")
+    return definite.map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow"
+    ).union(verified)

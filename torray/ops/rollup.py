@@ -1,0 +1,90 @@
+"""GROUP BY ROLLUP / grouping-sets over a Dataset.
+
+Ray Data has groupby but no multi-level aggregation.  The scale-aware
+construction: aggregate the FINEST level once (the only pass over raw
+data, the only shuffle that moves row-derived partials), then derive
+every coarser prefix level by re-aggregating the finest level's
+output — which is groups-sized, orders of magnitude smaller than the
+input — and the grand total by a driver-side aggregate of the same.
+All levels union into one Dataset with SQL ROLLUP's NULL convention
+(a level's unused key columns are NULL, the grand-total row is
+all-NULL).
+
+Aggregates are SUM + COUNT; sum an integer column (or pre-scale
+floats) if bit-exact reproducibility against a SQL engine matters —
+re-aggregating float partials is not associativity-safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["rollup"]
+
+
+def rollup(ds, keys: list[str], value_col: str, *,
+           sum_name: str = "sum_value", count_name: str = "n"):
+    """``GROUP BY ROLLUP(*keys)`` with SUM(value_col) and COUNT(*).
+
+    Returns a Dataset with columns ``keys + [sum_name, count_name]``;
+    level ``i`` (grouping by ``keys[:i]``) carries NULLs in
+    ``keys[i:]``, down to the all-NULL grand-total row.
+
+    One shuffle total: the finest groupby.  Coarser levels re-shuffle
+    only finest-level PARTIAL rows (bounded by the number of finest
+    groups); the finest result is materialized once so the N-1
+    derived levels don't re-run the raw scan.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    key_types = {f.name: f.type for f in ds.schema().base_schema
+                 if f.name in keys}
+
+    def _shape(t: pa.Table, present: list[str]) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for k in keys:
+            if k in present:
+                cols[k] = t.column(k).cast(key_types[k])
+            else:
+                cols[k] = pa.nulls(n, key_types[k])
+        cols[sum_name] = t.column("__sum").cast(pa.int64())
+        cols[count_name] = t.column("__n").cast(pa.int64())
+        return pa.table(cols)
+
+    finest = (ds.select_columns(keys + [value_col])
+              .groupby(keys)
+              .aggregate(Sum(value_col), Count())
+              .map_batches(
+                  lambda t: t.rename_columns(
+                      keys + ["__sum", "__n"]),
+                  batch_format="pyarrow")
+              .materialize())
+
+    levels = [finest.map_batches(
+        lambda t: _shape(t, keys), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, 0, -1):
+        prefix = keys[:i]
+        lvl = (finest.groupby(prefix)
+               .aggregate(Sum("__sum"), Sum("__n"))
+               .map_batches(
+                   lambda t, p=tuple(prefix): _shape(
+                       t.rename_columns(list(p) + ["__sum", "__n"]),
+                       list(p)),
+                   batch_format="pyarrow"))
+        levels.append(lvl)
+
+    total = finest.aggregate(Sum("__sum"), Sum("__n"))
+    grand = pa.table({
+        **{k: pa.nulls(1, key_types[k]) for k in keys},
+        sum_name: pa.array([int(total["sum(__sum)"])], pa.int64()),
+        count_name: pa.array([int(total["sum(__n)"])], pa.int64()),
+    })
+    levels.append(ray.data.from_arrow(grand))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -30,6 +30,8 @@ __all__ = [
     "repetition_scores",
     "term_doc_frequency",
     "tfidf_top_terms",
+    "char_class_counts_batch",
+    "char_class_counts",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -393,3 +395,37 @@ def tfidf_top_terms(docs_ds, k: int = 5, *, text_col: str = "text",
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+# Char classes counted by the quality heuristics, as RE2 kernels —
+# fully vectorized (no Python per row) and each SQL-expressible via
+# len(regexp_extract_all(..)), which is what makes this the
+# oracle-checkable core under quality_scores' composite ratios.
+_CHAR_CLASSES = (
+    ("n_alpha", "[a-zA-Z]"),
+    ("n_digit", "[0-9]"),
+    ("n_space", r"\s"),
+    ("n_punct", r"[^\sa-zA-Z0-9]"),
+)
+
+
+def char_class_counts_batch(batch: pa.Table,
+                            text_col: str = "text") -> pa.Table:
+    """Per-document character-class counts via ``pc.count_substring_regex``
+    (Arrow RE2 kernels — zero-copy in, vectorized scan, no Python per
+    row)."""
+    col = batch.column(text_col)
+    out = {"doc_id": batch.column("doc_id"),
+           "n_chars_utf8": pc.cast(pc.utf8_length(col), pa.int64())}
+    for name, pat in _CHAR_CLASSES:
+        out[name] = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+    return pa.table(out)
+
+
+def char_class_counts(docs_ds, text_col: str = "text"):
+    """Dataset of per-document char-class counts (alpha / digit /
+    whitespace / punct / total), the integer substrate of
+    :func:`quality_scores` — scale shape: column-pruned read, one
+    stateless vectorized map, no shuffle."""
+    return docs_ds.select_columns(["doc_id", text_col]).map_batches(
+        char_class_counts_batch, batch_format="pyarrow")

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
-           "interval_join"]
+           "interval_join", "running_total"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -116,6 +116,150 @@ def hopping_window(events_ds, *, window_s: int = 21600, hop_s: int = 7200,
         lambda t: t.rename_columns(
             ["n" if c == "sum(n)" else c for c in t.column_names]),
         batch_format="pyarrow")
+
+
+def running_total(events_ds, *, key_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  value_col: str = "value", scale: int = 100,
+                  salt_range_s: int | None = None):
+    """Per-key cumulative sum ordered by ``(ts, id)`` — the ordered
+    window aggregate ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id)``
+    Ray Data has no operator for.  Returns ``(id, running)`` rows.
+
+    Values are integer-scaled (``round(v * scale)`` as int64) before
+    summing, so partial sums are exact and associative — the salted
+    two-phase path below and any SQL engine's segment-tree windowed
+    SUM produce bit-identical results, which float accumulation order
+    would not guarantee.
+
+    Default path: one ``groupby(key)`` shuffle of narrow (key, ts,
+    id, scaled) rows, lexsort + ``np.cumsum`` inside the group.
+
+    ``salt_range_s`` is the hot-key path (same regime as
+    :func:`sessionize`): groups are salt-split by coarse time range,
+    each (key, range) task emits its LOCAL cumulative sums plus its
+    range total, and every event's global running value is its local
+    value plus the summed totals of the key's EARLIER ranges (exact —
+    ranges partition the timeline monotonically).  The per-(key,
+    range) offsets are a tiny table (hot-key salting presumes few
+    heavy keys), collected once and broadcast via ``ray.put``, so the
+    fix-up pass adds a vectorized lookup, not a second shuffle.
+    """
+    cols = [key_col, ts_col, id_col, value_col]
+
+    def scaled_int(t: pa.Table) -> np.ndarray:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        return np.round(np.asarray(v, np.float64) * scale).astype(np.int64)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        cum = np.cumsum(scaled_int(group)[order])
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "running": pa.array(cum, pa.int64()),
+        })
+
+    narrow = events_ds.select_columns(cols)
+    if salt_range_s is None:
+        return narrow.groupby(key_col).map_groups(
+            per_key, batch_format="pyarrow")
+
+    import ray
+
+    range_us = salt_range_s * 1_000_000
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch.column(ts_col), pa.int64())
+        return batch.append_column(
+            "__salt", pc.cast(pc.divide(epoch, range_us), pa.int64()))
+
+    def partial(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        cum = np.cumsum(scaled_int(group)[order])
+        n = len(cum)
+        key = group.column(key_col).to_numpy(zero_copy_only=False)[0]
+        salt = group.column("__salt").to_numpy(zero_copy_only=False)[0]
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "__key": pa.array(np.full(n, key, np.int64)),
+            "__salt": pa.array(np.full(n, salt, np.int64)),
+            "__local": pa.array(cum, pa.int64()),
+        })
+
+    partials = (narrow.map_batches(add_salt, batch_format="pyarrow")
+                .groupby([key_col, "__salt"])
+                .map_groups(partial, batch_format="pyarrow")
+                .materialize())
+
+    # Range totals = each partial's LAST local cumsum; a (key, salt,
+    # total) row per task — bounded by keys x ranges, the hot-key
+    # regime's small side.  exclusive-prefix-sum per key on the driver.
+    def totals(t: pa.Table) -> pa.Table:
+        k = t.column("__key").to_numpy(zero_copy_only=False)
+        s = t.column("__salt").to_numpy(zero_copy_only=False)
+        c = t.column("__local").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        # last row of each (key, salt) run within the block
+        last = np.concatenate(
+            (np.flatnonzero((k[1:] != k[:-1]) | (s[1:] != s[:-1])),
+             [len(k) - 1]))
+        return pa.table({"k": pa.array(k[last], pa.int64()),
+                         "s": pa.array(s[last], pa.int64()),
+                         "t": pa.array(c[last], pa.int64())})
+
+    tot = pa.concat_tables(
+        [t for t in ray.get(partials.map_batches(
+            totals, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows])
+    # A huge (key, range) group's output may be SPLIT across blocks by
+    # dynamic block splitting, yielding several candidate "last rows";
+    # block order preserves row order, so the true range total is the
+    # LAST occurrence.  The dict pass keeps exactly that.
+    total_of: dict[tuple[int, int], int] = {}
+    for kk, ss, tt in zip(tot.column("k").to_numpy(zero_copy_only=False),
+                          tot.column("s").to_numpy(zero_copy_only=False),
+                          tot.column("t").to_numpy(zero_copy_only=False)):
+        total_of[(int(kk), int(ss))] = int(tt)
+    # Exclusive prefix sum of range totals per key = the offset every
+    # event in that (key, range) partial needs.  Plain driver loop:
+    # the totals table is the hot-key regime's tiny side (keys x
+    # ranges rows), and the loop is sign-safe for negative values.
+    lut: dict[tuple[int, int], int] = {}
+    acc, prev = 0, None
+    for kk, ss in sorted(total_of):
+        if kk != prev:
+            acc, prev = 0, kk
+        lut[(kk, ss)] = acc
+        acc += total_of[(kk, ss)]
+    lut_ref = ray.put(lut)
+
+    def fixup(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        bk = batch.column("__key").to_numpy(zero_copy_only=False)
+        bs = batch.column("__salt").to_numpy(zero_copy_only=False)
+        add = np.zeros(len(bk), np.int64)
+        # a block holds few distinct (key, salt) partials; loop over
+        # the unique pairs only, assign vectorized per run.
+        pairs = np.unique(np.stack([bk, bs], axis=1), axis=0)
+        for kk, ss in pairs:
+            add[(bk == kk) & (bs == ss)] = lut[(int(kk), int(ss))]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "running": pa.array(
+                batch.column("__local").to_numpy(zero_copy_only=False)
+                + add, pa.int64()),
+        })
+
+    return partials.map_batches(fixup, batch_format="pyarrow")
 
 
 def sessionize(events_ds, *, gap_s: int = 1800,
