@@ -927,14 +927,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_events": _q_customers_no_events,
         "lineitem_rollup": _q_lineitem_rollup,
         "docs_char_classes": _q_docs_char_classes,
+        "docs_shared_passages": _q_docs_shared_passages,
+        "docs_decontam": _q_docs_decontam,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_top_terms": _q_docs_top_terms,
-        "docs_shared_passages": _q_docs_shared_passages,
         "docs_repetition": _q_docs_repetition,
-        "docs_decontam": _q_docs_decontam,
         "events_approx_users": _q_events_approx_users,
         "emb_clusters": _q_emb_clusters,
         "lang_id": _q_lang_id,
@@ -1216,5 +1216,49 @@ def oracle_sql() -> dict[str, str]:
             "AS n_space, "
             "CAST(len(regexp_extract_all(text, '[^\\sa-zA-Z0-9]')) "
             "AS BIGINT) AS n_punct FROM documents"
+        ),
+        # Exact shared 20-word-gram pair counts; tokenization mirrors
+        # decontam's word regex ([A-Za-z0-9']+ on lowercased text).
+        "docs_shared_passages": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9'']+') AS ws FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "array_to_string(list_slice(ws, i, i+19), ' ') AS gram "
+            "FROM (SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws)-19)) AS i "
+            "FROM w WHERE len(ws) >= 20)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS n_shared FROM g a "
+            "JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2"
+        ),
+        # Position-level 8-gram overlap of the corpus side (doc_id %
+        # 97 != 0) against the held-out side's DISTINCT grams; the
+        # hit_frac division uses the same double operands both sides.
+        "docs_decontam": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9'']+') AS ws FROM documents), "
+            "corpus AS (SELECT * FROM w WHERE doc_id % 97 != 0), "
+            "test AS (SELECT * FROM w WHERE doc_id % 97 = 0), "
+            "tg AS (SELECT DISTINCT "
+            "array_to_string(list_slice(ws, i, i+7), ' ') AS gram "
+            "FROM (SELECT ws, unnest(generate_series(1, len(ws)-7)) AS i "
+            "FROM test WHERE len(ws) >= 8)), "
+            "cg AS (SELECT doc_id, "
+            "array_to_string(list_slice(ws, i, i+7), ' ') AS gram "
+            "FROM (SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws)-7)) AS i "
+            "FROM corpus WHERE len(ws) >= 8)), "
+            "hits AS (SELECT doc_id, count(*) AS n_hits FROM cg "
+            "WHERE gram IN (SELECT gram FROM tg) GROUP BY doc_id), "
+            "base AS (SELECT doc_id, CASE WHEN len(ws) >= 8 "
+            "THEN len(ws)-7 ELSE 0 END AS n_ngrams FROM corpus) "
+            "SELECT b.doc_id, CAST(b.n_ngrams AS BIGINT) AS n_ngrams, "
+            "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / "
+            "greatest(b.n_ngrams, 1) AS hit_frac, "
+            "(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / "
+            "greatest(b.n_ngrams, 1)) >= 0.5 AS contaminated "
+            "FROM base b LEFT JOIN hits h USING (doc_id)"
         ),
     }
