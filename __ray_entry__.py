@@ -643,6 +643,31 @@ def _q_docs_char_classes(sf_dir: str):
     return char_class_counts(_read(sf_dir, "documents"))
 
 
+def _q_docs_above_p10(sf_dir: str):
+    """Quantile-gated curation filter: keep docs at or above the
+    corpus's exact 10th-percentile length —
+    ``ops.sampling.filter_by_quantile`` (exact shuffle-free cut)."""
+    from torray.ops.sampling import filter_by_quantile
+
+    ds = filter_by_quantile(_read(sf_dir, "documents"), "n_chars", 0.1)
+    return ds.map_batches(lambda t: t.select(["doc_id", "n_chars"]),
+                          batch_format="pyarrow")
+
+
+def _q_customer_event_counts(sf_dir: str):
+    """LEFT OUTER join + grouped non-null count: events per customer
+    INCLUDING zero-event customers (Ray native left_outer join)."""
+    import ray.data
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_id"])
+    joined = cust.join(ev, "left_outer", num_partitions=4,
+                       on=("c_custkey",), right_on=("user_id",))
+    agg = joined.groupby("c_custkey").aggregate(
+        ray.data.aggregate.Count("event_id", ignore_nulls=True))
+    return _rename(agg, {"count(event_id)": "n_events"})
+
+
 def _q_events_approx_users(sf_dir: str):
     """HyperLogLog approximate distinct users (b=12 -> ~1.6% rel err;
     deterministic for the fixed hash) — no shuffle, registers merge
@@ -929,6 +954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_char_classes": _q_docs_char_classes,
         "docs_shared_passages": _q_docs_shared_passages,
         "docs_decontam": _q_docs_decontam,
+        "docs_above_p10": _q_docs_above_p10,
+        "customer_event_counts": _q_customer_event_counts,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1260,5 +1287,16 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / "
             "greatest(b.n_ngrams, 1)) >= 0.5 AS contaminated "
             "FROM base b LEFT JOIN hits h USING (doc_id)"
+        ),
+        "docs_above_p10": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE CAST(n_chars AS DOUBLE) >= "
+            "(SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.1) "
+            "FROM documents)"
+        ),
+        "customer_event_counts": (
+            "SELECT c_custkey, count(e.event_id) AS n_events "
+            "FROM customer c LEFT JOIN events e ON e.user_id = c.c_custkey "
+            "GROUP BY c_custkey"
         ),
     }

@@ -1536,3 +1536,29 @@ def test_char_class_counts_vectorized(ray_session):
         assert got.n_space[i] == len(_re.findall(r"\s", t))
         assert got.n_punct[i] == len(_re.findall(r"[^\sa-zA-Z0-9]", t))
         assert got.n_chars_utf8[i] == len(t)
+
+
+def test_filter_by_quantile_exact_cut(ray_session):
+    """Quantile gate keeps exactly the rows at/above (or at/below) the
+    quantile_disc cut; empty input passes through."""
+    import ray
+
+    from torray.ops.sampling import filter_by_quantile
+
+    rng = np.random.RandomState(76)
+    x = rng.randint(0, 1000, 3000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(3000), pa.int64()),
+        "x": pa.array(x, pa.int64())})).repartition(5)
+    s = np.sort(x.astype(np.float64))
+    cut = s[max(0, int(np.ceil(0.25 * len(s))) - 1)]
+
+    kept = filter_by_quantile(ds, "x", 0.25).to_pandas()
+    assert set(kept["id"]) == set(np.flatnonzero(x >= cut))
+
+    low = filter_by_quantile(ds, "x", 0.25, keep="le").to_pandas()
+    assert set(low["id"]) == set(np.flatnonzero(x <= cut))
+
+    empty = ray.data.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()), "x": pa.array([], pa.int64())}))
+    assert filter_by_quantile(empty, "x", 0.5).count() == 0

@@ -17,7 +17,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_split", "sample_per_group"]
+__all__ = ["hash_split", "sample_per_group", "filter_by_quantile"]
 
 
 def _hash_prefix(value, salt: str) -> str:
@@ -55,3 +55,32 @@ def sample_per_group(ds, group_col: str, n: int, id_col: str,
         return group.take(pa.array(np.sort(order), pa.int64()))
 
     return ds.groupby(group_col).map_groups(cut, batch_format="pyarrow")
+
+
+def filter_by_quantile(ds, col: str, q: float, *, keep: str = "ge"):
+    """Quantile-gated filter — the curation primitive "drop the worst
+    X% of the corpus by this score" (quality gating, length flooring).
+
+    The cut point is computed EXACTLY by
+    :func:`torray.ops.sketch.exact_quantiles` (shuffle-free multipass
+    selection, ``quantile_disc`` semantics), then applied as one
+    vectorized streaming filter — two extra passes over one column,
+    zero shuffles, and the result is reproducible bit-for-bit against
+    ``WHERE col >= (SELECT quantile_disc(col, q) ...)``.
+
+    ``keep``: ``"ge"`` keeps rows >= the cut (drop the bottom),
+    ``"le"`` keeps rows <= the cut (drop the top).
+    """
+    import pyarrow.compute as pc
+
+    from torray.ops.sketch import exact_quantiles
+
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
+    cut = exact_quantiles(ds, col, [q])[float(q)]
+    if np.isnan(cut):
+        return ds  # empty input: nothing to gate
+    op = pc.greater_equal if keep == "ge" else pc.less_equal
+    return ds.map_batches(
+        lambda t: t.filter(op(pc.cast(t.column(col), pa.float64()), cut)),
+        batch_format="pyarrow")
