@@ -654,6 +654,23 @@ def _q_docs_above_p10(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def _q_supplier_nation_broadcast(sf_dir: str):
+    """Map-side broadcast hash join (zero shuffle of the big side) —
+    ``ops.join.broadcast_join``; per-supplier rows so the result is
+    distinct from the shuffle-join aggregate ``supplier_nation``."""
+    from torray.ops.join import broadcast_join
+
+    sup = _read(sf_dir, "supplier").select_columns(
+        ["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation").select_columns(
+        ["n_nationkey", "n_name"])
+    joined = broadcast_join(sup, nat, on="s_nationkey",
+                            right_on="n_nationkey")
+    return joined.map_batches(
+        lambda t: t.select(["s_suppkey", "n_name"]),
+        batch_format="pyarrow")
+
+
 def _q_customer_event_counts(sf_dir: str):
     """LEFT OUTER join + grouped non-null count: events per customer
     INCLUDING zero-event customers (Ray native left_outer join)."""
@@ -956,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontam": _q_docs_decontam,
         "docs_above_p10": _q_docs_above_p10,
         "customer_event_counts": _q_customer_event_counts,
+        "supplier_nation_broadcast": _q_supplier_nation_broadcast,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1298,5 +1316,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, count(e.event_id) AS n_events "
             "FROM customer c LEFT JOIN events e ON e.user_id = c.c_custkey "
             "GROUP BY c_custkey"
+        ),
+        "supplier_nation_broadcast": (
+            "SELECT s_suppkey, n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey"
         ),
     }

@@ -317,6 +317,28 @@ def bench_docs_hygiene(sf_dir: str) -> dict:
             "probed": n_probe, "top_sources": n_top}
 
 
+def bench_analytics(sf_dir: str) -> dict:
+    """Round-3 analytics family over the sf tables: ordered running
+    totals (hot-key salted path), GROUP BY ROLLUP, exact sort-free
+    quantiles, Bloom anti-join, quantile-gated filtering, and the
+    exact distributed n-gram Jaccard similarity join."""
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    _warm_pool()
+    t0 = time.monotonic()
+    n_run = qs["events_running_salted"](sf_dir).count()
+    n_roll = qs["lineitem_rollup"](sf_dir).count()
+    n_q = len(qs["events_quantiles_exact"](sf_dir))
+    n_anti = qs["customers_no_events"](sf_dir).count()
+    n_gate = qs["docs_above_p10"](sf_dir).count()
+    n_jac = qs["ngram_jaccard_pairs"](sf_dir).count()
+    wall = time.monotonic() - t0
+    return {"sec": wall, "running_rows": n_run, "rollup_rows": n_roll,
+            "quantiles": n_q, "anti_rows": n_anti, "gated_docs": n_gate,
+            "jaccard_pairs": n_jac}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -367,7 +389,7 @@ def bench_events(sf_dir: str) -> dict:
 
 _ALL_QUERIES = ("crawl_bfs", "crawl_fat", "scan_dedup", "docs_dedup",
                 "docs_curation", "docs_hygiene", "knn", "lineitem",
-                "events")
+                "events", "analytics")
 
 
 def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
@@ -393,6 +415,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "knn": lambda: bench_knn(sf_dir),
         "lineitem": lambda: bench_lineitem(sf_dir),
         "events": lambda: bench_events(sf_dir),
+        "analytics": lambda: bench_analytics(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()

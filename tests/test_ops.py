@@ -1562,3 +1562,44 @@ def test_filter_by_quantile_exact_cut(ray_session):
     empty = ray.data.from_arrow(pa.table({
         "id": pa.array([], pa.int64()), "x": pa.array([], pa.int64())}))
     assert filter_by_quantile(empty, "x", 0.5).count() == 0
+
+
+def test_broadcast_join_matches_shuffle_semantics(ray_session):
+    """Per-batch broadcast hash join equals a pandas merge: inner and
+    left-outer, including one-to-many small-side keys; oversized small
+    side and unsupported join types are rejected."""
+    import pandas as pd
+    import pytest
+    import ray
+
+    from torray.ops.join import broadcast_join
+
+    rng = np.random.RandomState(77)
+    big = pd.DataFrame({"k": rng.randint(0, 50, 2000).astype(np.int64),
+                        "x": np.arange(2000, dtype=np.int64)})
+    # one-to-many: duplicate small-side keys must multiply rows
+    small = pd.DataFrame({"sk": np.concatenate(
+        [np.arange(0, 40, dtype=np.int64), np.array([7, 7], np.int64)]),
+        "label": [f"v{i}" for i in range(42)]})
+    big_ds = ray.data.from_arrow(pa.Table.from_pandas(big)).repartition(4)
+    small_ds = ray.data.from_arrow(pa.Table.from_pandas(small))
+
+    got = broadcast_join(big_ds, small_ds, on="k",
+                         right_on="sk").to_pandas()
+    ref = big.merge(small, left_on="k", right_on="sk")[
+        ["k", "x", "label"]]
+    key = lambda d: d.sort_values(["k", "x", "label"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got[["k", "x", "label"]]), key(ref),
+                                  check_dtype=False)
+
+    lo = broadcast_join(big_ds, small_ds, on="k", right_on="sk",
+                        how="left outer").to_pandas()
+    ref_lo = big.merge(small, left_on="k", right_on="sk", how="left")
+    assert len(lo) == len(ref_lo)
+    assert lo.label.isna().sum() == ref_lo.label.isna().sum()
+
+    with pytest.raises(ValueError):
+        broadcast_join(big_ds, small_ds, on="k", how="full outer")
+    with pytest.raises(ValueError):
+        broadcast_join(big_ds, small_ds, on="k", right_on="sk",
+                       small_cap_rows=10)
