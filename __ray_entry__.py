@@ -671,6 +671,16 @@ def _q_supplier_nation_broadcast(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_user_event_pivot(sf_dir: str):
+    """Pivoted per-user event-type counts (COUNT FILTER columns) —
+    ``ops.rollup.pivot_counts`` (block-local vectorized partials, the
+    shuffle carries groups x blocks narrow rows)."""
+    from torray.ops.rollup import pivot_counts
+
+    return pivot_counts(_read(sf_dir, "events"), "user_id", "event_type",
+                        ["click", "view", "purchase", "error", "signup"])
+
+
 def _q_customer_event_counts(sf_dir: str):
     """LEFT OUTER join + grouped non-null count: events per customer
     INCLUDING zero-event customers (Ray native left_outer join)."""
@@ -974,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_p10": _q_docs_above_p10,
         "customer_event_counts": _q_customer_event_counts,
         "supplier_nation_broadcast": _q_supplier_nation_broadcast,
+        "user_event_pivot": _q_user_event_pivot,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1320,5 +1331,14 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_broadcast": (
             "SELECT s_suppkey, n_name FROM supplier "
             "JOIN nation ON s_nationkey = n_nationkey"
+        ),
+        "user_event_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (event_type = 'click') AS n_click, "
+            "count(*) FILTER (event_type = 'view') AS n_view, "
+            "count(*) FILTER (event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (event_type = 'error') AS n_error, "
+            "count(*) FILTER (event_type = 'signup') AS n_signup "
+            "FROM events GROUP BY user_id"
         ),
     }

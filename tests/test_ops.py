@@ -1603,3 +1603,59 @@ def test_broadcast_join_matches_shuffle_semantics(ray_session):
     with pytest.raises(ValueError):
         broadcast_join(big_ds, small_ds, on="k", right_on="sk",
                        small_cap_rows=10)
+
+
+def test_pivot_counts_matches_pandas_crosstab(ray_session):
+    """Pivoted category counts equal a pandas crosstab; unlisted
+    categories are ignored; zero columns present."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.rollup import pivot_counts
+
+    rng = np.random.RandomState(78)
+    n = 6000
+    df = pd.DataFrame({
+        "g": rng.randint(0, 40, n).astype(np.int64),
+        "c": rng.choice(["a", "b", "c", "zz"], n, p=[0.5, 0.3, 0.1, 0.1]),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = pivot_counts(ds, "g", "c", ["a", "b", "c", "never"]).to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    ct = pd.crosstab(df.g, df.c)
+    for v in ("a", "b", "c"):
+        assert (got[f"n_{v}"].to_numpy()
+                == ct[v].reindex(got.g).fillna(0).to_numpy()).all()
+    assert (got["n_never"] == 0).all()
+    # 'zz' rows count toward no listed column
+    assert int(got[["n_a", "n_b", "n_c"]].to_numpy().sum()) == int(
+        (df.c != "zz").sum())
+
+
+def test_pair_counts_property(ray_session):
+    """pair_counts equals a pandas groupby-size over random pair
+    streams, payloads keep first occurrence."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.dedup import pair_counts
+
+    rng = np.random.RandomState(79)
+    n = 20_000
+    df = pd.DataFrame({
+        "id_a": rng.randint(0, 300, n).astype(np.int64),
+        "id_b": rng.randint(300, 600, n).astype(np.int64),
+    })
+    df["pay_a"] = df.id_a * 10
+    df["pay_b"] = df.id_b * 10
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = pair_counts(ds, with_payload=True).to_pandas()
+    ref = (df.groupby(["id_a", "id_b"], as_index=False)
+           .agg(n_shared=("pay_a", "size")))
+    key = lambda d: d.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    g = key(got)
+    r = key(ref)
+    assert (g.id_a.to_numpy() == r.id_a.to_numpy()).all()
+    assert (g.n_shared.to_numpy() == r.n_shared.to_numpy()).all()
+    assert (g.pay_a.to_numpy() == g.id_a.to_numpy() * 10).all()
+    assert (g.pay_b.to_numpy() == g.id_b.to_numpy() * 10).all()

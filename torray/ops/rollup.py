@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["rollup"]
+__all__ = ["rollup", "pivot_counts"]
 
 
 def rollup(ds, keys: list[str], value_col: str, *,
@@ -88,3 +88,55 @@ def rollup(ds, keys: list[str], value_col: str, *,
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def pivot_counts(ds, group_col: str, pivot_col: str,
+                 values: list[str], *, prefix: str = "n_"):
+    """Pivot a categorical column into per-value count columns
+    (``SELECT group, COUNT(*) FILTER (pivot = v) AS n_v ...``), the
+    feature-engineering staple Ray Data has no operator for.
+
+    Scale shape: each block folds its rows into ONE partial row per
+    group (vectorized ``np.unique`` over group x category codes), so
+    the groupby shuffle carries ``groups x blocks`` narrow int64 rows
+    — never the input — and a Sum per category finishes.  ``values``
+    fixes the output schema; rows whose pivot value is not listed
+    count toward no column (they still count toward no total either —
+    add a sentinel value to ``values`` if you need an "other" bucket).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    vals = list(values)
+    idx = {v: i for i, v in enumerate(vals)}
+    cols = [f"{prefix}{v}" for v in vals]
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        p = t.column(pivot_col).to_pylist()
+        code = np.asarray([idx.get(v, -1) for v in p], np.int64)
+        keep = code >= 0
+        g, code = g[keep], code[keep]
+        if len(g) == 0:
+            return pa.table({group_col: pa.array(
+                [], t.schema.field(group_col).type),
+                **{c: pa.array([], pa.int64()) for c in cols}})
+        ug, inv = np.unique(g, return_inverse=True)
+        counts = np.zeros((len(ug), len(vals)), np.int64)
+        np.add.at(counts, (inv, code), 1)
+        return pa.table({
+            group_col: pa.array(ug, t.schema.field(group_col).type),
+            **{c: pa.array(counts[:, i], pa.int64())
+               for i, c in enumerate(cols)}})
+
+    agg = (ds.select_columns([group_col, pivot_col])
+           .map_batches(fold, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(*[Sum(c) for c in cols]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [c[len("sum("):-1] if c.startswith("sum(") else c
+             for c in t.column_names])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
