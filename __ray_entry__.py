@@ -671,6 +671,20 @@ def _q_supplier_nation_broadcast(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_lag_gaps(sf_dir: str, salt_range_s: int | None = None):
+    """Per-user LAG gap to the previous event (NULL for a user's first
+    event) — ``ops.window.lag_delta``."""
+    from torray.ops.window import lag_delta
+
+    return lag_delta(_read(sf_dir, "events"), salt_range_s=salt_range_s)
+
+
+def _q_events_lag_salted(sf_dir: str):
+    """Hot-key two-phase LAG (2-day time-range salt + boundary-stitch
+    fix-up) — byte-identical to the unsalted path, same oracle."""
+    return _q_events_lag_gaps(sf_dir, salt_range_s=86400 * 2)
+
+
 def _q_user_event_pivot(sf_dir: str):
     """Pivoted per-user event-type counts (COUNT FILTER columns) —
     ``ops.rollup.pivot_counts`` (block-local vectorized partials, the
@@ -985,6 +999,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_counts": _q_customer_event_counts,
         "supplier_nation_broadcast": _q_supplier_nation_broadcast,
         "user_event_pivot": _q_user_event_pivot,
+        "events_lag_gaps": _q_events_lag_gaps,
+        "events_lag_salted": _q_events_lag_salted,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1340,5 +1356,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (event_type = 'error') AS n_error, "
             "count(*) FILTER (event_type = 'signup') AS n_signup "
             "FROM events GROUP BY user_id"
+        ),
+        "events_lag_gaps": (
+            "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS BIGINT) AS gap_us FROM events"
+        ),
+        "events_lag_salted": (
+            "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS BIGINT) AS gap_us FROM events"
         ),
     }

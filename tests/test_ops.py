@@ -1659,3 +1659,33 @@ def test_pair_counts_property(ray_session):
     assert (g.n_shared.to_numpy() == r.n_shared.to_numpy()).all()
     assert (g.pay_a.to_numpy() == g.id_a.to_numpy() * 10).all()
     assert (g.pay_b.to_numpy() == g.id_b.to_numpy() * 10).all()
+
+
+def test_lag_delta_plain_and_salted_match_groundtruth(ray_session):
+    """Per-key LAG gaps: both paths equal a pandas groupby-diff ground
+    truth, NULL on each key's first row, hot key included."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.window import lag_delta
+
+    rng = np.random.RandomState(80)
+    n = 4000
+    user = np.where(rng.rand(n) < 0.6, 5, rng.randint(0, 30, n))
+    ts = rng.randint(0, 10**6, n).astype("datetime64[us]")
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "user_id": user.astype(np.int64), "ts": ts})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["gap_us"] = ref.groupby("user_id")["ts"].diff().astype(
+        "timedelta64[us]") / np.timedelta64(1, "us")
+    ref = ref[["event_id", "gap_us"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+    for salt in (None, 150):
+        got = (lag_delta(ds, salt_range_s=salt).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        assert got.gap_us.isna().equals(ref.gap_us.isna())
+        ok = got.gap_us.dropna().to_numpy() == ref.gap_us.dropna().to_numpy()
+        assert ok.all()

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
-           "interval_join", "running_total"]
+           "interval_join", "running_total", "lag_delta"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -201,13 +201,13 @@ def running_total(events_ds, *, key_col: str = "user_id",
     # total) row per task — bounded by keys x ranges, the hot-key
     # regime's small side.  exclusive-prefix-sum per key on the driver.
     def totals(t: pa.Table) -> pa.Table:
-        k = t.column("__key").to_numpy(zero_copy_only=False)
-        s = t.column("__salt").to_numpy(zero_copy_only=False)
-        c = t.column("__local").to_numpy(zero_copy_only=False)
-        if len(k) == 0:
+        if t.num_rows == 0:  # schemaless empty map_groups blocks
             return pa.table({"k": pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64()),
                              "t": pa.array([], pa.int64())})
+        k = t.column("__key").to_numpy(zero_copy_only=False)
+        s = t.column("__salt").to_numpy(zero_copy_only=False)
+        c = t.column("__local").to_numpy(zero_copy_only=False)
         # last row of each (key, salt) run within the block
         last = np.concatenate(
             (np.flatnonzero((k[1:] != k[:-1]) | (s[1:] != s[:-1])),
@@ -243,6 +243,9 @@ def running_total(events_ds, *, key_col: str = "user_id",
     lut_ref = ray.put(lut)
 
     def fixup(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schemaless empty map_groups blocks
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "running": pa.array([], pa.int64())})
         lut = ray.get(lut_ref)
         bk = batch.column("__key").to_numpy(zero_copy_only=False)
         bs = batch.column("__salt").to_numpy(zero_copy_only=False)
@@ -258,6 +261,166 @@ def running_total(events_ds, *, key_col: str = "user_id",
                 batch.column("__local").to_numpy(zero_copy_only=False)
                 + add, pa.int64()),
         })
+
+    return partials.map_batches(fixup, batch_format="pyarrow")
+
+
+def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id",
+              salt_range_s: int | None = None):
+    """Per-key LAG: each row's microsecond gap to the key's previous
+    row in ``(ts, id)`` order (NULL for the key's first row) —
+    ``epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY key ORDER BY
+    ts, id)``.  Returns ``(id, gap_us)``.
+
+    Default: one narrow ``groupby(key)`` shuffle, lexsort + ``np.diff``
+    in the group.  ``salt_range_s`` is the hot-key path: per-(key,
+    time-range) partials compute their internal gaps and report their
+    boundary (first_ts, first_id, last_ts); the driver stitches
+    consecutive ranges (monotone timeline, same argument as
+    :func:`sessionize`) into a broadcast fix-up that assigns each
+    range's FIRST row its cross-boundary gap — every other row's gap
+    is already local."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ts_s = ts[order]
+        gaps = np.zeros(len(ts_s), np.int64)
+        if len(ts_s) > 1:
+            gaps[1:] = np.diff(ts_s)
+        arr = pa.array(gaps, pa.int64())
+        # the key's first row has no predecessor -> NULL
+        mask = np.zeros(len(ts_s), np.bool_)
+        mask[0] = True
+        arr = pc.if_else(pa.array(mask), pa.nulls(
+            len(ts_s), pa.int64()), arr)
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "gap_us": arr,
+        })
+
+    narrow = events_ds.select_columns([key_col, ts_col, id_col])
+    if salt_range_s is None:
+        return narrow.groupby(key_col).map_groups(
+            per_key, batch_format="pyarrow")
+
+    import ray
+
+    range_us = salt_range_s * 1_000_000
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch.column(ts_col), pa.int64())
+        return batch.append_column(
+            "__salt", pc.cast(pc.divide(epoch, range_us), pa.int64()))
+
+    def partial(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ts_s, ids_s = ts[order], ids[order]
+        n = len(ts_s)
+        gaps = np.zeros(n, np.int64)
+        if n > 1:
+            gaps[1:] = np.diff(ts_s)
+        key = group.column(key_col).to_numpy(zero_copy_only=False)[0]
+        salt = group.column("__salt").to_numpy(zero_copy_only=False)[0]
+        first = np.zeros(n, np.bool_)
+        first[0] = True
+        return pa.table({
+            id_col: pa.array(ids_s, pa.int64()),
+            "__key": pa.array(np.full(n, key, np.int64)),
+            "__salt": pa.array(np.full(n, salt, np.int64)),
+            "__gap": pa.array(gaps, pa.int64()),
+            "__first": pa.array(first, pa.bool_()),
+            "__ts": pa.array(ts_s, pa.int64()),
+        })
+
+    partials = (narrow.map_batches(add_salt, batch_format="pyarrow")
+                .groupby([key_col, "__salt"])
+                .map_groups(partial, batch_format="pyarrow")
+                .materialize())
+
+    def bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64())})
+        k = t.column("__key").to_numpy(zero_copy_only=False)
+        s = t.column("__salt").to_numpy(zero_copy_only=False)
+        ts = t.column("__ts").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64())})
+        run = np.concatenate(
+            (np.flatnonzero((k[1:] != k[:-1]) | (s[1:] != s[:-1])) + 1,
+             [len(k)]))
+        starts = np.concatenate(([0], run[:-1]))
+        lasts = run - 1
+        return pa.table({"k": pa.array(k[starts], pa.int64()),
+                         "s": pa.array(s[starts], pa.int64()),
+                         "first_ts": pa.array(ts[starts], pa.int64()),
+                         "last_ts": pa.array(ts[lasts], pa.int64())})
+
+    # Per-(key, range) boundary rows; blocks may split a partial, so
+    # fold duplicates keeping min(first_ts) / max(last_ts) (timestamps
+    # inside one (key, range) partial are sorted, so these are exact).
+    agg: dict[tuple[int, int], list[int]] = {}
+    for batch in ray.get(partials.map_batches(
+            bounds, batch_format="pyarrow").to_arrow_refs()):
+        if batch.num_rows == 0:  # schemaless empty map_groups blocks
+            continue
+        for kk, ss, ft, lt in zip(*[batch.column(c).to_pylist()
+                                    for c in ("k", "s", "first_ts",
+                                              "last_ts")]):
+            cur = agg.get((kk, ss))
+            if cur is None:
+                agg[(kk, ss)] = [ft, lt]
+            else:
+                cur[0] = min(cur[0], ft)
+                cur[1] = max(cur[1], lt)
+    # For each (key, range): the gap its FIRST row should get = its
+    # first_ts minus the previous non-empty range's last_ts.
+    first_gap: dict[tuple[int, int], int] = {}
+    prev_key, prev_last = None, None
+    for kk, ss in sorted(agg):
+        ft, lt = agg[(kk, ss)]
+        if kk == prev_key:
+            first_gap[(kk, ss)] = ft - prev_last
+        prev_key, prev_last = kk, lt
+    lut_ref = ray.put(first_gap)
+
+    def fixup(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schemaless empty map_groups blocks
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        lut = ray.get(lut_ref)
+        bk = batch.column("__key").to_numpy(zero_copy_only=False)
+        bs = batch.column("__salt").to_numpy(zero_copy_only=False)
+        gap = batch.column("__gap").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        first = batch.column("__first").to_numpy(zero_copy_only=False)
+        out = gap.copy()
+        idx = np.flatnonzero(first)
+        null_mask = np.zeros(len(gap), np.bool_)
+        for i in idx:
+            g = lut.get((int(bk[i]), int(bs[i])))
+            if g is None:
+                null_mask[i] = True  # key's global first row
+            else:
+                out[i] = g
+        vals = pa.array(out.astype(np.int64), pa.int64())
+        if null_mask.any():
+            vals = pa.array(
+                [None if m else int(v)
+                 for m, v in zip(null_mask, out)], pa.int64())
+        return pa.table({id_col: batch.column(id_col), "gap_us": vals})
 
     return partials.map_batches(fixup, batch_format="pyarrow")
 
