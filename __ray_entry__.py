@@ -671,6 +671,17 @@ def _q_supplier_nation_broadcast(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_distinct_users_by_type(sf_dir: str):
+    """EXACT per-group COUNT DISTINCT (block-local Arrow group_by
+    combiner, narrow (group, value) shuffle) —
+    ``ops.sketch.exact_distinct_by``; precise companion to the HLL
+    ``events_users_per_type``."""
+    from torray.ops.sketch import exact_distinct_by
+
+    return exact_distinct_by(_read(sf_dir, "events"), "event_type",
+                             "user_id", out_col="n_users")
+
+
 def _q_events_lag_gaps(sf_dir: str, salt_range_s: int | None = None):
     """Per-user LAG gap to the previous event (NULL for a user's first
     event) — ``ops.window.lag_delta``."""
@@ -1001,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": _q_user_event_pivot,
         "events_lag_gaps": _q_events_lag_gaps,
         "events_lag_salted": _q_events_lag_salted,
+        "events_distinct_users_by_type": _q_events_distinct_users_by_type,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1366,5 +1378,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "AS BIGINT) AS gap_us FROM events"
+        ),
+        "events_distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
         ),
     }

@@ -1689,3 +1689,25 @@ def test_lag_delta_plain_and_salted_match_groundtruth(ray_session):
         assert got.gap_us.isna().equals(ref.gap_us.isna())
         ok = got.gap_us.dropna().to_numpy() == ref.gap_us.dropna().to_numpy()
         assert ok.all()
+
+
+def test_exact_distinct_by_groundtruth(ray_session):
+    """Exact per-group distinct counts equal pandas nunique, string
+    group keys, values repeated across partitions."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.sketch import exact_distinct_by
+
+    rng = np.random.RandomState(81)
+    n = 12_000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1]),
+        "v": rng.randint(0, 900, n).astype(np.int64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = (exact_distinct_by(ds, "g", "v", out_col="n").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    ref = df.groupby("g")["v"].nunique()
+    for grp in "abc":
+        assert int(got[got.g == grp].n.iloc[0]) == int(ref[grp])

@@ -25,7 +25,7 @@ from torray.ops.dedup import _mix64
 
 __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "approx_distinct_by", "approx_quantiles", "exact_quantiles",
-           "group_quantiles"]
+           "group_quantiles", "exact_distinct_by"]
 
 
 def _hash_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -389,3 +389,38 @@ def group_quantiles(ds, group_col: str, col: str, quantiles):
 
     return ds.select_columns([group_col, col]).groupby(
         group_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def exact_distinct_by(ds, group_col: str, col: str,
+                      out_col: str = "n_distinct"):
+    """EXACT per-group COUNT(DISTINCT col) -> ``(group, n_distinct)``
+    — the precise companion to :func:`approx_distinct_by` for when the
+    group cardinalities must be right, not estimated.
+
+    Scale shape: each block pre-deduplicates to its DISTINCT (group,
+    value) pairs with Arrow's C++ ``group_by`` (a combiner — repeated
+    values never leave their block), then ONE ``groupby(group)``
+    shuffle of those pairs feeds a vectorized per-group unique count.
+    The shuffle is bounded by ``true distinct pairs x blocks`` in the
+    worst case and by the true distinct count when blocks repeat
+    values.  Choose the HLL variant when values-per-group are huge and
+    ~1.6% error is acceptable — its shuffle is O(groups x blocks)
+    register rows regardless of cardinality.
+    """
+    import pyarrow.compute as pc
+
+    def fold(t: pa.Table) -> pa.Table:
+        return (t.select([group_col, col])
+                .group_by([group_col, col]).aggregate([]))
+
+    def per_group(g: pa.Table) -> pa.Table:
+        n = len(pc.unique(g.column(col).combine_chunks()))
+        return pa.table({
+            group_col: g.column(group_col).slice(0, 1),
+            out_col: pa.array([n], pa.int64()),
+        })
+
+    return (ds.select_columns([group_col, col])
+            .map_batches(fold, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(per_group, batch_format="pyarrow"))
