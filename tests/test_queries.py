@@ -62,8 +62,11 @@ def _compare(df_a: pd.DataFrame, df_b: pd.DataFrame, name: str):
         va, vb = a[col].to_numpy(), b[col].to_numpy()
         if np.issubdtype(va.dtype, np.floating) or np.issubdtype(
                 vb.dtype, np.floating):
+            # equal_nan: nullable int columns (e.g. LAG's first-row
+            # NULL) surface as NaN after the float cast on BOTH sides
             assert np.allclose(va.astype(float), vb.astype(float),
-                               rtol=0, atol=1e-9), (name, col)
+                               rtol=0, atol=1e-9, equal_nan=True), \
+                (name, col)
         else:
             assert (va == vb).all(), (name, col)
 
