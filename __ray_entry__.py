@@ -635,6 +635,16 @@ def _q_lineitem_rollup(sf_dir: str):
                   sum_name="sum_qty", count_name="n")
 
 
+def _q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus): all four grouping
+    sets from one raw-data shuffle — ``ops.rollup.cube``."""
+    from torray.ops.rollup import cube
+
+    return cube(_read(sf_dir, "lineitem"),
+                ["l_returnflag", "l_linestatus"], "l_quantity",
+                sum_name="sum_qty", count_name="n")
+
+
 def _q_docs_char_classes(sf_dir: str):
     """Vectorized per-document char-class counts (RE2 kernels) —
     ``ops.text.char_class_counts``."""
@@ -1003,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_salted": _q_events_running_salted,
         "customers_no_events": _q_customers_no_events,
         "lineitem_rollup": _q_lineitem_rollup,
+        "lineitem_cube": _q_lineitem_cube,
         "docs_char_classes": _q_docs_char_classes,
         "docs_shared_passages": _q_docs_shared_passages,
         "docs_decontam": _q_docs_decontam,
@@ -1289,6 +1300,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
             "count(*) AS n FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "lineitem_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "count(*) AS n FROM lineitem "
+            "GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "docs_char_classes": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_utf8, "

@@ -1711,3 +1711,29 @@ def test_exact_distinct_by_groundtruth(ray_session):
     ref = df.groupby("g")["v"].nunique()
     for grp in "abc":
         assert int(got[got.g == grp].n.iloc[0]) == int(ref[grp])
+
+
+def test_cube_adds_marginals_over_rollup(ray_session):
+    """CUBE = rollup levels + the complementary marginals; every level
+    agrees with pandas."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.rollup import cube
+
+    rng = np.random.RandomState(82)
+    n = 3000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.randint(0, 50, n).astype(np.float64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = cube(ds, ["a", "b"], "v").to_pandas()
+    assert len(got) == 4 + 2 + 2 + 1  # ab + a + b + grand
+    # the b-only marginal (missing from rollup)
+    bm = got[got.a.isna() & got.b.notna()].sort_values("b")
+    refb = df.groupby("b")["v"].sum()
+    assert (bm.sum_value.to_numpy() == refb.to_numpy()).all()
+    grand = got[got.a.isna() & got.b.isna()]
+    assert int(grand.sum_value.iloc[0]) == int(df.v.sum())

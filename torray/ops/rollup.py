@@ -20,25 +20,28 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["rollup", "pivot_counts"]
+__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts"]
 
 
-def rollup(ds, keys: list[str], value_col: str, *,
-           sum_name: str = "sum_value", count_name: str = "n"):
-    """``GROUP BY ROLLUP(*keys)`` with SUM(value_col) and COUNT(*).
-
-    Returns a Dataset with columns ``keys + [sum_name, count_name]``;
-    level ``i`` (grouping by ``keys[:i]``) carries NULLs in
-    ``keys[i:]``, down to the all-NULL grand-total row.
-
-    One shuffle total: the finest groupby.  Coarser levels re-shuffle
-    only finest-level PARTIAL rows (bounded by the number of finest
-    groups); the finest result is materialized once so the N-1
-    derived levels don't re-run the raw scan.
+def grouping_sets(ds, keys: list[str], value_col: str,
+                  sets: list[tuple[str, ...]], *,
+                  sum_name: str = "sum_value", count_name: str = "n"):
+    """``GROUP BY GROUPING SETS(...)`` with SUM(value_col) and
+    COUNT(*): one finest-level shuffle over the raw data, then every
+    requested grouping set re-aggregates the finest PARTIALS (bounded
+    by the finest group count, orders of magnitude smaller than the
+    input).  A set's unused key columns come back NULL; the empty set
+    is the all-NULL grand-total row.  Each ``sets`` entry must be a
+    subset of ``keys`` (that is what makes it derivable from the
+    finest partials).
     """
     import ray.data
     from ray.data.aggregate import Count, Sum
 
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} is not a subset of "
+                             f"keys {keys!r}")
     key_types = {f.name: f.type for f in ds.schema().base_schema
                  if f.name in keys}
 
@@ -63,31 +66,58 @@ def rollup(ds, keys: list[str], value_col: str, *,
                   batch_format="pyarrow")
               .materialize())
 
-    levels = [finest.map_batches(
-        lambda t: _shape(t, keys), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, 0, -1):
-        prefix = keys[:i]
-        lvl = (finest.groupby(prefix)
-               .aggregate(Sum("__sum"), Sum("__n"))
-               .map_batches(
-                   lambda t, p=tuple(prefix): _shape(
-                       t.rename_columns(list(p) + ["__sum", "__n"]),
-                       list(p)),
-                   batch_format="pyarrow"))
-        levels.append(lvl)
-
-    total = finest.aggregate(Sum("__sum"), Sum("__n"))
-    grand = pa.table({
-        **{k: pa.nulls(1, key_types[k]) for k in keys},
-        sum_name: pa.array([int(total["sum(__sum)"])], pa.int64()),
-        count_name: pa.array([int(total["sum(__n)"])], pa.int64()),
-    })
-    levels.append(ray.data.from_arrow(grand))
+    levels = []
+    for s in sets:
+        cols = [k for k in keys if k in s]  # canonical key order
+        if len(cols) == len(keys):
+            levels.append(finest.map_batches(
+                lambda t: _shape(t, keys), batch_format="pyarrow"))
+        elif cols:
+            levels.append(
+                finest.groupby(cols)
+                .aggregate(Sum("__sum"), Sum("__n"))
+                .map_batches(
+                    lambda t, p=tuple(cols): _shape(
+                        t.rename_columns(list(p) + ["__sum", "__n"]),
+                        list(p)),
+                    batch_format="pyarrow"))
+        else:
+            total = finest.aggregate(Sum("__sum"), Sum("__n"))
+            levels.append(ray.data.from_arrow(pa.table({
+                **{k: pa.nulls(1, key_types[k]) for k in keys},
+                sum_name: pa.array([int(total["sum(__sum)"])],
+                                   pa.int64()),
+                count_name: pa.array([int(total["sum(__n)"])],
+                                     pa.int64()),
+            })))
 
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def rollup(ds, keys: list[str], value_col: str, *,
+           sum_name: str = "sum_value", count_name: str = "n"):
+    """``GROUP BY ROLLUP(*keys)``: the prefix grouping sets
+    ``keys, keys[:-1], ..., ()`` — see :func:`grouping_sets` for the
+    single-raw-shuffle construction and NULL conventions."""
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets(ds, keys, value_col, sets,
+                         sum_name=sum_name, count_name=count_name)
+
+
+def cube(ds, keys: list[str], value_col: str, *,
+         sum_name: str = "sum_value", count_name: str = "n"):
+    """``GROUP BY CUBE(*keys)``: every subset of ``keys`` — see
+    :func:`grouping_sets`.  2^len(keys) levels, all derived from ONE
+    raw-data shuffle."""
+    from itertools import combinations
+
+    sets = [c for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets(ds, keys, value_col, sets,
+                         sum_name=sum_name, count_name=count_name)
 
 
 def pivot_counts(ds, group_col: str, pivot_col: str,
