@@ -752,10 +752,15 @@ def _q_docs_shared_passages(sf_dir: str):
 def _q_docs_top_terms(sf_dir: str):
     """Top-3 characteristic terms per document by tf-idf (document
     frequencies from a combiner-bounded shuffle, broadcast idf probe;
-    ground-truth tested in tests/)."""
+    ground-truth tested in tests/).  The float score column is dropped
+    from the SQL-checked output: numpy log and DuckDB ln disagree in
+    the last ULP, but the SELECTION (tf, integer df, same formula) is
+    identical — what the hash checks is the chosen terms and counts."""
     from torray.ops.text import tfidf_top_terms
 
-    return tfidf_top_terms(_read(sf_dir, "documents"), k=3)
+    ds = tfidf_top_terms(_read(sf_dir, "documents"), k=3)
+    return ds.map_batches(lambda t: t.select(["doc_id", "term", "tf"]),
+                          batch_format="pyarrow")
 
 
 def _q_emb_semantic_dedup(sf_dir: str):
@@ -1024,11 +1029,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_gaps": _q_events_lag_gaps,
         "events_lag_salted": _q_events_lag_salted,
         "events_distinct_users_by_type": _q_events_distinct_users_by_type,
+        "docs_top_terms": _q_docs_top_terms,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
-        "docs_top_terms": _q_docs_top_terms,
         "docs_repetition": _q_docs_repetition,
         "events_approx_users": _q_events_approx_users,
         "emb_clusters": _q_emb_clusters,
@@ -1399,5 +1404,25 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        # tf-idf top-3 per doc: the SELECTION is checked (term, tf);
+        # the float score is excluded (libm log differs in the last
+        # ULP between numpy and DuckDB).
+        "docs_top_terms": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            "GROUP BY term), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "scored AS (SELECT doc_id, term, tf, "
+            "tf * ln(CAST(n_docs AS DOUBLE) / df) AS score "
+            "FROM tf JOIN df USING (term), n) "
+            "SELECT doc_id, term, tf FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term) AS rn FROM scored) "
+            "WHERE rn <= 3"
         ),
     }
