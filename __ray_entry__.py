@@ -635,6 +635,15 @@ def _q_lineitem_rollup(sf_dir: str):
                   sum_name="sum_qty", count_name="n")
 
 
+def _q_lineitem_top_by_price(sf_dir: str):
+    """Global deterministic top-25 by a sort key (Ray native
+    distributed sort + limit; ties broken by the full key)."""
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return li.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                   descending=[True, False, False]).limit(25)
+
+
 def _q_lineitem_cube(sf_dir: str):
     """GROUP BY CUBE over (returnflag, linestatus): all four grouping
     sets from one raw-data shuffle — ``ops.rollup.cube``."""
@@ -1019,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_events": _q_customers_no_events,
         "lineitem_rollup": _q_lineitem_rollup,
         "lineitem_cube": _q_lineitem_cube,
+        "lineitem_top_by_price": _q_lineitem_top_by_price,
         "docs_char_classes": _q_docs_char_classes,
         "docs_shared_passages": _q_docs_shared_passages,
         "docs_decontam": _q_docs_decontam,
@@ -1311,6 +1321,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
             "count(*) AS n FROM lineitem "
             "GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "lineitem_top_by_price": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice "
+            "FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, "
+            "l_linenumber LIMIT 25"
         ),
         "docs_char_classes": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_utf8, "
