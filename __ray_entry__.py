@@ -268,6 +268,16 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
 
 
+def _q_ngram_jaccard_prefix(sf_dir: str):
+    """PPJoin-style prefix-filtered EXACT Jaccard join — same oracle
+    as ``ngram_jaccard_pairs`` (results must be identical); candidate
+    generation stays bounded on hot-gram corpora."""
+    from torray.ops.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_read(sf_dir, "documents"),
+                                threshold=0.5)
+
+
 def _q_knn_lsh(sf_dir: str):
     from torray.ops.similarity import lsh_knn
 
@@ -1021,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_top_parts": _q_lineitem_top_parts,
         "lineitem_urgent_semijoin": _q_lineitem_urgent_semijoin,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "events_quantiles_exact": _q_events_quantiles_exact,
         "events_quantiles_by_type": _q_events_quantiles_by_type,
         "events_running_total": _q_events_running_total,
@@ -1242,6 +1253,46 @@ def oracle_sql() -> dict[str, str]:
         # collapse to one whole-text shingle; empty docs pair with
         # nothing) and the division-form threshold comparison.
         "ngram_jaccard_pairs": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS ws "
+            "FROM documents), "
+            "g AS ("
+            "SELECT DISTINCT doc_id, "
+            "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM ("
+            "SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws) - 2)) AS i "
+            "FROM w WHERE len(ws) >= 3) "
+            "UNION "
+            "SELECT doc_id, array_to_string(ws, ' ') FROM w "
+            "WHERE len(ws) IN (1, 2)), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS shared FROM g a "
+            "JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = inter.id_a "
+            "JOIN sz sb ON sb.doc_id = inter.id_b "
+            "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5"
+        ),
+        # The salted variants MUST produce byte-identical results to
+        # their unsalted twins; the same SQL hash-checks both paths.
+        "events_sessions_salted": (
+            "SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM ("
+            "SELECT user_id, epoch(ts - lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)) AS gap "
+            "FROM events) t GROUP BY user_id"
+        ),
+        "events_asof_salted": (
+            "SELECT e.event_id, o.o_orderkey FROM events e "
+            "ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders "
+            "GROUP BY 1, 2) o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "ngram_jaccard_prefix": (
             "WITH w AS (SELECT doc_id, "
             "regexp_extract_all(lower(text), '\\S+') AS ws "
             "FROM documents), "

@@ -1737,3 +1737,35 @@ def test_cube_adds_marginals_over_rollup(ray_session):
     assert (bm.sum_value.to_numpy() == refb.to_numpy()).all()
     grand = got[got.a.isna() & got.b.isna()]
     assert int(grand.sum_value.iloc[0]) == int(df.v.sum())
+
+
+def test_prefix_jaccard_equals_full_and_bounds_hot_grams(ray_session):
+    """PPJoin prefix filtering: identical output to the full exact op
+    on the dup fixture, and exact recovery of planted dups on a
+    corpus where EVERY doc shares a boilerplate passage (the hot-gram
+    regime whose bucket pairing is quadratic without the filter)."""
+    import ray
+
+    from torray.ops.dedup import ngram_jaccard_pairs, prefix_jaccard_pairs
+
+    key = lambda d: sorted(zip(d["id_a"], d["id_b"]))
+
+    rng = np.random.RandomState(83)
+    boiler = "all rights reserved contact the site operator for details"
+    texts, ids = [], []
+    for i in range(300):
+        texts.append(boiler + " " + " ".join(
+            rng.choice(list("abcdefghij"), 30)))
+        ids.append(i)
+    for k in range(6):
+        texts.append(texts[k])
+        ids.append(300 + k)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts)})).repartition(4)
+
+    pb = prefix_jaccard_pairs(ds, threshold=0.8).to_pandas()
+    nb = ngram_jaccard_pairs(ds, threshold=0.8).to_pandas()
+    assert key(pb) == key(nb)
+    for k in range(6):
+        assert (k, 300 + k) in set(zip(pb["id_a"], pb["id_b"]))

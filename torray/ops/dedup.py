@@ -37,6 +37,7 @@ __all__ = [
     "simhash_dedup",
     "jaccard",
     "ngram_jaccard_pairs",
+    "prefix_jaccard_pairs",
     "bounded_pair_positions",
     "salted_bucket_pairs",
     "pair_counts",
@@ -146,6 +147,10 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
                 if emit_payload else ["id_a", "id_b"])
 
     def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # schemaless empty map_groups blocks
+            out = {c: pa.array([], pa.int64()) for c in cols}
+            out["__part"] = pa.array([], pa.int64())
+            return pa.table(out)
         k = t.column(key_col).to_numpy(zero_copy_only=False)
         part = (_mix64(k) % np.uint64(num_partitions)).astype(np.int64)
         out = {c: t.column(c) for c in cols}
@@ -221,6 +226,13 @@ def pair_counts(pairs_ds, *, with_payload: bool = False,
     pair by construction) keep their first occurrence.
     """
     def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # schemaless empty map_groups blocks
+            cols = {c: pa.array([], pa.int64())
+                    for c in (["id_a", "id_b"]
+                              + (["pay_a", "pay_b"] if with_payload
+                                 else []))}
+            cols["__part2"] = pa.array([], pa.int64())
+            return pa.table(cols)
         a = t.column("id_a").to_numpy(zero_copy_only=False)
         b = t.column("id_b").to_numpy(zero_copy_only=False)
         mixed = _mix64(a.astype(np.int64)) ^ _mix64(~b.astype(np.int64))
@@ -612,6 +624,34 @@ def simhash_dedup(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 
+def _make_shingle_explode(text_col: str, shingle_k: int):
+    """map_batches fn: documents -> distinct-shingle rows
+    ``(gram, doc_id, set_size)`` (int64; empty-shingle docs emit
+    nothing)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gram_out, id_out, sz_out = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            sh = _shingles(t or "", shingle_k)
+            if not sh:
+                continue
+            g = np.fromiter(sh, np.uint64, len(sh)).view(np.int64)
+            gram_out.append(g)
+            id_out.append(np.full(g.size, did, np.int64))
+            sz_out.append(np.full(g.size, len(sh), np.int64))
+        if not gram_out:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "set_size": pa.array([], pa.int64())})
+        return pa.table({
+            "gram": pa.array(np.concatenate(gram_out), pa.int64()),
+            "doc_id": pa.array(np.concatenate(id_out), pa.int64()),
+            "set_size": pa.array(np.concatenate(sz_out), pa.int64())})
+
+    return explode
+
+
 def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
                         shingle_k: int = 3, text_col: str = "text",
                         max_bucket: int | None = None,
@@ -644,26 +684,7 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
     Docs whose shingle set is empty (no tokens) pair with nothing,
     matching :func:`jaccard`'s empty-vs-nonempty = 0.0 convention.
     """
-
-    def explode(batch: pa.Table) -> pa.Table:
-        gram_out, id_out, sz_out = [], [], []
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column(text_col).to_pylist()):
-            sh = _shingles(t or "", shingle_k)
-            if not sh:
-                continue
-            g = np.fromiter(sh, np.uint64, len(sh)).view(np.int64)
-            gram_out.append(g)
-            id_out.append(np.full(g.size, did, np.int64))
-            sz_out.append(np.full(g.size, len(sh), np.int64))
-        if not gram_out:
-            return pa.table({"gram": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "set_size": pa.array([], pa.int64())})
-        return pa.table({
-            "gram": pa.array(np.concatenate(gram_out), pa.int64()),
-            "doc_id": pa.array(np.concatenate(id_out), pa.int64()),
-            "set_size": pa.array(np.concatenate(sz_out), pa.int64())})
+    explode = _make_shingle_explode(text_col, shingle_k)
 
     pairs = salted_bucket_pairs(
         docs_ds.select_columns(["doc_id", text_col])
@@ -685,6 +706,201 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
         return t.filter(pa.array(keep)).select(["id_a", "id_b"])
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def prefix_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
+                         shingle_k: int = 3, text_col: str = "text",
+                         num_partitions: int = 64):
+    """EXACT n-gram Jaccard join with PPJoin-style PREFIX FILTERING
+    (Chaudhuri et al. SSJoin '06 / Bayardo et al. WWW'07, public
+    algorithm) — same output as :func:`ngram_jaccard_pairs`, but
+    candidate generation is bounded on hot-gram corpora WITHOUT losing
+    exactness.
+
+    Prefix-filter lemma: under any global total order on grams, two
+    sets with ``J >= threshold`` share at least one gram among the
+    first ``|X| - ceil(threshold*|X|) + 1`` grams of EACH set.  Using
+    ascending document frequency as the order puts the RAREST grams
+    in the prefixes, so prefix buckets are small by construction and
+    the corpus-wide boilerplate gram that floods
+    :func:`ngram_jaccard_pairs`' bucket pairing never generates
+    candidates at all.
+
+    Stages (all narrow int64 shuffles):
+    1. explode distinct (gram, doc_id, set_size) rows;
+    2. groupby(gram) run-scan attaches df = bucket length to each row;
+    3. groupby(doc) run-scan sorts each doc's grams by (df, gram) and
+       keeps its prefix;
+    4. bucket-pair the PREFIX rows (exact, uncapped — prefixes are
+       rare grams) and dedup into candidate pairs;
+    5. verify: re-bucket the FULL gram rows of candidate documents
+       only (broadcast id filter), count shared grams per surviving
+       pair, Jaccard from the carried set sizes.
+
+    The verify's pair emission is restricted to candidate pairs with
+    a broadcast membership probe BEFORE the shuffle, so hot grams
+    among candidate docs cost in-task compute, never shuffle rows.
+    """
+    import ray
+    import ray.data
+
+    explode = _make_shingle_explode(text_col, shingle_k)
+    rows = docs_ds.select_columns(["doc_id", text_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+    # -- stage 2: df per gram, attached to every (gram, doc) row.
+    def tag_gram(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        part = (_mix64(g) % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "set_size": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        g = group.column("gram").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g_s = g[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g_s[1:] != g_s[:-1])))
+        lens = np.diff(np.append(starts, len(g_s)))
+        df_sorted = np.repeat(lens, lens)
+        df = np.empty(len(g), np.int64)
+        df[order] = df_sorted
+        return pa.table({
+            "gram": group.column("gram"),
+            "doc_id": group.column("doc_id"),
+            "set_size": group.column("set_size"),
+            "df": pa.array(df, pa.int64())})
+
+    with_df = (rows.map_batches(tag_gram, batch_format="pyarrow")
+               .groupby("__part")
+               .map_groups(attach_df, batch_format="pyarrow"))
+
+    # -- stage 3: keep each doc's prefix under the (df, gram) order.
+    def tag_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "set_size": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "__dpart": pa.array([], pa.int64())})
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        part = (_mix64(d) % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__dpart", pa.array(part, pa.int64()))
+
+    def cut_prefix(group: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "set_size": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        g = group.column("gram").to_numpy(zero_copy_only=False)
+        df = group.column("df").to_numpy(zero_copy_only=False)
+        sz = group.column("set_size").to_numpy(zero_copy_only=False)
+        order = np.lexsort((g, df, d))
+        d_s, g_s, sz_s = d[order], g[order], sz[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], d_s[1:] != d_s[:-1])))
+        rank = np.arange(len(d_s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(d_s))))
+        plen = sz_s - np.ceil(threshold * sz_s).astype(np.int64) + 1
+        keep = rank < plen
+        return pa.table({
+            "gram": pa.array(g_s[keep], pa.int64()),
+            "doc_id": pa.array(d_s[keep], pa.int64()),
+            "set_size": pa.array(sz_s[keep], pa.int64())})
+
+    prefix_rows = (with_df.map_batches(tag_doc, batch_format="pyarrow")
+                   .groupby("__dpart")
+                   .map_groups(cut_prefix, batch_format="pyarrow"))
+
+    # -- stage 4: candidates from prefix co-occurrence (exact by lemma)
+    candidates = pair_counts(
+        salted_bucket_pairs(prefix_rows, "gram", "doc_id",
+                            max_bucket=None,
+                            num_partitions=num_partitions)
+    ).map_batches(lambda t: t.select(["id_a", "id_b"]),
+                  batch_format="pyarrow").materialize()
+    if candidates.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+
+    cand_tbl = pa.concat_tables(
+        [t for t in ray.get(candidates.to_arrow_refs()) if t.num_rows])
+    # Rebuild the candidate set as clean block(s): the map_groups
+    # output carries schemaless 0-row blocks the hash join rejects
+    # (same workaround as minhash_lsh_dedup's candidate path).
+    candidates = ray.data.from_arrow(cand_tbl)
+    ca = cand_tbl.column("id_a").to_numpy(zero_copy_only=False)
+    cb = cand_tbl.column("id_b").to_numpy(zero_copy_only=False)
+    ids_ref = ray.put(np.unique(np.concatenate([ca, cb])))
+
+    # -- stage 5 verify: ship each candidate doc's GRAM ARRAY (not its
+    # text) through two hash joins against the candidate pairs, then
+    # count the exact intersection per pair with per-batch memoized
+    # sets — work is O(candidates x set size), independent of how hot
+    # any gram is (re-bucketing full gram rows would be O(bucket^2)
+    # per hot gram even after a membership filter).
+    def gram_lists(t: pa.Table, id_name: str, col: str) -> pa.Table:
+        ids = ray.get(ids_ref)
+        mask = np.isin(t.column("doc_id").to_numpy(zero_copy_only=False),
+                       ids)
+        t = t.filter(pa.array(mask))
+        out_ids, out_blobs = [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column(text_col).to_pylist()):
+            sh = _shingles(txt or "", shingle_k)
+            out_ids.append(did)
+            # int64 bytes, not a list column: Acero joins reject list
+            # non-key fields
+            out_blobs.append(np.fromiter(
+                sh, np.uint64, len(sh)).tobytes())
+        return pa.table({id_name: pa.array(out_ids, pa.int64()),
+                         col: pa.array(out_blobs, pa.binary())})
+
+    # Join parallelism is deliberately small: each Ray hash join
+    # reserves an aggregator-actor pool per partition, and two chained
+    # joins at the salting partition count would starve the cluster's
+    # CPUs (observed as a deadlock at num_partitions=64 on 16 cpus).
+    join_parts = 8
+    docs_narrow = docs_ds.select_columns(["doc_id", text_col])
+    side_a = docs_narrow.map_batches(
+        lambda t: gram_lists(t, "id_a", "__ga"),
+        batch_format="pyarrow").materialize()
+    side_b = docs_narrow.map_batches(
+        lambda t: gram_lists(t, "id_b", "__gb"),
+        batch_format="pyarrow")
+    joined = candidates.join(side_a, "inner",
+                             num_partitions=join_parts, on=("id_a",))
+    joined = joined.join(side_b, "inner",
+                         num_partitions=join_parts, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ida = batch.column("id_a").to_pylist()
+        idb = batch.column("id_b").to_pylist()
+        ga = batch.column("__ga").to_pylist()
+        gb = batch.column("__gb").to_pylist()
+        memo: dict[int, frozenset] = {}
+        for i, g in zip(ida + idb, ga + gb):
+            if i not in memo:
+                memo[i] = frozenset(np.frombuffer(g, np.uint64))
+        keep = []
+        for a, b in zip(ida, idb):
+            sa, sb = memo[a], memo[b]
+            inter = len(sa & sb)
+            keep.append(inter / (len(sa) + len(sb) - inter) >= threshold)
+        return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def shared_passage_pairs(docs_ds, *, n: int = 20, min_shared: int = 1,
