@@ -725,6 +725,75 @@ def _q_events_lag_salted(sf_dir: str):
     return _q_events_lag_gaps(sf_dir, salt_range_s=86400 * 2)
 
 
+def _q_orders_events_full_outer(sf_dir: str):
+    """FULL OUTER join coverage (Ray native): per-key counts from both
+    sides with NULL-preserving semantics — keys that exist only as
+    customers of orders OR only as event users both survive."""
+    import ray.data
+
+    orders = (_read(sf_dir, "orders").groupby("o_custkey")
+              .aggregate(ray.data.aggregate.Count()))
+    orders = _rename(orders, {"count()": "n_orders"})
+    ev = (_read(sf_dir, "events").groupby("user_id")
+          .aggregate(ray.data.aggregate.Count()))
+    ev = _rename(ev, {"count()": "n_events"})
+    joined = orders.join(ev, "full_outer", num_partitions=4,
+                         on=("o_custkey",), right_on=("user_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # Ray's full_outer join already coalesces the two key columns
+        # into the left key name; keep a fallback for versions that
+        # surface both.
+        key = t.column("o_custkey")
+        if "user_id" in t.column_names:
+            key = pc.coalesce(key, t.column("user_id"))
+        return pa.table({
+            "custkey": key,
+            "n_orders": pc.coalesce(t.column("n_orders"),
+                                    pa.scalar(0, pa.int64())),
+            "n_events": pc.coalesce(t.column("n_events"),
+                                    pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_events_value_stats(sf_dir: str):
+    """Per-type mean in exactness-safe form: integer-cent sums plus a
+    mean derived as sum/count with the same double division on both
+    sides."""
+    import ray.data
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                    pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": c})
+
+    agg = (_read(sf_dir, "events").map_batches(
+        cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(ray.data.aggregate.Sum("cents"),
+                   ray.data.aggregate.Count()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("sum(cents)").to_numpy(zero_copy_only=False)
+        n = t.column("count()").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "sum_cents": pa.array(s.astype(np.int64), pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "avg_cents": pa.array(s.astype(np.float64)
+                                  / n.astype(np.float64), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_user_event_pivot(sf_dir: str):
     """Pivoted per-user event-type counts (COUNT FILTER columns) —
     ``ops.rollup.pivot_counts`` (block-local vectorized partials, the
@@ -1051,6 +1120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_salted": _q_events_lag_salted,
         "events_distinct_users_by_type": _q_events_distinct_users_by_type,
         "docs_top_terms": _q_docs_top_terms,
+        "orders_events_full_outer": _q_orders_events_full_outer,
+        "events_value_stats": _q_events_value_stats,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1470,6 +1541,21 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "orders_events_full_outer": (
+            "SELECT COALESCE(o.k, e.k) AS custkey, "
+            "COALESCE(o.n_orders, 0) AS n_orders, "
+            "COALESCE(e.n_events, 0) AS n_events FROM "
+            "(SELECT o_custkey AS k, count(*) AS n_orders FROM orders "
+            "GROUP BY 1) o FULL OUTER JOIN "
+            "(SELECT user_id AS k, count(*) AS n_events FROM events "
+            "GROUP BY 1) e ON o.k = e.k"
+        ),
+        "events_value_stats": (
+            "SELECT event_type, CAST(sum(CAST(round(value * 100) "
+            "AS BIGINT)) AS BIGINT) AS sum_cents, count(*) AS n, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) "
+            "/ count(*) AS avg_cents FROM events GROUP BY event_type"
         ),
         # tf-idf top-3 per doc: the SELECTION is checked (term, tf);
         # the float score is excluded (libm log differs in the last
