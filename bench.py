@@ -339,6 +339,69 @@ def bench_analytics(sf_dir: str) -> dict:
             "jaccard_pairs": n_jac}
 
 
+def _ensure_events_xl(rows: int = 10_000_000) -> str:
+    """Deterministic 10M-row events table cached in /tmp: the
+    data-scale probe input for the analytics family (sf0.1's events
+    table is 100k rows — it measures DAG constants, not data paths)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(_CACHE, f"eventsxl-{rows}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(_CACHE, exist_ok=True)
+    rng = np.random.RandomState(7)
+    ts = np.sort(rng.randint(0, 90 * 86400 * 10**6, rows)).astype(
+        "datetime64[us]")
+    # zipf-ish hot users: 30% of rows on one key exercises the salted
+    # paths the way a web corpus would
+    user = np.where(rng.rand(rows) < 0.3, 1,
+                    rng.randint(2, 100_000, rows)).astype(np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(rows, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(user),
+        "event_type": pa.array(
+            np.take(np.array(["click", "view", "purchase", "error",
+                              "signup"]), rng.randint(0, 5, rows))),
+        "value": pa.array(np.round(rng.exponential(40.0, rows), 2),
+                          pa.float64()),
+    })
+    pq.write_table(tbl, out, row_group_size=1 << 20)
+    return out
+
+
+def bench_analytics_xl(sf_dir: str) -> dict:
+    """Analytics family at 10M events (100x the sf0.1 table): salted
+    running totals, exact quantiles, tumbling window — the data-path
+    probe behind the sf-scale `analytics` row.  Not in the default
+    suite (TORRAY_BENCH_ONLY=analytics_xl)."""
+    import ray
+
+    from torray.ops.sketch import exact_quantiles
+    from torray.ops.window import running_total, tumbling_window
+
+    path = _ensure_events_xl()
+    _warm_pool()
+    t0 = time.monotonic()
+    n_run = running_total(ray.data.read_parquet(path),
+                          salt_range_s=86400).count()
+    t1 = time.monotonic()
+    q = exact_quantiles(ray.data.read_parquet(path), "value",
+                        [0.5, 0.9, 0.99])
+    t2 = time.monotonic()
+    n_win = tumbling_window(ray.data.read_parquet(path)).count()
+    t3 = time.monotonic()
+    wall = t3 - t0
+    return {"sec": wall,
+            "running_sec": round(t1 - t0, 2), "running_rows": n_run,
+            "quantiles_sec": round(t2 - t1, 2),
+            "p50": q[0.5], "p99": q[0.99],
+            "window_sec": round(t3 - t2, 2), "window_rows": n_win,
+            "rows_per_s": round(3 * 10_000_000 / wall, 1)}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -416,6 +479,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "lineitem": lambda: bench_lineitem(sf_dir),
         "events": lambda: bench_events(sf_dir),
         "analytics": lambda: bench_analytics(sf_dir),
+        "analytics_xl": lambda: bench_analytics_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()

@@ -118,10 +118,21 @@ def hopping_window(events_ds, *, window_s: int = 21600, hop_s: int = 7200,
         batch_format="pyarrow")
 
 
+def _segmented_cumsum(vals: np.ndarray,
+                      starts: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum over a segment-sorted array:
+    ``starts`` are the 0-based first indices of each segment."""
+    c = np.cumsum(vals)
+    seg_lens = np.diff(np.append(starts, len(vals)))
+    prev = np.concatenate(([0], c[starts[1:] - 1]))
+    return c - np.repeat(prev, seg_lens)
+
+
 def running_total(events_ds, *, key_col: str = "user_id",
                   ts_col: str = "ts", id_col: str = "event_id",
                   value_col: str = "value", scale: int = 100,
-                  salt_range_s: int | None = None):
+                  salt_range_s: int | None = None,
+                  num_partitions: int = 64):
     """Per-key cumulative sum ordered by ``(ts, id)`` — the ordered
     window aggregate ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id)``
     Ray Data has no operator for.  Returns ``(id, running)`` rows.
@@ -132,74 +143,96 @@ def running_total(events_ds, *, key_col: str = "user_id",
     SUM produce bit-identical results, which float accumulation order
     would not guarantee.
 
-    Default path: one ``groupby(key)`` shuffle of narrow (key, ts,
-    id, scaled) rows, lexsort + ``np.cumsum`` inside the group.
+    Both paths use the salted RUN-SCAN shape, never a per-(key[,salt])
+    ``map_groups``: a ``groupby([key, salt])`` costs one Python call
+    per distinct group, and at 10M rows x 100k keys x 90 time ranges
+    that is millions of singleton groups (measured: 679 s; the
+    run-scan rewrite below is ~20x faster).  Keys are hashed into
+    ``num_partitions`` coarse partitions (a (key, salt) run never
+    straddles two), ONE groupby on the partition id, then one lexsort
+    + segmented ``np.cumsum`` per partition.
 
-    ``salt_range_s`` is the hot-key path (same regime as
-    :func:`sessionize`): groups are salt-split by coarse time range,
-    each (key, range) task emits its LOCAL cumulative sums plus its
-    range total, and every event's global running value is its local
-    value plus the summed totals of the key's EARLIER ranges (exact —
-    ranges partition the timeline monotonically).  The per-(key,
-    range) offsets are a tiny table (hot-key salting presumes few
-    heavy keys), collected once and broadcast via ``ray.put``, so the
-    fix-up pass adds a vectorized lookup, not a second shuffle.
+    Default path: partition = hash(key) — every key's rows land in
+    one task (the groupby(key) partitioning assumption, minus the
+    per-group Python calls).  ``salt_range_s`` is the hot-key path:
+    partition = hash(key, ts//range), each (key, range) segment gets
+    its LOCAL cumsums, and a broadcast offset table (exclusive prefix
+    of range totals per key — tiny in the hot-key regime) fixes up
+    every event in one vectorized pass.
     """
     cols = [key_col, ts_col, id_col, value_col]
+    from torray.ops.dedup import _mix64
 
-    def scaled_int(t: pa.Table) -> np.ndarray:
-        v = t.column(value_col).to_numpy(zero_copy_only=False)
-        return np.round(np.asarray(v, np.float64) * scale).astype(np.int64)
+    range_us = None if salt_range_s is None else salt_range_s * 1_000_000
 
-    def per_key(group: pa.Table) -> pa.Table:
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            out = {c: pa.array([], pa.int64()) for c in
+                   cols + ["__salt", "__part"]}
+            return pa.table(out)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if range_us is None:
+            salt = np.zeros(len(k), np.int64)
+        else:
+            epoch = batch.column(ts_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            salt = (epoch // range_us).astype(np.int64)
+        part = ((_mix64(k.astype(np.int64))
+                 ^ _mix64(~salt)) % np.uint64(num_partitions)).astype(
+            np.int64)
+        out = {c: batch.column(c) for c in cols}
+        out["__salt"] = pa.array(salt, pa.int64())
+        out["__part"] = pa.array(part, pa.int64())
+        return pa.table(out)
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "__key": pa.array([], pa.int64()),
+                          "__salt": pa.array([], pa.int64()),
+                          "__local": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        s = group.column("__salt").to_numpy(zero_copy_only=False)
         ts = group.column(ts_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ts))
-        cum = np.cumsum(scaled_int(group)[order])
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        scaled = np.round(np.asarray(v, np.float64) * scale).astype(
+            np.int64)
+        order = np.lexsort((ids, ts, s, k))
+        k, s, ids, scaled = k[order], s[order], ids[order], scaled[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (s[1:] != s[:-1]))))
+        cum = _segmented_cumsum(scaled, starts)
         return pa.table({
-            id_col: pa.array(ids[order], pa.int64()),
-            "running": pa.array(cum, pa.int64()),
-        })
-
-    narrow = events_ds.select_columns(cols)
-    if salt_range_s is None:
-        return narrow.groupby(key_col).map_groups(
-            per_key, batch_format="pyarrow")
-
-    import ray
-
-    range_us = salt_range_s * 1_000_000
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        epoch = pc.cast(batch.column(ts_col), pa.int64())
-        return batch.append_column(
-            "__salt", pc.cast(pc.divide(epoch, range_us), pa.int64()))
-
-    def partial(group: pa.Table) -> pa.Table:
-        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ts))
-        cum = np.cumsum(scaled_int(group)[order])
-        n = len(cum)
-        key = group.column(key_col).to_numpy(zero_copy_only=False)[0]
-        salt = group.column("__salt").to_numpy(zero_copy_only=False)[0]
-        return pa.table({
-            id_col: pa.array(ids[order], pa.int64()),
-            "__key": pa.array(np.full(n, key, np.int64)),
-            "__salt": pa.array(np.full(n, salt, np.int64)),
+            id_col: pa.array(ids, pa.int64()),
+            "__key": pa.array(k, pa.int64()),
+            "__salt": pa.array(s, pa.int64()),
             "__local": pa.array(cum, pa.int64()),
         })
 
-    partials = (narrow.map_batches(add_salt, batch_format="pyarrow")
-                .groupby([key_col, "__salt"])
-                .map_groups(partial, batch_format="pyarrow")
-                .materialize())
+    narrow = events_ds.select_columns(cols)
+    partials = (narrow.map_batches(tag, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(scan_partition, batch_format="pyarrow"))
+    if range_us is None:
+        # single segment per key: the local cumsum IS the answer
+        return partials.map_batches(
+            lambda t: (t.select([id_col, "__local"])
+                       .rename_columns([id_col, "running"])
+                       if t.num_rows else
+                       pa.table({id_col: pa.array([], pa.int64()),
+                                 "running": pa.array([], pa.int64())})),
+            batch_format="pyarrow")
 
-    # Range totals = each partial's LAST local cumsum; a (key, salt,
-    # total) row per task — bounded by keys x ranges, the hot-key
-    # regime's small side.  exclusive-prefix-sum per key on the driver.
+    import ray
+
+    partials = partials.materialize()
+
+    # Range totals = each (key, salt) segment's LAST local cumsum; a
+    # (key, salt, total) row per segment — bounded by keys x ranges,
+    # the hot-key regime's small side.
     def totals(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:  # schemaless empty map_groups blocks
             return pa.table({"k": pa.array([], pa.int64()),
@@ -208,7 +241,6 @@ def running_total(events_ds, *, key_col: str = "user_id",
         k = t.column("__key").to_numpy(zero_copy_only=False)
         s = t.column("__salt").to_numpy(zero_copy_only=False)
         c = t.column("__local").to_numpy(zero_copy_only=False)
-        # last row of each (key, salt) run within the block
         last = np.concatenate(
             (np.flatnonzero((k[1:] != k[:-1]) | (s[1:] != s[:-1])),
              [len(k) - 1]))
@@ -220,19 +252,19 @@ def running_total(events_ds, *, key_col: str = "user_id",
         [t for t in ray.get(partials.map_batches(
             totals, batch_format="pyarrow").to_arrow_refs())
          if t.num_rows])
-    # A huge (key, range) group's output may be SPLIT across blocks by
-    # dynamic block splitting, yielding several candidate "last rows";
-    # block order preserves row order, so the true range total is the
-    # LAST occurrence.  The dict pass keeps exactly that.
+    # A huge (key, range) segment's output may be SPLIT across blocks
+    # by dynamic block splitting, yielding several candidate "last
+    # rows"; block order preserves row order, so the true range total
+    # is the LAST occurrence.  The dict pass keeps exactly that.
     total_of: dict[tuple[int, int], int] = {}
     for kk, ss, tt in zip(tot.column("k").to_numpy(zero_copy_only=False),
                           tot.column("s").to_numpy(zero_copy_only=False),
                           tot.column("t").to_numpy(zero_copy_only=False)):
         total_of[(int(kk), int(ss))] = int(tt)
     # Exclusive prefix sum of range totals per key = the offset every
-    # event in that (key, range) partial needs.  Plain driver loop:
-    # the totals table is the hot-key regime's tiny side (keys x
-    # ranges rows), and the loop is sign-safe for negative values.
+    # event in that (key, range) segment needs.  Plain driver loop:
+    # the totals table is the hot-key regime's tiny side, and the
+    # loop is sign-safe for negative values.
     lut: dict[tuple[int, int], int] = {}
     acc, prev = 0, None
     for kk, ss in sorted(total_of):
@@ -250,11 +282,13 @@ def running_total(events_ds, *, key_col: str = "user_id",
         bk = batch.column("__key").to_numpy(zero_copy_only=False)
         bs = batch.column("__salt").to_numpy(zero_copy_only=False)
         add = np.zeros(len(bk), np.int64)
-        # a block holds few distinct (key, salt) partials; loop over
-        # the unique pairs only, assign vectorized per run.
-        pairs = np.unique(np.stack([bk, bs], axis=1), axis=0)
-        for kk, ss in pairs:
-            add[(bk == kk) & (bs == ss)] = lut[(int(kk), int(ss))]
+        # segments are contiguous runs after the partition scan; look
+        # up each RUN's offset once, assign vectorized per run.
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (bk[1:] != bk[:-1]) | (bs[1:] != bs[:-1]))))
+        ends = np.append(starts[1:], len(bk))
+        for st, en in zip(starts, ends):
+            add[st:en] = lut[(int(bk[st]), int(bs[st]))]
         return pa.table({
             id_col: batch.column(id_col),
             "running": pa.array(
@@ -267,82 +301,98 @@ def running_total(events_ds, *, key_col: str = "user_id",
 
 def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
               id_col: str = "event_id",
-              salt_range_s: int | None = None):
+              salt_range_s: int | None = None,
+              num_partitions: int = 64):
     """Per-key LAG: each row's microsecond gap to the key's previous
     row in ``(ts, id)`` order (NULL for the key's first row) —
     ``epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY key ORDER BY
     ts, id)``.  Returns ``(id, gap_us)``.
 
-    Default: one narrow ``groupby(key)`` shuffle, lexsort + ``np.diff``
-    in the group.  ``salt_range_s`` is the hot-key path: per-(key,
-    time-range) partials compute their internal gaps and report their
-    boundary (first_ts, first_id, last_ts); the driver stitches
+    Same partition run-scan shape as :func:`running_total` (one
+    groupby on a hashed partition id, lexsort + segmented ``np.diff``
+    per partition — never a Python call per key).  ``salt_range_s``
+    is the hot-key path: partials compute their internal gaps and
+    report boundary (first_ts, last_ts) rows; the driver stitches
     consecutive ranges (monotone timeline, same argument as
     :func:`sessionize`) into a broadcast fix-up that assigns each
     range's FIRST row its cross-boundary gap — every other row's gap
     is already local."""
+    from torray.ops.dedup import _mix64
 
-    def per_key(group: pa.Table) -> pa.Table:
+    cols = [key_col, ts_col, id_col]
+    range_us = None if salt_range_s is None else salt_range_s * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             cols + ["__salt", "__part"]})
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if range_us is None:
+            salt = np.zeros(len(k), np.int64)
+        else:
+            epoch = batch.column(ts_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            salt = (epoch // range_us).astype(np.int64)
+        part = ((_mix64(k.astype(np.int64))
+                 ^ _mix64(~salt)) % np.uint64(num_partitions)).astype(
+            np.int64)
+        out = {c: batch.column(c) for c in cols}
+        out["__salt"] = pa.array(salt, pa.int64())
+        out["__part"] = pa.array(part, pa.int64())
+        return pa.table(out)
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "__key": pa.array([], pa.int64()),
+                          "__salt": pa.array([], pa.int64()),
+                          "__gap": pa.array([], pa.int64()),
+                          "__first": pa.array([], pa.bool_()),
+                          "__ts": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        s = group.column("__salt").to_numpy(zero_copy_only=False)
         ts = group.column(ts_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ts))
-        ts_s = ts[order]
-        gaps = np.zeros(len(ts_s), np.int64)
-        if len(ts_s) > 1:
-            gaps[1:] = np.diff(ts_s)
-        arr = pa.array(gaps, pa.int64())
-        # the key's first row has no predecessor -> NULL
-        mask = np.zeros(len(ts_s), np.bool_)
-        mask[0] = True
-        arr = pc.if_else(pa.array(mask), pa.nulls(
-            len(ts_s), pa.int64()), arr)
+        order = np.lexsort((ids, ts, s, k))
+        k, s, ts, ids = k[order], s[order], ts[order], ids[order]
+        first = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (s[1:] != s[:-1])))
+        gaps = np.zeros(len(ts), np.int64)
+        gaps[1:] = np.diff(ts)
+        gaps[first] = 0
         return pa.table({
-            id_col: pa.array(ids[order], pa.int64()),
-            "gap_us": arr,
+            id_col: pa.array(ids, pa.int64()),
+            "__key": pa.array(k, pa.int64()),
+            "__salt": pa.array(s, pa.int64()),
+            "__gap": pa.array(gaps, pa.int64()),
+            "__first": pa.array(first, pa.bool_()),
+            "__ts": pa.array(ts, pa.int64()),
         })
 
-    narrow = events_ds.select_columns([key_col, ts_col, id_col])
-    if salt_range_s is None:
-        return narrow.groupby(key_col).map_groups(
-            per_key, batch_format="pyarrow")
+    narrow = events_ds.select_columns(cols)
+    partials = (narrow.map_batches(tag, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(scan_partition, batch_format="pyarrow"))
+
+    if range_us is None:
+        def plain(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "gap_us": pa.array([], pa.int64())})
+            gaps = t.column("__gap").to_numpy(zero_copy_only=False)
+            first = t.column("__first").to_numpy(zero_copy_only=False)
+            arr = pc.if_else(pa.array(first),
+                             pa.nulls(len(gaps), pa.int64()),
+                             pa.array(gaps, pa.int64()))
+            return pa.table({id_col: t.column(id_col), "gap_us": arr})
+
+        return partials.map_batches(plain, batch_format="pyarrow")
 
     import ray
 
-    range_us = salt_range_s * 1_000_000
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        epoch = pc.cast(batch.column(ts_col), pa.int64())
-        return batch.append_column(
-            "__salt", pc.cast(pc.divide(epoch, range_us), pa.int64()))
-
-    def partial(group: pa.Table) -> pa.Table:
-        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ts))
-        ts_s, ids_s = ts[order], ids[order]
-        n = len(ts_s)
-        gaps = np.zeros(n, np.int64)
-        if n > 1:
-            gaps[1:] = np.diff(ts_s)
-        key = group.column(key_col).to_numpy(zero_copy_only=False)[0]
-        salt = group.column("__salt").to_numpy(zero_copy_only=False)[0]
-        first = np.zeros(n, np.bool_)
-        first[0] = True
-        return pa.table({
-            id_col: pa.array(ids_s, pa.int64()),
-            "__key": pa.array(np.full(n, key, np.int64)),
-            "__salt": pa.array(np.full(n, salt, np.int64)),
-            "__gap": pa.array(gaps, pa.int64()),
-            "__first": pa.array(first, pa.bool_()),
-            "__ts": pa.array(ts_s, pa.int64()),
-        })
-
-    partials = (narrow.map_batches(add_salt, batch_format="pyarrow")
-                .groupby([key_col, "__salt"])
-                .map_groups(partial, batch_format="pyarrow")
-                .materialize())
+    partials = partials.materialize()
 
     def bounds(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -353,11 +403,6 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
         k = t.column("__key").to_numpy(zero_copy_only=False)
         s = t.column("__salt").to_numpy(zero_copy_only=False)
         ts = t.column("__ts").to_numpy(zero_copy_only=False)
-        if len(k) == 0:
-            return pa.table({"k": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.int64()),
-                             "first_ts": pa.array([], pa.int64()),
-                             "last_ts": pa.array([], pa.int64())})
         run = np.concatenate(
             (np.flatnonzero((k[1:] != k[:-1]) | (s[1:] != s[:-1])) + 1,
              [len(k)]))
@@ -368,13 +413,13 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
                          "first_ts": pa.array(ts[starts], pa.int64()),
                          "last_ts": pa.array(ts[lasts], pa.int64())})
 
-    # Per-(key, range) boundary rows; blocks may split a partial, so
+    # Per-(key, range) boundary rows; blocks may split a segment, so
     # fold duplicates keeping min(first_ts) / max(last_ts) (timestamps
-    # inside one (key, range) partial are sorted, so these are exact).
+    # inside one segment are sorted, so these are exact).
     agg: dict[tuple[int, int], list[int]] = {}
     for batch in ray.get(partials.map_batches(
             bounds, batch_format="pyarrow").to_arrow_refs()):
-        if batch.num_rows == 0:  # schemaless empty map_groups blocks
+        if batch.num_rows == 0:
             continue
         for kk, ss, ft, lt in zip(*[batch.column(c).to_pylist()
                                     for c in ("k", "s", "first_ts",
@@ -404,22 +449,19 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
         bk = batch.column("__key").to_numpy(zero_copy_only=False)
         bs = batch.column("__salt").to_numpy(zero_copy_only=False)
         gap = batch.column("__gap").to_numpy(
-            zero_copy_only=False).astype(np.float64)
+            zero_copy_only=False).copy()
         first = batch.column("__first").to_numpy(zero_copy_only=False)
-        out = gap.copy()
-        idx = np.flatnonzero(first)
         null_mask = np.zeros(len(gap), np.bool_)
-        for i in idx:
+        for i in np.flatnonzero(first):
             g = lut.get((int(bk[i]), int(bs[i])))
             if g is None:
                 null_mask[i] = True  # key's global first row
             else:
-                out[i] = g
-        vals = pa.array(out.astype(np.int64), pa.int64())
+                gap[i] = g
+        vals = pa.array(gap.astype(np.int64), pa.int64())
         if null_mask.any():
-            vals = pa.array(
-                [None if m else int(v)
-                 for m, v in zip(null_mask, out)], pa.int64())
+            vals = pc.if_else(pa.array(null_mask),
+                              pa.nulls(len(gap), pa.int64()), vals)
         return pa.table({id_col: batch.column(id_col), "gap_us": vals})
 
     return partials.map_batches(fixup, batch_format="pyarrow")
