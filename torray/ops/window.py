@@ -118,6 +118,119 @@ def hopping_window(events_ds, *, window_s: int = 21600, hop_s: int = 7200,
         batch_format="pyarrow")
 
 
+def _pack_lut(k: np.ndarray, s: np.ndarray, vals: np.ndarray):
+    """(key, salt) -> value lookup table as ZERO-COPY numpy arrays:
+    ``pack = key * M + (salt - s_min)`` with ``M`` the salt range,
+    sorted by the packed key.  Packed-array broadcast matters: a
+    multi-million-entry python dict costs seconds PER ``ray.get``
+    deserialization, while plasma-backed numpy arrays are zero-copy.
+    Falls back to the dict when packing would overflow int64."""
+    if len(k) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), 1, 0)
+    s_min = int(s.min())
+    m = int(s.max()) - s_min + 1
+    if int(np.abs(k).max()) < (2 ** 62) // m:
+        packed = k.astype(np.int64) * m + (s.astype(np.int64) - s_min)
+        order = np.argsort(packed)  # == lexsort by (key, salt)
+        return (packed[order], vals[order].astype(np.int64), m, s_min)
+    return {(int(a), int(b)): int(v) for a, b, v in zip(k, s, vals)}
+
+
+def _lut_lookup(lut, run_k: np.ndarray,
+                run_s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (value, found) lookup against a :func:`_pack_lut`
+    table (python-dict fallback loops)."""
+    if isinstance(lut, dict):
+        vals = np.zeros(len(run_k), np.int64)
+        found = np.zeros(len(run_k), np.bool_)
+        for i, (a, b) in enumerate(zip(run_k, run_s)):
+            v = lut.get((int(a), int(b)))
+            if v is not None:
+                vals[i] = v
+                found[i] = True
+        return vals, found
+    packed, table_vals, m, s_min = lut
+    if len(packed) == 0:
+        return (np.zeros(len(run_k), np.int64),
+                np.zeros(len(run_k), np.bool_))
+    # a salt OUTSIDE the table's [s_min, s_min + m) range would alias
+    # into a neighboring key's packed slot: reject it up front (it is
+    # a genuine miss — e.g. a key's globally-first time range).
+    s_rel = run_s.astype(np.int64) - s_min
+    in_range = (s_rel >= 0) & (s_rel < m)
+    want = run_k.astype(np.int64) * m + np.where(in_range, s_rel, 0)
+    pos = np.searchsorted(packed, want).clip(0, len(packed) - 1)
+    found = in_range & (packed[pos] == want)
+    return np.where(found, table_vals[pos], 0), found
+
+
+class _RunningFixup:
+    """Actor-pool stage for :func:`running_total`'s salted path: the
+    per-(key, range) offset table is fetched ONCE per actor
+    (``ray.get`` of a multi-million-entry dict per TASK measured
+    7,368 core-s at 10M rows — the classic broadcast-deserialization
+    trap the actor-pool pattern exists for)."""
+
+    def __init__(self, lut_ref, id_col: str):
+        import ray
+
+        self.lut = ray.get(lut_ref)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schemaless empty map_groups blocks
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "running": pa.array([], pa.int64())})
+        bk = batch.column("__key").to_numpy(zero_copy_only=False)
+        bs = batch.column("__salt").to_numpy(zero_copy_only=False)
+        # segments are contiguous runs after the partition scan; look
+        # up each RUN's offset once, assign vectorized per run.
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (bk[1:] != bk[:-1]) | (bs[1:] != bs[:-1]))))
+        lens = np.diff(np.append(starts, len(bk)))
+        off_runs, _ = _lut_lookup(self.lut, bk[starts], bs[starts])
+        add = np.repeat(off_runs, lens)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "running": pa.array(
+                batch.column("__local").to_numpy(zero_copy_only=False)
+                + add, pa.int64()),
+        })
+
+
+class _LagFixup:
+    """Actor-pool stage for :func:`lag_delta`'s salted path — same
+    fetch-once rationale as :class:`_RunningFixup`; a lookup MISS
+    marks the key's globally-first range (gap stays NULL)."""
+
+    def __init__(self, lut_ref, id_col: str):
+        import ray
+
+        self.lut = ray.get(lut_ref)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        bk = batch.column("__key").to_numpy(zero_copy_only=False)
+        bs = batch.column("__salt").to_numpy(zero_copy_only=False)
+        gap = batch.column("__gap").to_numpy(
+            zero_copy_only=False).copy()
+        first = batch.column("__first").to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(first)
+        vals, found = _lut_lookup(self.lut, bk[idx], bs[idx])
+        gap[idx[found]] = vals[found]
+        null_mask = np.zeros(len(gap), np.bool_)
+        null_mask[idx[~found]] = True  # key's global first row
+        out = pa.array(gap.astype(np.int64), pa.int64())
+        if null_mask.any():
+            out = pc.if_else(pa.array(null_mask),
+                             pa.nulls(len(gap), pa.int64()), out)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "gap_us": out})
+
+
 def _segmented_cumsum(vals: np.ndarray,
                       starts: np.ndarray) -> np.ndarray:
     """Per-segment cumulative sum over a segment-sorted array:
@@ -252,51 +365,32 @@ def running_total(events_ds, *, key_col: str = "user_id",
         [t for t in ray.get(partials.map_batches(
             totals, batch_format="pyarrow").to_arrow_refs())
          if t.num_rows])
+    tk = tot.column("k").to_numpy(zero_copy_only=False)
+    ts_ = tot.column("s").to_numpy(zero_copy_only=False)
+    tt = tot.column("t").to_numpy(zero_copy_only=False)
     # A huge (key, range) segment's output may be SPLIT across blocks
     # by dynamic block splitting, yielding several candidate "last
     # rows"; block order preserves row order, so the true range total
-    # is the LAST occurrence.  The dict pass keeps exactly that.
-    total_of: dict[tuple[int, int], int] = {}
-    for kk, ss, tt in zip(tot.column("k").to_numpy(zero_copy_only=False),
-                          tot.column("s").to_numpy(zero_copy_only=False),
-                          tot.column("t").to_numpy(zero_copy_only=False)):
-        total_of[(int(kk), int(ss))] = int(tt)
+    # is the LAST occurrence (original index as lexsort tiebreak).
+    order = np.lexsort((np.arange(len(tk)), ts_, tk))
+    tk, ts_, tt = tk[order], ts_[order], tt[order]
+    last = np.concatenate(
+        (np.flatnonzero((tk[1:] != tk[:-1]) | (ts_[1:] != ts_[:-1])),
+         [len(tk) - 1])) if len(tk) else np.empty(0, np.int64)
+    tk, ts_, tt = tk[last], ts_[last], tt[last]
     # Exclusive prefix sum of range totals per key = the offset every
-    # event in that (key, range) segment needs.  Plain driver loop:
-    # the totals table is the hot-key regime's tiny side, and the
-    # loop is sign-safe for negative values.
-    lut: dict[tuple[int, int], int] = {}
-    acc, prev = 0, None
-    for kk, ss in sorted(total_of):
-        if kk != prev:
-            acc, prev = 0, kk
-        lut[(kk, ss)] = acc
-        acc += total_of[(kk, ss)]
-    lut_ref = ray.put(lut)
-
-    def fixup(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:  # schemaless empty map_groups blocks
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "running": pa.array([], pa.int64())})
-        lut = ray.get(lut_ref)
-        bk = batch.column("__key").to_numpy(zero_copy_only=False)
-        bs = batch.column("__salt").to_numpy(zero_copy_only=False)
-        add = np.zeros(len(bk), np.int64)
-        # segments are contiguous runs after the partition scan; look
-        # up each RUN's offset once, assign vectorized per run.
-        starts = np.flatnonzero(np.concatenate(
-            ([True], (bk[1:] != bk[:-1]) | (bs[1:] != bs[:-1]))))
-        ends = np.append(starts[1:], len(bk))
-        for st, en in zip(starts, ends):
-            add[st:en] = lut[(int(bk[st]), int(bs[st]))]
-        return pa.table({
-            id_col: batch.column(id_col),
-            "running": pa.array(
-                batch.column("__local").to_numpy(zero_copy_only=False)
-                + add, pa.int64()),
-        })
-
-    return partials.map_batches(fixup, batch_format="pyarrow")
+    # event in that (key, range) segment needs — all numpy (the 10M-row
+    # probe measured the per-entry Python dict build as a driver
+    # bottleneck at millions of segments).
+    key_starts = np.flatnonzero(np.concatenate(
+        ([True], tk[1:] != tk[:-1]))) if len(tk) else np.empty(0, np.int64)
+    offsets = (_segmented_cumsum(tt, key_starts) - tt) if len(tk) \
+        else np.empty(0, np.int64)
+    lut_ref = ray.put(_pack_lut(tk, ts_, offsets))
+    return partials.map_batches(
+        _RunningFixup,
+        fn_constructor_kwargs={"lut_ref": lut_ref, "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 8))
 
 
 def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
@@ -415,56 +509,41 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     # Per-(key, range) boundary rows; blocks may split a segment, so
     # fold duplicates keeping min(first_ts) / max(last_ts) (timestamps
-    # inside one segment are sorted, so these are exact).
-    agg: dict[tuple[int, int], list[int]] = {}
-    for batch in ray.get(partials.map_batches(
-            bounds, batch_format="pyarrow").to_arrow_refs()):
-        if batch.num_rows == 0:
-            continue
-        for kk, ss, ft, lt in zip(*[batch.column(c).to_pylist()
-                                    for c in ("k", "s", "first_ts",
-                                              "last_ts")]):
-            cur = agg.get((kk, ss))
-            if cur is None:
-                agg[(kk, ss)] = [ft, lt]
-            else:
-                cur[0] = min(cur[0], ft)
-                cur[1] = max(cur[1], lt)
-    # For each (key, range): the gap its FIRST row should get = its
-    # first_ts minus the previous non-empty range's last_ts.
-    first_gap: dict[tuple[int, int], int] = {}
-    prev_key, prev_last = None, None
-    for kk, ss in sorted(agg):
-        ft, lt = agg[(kk, ss)]
-        if kk == prev_key:
-            first_gap[(kk, ss)] = ft - prev_last
-        prev_key, prev_last = kk, lt
-    lut_ref = ray.put(first_gap)
-
-    def fixup(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:  # schemaless empty map_groups blocks
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "gap_us": pa.array([], pa.int64())})
-        lut = ray.get(lut_ref)
-        bk = batch.column("__key").to_numpy(zero_copy_only=False)
-        bs = batch.column("__salt").to_numpy(zero_copy_only=False)
-        gap = batch.column("__gap").to_numpy(
-            zero_copy_only=False).copy()
-        first = batch.column("__first").to_numpy(zero_copy_only=False)
-        null_mask = np.zeros(len(gap), np.bool_)
-        for i in np.flatnonzero(first):
-            g = lut.get((int(bk[i]), int(bs[i])))
-            if g is None:
-                null_mask[i] = True  # key's global first row
-            else:
-                gap[i] = g
-        vals = pa.array(gap.astype(np.int64), pa.int64())
-        if null_mask.any():
-            vals = pc.if_else(pa.array(null_mask),
-                              pa.nulls(len(gap), pa.int64()), vals)
-        return pa.table({id_col: batch.column(id_col), "gap_us": vals})
-
-    return partials.map_batches(fixup, batch_format="pyarrow")
+    # inside one segment are sorted, so these are exact).  All numpy —
+    # per-entry python folds are a driver bottleneck at millions of
+    # segments.
+    bt = pa.concat_tables(
+        [t for t in ray.get(partials.map_batches(
+            bounds, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows])
+    bk_ = bt.column("k").to_numpy(zero_copy_only=False)
+    bs_ = bt.column("s").to_numpy(zero_copy_only=False)
+    bf = bt.column("first_ts").to_numpy(zero_copy_only=False)
+    bl = bt.column("last_ts").to_numpy(zero_copy_only=False)
+    order = np.lexsort((bs_, bk_))
+    bk_, bs_, bf, bl = bk_[order], bs_[order], bf[order], bl[order]
+    if len(bk_):
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (bk_[1:] != bk_[:-1]) | (bs_[1:] != bs_[:-1]))))
+        first_min = np.minimum.reduceat(bf, starts)
+        last_max = np.maximum.reduceat(bl, starts)
+        kk, ss = bk_[starts], bs_[starts]
+        # each NON-first range's first-row gap = its first_ts minus
+        # the key's previous non-empty range's last_ts
+        not_first = np.concatenate(([False], kk[1:] == kk[:-1]))
+        gaps = np.empty(len(kk), np.int64)
+        gaps[not_first] = (first_min[not_first]
+                           - last_max[np.flatnonzero(not_first) - 1])
+        lut_ref = ray.put(_pack_lut(kk[not_first], ss[not_first],
+                                    gaps[not_first]))
+    else:
+        lut_ref = ray.put(_pack_lut(np.empty(0, np.int64),
+                                    np.empty(0, np.int64),
+                                    np.empty(0, np.int64)))
+    return partials.map_batches(
+        _LagFixup,
+        fn_constructor_kwargs={"lut_ref": lut_ref, "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 8))
 
 
 def sessionize(events_ds, *, gap_s: int = 1800,
