@@ -769,7 +769,11 @@ def _q_events_value_stats(sf_dir: str):
     def cents(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+        # round_mode matches DuckDB round() (half AWAY from zero —
+        # Arrow names it half_towards_infinity); Arrow's default
+        # half_to_even would differ on exact-.5 cents.
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0),
+                             round_mode="half_towards_infinity"),
                     pa.int64())
         return pa.table({"event_type": t.column("event_type"),
                          "cents": c})
@@ -1345,23 +1349,6 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sz sa ON sa.doc_id = inter.id_a "
             "JOIN sz sb ON sb.doc_id = inter.id_b "
             "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5"
-        ),
-        # The salted variants MUST produce byte-identical results to
-        # their unsalted twins; the same SQL hash-checks both paths.
-        "events_sessions_salted": (
-            "SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 "
-            "ELSE 0 END) AS BIGINT) AS n_sessions, "
-            "count(*) AS n_events FROM ("
-            "SELECT user_id, epoch(ts - lag(ts) OVER ("
-            "PARTITION BY user_id ORDER BY ts, event_id)) AS gap "
-            "FROM events) t GROUP BY user_id"
-        ),
-        "events_asof_salted": (
-            "SELECT e.event_id, o.o_orderkey FROM events e "
-            "ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, "
-            "max(o_orderkey) AS o_orderkey FROM orders "
-            "GROUP BY 1, 2) o "
-            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "ngram_jaccard_prefix": (
             "WITH w AS (SELECT doc_id, "

@@ -1769,3 +1769,54 @@ def test_prefix_jaccard_equals_full_and_bounds_hot_grams(ray_session):
     assert key(pb) == key(nb)
     for k in range(6):
         assert (k, 300 + k) in set(zip(pb["id_a"], pb["id_b"]))
+
+
+def test_exact_quantiles_drops_nan(ray_session):
+    """NaN must be excluded like NULL (SQL aggregate semantics):
+    median of {1,2,3,4,NaN,NaN} is 2.0, not 3.0 — NaNs previously
+    inflated the Count-based rank while never landing in a bin."""
+    import ray
+
+    from torray.ops.sketch import exact_quantiles
+
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array([1.0, 2.0, 3.0, 4.0, float("nan"), float("nan")],
+                      pa.float64())})).repartition(2)
+    got = exact_quantiles(ds, "x", [0.5])
+    assert got[0.5] == 2.0
+
+    # all-NaN column behaves like an empty one
+    all_nan = ray.data.from_arrow(pa.table({
+        "x": pa.array([float("nan")] * 4, pa.float64())}))
+    assert np.isnan(exact_quantiles(all_nan, "x", [0.5])[0.5])
+
+
+def test_empty_input_guards(ray_session):
+    """Zero-row inputs short-circuit instead of crashing: the salted
+    running_total / lag_delta range folds (pa.concat_tables over an
+    empty list) and broadcast_join's empty small side."""
+    import ray
+
+    from torray.ops.join import broadcast_join
+    from torray.ops.window import lag_delta, running_total
+
+    empty_events = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    }))
+    assert running_total(empty_events, salt_range_s=60).count() == 0
+    assert lag_delta(empty_events, salt_range_s=60).count() == 0
+
+    big = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "v": pa.array(["a", "b"])}))
+    empty_small = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "name": pa.array([], pa.string())}))
+    inner = broadcast_join(big, empty_small, on="k").to_pandas()
+    assert len(inner) == 0
+    left = broadcast_join(big, empty_small, on="k",
+                          how="left outer").to_pandas()
+    assert len(left) == 2 and left["name"].isna().all()

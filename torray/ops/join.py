@@ -48,8 +48,10 @@ def broadcast_join(big_ds, small_ds, *, on, right_on=None,
     rkeys = keys if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
 
-    small = pa.concat_tables(
-        t for t in ray.get(small_ds.to_arrow_refs()) if t.num_rows)
+    small_tables = [t for t in ray.get(small_ds.to_arrow_refs())
+                    if t.num_rows]
+    small = (pa.concat_tables(small_tables) if small_tables
+             else small_ds.schema().base_schema.empty_table())
     if small.num_rows > small_cap_rows:
         raise ValueError(
             f"small side has {small.num_rows} rows > cap "

@@ -244,10 +244,15 @@ def exact_quantiles(ds, col: str, quantiles, *, bins: int = 4096,
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max, Min
 
+    def _clean(t: pa.Table) -> pa.Table:
+        v = pc.drop_null(t.column(col).cast(pa.float64()))
+        # NaNs are not null in Arrow: drop them explicitly, or they
+        # inflate the Count-based rank n while never landing in a
+        # histogram bin (SQL aggregates ignore NaN like NULL).
+        return pa.table({"v": v.filter(pc.invert(pc.is_nan(v)))})
+
     proj = ds.select_columns([col]).map_batches(
-        lambda t: pa.table({
-            "v": pc.drop_null(t.column(col).cast(pa.float64()))}),
-        batch_format="pyarrow")
+        _clean, batch_format="pyarrow")
     stats = proj.aggregate(Count("v", ignore_nulls=True),
                            Min("v"), Max("v"))
     n = int((stats or {}).get("count(v)") or 0)

@@ -302,7 +302,8 @@ def running_total(events_ds, *, key_col: str = "user_id",
         empty = pa.table({id_col: pa.array([], pa.int64()),
                           "__key": pa.array([], pa.int64()),
                           "__salt": pa.array([], pa.int64()),
-                          "__local": pa.array([], pa.int64())})
+                          "__local": pa.array([], pa.int64()),
+                          "__pos": pa.array([], pa.int64())})
         if group.num_rows == 0:
             return empty
         k = group.column(key_col).to_numpy(zero_copy_only=False)
@@ -311,18 +312,31 @@ def running_total(events_ds, *, key_col: str = "user_id",
             zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         v = group.column(value_col).to_numpy(zero_copy_only=False)
-        scaled = np.round(np.asarray(v, np.float64) * scale).astype(
-            np.int64)
+        prod = np.asarray(v, np.float64) * scale
+        # half AWAY from zero, matching SQL round(); np.round's
+        # banker's rounding would diverge on exact-.5 products.
+        scaled = np.copysign(np.floor(np.abs(prod) + 0.5),
+                             prod).astype(np.int64)
         order = np.lexsort((ids, ts, s, k))
         k, s, ids, scaled = k[order], s[order], ids[order], scaled[order]
         starts = np.flatnonzero(np.concatenate(
             ([True], (k[1:] != k[:-1]) | (s[1:] != s[:-1]))))
         cum = _segmented_cumsum(scaled, starts)
+        # __pos = 0-based position inside the (key, salt) segment —
+        # carried so the range-total fold below can identify a
+        # segment's true LAST row even if dynamic block splitting
+        # scatters the segment across blocks in any order (cumsums are
+        # not monotone with negative values, so max(__local) is no
+        # substitute).
+        seg_lens = np.diff(np.append(starts, len(k)))
+        pos = np.arange(len(k), dtype=np.int64) - np.repeat(starts,
+                                                            seg_lens)
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "__key": pa.array(k, pa.int64()),
             "__salt": pa.array(s, pa.int64()),
             "__local": pa.array(cum, pa.int64()),
+            "__pos": pa.array(pos, pa.int64()),
         })
 
     narrow = events_ds.select_columns(cols)
@@ -350,29 +364,40 @@ def running_total(events_ds, *, key_col: str = "user_id",
         if t.num_rows == 0:  # schemaless empty map_groups blocks
             return pa.table({"k": pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64()),
-                             "t": pa.array([], pa.int64())})
+                             "t": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
         k = t.column("__key").to_numpy(zero_copy_only=False)
         s = t.column("__salt").to_numpy(zero_copy_only=False)
         c = t.column("__local").to_numpy(zero_copy_only=False)
+        p = t.column("__pos").to_numpy(zero_copy_only=False)
+        # Keep this block's MAX-__pos row per (key, salt) — position
+        # is intrinsic to the row, so the fold is independent of any
+        # block/row ordering the executor produces.
+        order = np.lexsort((p, s, k))
+        k, s, c, p = k[order], s[order], c[order], p[order]
         last = np.concatenate(
             (np.flatnonzero((k[1:] != k[:-1]) | (s[1:] != s[:-1])),
              [len(k) - 1]))
         return pa.table({"k": pa.array(k[last], pa.int64()),
                          "s": pa.array(s[last], pa.int64()),
-                         "t": pa.array(c[last], pa.int64())})
+                         "t": pa.array(c[last], pa.int64()),
+                         "p": pa.array(p[last], pa.int64())})
 
-    tot = pa.concat_tables(
-        [t for t in ray.get(partials.map_batches(
-            totals, batch_format="pyarrow").to_arrow_refs())
-         if t.num_rows])
-    tk = tot.column("k").to_numpy(zero_copy_only=False)
-    ts_ = tot.column("s").to_numpy(zero_copy_only=False)
-    tt = tot.column("t").to_numpy(zero_copy_only=False)
+    tot_tables = [t for t in ray.get(partials.map_batches(
+        totals, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    if tot_tables:
+        tot = pa.concat_tables(tot_tables)
+        tk = tot.column("k").to_numpy(zero_copy_only=False)
+        ts_ = tot.column("s").to_numpy(zero_copy_only=False)
+        tt = tot.column("t").to_numpy(zero_copy_only=False)
+        tp = tot.column("p").to_numpy(zero_copy_only=False)
+    else:  # empty input
+        tk = ts_ = tt = tp = np.empty(0, np.int64)
     # A huge (key, range) segment's output may be SPLIT across blocks
     # by dynamic block splitting, yielding several candidate "last
-    # rows"; block order preserves row order, so the true range total
-    # is the LAST occurrence (original index as lexsort tiebreak).
-    order = np.lexsort((np.arange(len(tk)), ts_, tk))
+    # rows"; the true range total is the one with the MAX in-segment
+    # position (__pos), an order-independent criterion.
+    order = np.lexsort((tp, ts_, tk))
     tk, ts_, tt = tk[order], ts_[order], tt[order]
     last = np.concatenate(
         (np.flatnonzero((tk[1:] != tk[:-1]) | (ts_[1:] != ts_[:-1])),
@@ -512,14 +537,16 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
     # inside one segment are sorted, so these are exact).  All numpy —
     # per-entry python folds are a driver bottleneck at millions of
     # segments.
-    bt = pa.concat_tables(
-        [t for t in ray.get(partials.map_batches(
-            bounds, batch_format="pyarrow").to_arrow_refs())
-         if t.num_rows])
-    bk_ = bt.column("k").to_numpy(zero_copy_only=False)
-    bs_ = bt.column("s").to_numpy(zero_copy_only=False)
-    bf = bt.column("first_ts").to_numpy(zero_copy_only=False)
-    bl = bt.column("last_ts").to_numpy(zero_copy_only=False)
+    bt_tables = [t for t in ray.get(partials.map_batches(
+        bounds, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    if bt_tables:
+        bt = pa.concat_tables(bt_tables)
+        bk_ = bt.column("k").to_numpy(zero_copy_only=False)
+        bs_ = bt.column("s").to_numpy(zero_copy_only=False)
+        bf = bt.column("first_ts").to_numpy(zero_copy_only=False)
+        bl = bt.column("last_ts").to_numpy(zero_copy_only=False)
+    else:  # empty input
+        bk_ = bs_ = bf = bl = np.empty(0, np.int64)
     order = np.lexsort((bs_, bk_))
     bk_, bs_, bf, bl = bk_[order], bs_[order], bf[order], bl[order]
     if len(bk_):
