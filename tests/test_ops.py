@@ -1820,3 +1820,28 @@ def test_empty_input_guards(ray_session):
     left = broadcast_join(big, empty_small, on="k",
                           how="left outer").to_pandas()
     assert len(left) == 2 and left["name"].isna().all()
+
+
+def test_fnv1a64_strings_batch_invariant():
+    """The vectorized string hash is a pure function of the VALUE:
+    identical across batch compositions, slices, chunked arrays, and
+    the long-value md5 fallback boundary; nulls hash like ''."""
+    from torray.ops.dedup import fnv1a64_strings
+
+    vals = ["", "a", "abc", "hello world", None, "x" * 5000,
+            "日本語", "y" * 4096, "y" * 4097]
+    h = fnv1a64_strings(pa.array(vals, pa.string()))
+    # singleton batches agree with the big batch
+    for i, v in enumerate(vals):
+        hi = fnv1a64_strings(pa.array([v], pa.string()))[0]
+        assert hi == h[i], (i, v)
+    # chunked + sliced forms agree
+    ch = pa.chunked_array([pa.array(vals[:4]), pa.array(vals[4:])])
+    assert (fnv1a64_strings(ch) == h).all()
+    sl = pa.array(["pad"] + vals).slice(1, len(vals))
+    assert (fnv1a64_strings(sl) == h).all()
+    # null behaves like the empty string; distinct values collide never
+    # in this tiny set
+    assert h[4] == h[0]
+    non_null = [h[i] for i in (0, 1, 2, 3, 5, 6, 7, 8)]
+    assert len(set(non_null)) == len(non_null)

@@ -21,17 +21,17 @@ anyway).  The bit array is ``m_bits / 8`` bytes — 2 MB per 10^6 keys
 stream" shape this op exists for.
 
 Hashing reuses the splitmix64 finalizer (:func:`torray.ops.dedup._mix64`)
-with per-probe salts; string keys are md5-folded to int64 first.
+with per-probe salts; string keys go through the vectorized FNV-1a
+fold (:func:`torray.ops.dedup.fnv1a64_strings`) — never a Python hash
+call per value.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
-from torray.ops.dedup import _mix64
+from torray.ops.dedup import _mix64, fnv1a64_strings
 
 __all__ = ["bloom_bits", "bloom_probe", "bloom_semijoin",
            "bloom_antijoin"]
@@ -46,11 +46,7 @@ def _key_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if pa.types.is_integer(col.type):
         return col.cast(pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.int64).view(np.uint64)
-    out = np.empty(len(col), np.uint64)
-    for i, v in enumerate(col.to_pylist()):
-        out[i] = int.from_bytes(
-            hashlib.md5(str(v).encode()).digest()[:8], "big")
-    return out
+    return fnv1a64_strings(col)
 
 
 def _bit_positions(hashes: np.ndarray, m_bits: int,

@@ -39,6 +39,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "prefix_jaccard_pairs",
     "bounded_pair_positions",
+    "fnv1a64_strings",
     "salted_bucket_pairs",
     "pair_counts",
     "shared_passage_pairs",
@@ -62,6 +63,81 @@ def _mix64(x: np.ndarray) -> np.ndarray:
         x *= np.uint64(0x94D049BB133111EB)
         x ^= x >> np.uint64(31)
     return x
+
+
+def fnv1a64_strings(col) -> np.ndarray:
+    """Vectorized, process-stable 64-bit hash of an Arrow string /
+    binary array -> uint64 numpy array (FNV-1a over the value bytes,
+    finalized through :func:`_mix64` for avalanche in the high bits —
+    HLL registers / Bloom bit positions use those).
+
+    Shape: the value bytes are scattered once into a zero-padded
+    (rows x maxlen) uint8 matrix, then ONE numpy pass per byte
+    COLUMN folds all rows simultaneously — O(total_bytes) work with
+    maxlen vector ops instead of one Python hash call per value.  Row
+    chunks cap the padded matrix at ~64 MB so a skewed batch cannot
+    balloon memory; values longer than ``_FNV_LONG_CUT`` bytes are
+    folded through md5 first (length is intrinsic to the value, so
+    the hash stays consistent across batches/partitions).  Nulls hash
+    like the empty string.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(
+            col.type) or pa.types.is_binary(col.type)
+            or pa.types.is_large_binary(col.type)):
+        col = col.cast(pa.string())
+    col = col.cast(pa.large_binary())
+    n = len(col)
+    out = np.empty(n, np.uint64)
+    if n == 0:
+        return out
+    buffers = col.buffers()
+    offsets = np.frombuffer(buffers[1], np.int64,
+                            count=n + 1, offset=col.offset * 8)
+    data = (np.frombuffer(buffers[2], np.uint8) if buffers[2] is not None
+            else np.empty(0, np.uint8))
+    lengths = offsets[1:] - offsets[:-1]
+    if col.null_count:
+        null = col.is_null().to_numpy(zero_copy_only=False)
+        lengths = np.where(null, 0, lengths)
+
+    long_rows = np.flatnonzero(lengths > _FNV_LONG_CUT)
+    for i in long_rows:
+        out[i] = int.from_bytes(
+            hashlib.md5(data[offsets[i]:offsets[i] + lengths[i]]
+                        .tobytes()).digest()[:8], "big")
+    short = (np.flatnonzero(lengths <= _FNV_LONG_CUT)
+             if long_rows.size else np.arange(n))
+
+    prime = np.uint64(0x100000001B3)
+    basis = np.uint64(0xCBF29CE484222325)
+    chunk = max(1, (64 << 20) // (_FNV_LONG_CUT + 1))
+    with np.errstate(over="ignore"):
+        for c0 in range(0, short.size, chunk):
+            rows = short[c0:c0 + chunk]
+            ln = lengths[rows]
+            maxlen = int(ln.max()) if rows.size else 0
+            h = np.full(rows.size, basis, np.uint64)
+            if maxlen:
+                total = int(ln.sum())
+                rr = np.repeat(np.arange(rows.size), ln)
+                cc = (np.arange(total)
+                      - np.repeat(np.cumsum(ln) - ln, ln))
+                src = np.repeat(offsets[rows], ln) + cc
+                mat = np.zeros((rows.size, maxlen), np.uint8)
+                mat[rr, cc] = data[src]
+                for j in range(maxlen):
+                    alive = ln > j
+                    hj = (h ^ mat[:, j].astype(np.uint64)) * prime
+                    h = np.where(alive, hj, h)
+            out[rows] = h
+    # splitmix64 finalizer: FNV-1a's raw high bits avalanche poorly on
+    # short keys, and HLL/Bloom consumers index by the TOP bits.
+    return _mix64(out)
+
+
+_FNV_LONG_CUT = 4096
 
 
 def bounded_pair_positions(ids_sorted: np.ndarray,

@@ -10,18 +10,17 @@ estimate is deterministic for a given hash function, so results are
 partition- and order-independent.
 
 Hashing: int64 columns go through the same splitmix64 finalizer the
-dedup ops use (:func:`torray.ops.dedup._mix64`, vectorized); strings
-through per-value md5 with a bounded per-process memo.
+dedup ops use (:func:`torray.ops.dedup._mix64`, vectorized); string /
+binary columns through the vectorized FNV-1a fold
+(:func:`torray.ops.dedup.fnv1a64_strings` — no Python call per value).
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
-from torray.ops.dedup import _mix64
+from torray.ops.dedup import _mix64, fnv1a64_strings
 
 __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "approx_distinct_by", "approx_quantiles", "exact_quantiles",
@@ -35,11 +34,7 @@ def _hash_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if pa.types.is_integer(t):
         vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         return _mix64(vals.astype(np.int64))
-    out = np.empty(len(col), np.uint64)
-    for i, v in enumerate(col.to_pylist()):
-        out[i] = int.from_bytes(
-            hashlib.md5(str(v).encode()).digest()[:8], "big")
-    return out
+    return fnv1a64_strings(col)
 
 
 def hll_registers(hashes: np.ndarray, b: int = 12) -> np.ndarray:

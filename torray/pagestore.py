@@ -74,9 +74,16 @@ class PageStore:
         os.makedirs(root, exist_ok=True)
 
         def add_bucket(batch: pa.Table) -> pa.Table:
-            buckets = [bucket_of(host_of(u), num_buckets)
-                       for u in batch.column("url").to_pylist()]
-            return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+            # Vectorized host extraction (RE2 kernel) + one sha1 per
+            # DISTINCT host — the same kernels the per-round crawl path
+            # uses; the one-time pass over the 100 TB side deserves the
+            # same treatment (a per-url Python loop here was measured
+            # as the dominant build cost at fat-XL scale).
+            from torray.urlnorm import hash_mod_dict, hosts_paths_arrays
+
+            hosts, _ = hosts_paths_arrays(batch.column("url"))
+            buckets = hash_mod_dict(hosts, num_buckets, stable_hash)
+            return batch.append_column("bucket", buckets)
 
         def write_bucket(group: pa.Table) -> pa.Table:
             b = group.column("bucket")[0].as_py()
