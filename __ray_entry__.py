@@ -454,7 +454,7 @@ def _q_docs_top_by_lang(sf_dir: str):
                           batch_format="pyarrow")
 
 
-def _q_events_order_window(sf_dir: str):
+def _q_events_order_window(sf_dir: str, sub_salt: int = 1):
     """Range join: events landing inside each user's 2-day order
     "anniversary" window (the order's day-of-month mapped into the
     events' January-2024 span — the tables' native date ranges are
@@ -487,7 +487,8 @@ def _q_events_order_window(sf_dir: str):
                                                 "user_id"]),
         orders, left_ts="ts", right_start="w_start",
         right_end="w_end", left_key="user_id", right_key="o_custkey",
-        right_value_cols=["o_orderkey"], bin_s=2 * 86_400)
+        right_value_cols=["o_orderkey"], bin_s=2 * 86_400,
+        sub_salt=sub_salt)
     agg = joined.groupby("o_orderkey").count()
     return _rename(agg, {"count()": "n_events"})
 
@@ -855,6 +856,24 @@ def _q_docs_top_terms(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def _q_docs_top_terms_join(sf_dir: str):
+    """The JOIN-plan configuration of tf-idf (mode='join': vocabulary
+    never folds on the driver — the web-vocab scale path), checked
+    against the SAME oracle as the broadcast plan."""
+    from torray.ops.text import tfidf_top_terms
+
+    ds = tfidf_top_terms(_read(sf_dir, "documents"), k=3, mode="join")
+    return ds.map_batches(lambda t: t.select(["doc_id", "term", "tf"]),
+                          batch_format="pyarrow")
+
+
+def _q_events_order_window_salted(sf_dir: str):
+    """The hot-bin configuration of the interval join (sub_salt=4:
+    lefts hash-split, rights replicated per sub-group), checked
+    against the SAME oracle as the unsalted query."""
+    return _q_events_order_window(sf_dir, sub_salt=4)
+
+
 def _q_emb_semantic_dedup(sf_dir: str):
     """SemDeDup-style near-dup pairs: k-means cluster blocking + exact
     within-cluster cosine (planted-pair recovery tested in tests/)."""
@@ -1100,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_pagerank": _q_parts_pagerank,
         "docs_top_by_lang": _q_docs_top_by_lang,
         "events_order_window": _q_events_order_window,
+        "events_order_window_salted": _q_events_order_window_salted,
         "docs_line_stats": _q_docs_line_stats,
         "lineitem_top_parts": _q_lineitem_top_parts,
         "lineitem_urgent_semijoin": _q_lineitem_urgent_semijoin,
@@ -1124,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_salted": _q_events_lag_salted,
         "events_distinct_users_by_type": _q_events_distinct_users_by_type,
         "docs_top_terms": _q_docs_top_terms,
+        "docs_top_terms_join": _q_docs_top_terms_join,
         "orders_events_full_outer": _q_orders_events_full_outer,
         "events_value_stats": _q_events_value_stats,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
@@ -1291,6 +1312,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE rn <= 5"
         ),
         "events_order_window": (
+            "SELECT o.o_orderkey, count(*) AS n_events "
+            "FROM events e JOIN ("
+            "SELECT o_orderkey, o_custkey, TIMESTAMP '2024-01-01' + "
+            "(day(o_orderdate) - 1) * INTERVAL 1 DAY AS w_start "
+            "FROM orders) o ON e.user_id = o.o_custkey "
+            "AND e.ts >= o.w_start "
+            "AND e.ts < o.w_start + INTERVAL 2 DAY "
+            "GROUP BY o.o_orderkey"
+        ),
+        # the sub-salted (hot-bin) configuration must reproduce the
+        # exact same join — same oracle
+        "events_order_window_salted": (
             "SELECT o.o_orderkey, count(*) AS n_events "
             "FROM events e JOIN ("
             "SELECT o_orderkey, o_custkey, TIMESTAMP '2024-01-01' + "
@@ -1548,6 +1581,25 @@ def oracle_sql() -> dict[str, str]:
         # the float score is excluded (libm log differs in the last
         # ULP between numpy and DuckDB).
         "docs_top_terms": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            "GROUP BY term), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "scored AS (SELECT doc_id, term, tf, "
+            "tf * ln(CAST(n_docs AS DOUBLE) / df) AS score "
+            "FROM tf JOIN df USING (term), n) "
+            "SELECT doc_id, term, tf FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term) AS rn FROM scored) "
+            "WHERE rn <= 3"
+        ),
+        # the join-plan configuration must select the same terms —
+        # same oracle
+        "docs_top_terms_join": (
             "WITH tok AS (SELECT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term "
             "FROM documents), "

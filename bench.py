@@ -131,7 +131,11 @@ def bench_crawl(sf: float, num_cpus: int, fat: bool = False,
         # path at bench scale (fat1 ~11k seen/shard, fatxl ~94k).
         spill = None if spill_env == "0" else int(spill_env or 8000)
     else:
-        spill = int(spill_env) if spill_env not in ("", "0") else None
+        # bfs (the ordering-stress config) also benches with the
+        # bounded-memory seen set ON since r4 — 2k/shard exercises the
+        # spill path at its smaller per-shard seen counts.
+        # TORRAY_BENCH_SPILL=0 benches in-heap for the overhead delta.
+        spill = None if spill_env == "0" else int(spill_env or 2000)
 
     num_pages = max(1000, int(2_000_000 * sf)) * scale_mult
     num_hosts = max(30, num_pages // 60)
@@ -326,17 +330,29 @@ def bench_analytics(sf_dir: str) -> dict:
 
     qs = entry_mod.queries()
     _warm_pool()
+    # The six ops share no state; at sf scale each is dominated by a
+    # ~2-3 s sub-DAG launch constant (BASELINE §analytics), so they
+    # run CONCURRENTLY from driver threads — each thread drives its
+    # own streaming executor and the constants overlap.  Outputs are
+    # identical to the serial run (same queries, same inputs).
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = {
+        "running_rows": lambda: qs["events_running_salted"](
+            sf_dir).count(),
+        "rollup_rows": lambda: qs["lineitem_rollup"](sf_dir).count(),
+        "quantiles": lambda: len(qs["events_quantiles_exact"](sf_dir)),
+        "anti_rows": lambda: qs["customers_no_events"](sf_dir).count(),
+        "gated_docs": lambda: qs["docs_above_p10"](sf_dir).count(),
+        "jaccard_pairs": lambda: qs["ngram_jaccard_pairs"](
+            sf_dir).count(),
+    }
     t0 = time.monotonic()
-    n_run = qs["events_running_salted"](sf_dir).count()
-    n_roll = qs["lineitem_rollup"](sf_dir).count()
-    n_q = len(qs["events_quantiles_exact"](sf_dir))
-    n_anti = qs["customers_no_events"](sf_dir).count()
-    n_gate = qs["docs_above_p10"](sf_dir).count()
-    n_jac = qs["ngram_jaccard_pairs"](sf_dir).count()
+    with ThreadPoolExecutor(len(jobs)) as ex:
+        futs = {k: ex.submit(fn) for k, fn in jobs.items()}
+        res = {k: f.result() for k, f in futs.items()}
     wall = time.monotonic() - t0
-    return {"sec": wall, "running_rows": n_run, "rollup_rows": n_roll,
-            "quantiles": n_q, "anti_rows": n_anti, "gated_docs": n_gate,
-            "jaccard_pairs": n_jac}
+    return {"sec": wall, **res}
 
 
 def _ensure_events_xl(rows: int = 10_000_000) -> str:
@@ -380,7 +396,8 @@ def bench_analytics_xl(sf_dir: str) -> dict:
     import ray
 
     from torray.ops.sketch import exact_quantiles
-    from torray.ops.window import running_total, tumbling_window
+    from torray.ops.window import (running_total, sessionize,
+                                   tumbling_window)
 
     path = _ensure_events_xl()
     _warm_pool()
@@ -393,13 +410,62 @@ def bench_analytics_xl(sf_dir: str) -> dict:
     t2 = time.monotonic()
     n_win = tumbling_window(ray.data.read_parquet(path)).count()
     t3 = time.monotonic()
-    wall = t3 - t0
+    # sessionize at ~100k users x 10M rows: the r4 partition run-scan
+    # probe (one interpreter call per PARTITION, never per user)
+    n_sess = sessionize(ray.data.read_parquet(path)).count()
+    t4 = time.monotonic()
+    wall = t4 - t0
     return {"sec": wall,
             "running_sec": round(t1 - t0, 2), "running_rows": n_run,
             "quantiles_sec": round(t2 - t1, 2),
             "p50": q[0.5], "p99": q[0.99],
             "window_sec": round(t3 - t2, 2), "window_rows": n_win,
-            "rows_per_s": round(3 * 10_000_000 / wall, 1)}
+            "sessionize_sec": round(t4 - t3, 2),
+            "sessionize_users": n_sess,
+            "rows_per_s": round(4 * 10_000_000 / wall, 1)}
+
+
+def _ensure_docs_xlvocab(n_docs: int = 200_000,
+                         toks_per_doc: int = 30) -> str:
+    """Deterministic unique-token corpus cached in /tmp: ~6M distinct
+    terms — past any sane broadcast limit, the web-vocabulary regime
+    (typos/URLs) that forces tf-idf's join plan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(_CACHE, f"docsxlvocab-{n_docs}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(_CACHE, exist_ok=True)
+    texts = []
+    for i in range(n_docs):
+        uniq = " ".join(f"tok{i}x{j}" for j in range(toks_per_doc - 2))
+        texts.append(f"common filler {uniq}")
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, out, row_group_size=1 << 16)
+    return out
+
+
+def bench_tfidf_xl(sf_dir: str) -> dict:
+    """tf-idf over a ~5.6M-term vocabulary: auto mode must pick the
+    JOIN plan (the vocabulary never folds on the driver).  Not in the
+    default suite (TORRAY_BENCH_ONLY=tfidf_xl)."""
+    import ray
+
+    from torray.ops.text import tfidf_top_terms
+
+    path = _ensure_docs_xlvocab()
+    _warm_pool()
+    t0 = time.monotonic()
+    ds = tfidf_top_terms(ray.data.read_parquet(path), k=3)
+    n = ds.count()
+    wall = time.monotonic() - t0
+    return {"sec": wall, "rows": n,
+            "docs_per_s": round(200_000 / wall, 1)}
 
 
 def bench_knn(sf_dir: str) -> dict:
@@ -480,6 +546,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "events": lambda: bench_events(sf_dir),
         "analytics": lambda: bench_analytics(sf_dir),
         "analytics_xl": lambda: bench_analytics_xl(sf_dir),
+        "tfidf_xl": lambda: bench_tfidf_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()

@@ -1845,3 +1845,85 @@ def test_fnv1a64_strings_batch_invariant():
     assert h[4] == h[0]
     non_null = [h[i] for i in (0, 1, 2, 3, 5, 6, 7, 8)]
     assert len(set(non_null)) == len(non_null)
+
+
+def test_interval_join_sub_salt_hot_bin(ray_session):
+    """Planted hot bin (every left and right on ONE (key, bin)):
+    sub_salt splits the group without changing the pair set, and
+    max_group_rows turns an over-wide group into a hard error."""
+    import ray
+
+    from torray.ops.window import interval_join
+
+    rng = np.random.RandomState(3)
+    n_l, n_r, bin_s = 2000, 40, 3600
+    # all lefts in bin 0 of key 7
+    l_ts = rng.randint(0, bin_s * 1_000_000, n_l).astype(np.int64)
+    r_start = rng.randint(0, bin_s * 1_000_000, n_r).astype(np.int64)
+    r_end = r_start + rng.randint(1, 30 * 1_000_000, n_r)
+
+    def mk():
+        left = ray.data.from_arrow(pa.table({
+            "lid": pa.array(np.arange(n_l), pa.int64()),
+            "ts": pa.array(l_ts, pa.int64()),
+            "k": pa.array(np.full(n_l, 7), pa.int64())})).repartition(3)
+        right = ray.data.from_arrow(pa.table({
+            "rid": pa.array(np.arange(n_r), pa.int64()),
+            "start": pa.array(r_start, pa.int64()),
+            "end": pa.array(r_end, pa.int64()),
+            "k": pa.array(np.full(n_r, 7), pa.int64())})).repartition(2)
+        return left, right
+
+    kw = dict(left_ts="ts", right_start="start", right_end="end",
+              left_key="k", right_key="k", right_value_cols=["rid"],
+              bin_s=bin_s)
+    l1, r1 = mk()
+    base = interval_join(l1, r1, **kw).to_pandas()
+    l2, r2 = mk()
+    salted = interval_join(l2, r2, sub_salt=4, **kw).to_pandas()
+    key = lambda df: sorted(zip(df["lid"], df["rid"]))
+    assert key(base) == key(salted)
+    assert len(base) == len(salted)
+
+    # the guard fires on the unsalted hot group and names the knobs
+    l3, r3 = mk()
+    with pytest.raises(Exception, match="max_group_rows"):
+        interval_join(l3, r3, max_group_rows=500, **kw).to_pandas()
+
+    # with enough sub-salt the same cap passes (lefts split ~8 ways)
+    l4, r4 = mk()
+    capped = interval_join(l4, r4, sub_salt=8, max_group_rows=500,
+                           **kw).to_pandas()
+    assert key(capped) == key(base)
+
+
+def test_tfidf_join_mode_matches_broadcast(ray_session):
+    """The join-formulation plan (vocabulary never on the driver) is
+    row-identical to the broadcast plan, including score doubles and
+    the ascending-term tie rule; auto mode picks join under a tiny
+    vocab limit."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.text import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(9)),
+        "text": ["the cat sat on the mat", "the dog ate my homework",
+                 "cat dog cat dog", "unique words here only",
+                 "", None, "the the the",
+                 "mat mat dog homework zebra",
+                 "tie tie four four"],  # equal scores -> term tie rule
+    })
+
+    def run(**kw):
+        return (tfidf_top_terms(ray.data.from_pandas(docs), k=2, **kw)
+                .to_pandas().sort_values(["doc_id", "term"])
+                .reset_index(drop=True))
+
+    a = run(mode="broadcast")
+    b = run(mode="join")
+    c = run(mode="auto", broadcast_vocab_limit=3)  # forces join
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+    assert (a.groupby("doc_id").size() <= 2).all()

@@ -41,20 +41,57 @@ def hash_split(ds, id_col: str, test_frac: float = 0.2, salt: str = ""):
 
 
 def sample_per_group(ds, group_col: str, n: int, id_col: str,
-                     salt: str = ""):
+                     salt: str = "", num_partitions: int = 64):
     """Keep at most ``n`` rows per group — the rows with the smallest
-    ``md5(id || salt)`` (ties broken by id).  One ``groupby`` shuffle;
-    the per-group cut is a vectorized argsort.  This is the standard
+    ``md5(id || salt)`` (ties broken by id).  This is the standard
     per-source / per-domain cap of web-corpus curation, made
-    deterministic and partition-independent."""
+    deterministic and partition-independent.
 
-    def cut(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        keys = np.asarray([_hash_prefix(v, salt) for v in ids])
-        order = np.lexsort((np.asarray(ids), keys))[:n]
-        return group.take(pa.array(np.sort(order), pa.int64()))
+    Partition RUN-SCAN shape (no Python call per group): groups hash
+    into ``num_partitions`` coarse partitions, ONE groupby on the
+    partition id, then one lexsort of (group, key, id) + a vectorized
+    in-run rank cut per partition — a ``groupby(group).map_groups``
+    would cost one interpreter call per group (millions of singleton
+    calls at per-domain cardinality).  The md5 sort keys stay
+    per-row md5 (they are the documented SQL-equivalent contract)."""
+    from torray.ops.window import _hash_col_np
 
-    return ds.groupby(group_col).map_groups(cut, batch_format="pyarrow")
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "__skey", pa.array([], pa.string())).append_column(
+                "__part", pa.array([], pa.int64()))
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(g)
+                % np.uint64(num_partitions)).astype(np.int64)
+        keys = [_hash_prefix(v, salt)
+                for v in batch.column(id_col).to_pylist()]
+        return batch.append_column(
+            "__skey", pa.array(keys, pa.string())).append_column(
+            "__part", pa.array(part, pa.int64()))
+
+    drop = ["__skey", "__part"]
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(
+                [c for c in drop if c in group.column_names])
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        keys = group.column("__skey").to_numpy(zero_copy_only=False)
+        ids = np.asarray(group.column(id_col).to_pylist())
+        order = np.lexsort((ids, keys, g))
+        gs = g[order]
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                gs[1:] != gs[:-1])))
+        lens = np.diff(np.append(starts, len(gs)))
+        rank = np.arange(len(gs)) - np.repeat(starts, lens)
+        keep = order[rank < n]
+        return group.take(pa.array(np.sort(keep), pa.int64())
+                          ).drop_columns(drop)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
 
 
 def filter_by_quantile(ds, col: str, q: float, *, keep: str = "ge"):

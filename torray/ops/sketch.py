@@ -363,32 +363,79 @@ def exact_quantiles(ds, col: str, quantiles, *, bins: int = 4096,
     return out
 
 
-def group_quantiles(ds, group_col: str, col: str, quantiles):
+def group_quantiles(ds, group_col: str, col: str, quantiles,
+                    num_partitions: int = 64):
     """Exact per-group quantiles (``quantile_disc`` semantics) in long
-    format ``(group, q, value)`` — one ``groupby(group)`` shuffle of
-    narrow (group, value) rows, sort + rank-pick inside the group
-    (partitioning assumption: a group's VALUES fit in a task; for the
-    global / hot-group case use :func:`exact_quantiles`, which never
-    shuffles at all)."""
-    qs = [float(q) for q in quantiles]
+    format ``(group, q, value)``.
 
-    def per_group(group: pa.Table) -> pa.Table:
-        v = group.column(col).cast(pa.float64()).to_numpy(
-            zero_copy_only=False)
-        v = np.sort(v[~np.isnan(v)])
-        n = v.size
-        vals = [float(v[_disc_rank(q, n)]) if n else float("nan")
-                for q in qs]
+    Partition RUN-SCAN shape (no Python call per group): groups hash
+    into ``num_partitions`` coarse partitions, ONE groupby on the
+    partition id, then one lexsort of (group, value) + a vectorized
+    rank pick per group run inside each partition — at 10^7 groups
+    the old ``groupby(group).map_groups`` paid one interpreter call
+    per group for a handful of rows each.  Partitioning assumption: a
+    group's VALUES fit in a task (same as any co-grouped op); for the
+    global / hot-group case use :func:`exact_quantiles`, which never
+    shuffles at all."""
+    from torray.ops.window import _hash_col_np
+
+    qs = np.asarray([float(q) for q in quantiles], np.float64)
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "__v": pa.array([], pa.float64()),
+                             "__part": pa.array([], pa.int64())})
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(g)
+                % np.uint64(num_partitions)).astype(np.int64)
         return pa.table({
-            group_col: pa.concat_arrays(
-                [group.column(group_col).slice(0, 1).combine_chunks()]
-                * len(qs)),
-            "q": pa.array(qs, pa.float64()),
+            group_col: batch.column(group_col),
+            "__v": batch.column(col).cast(pa.float64()),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    import pyarrow.compute as pc
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        v = group.column("__v").to_numpy(zero_copy_only=False)
+        # NaN sorts to the end of each group run; ranks use the
+        # non-NaN count, so NaNs are dropped per group while all-NaN
+        # groups still surface (value = NaN) like the SQL aggregate
+        # over an all-NULL group.
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        lens = np.diff(np.append(starts, len(g)))
+        nan_per_run = np.add.reduceat(np.isnan(v).astype(np.int64),
+                                      starts)
+        n_valid = lens - nan_per_run
+        # rank picks for ALL groups x quantiles at once:
+        # rank = max(0, ceil(q*n) - 1) within each run
+        ranks = np.maximum(
+            0, np.ceil(qs[None, :] * n_valid[:, None]).astype(
+                np.int64) - 1)
+        idx = (starts[:, None] + ranks).ravel()
+        vals = v[idx]
+        vals[np.repeat(n_valid == 0, len(qs))] = np.nan
+        n_groups = len(starts)
+        take = pa.array(order[np.repeat(starts, len(qs))], pa.int64())
+        return pa.table({
+            group_col: pc.take(group.column(group_col), take),
+            "q": pa.array(np.tile(qs, n_groups), pa.float64()),
             "value": pa.array(vals, pa.float64()),
         })
 
-    return ds.select_columns([group_col, col]).groupby(
-        group_col).map_groups(per_group, batch_format="pyarrow")
+    return (ds.select_columns([group_col, col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
 
 
 def exact_distinct_by(ds, group_col: str, col: str,

@@ -324,7 +324,9 @@ def term_doc_frequency(docs_ds, text_col: str = "text"):
 
 
 def tfidf_top_terms(docs_ds, k: int = 5, *, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", mode: str = "auto",
+                    broadcast_vocab_limit: int = 4_000_000,
+                    num_partitions: int = 64):
     """Top-k characteristic terms per document by tf-idf ->
     ``(doc_id, term, tf, score)``, ties broken by ascending term.
 
@@ -332,24 +334,47 @@ def tfidf_top_terms(docs_ds, k: int = 5, *, text_col: str = "text",
     formulation, deterministic given the corpus).
 
     Scale shape: document frequencies come from
-    :func:`term_doc_frequency` (combiner-bounded shuffle), then fold
-    into a BROADCAST (sorted term-hash, df) array pair — 16 bytes per
-    distinct term, fine up to ~10M vocab — and the scoring pass
-    streams with one ``np.searchsorted`` probe per document.  Corpora
-    whose vocabulary exceeds broadcast range need the join formulation
-    instead (explode (doc, term, tf) and shuffle-join on term); this
-    implementation documents that boundary rather than hiding it."""
-    import hashlib
+    :func:`term_doc_frequency` (combiner-bounded shuffle), kept
+    distributed (``materialize()`` of narrow (term, df) rows — never
+    the corpus).  Two execution plans, selected by ``mode``:
 
+    - ``broadcast`` — fold the vocabulary into a (sorted term-hash,
+      df) array pair — 16 bytes per distinct term, fine up to ~10M
+      vocab — and score with one streaming ``np.searchsorted`` probe
+      pass.  Zero extra shuffles, but the fold lands on the driver.
+    - ``join`` — the web-scale path (typo/URL vocabularies exceed any
+      broadcast): explode (doc_id, term, tf) rows, co-partition them
+      with the (term, df) rows by term hash, attach df with a
+      segmented run-scan join inside each partition (sort by (term,
+      side), :func:`torray.ops.window._segmented_last_index` — no
+      Python call per term), then one more run-scan partitioned by
+      doc hash for the per-document top-k cut.  Vocabulary never
+      touches the driver.
+    - ``auto`` (default) — one ``count()`` of the materialized df
+      table picks: broadcast iff vocab <= ``broadcast_vocab_limit``.
+
+    Both plans produce bit-identical scores (same double-precision
+    ``tf * ln(N/df)``) and the same ascending-term tie rule; plan
+    equivalence is test-verified."""
     import ray
 
+    df_ds = term_doc_frequency(docs_ds, text_col).materialize()
+    n_docs = max(docs_ds.count(), 1)
+    if mode == "auto":
+        mode = ("broadcast"
+                if df_ds.count() <= broadcast_vocab_limit else "join")
+    if mode == "join":
+        return _tfidf_join(docs_ds, df_ds, n_docs, k,
+                           text_col=text_col, id_col=id_col,
+                           num_partitions=num_partitions)
+    if mode != "broadcast":
+        raise ValueError(f"unknown tfidf mode {mode!r}")
+
     df_parts = []
-    for batch in term_doc_frequency(docs_ds, text_col).iter_batches(
-            batch_format="pyarrow"):
-        terms = batch.column("term").to_pylist()
-        hs = np.array([
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-            for t in terms], np.uint64)
+    from torray.ops.dedup import fnv1a64_strings
+
+    for batch in df_ds.iter_batches(batch_format="pyarrow"):
+        hs = fnv1a64_strings(batch.column("term"))
         df_parts.append((hs, batch.column("df").to_numpy(
             zero_copy_only=False).astype(np.int64)))
     if df_parts:
@@ -360,7 +385,6 @@ def tfidf_top_terms(docs_ds, k: int = 5, *, text_col: str = "text",
     else:
         vocab_h = np.empty(0, np.uint64)
         vocab_df = np.empty(0, np.int64)
-    n_docs = max(docs_ds.count(), 1)
     vocab_ref = ray.put((vocab_h, vocab_df))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -373,9 +397,7 @@ def tfidf_top_terms(docs_ds, k: int = 5, *, text_col: str = "text",
             if not words:
                 continue
             terms, tf = np.unique(words, return_counts=True)
-            hs = np.array([
-                int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
-                               "big") for w in terms], np.uint64)
+            hs = fnv1a64_strings(pa.array(terms, pa.string()))
             pos = np.searchsorted(vh, hs)
             pos = pos.clip(0, max(len(vh) - 1, 0))
             df = np.where((len(vh) > 0) & (vh[pos] == hs),
@@ -395,6 +417,139 @@ def tfidf_top_terms(docs_ds, k: int = 5, *, text_col: str = "text",
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def _tfidf_join(docs_ds, df_ds, n_docs: int, k: int, *, text_col: str,
+                id_col: str, num_partitions: int):
+    """Join-formulation tf-idf (``tfidf_top_terms(mode='join')``):
+    the vocabulary never leaves the cluster.
+
+    (doc_id, term, tf) rows and (term, df) rows co-partition by term
+    hash; a segmented run-scan join (sort by (term, side), df rows
+    first) attaches df to every tf row with no Python call per term;
+    a second run-scan partitioned by doc hash applies the per-document
+    top-k cut.  Score arithmetic and tie rule are identical to the
+    broadcast plan (equivalence is test-verified)."""
+    from torray.ops.dedup import _mix64, fnv1a64_strings
+    from torray.ops.window import _segmented_last_index
+
+    npart = np.uint64(num_partitions)
+    mid_schema = pa.schema([
+        (id_col, pa.int64()), ("term", pa.string()),
+        ("tf", pa.int64()), ("__df", pa.int64()),
+        ("__side", pa.int8()), ("__part", pa.int64()),
+    ])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        terms_l, tf_l = [], []
+        cnt = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            words = _WORD_RE.findall((t or "").lower())
+            if not words:
+                continue
+            terms, tf = np.unique(words, return_counts=True)
+            terms_l.append(terms)
+            tf_l.append(tf)
+            cnt[i] = len(terms)
+        if not terms_l:
+            return mid_schema.empty_table()
+        all_terms = pa.array(np.concatenate(terms_l), pa.string())
+        n = len(all_terms)
+        part = (fnv1a64_strings(all_terms) % npart).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, cnt), pa.int64()),
+            "term": all_terms,
+            "tf": pa.array(np.concatenate(tf_l).astype(np.int64)),
+            "__df": pa.nulls(n, pa.int64()),
+            "__side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "__part": pa.array(part, pa.int64()),
+        }).cast(mid_schema)
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return mid_schema.empty_table()
+        part = (fnv1a64_strings(batch.column("term"))
+                % npart).astype(np.int64)
+        return pa.table({
+            id_col: pa.nulls(n, pa.int64()),
+            "term": batch.column("term"),
+            "tf": pa.nulls(n, pa.int64()),
+            "__df": batch.column("df").cast(pa.int64()),
+            "__side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "__part": pa.array(part, pa.int64()),
+        }).cast(mid_schema)
+
+    scored_schema = pa.schema([
+        (id_col, pa.int64()), ("term", pa.string()),
+        ("tf", pa.int64()), ("score", pa.float64()),
+        ("__dpart", pa.int64()),
+    ])
+
+    def join_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return scored_schema.empty_table()
+        term = np.asarray(group.column("term").to_pylist())
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, term))
+        sides = side[order]
+        ts_ = term[order]
+        run_id = np.cumsum(np.concatenate(
+            ([True], ts_[1:] != ts_[:-1]))) - 1
+        last_df = _segmented_last_index(sides == 0, run_id)
+        tpos = np.flatnonzero(sides == 1)
+        match = last_df[tpos]
+        dfv = pc.fill_null(group.column("__df"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # every corpus term has a df row; the n_docs fallback mirrors
+        # the broadcast plan's unknown-term behavior exactly
+        df_m = np.where(match >= 0,
+                        dfv[order[np.clip(match, 0, None)]], n_docs)
+        take = order[tpos]
+        tfv = pc.fill_null(group.column("tf"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)[take]
+        ids = pc.fill_null(group.column(id_col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)[take]
+        sc = tfv * np.log(n_docs / df_m)
+        dpart = (_mix64(ids) % npart).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "term": pa.array(term[take], pa.string()),
+            "tf": pa.array(tfv, pa.int64()),
+            "score": pa.array(sc, pa.float64()),
+            "__dpart": pa.array(dpart, pa.int64()),
+        })
+
+    out_cols = [id_col, "term", "tf", "score"]
+
+    def topk_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema(
+                [f for f in scored_schema if f.name != "__dpart"]
+            ).empty_table()
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sc = group.column("score").to_numpy(zero_copy_only=False)
+        terms = np.asarray(group.column("term").to_pylist())
+        order = np.lexsort((terms, -sc, ids))
+        ids_s = ids[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ids_s[1:] != ids_s[:-1])))
+        lens = np.diff(np.append(starts, len(ids_s)))
+        rank = np.arange(len(ids_s)) - np.repeat(starts, lens)
+        keep = order[rank < k]
+        return group.take(pa.array(np.sort(keep), pa.int64())
+                          ).select(out_cols)
+
+    tagged = (docs_ds.select_columns([id_col, text_col])
+              .map_batches(explode, batch_format="pyarrow")
+              .union(df_ds.map_batches(df_rows,
+                                       batch_format="pyarrow")))
+    return (tagged.groupby("__part")
+            .map_groups(join_partition, batch_format="pyarrow")
+            .groupby("__dpart")
+            .map_groups(topk_partition, batch_format="pyarrow"))
 
 
 # Char classes counted by the quality heuristics, as RE2 kernels —

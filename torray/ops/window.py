@@ -241,6 +241,23 @@ def _segmented_cumsum(vals: np.ndarray,
     return c - np.repeat(prev, seg_lens)
 
 
+def _segmented_last_index(flag: np.ndarray,
+                          run_id: np.ndarray) -> np.ndarray:
+    """For each position ``i`` (array order), the largest ``j <= i``
+    with ``flag[j]`` True and ``run_id[j] == run_id[i]``; -1 when the
+    current run has no earlier flagged row.  ``run_id`` must be
+    nondecreasing (i.e. the array is segment-sorted).  One vectorized
+    pass: encode ``run*(n+1) + (pos+1 if flag else 0)``, global
+    ``np.maximum.accumulate``, decode — a later run's base exceeds any
+    earlier run's encoded value, so the cummax never leaks a match
+    across run boundaries."""
+    n = len(flag)
+    pos1 = np.where(flag, np.arange(1, n + 1, dtype=np.int64),
+                    np.int64(0))
+    base = run_id.astype(np.int64) * np.int64(n + 1)
+    return np.maximum.accumulate(base + pos1) - base - 1
+
+
 def running_total(events_ds, *, key_col: str = "user_id",
                   ts_col: str = "ts", id_col: str = "event_id",
                   value_col: str = "value", scale: int = 100,
@@ -573,102 +590,194 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
         batch_format="pyarrow", concurrency=(1, 8))
 
 
+def _hash_col_np(arr: np.ndarray) -> np.ndarray:
+    """uint64 hash of a numpy key column (int-like via splitmix64,
+    anything else via the vectorized FNV string fold)."""
+    from torray.ops.dedup import _mix64, fnv1a64_strings
+
+    if np.issubdtype(arr.dtype, np.integer):
+        return _mix64(arr.astype(np.int64))
+    return fnv1a64_strings(pa.array(arr.astype(str)))
+
+
 def sessionize(events_ds, *, gap_s: int = 1800,
-               salt_range_s: int | None = None):
+               salt_range_s: int | None = None,
+               num_partitions: int = 64):
     """Per-user session count under a gap threshold: a new session
     starts when the time since the previous event (by (ts, event_id)
-    order) exceeds ``gap_s``.  One groupby(user) shuffle; the windowed
-    scan inside the group is pure numpy.
+    order) exceeds ``gap_s``.
 
-    ``salt_range_s`` is the hot-key path: the per-user group is
-    salt-split by coarse time range (``salt = ts // salt_range_s``), a
-    session PARTIAL (first_ts, last_ts, n_sessions, n_events) is
-    computed per (user, range), and a second narrow groupby(user)
-    merges the partials algebraically — two adjacent ranges bridge
-    into one session iff the boundary gap <= ``gap_s`` (time ranges
-    partition the timeline monotonically, so consecutive non-empty
-    partials are consecutive in time and the merge is exact, verified
-    equal to the unsalted path by test).  A user with 10^9 events thus
-    costs many bounded tasks plus one tiny merge instead of one giant
-    task."""
+    Both paths use the partition RUN-SCAN shape (see
+    :func:`running_total`): users are hashed into ``num_partitions``
+    coarse partitions, ONE groupby on the partition id, then one
+    lexsort + segmented numpy reduction per partition — never a
+    Python call per user (a ``groupby(user).map_groups`` costs one
+    interpreter call per user; at 10^7 users that overhead dwarfs the
+    actual scan — the engine's own analytics_xl probe measured the
+    same pathology at 679 s for running_total before this shape).
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = group.column("ts").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts_sorted = ts[order]
-        gaps = np.diff(ts_sorted)
-        n_sessions = 1 + int((gaps > gap_s * 1_000_000).sum())
-        return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-            "n_events": pa.array([group.num_rows], pa.int64()),
-        })
-
+    ``salt_range_s`` is the hot-key path: rows partition by
+    hash(user, ts // range) so one user's data spreads over bounded
+    tasks; per-(user, range) session PARTIALS (first_ts, last_ts,
+    n_sessions, n_events) are merged algebraically by a second,
+    narrow run-scan — two adjacent ranges bridge into one session iff
+    the boundary gap <= ``gap_s`` (time ranges partition the timeline
+    monotonically, so consecutive non-empty partials are consecutive
+    in time and the merge is exact, verified equal to the unsalted
+    path by test)."""
+    gap_us = gap_s * 1_000_000
+    range_us = None if salt_range_s is None else salt_range_s * 1_000_000
     narrow = events_ds.select_columns(["user_id", "ts", "event_id"])
-    if salt_range_s is None:
-        return narrow.groupby("user_id").map_groups(
-            per_user, batch_format="pyarrow")
 
-    range_us = salt_range_s * 1_000_000
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        epoch = pc.cast(batch.column("ts"), pa.int64())
-        return batch.append_column(
-            "__salt", pc.cast(pc.divide(epoch, range_us), pa.int64()))
-
-    def partial(group: pa.Table) -> pa.Table:
-        ts = group.column("ts").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        ts_sorted = ts[np.lexsort((eid, ts))]
-        gaps = np.diff(ts_sorted)
-        n_sessions = 1 + int((gaps > gap_s * 1_000_000).sum())
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "__salt": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        hu = _hash_col_np(u)
+        if range_us is None:
+            salt = np.zeros(len(u), np.int64)
+            part = (hu % np.uint64(num_partitions)).astype(np.int64)
+        else:
+            epoch = batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            salt = (epoch // range_us).astype(np.int64)
+            from torray.ops.dedup import _mix64
+            part = ((hu ^ _mix64(~salt))
+                    % np.uint64(num_partitions)).astype(np.int64)
         return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "__salt": group.column("__salt").slice(0, 1),
-            "first_ts": pa.array([int(ts_sorted[0])], pa.int64()),
-            "last_ts": pa.array([int(ts_sorted[-1])], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-            "n_events": pa.array([group.num_rows], pa.int64()),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts").cast(pa.int64()),
+            "event_id": batch.column("event_id"),
+            "__salt": pa.array(salt, pa.int64()),
+            "__part": pa.array(part, pa.int64()),
         })
 
-    def merge(group: pa.Table) -> pa.Table:
-        order = np.argsort(group.column("__salt").to_numpy(
-            zero_copy_only=False), kind="stable")
+    def scan_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "__salt": pa.array([], pa.int64()),
+                          "first_ts": pa.array([], pa.int64()),
+                          "last_ts": pa.array([], pa.int64()),
+                          "n_sessions": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        s = group.column("__salt").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, s, u))
+        u, s, ts = u[order], s[order], ts[order]
+        new_run = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (s[1:] != s[:-1])))
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(u)))
+        ends = starts + lens - 1
+        brk = np.zeros(len(u), np.int64)
+        brk[1:] = ((ts[1:] - ts[:-1]) > gap_us) & ~new_run[1:]
+        n_sessions = 1 + _segmented_cumsum(brk, starts)[ends]
+        return pa.table({
+            "user_id": pc.take(group.column("user_id"),
+                               pa.array(order[starts], pa.int64())),
+            "__salt": pa.array(s[starts], pa.int64()),
+            "first_ts": pa.array(ts[starts], pa.int64()),
+            "last_ts": pa.array(ts[ends], pa.int64()),
+            "n_sessions": pa.array(n_sessions, pa.int64()),
+            "n_events": pa.array(lens, pa.int64()),
+        })
+
+    partials = (narrow.map_batches(tag, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(scan_partition, batch_format="pyarrow"))
+
+    def strip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        return t.select(["user_id", "n_sessions", "n_events"])
+
+    if range_us is None:
+        # one run per user: the partial IS the answer
+        return partials.map_batches(strip, batch_format="pyarrow")
+
+    # Merge the per-(user, range) partials with a second run-scan
+    # (narrow rows: one per non-empty (user, range)).
+    def tag_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "__salt": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "__mpart": pa.array([], pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(u)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__mpart", pa.array(part, pa.int64()))
+
+    def merge_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_sessions": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        s = group.column("__salt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, u))
+        u, s = u[order], s[order]
         first = group.column("first_ts").to_numpy(
             zero_copy_only=False)[order]
         last = group.column("last_ts").to_numpy(
             zero_copy_only=False)[order]
-        n_sess = int(pc.sum(group.column("n_sessions")).as_py())
-        bridged = int((first[1:] - last[:-1] <= gap_s * 1_000_000).sum())
+        nse = group.column("n_sessions").to_numpy(
+            zero_copy_only=False)[order]
+        nev = group.column("n_events").to_numpy(
+            zero_copy_only=False)[order]
+        new_run = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(u)))
+        ends = starts + lens - 1
+        # adjacent non-empty ranges of one user bridge iff boundary
+        # gap <= gap_us (subtracts one session from the partial sum)
+        bridged = np.zeros(len(u), np.int64)
+        bridged[1:] = ((first[1:] - last[:-1]) <= gap_us) & ~new_run[1:]
+        tot_sess = _segmented_cumsum(nse - bridged, starts)[ends]
+        tot_ev = _segmented_cumsum(nev, starts)[ends]
         return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "n_sessions": pa.array([n_sess - bridged], pa.int64()),
-            "n_events": pa.array(
-                [int(pc.sum(group.column("n_events")).as_py())],
-                pa.int64()),
+            "user_id": pc.take(group.column("user_id"),
+                               pa.array(order[starts], pa.int64())),
+            "n_sessions": pa.array(tot_sess, pa.int64()),
+            "n_events": pa.array(tot_ev, pa.int64()),
         })
 
-    partials = narrow.map_batches(
-        add_salt, batch_format="pyarrow").groupby(
-        ["user_id", "__salt"]).map_groups(partial, batch_format="pyarrow")
-    return partials.groupby("user_id").map_groups(
-        merge, batch_format="pyarrow")
+    return (partials.map_batches(tag_merge, batch_format="pyarrow")
+            .groupby("__mpart")
+            .map_groups(merge_partition, batch_format="pyarrow"))
 
 
 def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_ts: str, right_ts: str, right_value_cols: list[str],
-              num_partitions: int = 8, salt_range_s: int | None = None):
+              num_partitions: int = 64, salt_range_s: int | None = None):
     """As-of LEFT join: for each left row, the right row with the same
     key and the greatest ``right_ts`` <= ``left_ts`` (nulls when none).
 
     Expressed Ray-Data-first: tag both sides, union them (schema-
-    aligned), ONE ``groupby(key)``, and a per-group merge scan over the
-    time-sorted union — the standard distributed as-of strategy (the
-    partitioning assumption is per-key group size, as for any
-    co-grouped join).
+    aligned), then the partition RUN-SCAN shape (see
+    :func:`running_total`): (key, range) pairs hash into
+    ``num_partitions`` coarse partitions, ONE groupby on the partition
+    id, and the merge scan handles EVERY (key, range) run in the
+    partition with one lexsort + one segmented last-right-index pass
+    (:func:`_segmented_last_index`) — never a Python call per key (a
+    ``groupby(key).map_groups`` costs one interpreter call per key; at
+    10^7 keys that overhead dwarfs the merge itself, the pathology the
+    engine's analytics_xl probe measured at 679 s for running_total).
+    The partitioning assumption is per-key group size, as for any
+    co-grouped join; ``salt_range_s`` removes even that.
 
     ``salt_range_s`` is the hot-key path: both sides are additionally
     salted by coarse time range (``salt = ts // salt_range_s``) and the
@@ -744,62 +853,128 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_narrow.map_batches(tag_right, batch_format="pyarrow"))
 
+    from torray.ops.dedup import _mix64
+
+    def _part_of(k: np.ndarray, s: np.ndarray | None = None) -> np.ndarray:
+        h = _mix64(k.astype(np.int64))
+        if s is not None:
+            h = h ^ _mix64(~s.astype(np.int64))
+        return (h % np.uint64(num_partitions)).astype(np.int64)
+
+    def _tagged_empty() -> pa.Table:
+        # Fixed-schema empty table: map stages over map_groups output
+        # can receive SCHEMALESS 0-row blocks (Ray quirk); guards must
+        # emit the full union schema, never echo the empty input.
+        cols = {"__key": pa.array([], pa.int64()),
+                "__ts": pa.array([], pa.int64()),
+                "__salt": pa.array([], pa.int64()),
+                "__side": pa.array([], pa.int8())}
+        for name in _left_names:
+            cols["l_" + name] = pa.array([], _left_types[name])
+        for name in right_value_cols:
+            cols["r_" + name] = pa.array([], _right_types[name])
+        return pa.table(cols)
+
     if range_us is not None:
         # -- carry rows: exactness across range boundaries ------------
         # (1) Left-occupied (key, range) pairs — narrow presence set,
-        # pre-distinct per batch before the shuffle.
+        # pre-distinct per batch, then a run-scan distinct (one lexsort
+        # + run starts per partition; a groupby((key, salt)) aggregate
+        # is the measured multi-column-groupby pathology).
         def left_presence(t: pa.Table) -> pa.Table:
             ts = t.column(left_ts).cast(pa.int64())
             nt = pa.table({"__key": t.column(left_key).cast(pa.int64()),
                            "__salt": _salt_of(ts)})
-            return pa.TableGroupBy(nt, ["__key", "__salt"]).aggregate(
+            nt = pa.TableGroupBy(nt, ["__key", "__salt"]).aggregate(
                 [([], "count_all")]).select(["__key", "__salt"])
+            k = nt.column("__key").to_numpy(zero_copy_only=False)
+            s = nt.column("__salt").to_numpy(zero_copy_only=False)
+            return nt.append_column(
+                "__part", pa.array(_part_of(k, s), pa.int64()))
+
+        def distinct_partition(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({"__key": pa.array([], pa.int64()),
+                                 "__salt": pa.array([], pa.int64())})
+            k = group.column("__key").to_numpy(zero_copy_only=False)
+            s = group.column("__salt").to_numpy(zero_copy_only=False)
+            order = np.lexsort((s, k))
+            ks, ss = k[order], s[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1]))))
+            take = pa.array(np.sort(order[starts]), pa.int64())
+            return group.take(take).select(["__key", "__salt"])
 
         presence = (left_ds.map_batches(left_presence,
                                         batch_format="pyarrow")
-                    .groupby(["__key", "__salt"]).count()
-                    .map_batches(lambda t: t.select(["__key", "__salt"]),
-                                 batch_format="pyarrow"))
+                    .groupby("__part")
+                    .map_groups(distinct_partition,
+                                batch_format="pyarrow"))
 
-        # (2) Latest right row per (key, range) — one narrow reduce of
-        # the right side (per-range maxima rise monotonically with the
-        # range index, so "latest right in any earlier range" is just
-        # the highest earlier range's maximum).
-        def latest_in_range(group: pa.Table) -> pa.Table:
+        # (2) Latest right row per (key, range) — one narrow run-scan
+        # reduce of the right side: lexsort by (key, salt, ts), keep
+        # run ENDS (per-range maxima rise monotonically with the range
+        # index, so "latest right in any earlier range" is just the
+        # highest earlier range's maximum).
+        def tag_part_ks(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("__part",
+                                       pa.array([], pa.int64()))
+            k = t.column("__key").to_numpy(zero_copy_only=False)
+            s = t.column("__salt").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__part", pa.array(_part_of(k, s), pa.int64()))
+
+        def latest_partition(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return _tagged_empty()
+            k = group.column("__key").to_numpy(zero_copy_only=False)
+            s = group.column("__salt").to_numpy(zero_copy_only=False)
             ts = group.column("__ts").to_numpy(zero_copy_only=False)
-            i = int(np.argmax(ts))
-            return group.slice(i, 1)
+            order = np.lexsort((ts, s, k))
+            ks, ss = k[order], s[order]
+            ends = np.flatnonzero(np.concatenate(
+                ((ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1]), [True])))
+            take = pa.array(np.sort(order[ends]), pa.int64())
+            return group.take(take).drop_columns(["__part"])
 
         right_latest = (right_narrow.map_batches(
             tag_right, batch_format="pyarrow")
-            .groupby(["__key", "__salt"])
-            .map_groups(latest_in_range, batch_format="pyarrow"))
+            .map_batches(tag_part_ks, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(latest_partition, batch_format="pyarrow"))
 
         # (3) Per key: for every left-occupied range, inject the latest
         # right from the nearest earlier range (true timestamp kept —
         # it precedes all lefts in the range and loses to in-range
-        # rights, so the merge below needs no special casing).
-        def build_carry(group: pa.Table) -> pa.Table:
-            side = group.column("__side").to_numpy(zero_copy_only=False)
-            salts = group.column("__salt").to_numpy(zero_copy_only=False)
-            l_idx = np.flatnonzero(side == 0)
-            r_idx = np.flatnonzero(side == 1)
+        # rights, so the merge below needs no special casing).  Run
+        # scan: partition by hash(key) alone (the carry decision spans
+        # a key's ranges), sort (key, salt, side) so the marker at a
+        # range precedes that range's own right, and the segmented
+        # last-right index at each marker IS the nearest earlier
+        # range's maximum.
+        def build_carry_partition(group: pa.Table) -> pa.Table:
             empty = _right_rows_table(
                 pa.array([], pa.int64()), pa.array([], pa.int64()),
                 pa.array([], pa.int64()),
                 {n: pa.array([], _right_types[n])
                  for n in right_value_cols}, 0)
-            if l_idx.size == 0 or r_idx.size == 0:
+            if group.num_rows == 0:
                 return empty
-            ro = r_idx[np.argsort(salts[r_idx], kind="stable")]
-            r_salts = salts[ro]
-            src, tgt = [], []
-            for s in np.unique(salts[l_idx]):
-                pos = int(np.searchsorted(r_salts, s, side="left")) - 1
-                if pos >= 0:
-                    src.append(int(ro[pos]))
-                    tgt.append(int(s))
-            if not src:
+            k = group.column("__key").to_numpy(zero_copy_only=False)
+            s = group.column("__salt").to_numpy(zero_copy_only=False)
+            side = group.column("__side").to_numpy(zero_copy_only=False)
+            order = np.lexsort((side, s, k))
+            ks, ss, sides = k[order], s[order], side[order]
+            run_id = np.cumsum(np.concatenate(
+                ([True], ks[1:] != ks[:-1]))) - 1
+            last_r = _segmented_last_index(sides == 1, run_id)
+            mpos = np.flatnonzero(sides == 0)
+            match = last_r[mpos]
+            valid = match >= 0
+            src = order[np.clip(match, 0, None)][valid]
+            tgt = ss[mpos][valid]
+            if src.size == 0:
                 return empty
             take = pa.array(src, pa.int64())
             return _right_rows_table(
@@ -811,9 +986,11 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
                 len(src))
 
         # Presence rows ride as side=0 markers (no payload) so one
-        # groupby(key) sees both; they are consumed by build_carry and
-        # never reach the merge.
+        # partition scan sees both; they are consumed by
+        # build_carry_partition and never reach the merge.
         def presence_as_marker(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _tagged_empty()
             n = t.num_rows
             cols = {
                 "__key": t.column("__key"),
@@ -827,57 +1004,89 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
                 cols["r_" + name] = pa.nulls(n, _right_types[name])
             return pa.table(cols)
 
+        def tag_part_k(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _tagged_empty().append_column(
+                    "__part", pa.array([], pa.int64()))
+            k = t.column("__key").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__part", pa.array(_part_of(k), pa.int64()))
+
         carry = (presence.map_batches(presence_as_marker,
                                       batch_format="pyarrow")
                  .union(right_latest)
-                 .groupby("__key")
-                 .map_groups(build_carry, batch_format="pyarrow"))
+                 .map_batches(tag_part_k, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(build_carry_partition,
+                             batch_format="pyarrow"))
         tagged = tagged.union(carry)
 
-    def merge(group: pa.Table) -> pa.Table:
-        # Vectorized as-of merge: sort the right rows once by ts, then
-        # one np.searchsorted places every left row against the latest
-        # right ts <= its own (side='right' keeps the <= semantics at
-        # equal timestamps).  No Python rows.
+    _out_schema = pa.schema(
+        [(n, _left_types[n]) for n in _left_names]
+        + [(n, _right_types[n]) for n in right_value_cols])
+
+    def merge_partition(group: pa.Table) -> pa.Table:
+        # Vectorized as-of merge over EVERY (key, range) run in the
+        # partition at once: lexsort by (key, salt, ts, right-first at
+        # equal ts — the <= semantics), then one segmented
+        # last-right-index pass places every left row against the
+        # latest right ts <= its own.  No Python rows, no Python
+        # groups.
+        if group.num_rows == 0:
+            return _out_schema.empty_table()
+        k = group.column("__key").to_numpy(zero_copy_only=False)
+        s = group.column("__salt").to_numpy(zero_copy_only=False)
         ts = group.column("__ts").to_numpy(zero_copy_only=False)
         side = group.column("__side").to_numpy(zero_copy_only=False)
-        l_idx = np.flatnonzero(side == 0)
-        r_idx = np.flatnonzero(side == 1)
+        order = np.lexsort((1 - side, ts, s, k))
+        ks, ss, sides = k[order], s[order], side[order]
+        run_id = np.cumsum(np.concatenate(
+            ([True], (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])))) - 1
+        last_r = _segmented_last_index(sides == 1, run_id)
+        lpos = np.flatnonzero(sides == 0)
+        match = last_r[lpos]
+        valid = match >= 0
         cols: dict[str, pa.Array] = {}
-        l_take = pa.array(l_idx, pa.int64())
+        l_take = pa.array(order[lpos], pa.int64())
         for n in _left_names:
             cols[n] = pc.take(group.column("l_" + n), l_take)
-        if r_idx.size and l_idx.size:
-            r_order = np.argsort(ts[r_idx], kind="stable")
-            r_sorted_ts = ts[r_idx][r_order]
-            pos = np.searchsorted(r_sorted_ts, ts[l_idx], side="right") - 1
-            valid = pos >= 0
-            src = r_idx[r_order[np.clip(pos, 0, None)]]
+        if lpos.size:
+            src = order[np.clip(match, 0, None)]
             r_take = pa.array(src, pa.int64())
             valid_arr = pa.array(valid)
             for n in right_value_cols:
                 taken = pc.take(group.column("r_" + n), r_take)
                 cols[n] = pc.if_else(
-                    valid_arr, taken, pa.nulls(len(valid), _right_types[n]))
+                    valid_arr, taken,
+                    pa.nulls(len(valid), _right_types[n]))
         else:
             for n in right_value_cols:
-                cols[n] = pa.nulls(int(l_idx.size), _right_types[n])
+                cols[n] = pa.array([], _right_types[n])
         return pa.Table.from_arrays(
             [cols[n] for n in (*_left_names, *right_value_cols)],
-            schema=pa.schema(
-                [(n, _left_types[n]) for n in _left_names]
-                + [(n, _right_types[n]) for n in right_value_cols]))
+            schema=_out_schema)
 
-    # Unsalted mode has a constant __salt of 0, so grouping on both
-    # keys is the identical partition in that case.
-    return tagged.groupby(["__key", "__salt"]).map_groups(
-        merge, batch_format="pyarrow")
+    # Unsalted mode has a constant __salt of 0, so partitioning on the
+    # (key, salt) hash degrades to the key hash in that case.
+    def tag_part_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _tagged_empty().append_column(
+                "__part", pa.array([], pa.int64()))
+        k = t.column("__key").to_numpy(zero_copy_only=False)
+        s = t.column("__salt").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array(_part_of(k, s), pa.int64()))
+
+    return (tagged.map_batches(tag_part_merge, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(merge_partition, batch_format="pyarrow"))
 
 
 def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
                   right_end: str, left_key: str | None = None,
                   right_key: str | None = None,
-                  right_value_cols: list[str], bin_s: int | None = None):
+                  right_value_cols: list[str], bin_s: int | None = None,
+                  sub_salt: int = 1, max_group_rows: int | None = None):
     """INNER range join: every (left, right) pair with equal keys (when
     given) and ``right_start <= left_ts < right_end``.  The operator
     Ray Data lacks outright ("range join" row of SURVEY.md §2's
@@ -898,8 +1107,22 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
     narrow aggregate pass over the right side.  Partitioning
     assumption: a (key, bin) slice fits in a task — tighten ``bin_s``
     for hot keys (more bins, more right replication, smaller groups).
-    """
+
+    HOT-BIN guards, for the one group shape tighter bins cannot fix
+    (many lefts AND many rights landing on one (key, bin)):
+
+    - ``sub_salt=S`` splits each group's LEFTS S ways by a timestamp
+      hash and replicates the group's rights to all S sub-groups —
+      every pair still meets exactly once, so the output is unchanged
+      (test-verified) while the widest task shrinks ~S-fold on the
+      left side.  Cost: S× right replication inside hot bins only.
+    - ``max_group_rows=N`` makes the contract a hard error instead of
+      an OOM: any (key, bin, sub) group wider than N rows raises with
+      the observed size and the knobs to turn (tighten ``bin_s``,
+      raise ``sub_salt``)."""
     us = 1_000_000
+    if sub_salt < 1:
+        raise ValueError("sub_salt must be >= 1")
 
     if bin_s is None:
         span = right_ds.map_batches(
@@ -926,11 +1149,21 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
             return pa.array(np.zeros(t.num_rows, np.int64))
         return t.column(col).cast(pa.int64()).combine_chunks()
 
+    from torray.ops.dedup import _mix64
+
     def tag_left(t: pa.Table) -> pa.Table:
         ts = t.column(left_ts).cast(pa.int64())
+        if sub_salt == 1:
+            sub = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        else:
+            tsn = ts.to_numpy(zero_copy_only=False)
+            sub = pa.array(
+                (_mix64(tsn) % np.uint64(sub_salt)).astype(np.int64),
+                pa.int64())
         cols = {
             "__key": _key_arr(t, left_key),
             "__bin": pc.cast(pc.divide(ts, bin_us), pa.int64()),
+            "__sub": sub,
             "__ts": ts,
             "__end": pa.nulls(t.num_rows, pa.int64()),
             "__side": pa.array([0] * t.num_rows, pa.int8()),
@@ -959,10 +1192,21 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
         src = np.repeat(np.arange(len(start), dtype=np.int64), n_bins)
         offs = (np.arange(total, dtype=np.int64)
                 - np.repeat(np.cumsum(n_bins) - n_bins, n_bins))
+        bins = b0[src] + offs
+        if sub_salt > 1:
+            # rights go to every left sub-group of their bin — a pair
+            # still meets exactly once (the left's sub)
+            src = np.repeat(src, sub_salt)
+            bins = np.repeat(bins, sub_salt)
+            sub = np.tile(np.arange(sub_salt, dtype=np.int64), total)
+            total *= sub_salt
+        else:
+            sub = np.zeros(total, np.int64)
         take = pa.array(src, pa.int64())
         cols = {
             "__key": pa.array(key[src], pa.int64()),
-            "__bin": pa.array(b0[src] + offs, pa.int64()),
+            "__bin": pa.array(bins, pa.int64()),
+            "__sub": pa.array(sub, pa.int64()),
             "__ts": pa.array(start[src], pa.int64()),
             "__end": pa.array(end[src], pa.int64()),
             "__side": pa.array(np.ones(total, np.int8)),
@@ -985,6 +1229,13 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
         + [(n, _right_types[n]) for n in right_value_cols])
 
     def emit(group: pa.Table) -> pa.Table:
+        if max_group_rows is not None and group.num_rows > max_group_rows:
+            k = group.column("__key")[0].as_py() if group.num_rows else None
+            b = group.column("__bin")[0].as_py() if group.num_rows else None
+            raise ValueError(
+                f"interval_join group (key={k}, bin={b}) has "
+                f"{group.num_rows} rows > max_group_rows="
+                f"{max_group_rows}; tighten bin_s or raise sub_salt")
         side = group.column("__side").to_numpy(zero_copy_only=False)
         ts = group.column("__ts").to_numpy(zero_copy_only=False)
         l_idx = np.flatnonzero(side == 0)
@@ -1013,5 +1264,5 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
                  for n in right_value_cols]
         return pa.Table.from_arrays(cols, schema=out_schema)
 
-    return tagged.groupby(["__key", "__bin"]).map_groups(
+    return tagged.groupby(["__key", "__bin", "__sub"]).map_groups(
         emit, batch_format="pyarrow")

@@ -173,18 +173,47 @@ def stats_report(scan_ds, seen_ds) -> tuple[str, dict]:
     return text, numbers
 
 
-def domain_status(scan_ds):
+def domain_status(scan_ds, num_partitions: int = 64):
     """Per-host status fold (A5, backend-implied semantics): replaying
     scans in round order per host — online resets ``tries``, offline
     increments; ``offline_scans`` counts total offline results;
     ``last_online`` is the last round with an online scan (-1 never).
-    One groupby(host) shuffle; the fold itself is vectorized per group.
-    """
 
-    def fold(group: pa.Table) -> pa.Table:
-        import numpy as np
+    Partition RUN-SCAN shape (no Python call per host): hosts hash
+    into ``num_partitions`` coarse partitions, ONE groupby on the
+    partition id, then one lexsort + segmented numpy fold over every
+    host run in the partition — a ``groupby(host).map_groups`` costs
+    one interpreter call per host, the measured singleton-group
+    pathology at web-host cardinality.  The replay itself needs no
+    loop: after the LAST online scan every remaining scan is offline
+    by definition, so ``tries`` is just the run length past that
+    position (:func:`torray.ops.window._segmented_last_index`)."""
+    import numpy as np
 
-        host = group.column("host")[0].as_py()
+    from torray.ops.dedup import fnv1a64_strings
+    from torray.ops.window import (_segmented_cumsum,
+                                   _segmented_last_index)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__part",
+                                       pa.array([], pa.int64()))
+        h = fnv1a64_strings(batch.column("host"))
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("__part", pa.array(part, pa.int64()))
+
+    def fold_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "host": pa.array([], pa.string()),
+            "online": pa.array([], pa.bool_()),
+            "tries": pa.array([], pa.int64()),
+            "offline_scans": pa.array([], pa.int64()),
+            "last_online_round": pa.array([], pa.int32()),
+            "scans": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        hosts = np.asarray(group.column("host").to_pylist())
         rounds = group.column("round").to_numpy(zero_copy_only=False)
         online = group.column("online").to_numpy(zero_copy_only=False)
         # Replay order is pinned by the full schedule key — (round,
@@ -194,29 +223,36 @@ def domain_status(scan_ds):
         res = group.column("round_entered").to_numpy(zero_copy_only=False)
         seqs = group.column("host_seq").to_numpy(zero_copy_only=False)
         urls = np.asarray(group.column("url").to_pylist())
-        order = np.lexsort((urls, seqs, res, rounds))
-        tries = 0
-        offline_scans = 0
-        last_online = -1
-        for i in order:
-            if online[i]:
-                tries = 0
-                last_online = int(rounds[i])
-            else:
-                tries += 1
-                offline_scans += 1
+        order = np.lexsort((urls, seqs, res, rounds, hosts))
+        hs, rs, ons = hosts[order], rounds[order], online[order]
+        new_run = np.concatenate(([True], hs[1:] != hs[:-1]))
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(hs)))
+        ends = starts + lens - 1
+        run_id = np.cumsum(new_run) - 1
+        last_on = _segmented_last_index(ons.astype(bool), run_id)[ends]
+        # tries = scans after the last online one (whole run if never
+        # online); offline_scans = total offline in the run.
+        tries = np.where(last_on >= 0, ends - last_on, lens)
+        offline = _segmented_cumsum((~ons.astype(bool)).astype(
+            np.int64), starts)[ends]
+        last_round = np.where(last_on >= 0,
+                              rs[np.clip(last_on, 0, None)], -1)
         return pa.table({
-            "host": pa.array([host], pa.string()),
-            "online": pa.array([bool(tries == 0 and last_online >= 0)]),
-            "tries": pa.array([tries], pa.int64()),
-            "offline_scans": pa.array([offline_scans], pa.int64()),
-            "last_online_round": pa.array([last_online], pa.int32()),
-            "scans": pa.array([group.num_rows], pa.int64()),
+            "host": pa.array(hs[starts], pa.string()),
+            "online": pa.array((tries == 0) & (last_on >= 0)),
+            "tries": pa.array(tries, pa.int64()),
+            "offline_scans": pa.array(offline, pa.int64()),
+            "last_online_round": pa.array(last_round.astype(np.int32),
+                                          pa.int32()),
+            "scans": pa.array(lens, pa.int64()),
         })
 
-    return scan_ds.select_columns(
-        ["host", "round", "online", "round_entered", "host_seq", "url"]
-    ).groupby("host").map_groups(fold, batch_format="pyarrow")
+    return (scan_ds.select_columns(
+        ["host", "round", "online", "round_entered", "host_seq", "url"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold_partition, batch_format="pyarrow"))
 
 
 def link_graph(scan_ds):
