@@ -337,6 +337,14 @@ def bench_analytics(sf_dir: str) -> dict:
     # identical to the serial run (same queries, same inputs).
     from concurrent.futures import ThreadPoolExecutor
 
+    # Pre-import the lazy modules read_parquet touches: concurrent
+    # first-imports from worker threads race Python's partial-module
+    # state (observed: ImportError on fsspec.implementations.http).
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        pass
+
     jobs = {
         "running_rows": lambda: qs["events_running_salted"](
             sf_dir).count(),
@@ -347,12 +355,21 @@ def bench_analytics(sf_dir: str) -> dict:
         "jaccard_pairs": lambda: qs["ngram_jaccard_pairs"](
             sf_dir).count(),
     }
+    # TORRAY_ANALYTICS_THREADS: 1 = serial, N>1 = that many driver
+    # threads (measured A/B in BASELINE.md; full 6-way fan-out
+    # oversubscribes the single-node streaming executors).
+    n_threads = int(os.environ.get("TORRAY_ANALYTICS_THREADS", "2"))
+    if os.environ.get("TORRAY_ANALYTICS_SERIAL", "") == "1":
+        n_threads = 1
     t0 = time.monotonic()
-    with ThreadPoolExecutor(len(jobs)) as ex:
-        futs = {k: ex.submit(fn) for k, fn in jobs.items()}
-        res = {k: f.result() for k, f in futs.items()}
+    if n_threads <= 1:
+        res = {k: fn() for k, fn in jobs.items()}
+    else:
+        with ThreadPoolExecutor(n_threads) as ex:
+            futs = {k: ex.submit(fn) for k, fn in jobs.items()}
+            res = {k: f.result() for k, f in futs.items()}
     wall = time.monotonic() - t0
-    return {"sec": wall, **res}
+    return {"sec": wall, "threads": n_threads, **res}
 
 
 def _ensure_events_xl(rows: int = 10_000_000) -> str:

@@ -1086,7 +1086,8 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
                   right_end: str, left_key: str | None = None,
                   right_key: str | None = None,
                   right_value_cols: list[str], bin_s: int | None = None,
-                  sub_salt: int = 1, max_group_rows: int | None = None):
+                  sub_salt: int = 1, max_group_rows: int | None = None,
+                  num_partitions: int = 64):
     """INNER range join: every (left, right) pair with equal keys (when
     given) and ``right_start <= left_ts < right_end``.  The operator
     Ray Data lacks outright ("range join" row of SURVEY.md §2's
@@ -1099,9 +1100,14 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
     is replicated to every bin it overlaps (<= 2 when the bound
     holds, bounded by interval/bin otherwise).  A matching pair then
     meets in exactly the left row's bin — no cross-bin pairs, no
-    dedup pass.  ONE groupby((key, bin)) shuffle; within a group the
-    pairs are emitted by two ``np.searchsorted`` calls per side over
-    time-sorted lefts (output-linear, no Python rows).
+    dedup pass.  Partition RUN-SCAN shape (see :func:`running_total`):
+    (key, bin, sub) triples hash into ``num_partitions`` coarse
+    partitions, ONE groupby on the partition id, and pair emission
+    handles every run in the partition with one primary lexsort plus
+    one merged boundary sort (each right contributes [start) / [end)
+    boundaries; a single cumsum turns each boundary into its
+    lefts-before-it count) — output-linear, no Python rows, no Python
+    call per (key, bin) group.
 
     ``bin_s=None`` computes max(right_end - right_start) with one
     narrow aggregate pass over the right side.  Partitioning
@@ -1228,41 +1234,106 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
         [(n, _left_types[n]) for n in _left_names]
         + [(n, _right_types[n]) for n in right_value_cols])
 
-    def emit(group: pa.Table) -> pa.Table:
-        if max_group_rows is not None and group.num_rows > max_group_rows:
-            k = group.column("__key")[0].as_py() if group.num_rows else None
-            b = group.column("__bin")[0].as_py() if group.num_rows else None
-            raise ValueError(
-                f"interval_join group (key={k}, bin={b}) has "
-                f"{group.num_rows} rows > max_group_rows="
-                f"{max_group_rows}; tighten bin_s or raise sub_salt")
-        side = group.column("__side").to_numpy(zero_copy_only=False)
-        ts = group.column("__ts").to_numpy(zero_copy_only=False)
-        l_idx = np.flatnonzero(side == 0)
-        r_idx = np.flatnonzero(side == 1)
-        if l_idx.size == 0 or r_idx.size == 0:
+    def _iv_tagged_empty() -> pa.Table:
+        cols = {"__key": pa.array([], pa.int64()),
+                "__bin": pa.array([], pa.int64()),
+                "__sub": pa.array([], pa.int64()),
+                "__ts": pa.array([], pa.int64()),
+                "__end": pa.array([], pa.int64()),
+                "__side": pa.array([], pa.int8())}
+        for name in _left_names:
+            cols["l_" + name] = pa.array([], _left_types[name])
+        for name in right_value_cols:
+            cols["r_" + name] = pa.array([], _right_types[name])
+        return pa.table(cols)
+
+    def tag_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _iv_tagged_empty().append_column(
+                "__part", pa.array([], pa.int64()))
+        k = t.column("__key").to_numpy(zero_copy_only=False)
+        b = t.column("__bin").to_numpy(zero_copy_only=False)
+        sb = t.column("__sub").to_numpy(zero_copy_only=False)
+        h = _mix64(k) ^ _mix64(~b) ^ _mix64(sb + 0x9E37)
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def emit_partition(group: pa.Table) -> pa.Table:
+        # Pair emission over EVERY (key, bin, sub) run in the
+        # partition at once (no Python call per group): primary
+        # lexsort puts each run's lefts contiguous and ts-sorted; one
+        # merged boundary sort (each right contributes a [start) and
+        # an [end) boundary, boundaries before lefts at equal t = the
+        # side='left' searchsorted rule) turns every boundary into a
+        # lefts-before-it count via one cumsum; pair expansion stays
+        # output-linear.
+        if group.num_rows == 0:
             return out_schema.empty_table()
-        l_order = l_idx[np.argsort(ts[l_idx], kind="stable")]
-        l_ts = ts[l_order]
-        start = ts[r_idx]
-        end = group.column("__end").to_numpy(zero_copy_only=False)[r_idx]
-        lo = np.searchsorted(l_ts, start, side="left")
-        hi = np.searchsorted(l_ts, end, side="left")  # half-open end
+        k = group.column("__key").to_numpy(zero_copy_only=False)
+        b = group.column("__bin").to_numpy(zero_copy_only=False)
+        sb = group.column("__sub").to_numpy(zero_copy_only=False)
+        ts = group.column("__ts").to_numpy(zero_copy_only=False)
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, side, sb, b, k))
+        ks, bs, sbs = k[order], b[order], sb[order]
+        sides, tss = side[order], ts[order]
+        new_run = np.concatenate(
+            ([True], (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])
+             | (sbs[1:] != sbs[:-1])))
+        run_id = np.cumsum(new_run) - 1
+        n_runs = int(run_id[-1]) + 1
+        if max_group_rows is not None:
+            starts = np.flatnonzero(new_run)
+            lens = np.diff(np.append(starts, len(ks)))
+            if int(lens.max()) > max_group_rows:
+                i = int(starts[int(np.argmax(lens))])
+                raise ValueError(
+                    f"interval_join group (key={ks[i]}, bin={bs[i]}) "
+                    f"has {int(lens.max())} rows > max_group_rows="
+                    f"{max_group_rows}; tighten bin_s or raise "
+                    f"sub_salt")
+        is_l = sides == 0
+        L_take = order[is_l]
+        l_run = run_id[is_l]
+        L_ts = tss[is_l]
+        r_sorted = np.flatnonzero(~is_l)
+        r_orig = order[r_sorted]
+        r_run = run_id[r_sorted]
+        r_start = tss[r_sorted]
+        n_l, n_r = len(L_take), len(r_orig)
+        if n_l == 0 or n_r == 0:
+            return out_schema.empty_table()
+        endv = pc.fill_null(group.column("__end"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        r_end = endv[r_orig]
+        run_left_start = np.searchsorted(l_run, np.arange(n_runs))
+        ev_run = np.concatenate((l_run, r_run, r_run))
+        ev_t = np.concatenate((L_ts, r_start, r_end))
+        ev_w = np.concatenate((np.ones(n_l, np.int64),
+                               np.zeros(2 * n_r, np.int64)))
+        eorder = np.lexsort((ev_w, ev_t, ev_run))
+        cum = np.cumsum(ev_w[eorder])
+        inv = np.empty(len(eorder), np.int64)
+        inv[eorder] = np.arange(len(eorder))
+        cnt_at = cum[inv]
+        lo = cnt_at[n_l:n_l + n_r] - run_left_start[r_run]
+        hi = cnt_at[n_l + n_r:] - run_left_start[r_run]
         counts = (hi - lo).astype(np.int64)
         total = int(counts.sum())
         if total == 0:
             return out_schema.empty_table()
-        r_pos = np.repeat(np.arange(len(r_idx), dtype=np.int64), counts)
-        l_pos = (np.arange(total, dtype=np.int64)
-                 - np.repeat(np.cumsum(counts) - counts, counts)
-                 + np.repeat(lo, counts))
-        l_take = pa.array(l_order[l_pos], pa.int64())
-        r_take = pa.array(r_idx[r_pos], pa.int64())
+        r_rep = np.repeat(np.arange(n_r, dtype=np.int64), counts)
+        offs = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        l_in_L = run_left_start[r_run[r_rep]] + lo[r_rep] + offs
+        l_take = pa.array(L_take[l_in_L], pa.int64())
+        r_take = pa.array(r_orig[r_rep], pa.int64())
         cols = [pc.take(group.column("l_" + n), l_take)
                 for n in _left_names]
         cols += [pc.take(group.column("r_" + n), r_take)
                  for n in right_value_cols]
         return pa.Table.from_arrays(cols, schema=out_schema)
 
-    return tagged.groupby(["__key", "__bin", "__sub"]).map_groups(
-        emit, batch_format="pyarrow")
+    return (tagged.map_batches(tag_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(emit_partition, batch_format="pyarrow"))
