@@ -337,13 +337,22 @@ def bench_analytics(sf_dir: str) -> dict:
     # identical to the serial run (same queries, same inputs).
     from concurrent.futures import ThreadPoolExecutor
 
-    # Pre-import the lazy modules read_parquet touches: concurrent
-    # first-imports from worker threads race Python's partial-module
-    # state (observed: ImportError on fsspec.implementations.http).
+    # Every read_parquet probes `from fsspec.implementations.http
+    # import HTTPFileSystem`; with aiohttp absent that import FAILS
+    # each time (failed modules are retried), and two driver threads
+    # probing at once race Python's partial-module state into a
+    # non-ModuleNotFoundError ImportError that Ray doesn't catch.
+    # Make the probe deterministic: register a stub module whose
+    # HTTPFileSystem class matches nothing (this container has no
+    # network; the real class could never be instantiated anyway).
     try:
         import fsspec.implementations.http  # noqa: F401
     except ImportError:
-        pass
+        import types
+
+        _m = types.ModuleType("fsspec.implementations.http")
+        _m.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = _m
 
     jobs = {
         "running_rows": lambda: qs["events_running_salted"](
@@ -358,7 +367,7 @@ def bench_analytics(sf_dir: str) -> dict:
     # TORRAY_ANALYTICS_THREADS: 1 = serial, N>1 = that many driver
     # threads (measured A/B in BASELINE.md; full 6-way fan-out
     # oversubscribes the single-node streaming executors).
-    n_threads = int(os.environ.get("TORRAY_ANALYTICS_THREADS", "2"))
+    n_threads = int(os.environ.get("TORRAY_ANALYTICS_THREADS", "6"))
     if os.environ.get("TORRAY_ANALYTICS_SERIAL", "") == "1":
         n_threads = 1
     t0 = time.monotonic()

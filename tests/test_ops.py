@@ -1927,3 +1927,25 @@ def test_tfidf_join_mode_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
     assert (a.groupby("doc_id").size() <= 2).all()
+
+
+def test_segmented_last_index_vs_naive():
+    """Property check of the encode+cummax helper behind the as-of
+    merge, carry lookup, domain-status fold and interval boundaries."""
+    from torray.ops.window import _segmented_last_index
+
+    rng = np.random.RandomState(11)
+    for trial in range(50):
+        n = int(rng.randint(1, 200))
+        run_id = np.sort(rng.randint(0, max(1, n // 4), n))
+        flag = rng.rand(n) < rng.rand()
+        got = _segmented_last_index(flag, run_id)
+        last = -1
+        prev_run = None
+        for i in range(n):
+            if run_id[i] != prev_run:
+                last = -1
+                prev_run = run_id[i]
+            if flag[i]:
+                last = i
+            assert got[i] == last, (trial, i)
