@@ -337,22 +337,7 @@ def bench_analytics(sf_dir: str) -> dict:
     # identical to the serial run (same queries, same inputs).
     from concurrent.futures import ThreadPoolExecutor
 
-    # Every read_parquet probes `from fsspec.implementations.http
-    # import HTTPFileSystem`; with aiohttp absent that import FAILS
-    # each time (failed modules are retried), and two driver threads
-    # probing at once race Python's partial-module state into a
-    # non-ModuleNotFoundError ImportError that Ray doesn't catch.
-    # Make the probe deterministic: register a stub module whose
-    # HTTPFileSystem class matches nothing (this container has no
-    # network; the real class could never be instantiated anyway).
-    try:
-        import fsspec.implementations.http  # noqa: F401
-    except ImportError:
-        import types
-
-        _m = types.ModuleType("fsspec.implementations.http")
-        _m.HTTPFileSystem = type("HTTPFileSystem", (), {})
-        sys.modules["fsspec.implementations.http"] = _m
+    _thread_safe_reads()
 
     jobs = {
         "running_rows": lambda: qs["events_running_salted"](
@@ -524,22 +509,53 @@ def bench_lineitem(sf_dir: str) -> dict:
     return {"sec": wall, "groups": n}
 
 
+def _thread_safe_reads() -> None:
+    """Make concurrent read_parquet calls from driver threads safe:
+    with aiohttp absent, every read probes (and re-fails) the
+    fsspec.implementations.http import, and two threads probing at
+    once race Python's partial-module state into an ImportError Ray
+    doesn't catch.  Register a deterministic stub module (no network
+    in this environment; the real class can never be instantiated)."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import types
+
+        _m = types.ModuleType("fsspec.implementations.http")
+        _m.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = _m
+
+
 def bench_events(sf_dir: str) -> dict:
     """The window-operator family: tumbling aggregate, sessionization,
     and the as-of join (recorded so the Arrow-native partial and the
-    searchsorted merge show up in the numbers)."""
+    searchsorted merge show up in the numbers).  The four queries
+    share no state and run from concurrent driver threads (same
+    rationale and A/B evidence as `bench_analytics`)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import __ray_entry__ as entry_mod
 
     qs = entry_mod.queries()
     _warm_pool()
+    _thread_safe_reads()
+    jobs = {
+        "windows": lambda: qs["events_windowed"](sf_dir).count(),
+        "hop_windows": lambda: qs["events_hopping"](sf_dir).count(),
+        "users": lambda: qs["events_sessions"](sf_dir).count(),
+        "asof_rows": lambda: qs["events_asof_orders"](sf_dir).count(),
+    }
+    n_threads = int(os.environ.get("TORRAY_ANALYTICS_THREADS",
+                                   str(len(jobs))))
     t0 = time.monotonic()
-    n_win = qs["events_windowed"](sf_dir).count()
-    n_hop = qs["events_hopping"](sf_dir).count()
-    n_sess = qs["events_sessions"](sf_dir).count()
-    n_asof = qs["events_asof_orders"](sf_dir).count()
+    if n_threads <= 1:
+        res = {k: fn() for k, fn in jobs.items()}
+    else:
+        with ThreadPoolExecutor(n_threads) as ex:
+            futs = {k: ex.submit(fn) for k, fn in jobs.items()}
+            res = {k: f.result() for k, f in futs.items()}
     wall = time.monotonic() - t0
-    return {"sec": wall, "windows": n_win, "hop_windows": n_hop,
-            "users": n_sess, "asof_rows": n_asof}
+    return {"sec": wall, **res}
 
 
 _ALL_QUERIES = ("crawl_bfs", "crawl_fat", "scan_dedup", "docs_dedup",
