@@ -198,17 +198,25 @@ def bench_crawl(sf: float, num_cpus: int, fat: bool = False,
 
 
 def bench_docs_dedup(sf_dir: str) -> dict:
+    """Exact + near-dup over documents; the two share no state and
+    run from concurrent driver threads (see `bench_analytics`)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import ray
 
     from torray.ops.dedup import exact_dedup, minhash_lsh_dedup
 
     _warm_pool()
+    _thread_safe_reads()
+    path = os.path.join(sf_dir, "documents.parquet")
     t0 = time.monotonic()
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    n_groups = exact_dedup(docs).count()
-    n_pairs = minhash_lsh_dedup(
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")),
-        threshold=0.5).count()
+    with ThreadPoolExecutor(2) as ex:
+        f_exact = ex.submit(
+            lambda: exact_dedup(ray.data.read_parquet(path)).count())
+        f_near = ex.submit(
+            lambda: minhash_lsh_dedup(ray.data.read_parquet(path),
+                                      threshold=0.5).count())
+        n_groups, n_pairs = f_exact.result(), f_near.result()
     wall = time.monotonic() - t0
     return {"sec": wall, "exact_groups": n_groups, "near_dup_pairs": n_pairs}
 
@@ -296,14 +304,11 @@ def bench_docs_hygiene(sf_dir: str) -> dict:
     from torray.ops.text import repetition_scores, tfidf_top_terms
 
     _warm_pool()
-    t0 = time.monotonic()
+    _thread_safe_reads()
     path = os.path.join(sf_dir, "documents.parquet")
 
     def docs():
         return ray.data.read_parquet(path)
-
-    n_rep = repetition_scores(docs()).count()
-    n_terms = tfidf_top_terms(docs(), k=3).count()
 
     import numpy as np
     import pyarrow as pa
@@ -312,13 +317,28 @@ def bench_docs_hygiene(sf_dir: str) -> dict:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % 97 == 0))
 
-    hashes = build_ngram_set(
-        docs().map_batches(test_side, batch_format="pyarrow"), n=8)
-    n_probe = decontaminate(docs(), hashes, n=8).count()
-    n_top = top_frequent(docs(), "source", 10).count()
+    def decontam_chain():
+        hashes = build_ngram_set(
+            docs().map_batches(test_side, batch_format="pyarrow"), n=8)
+        return decontaminate(docs(), hashes, n=8).count()
+
+    # the four hygiene ops share no state — concurrent driver threads
+    # (see bench_analytics)
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = {
+        "rep_rows": lambda: repetition_scores(docs()).count(),
+        "tfidf_rows": lambda: tfidf_top_terms(docs(), k=3).count(),
+        "probed": decontam_chain,
+        "top_sources": lambda: top_frequent(docs(), "source",
+                                            10).count(),
+    }
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(len(jobs)) as ex:
+        futs = {k: ex.submit(fn) for k, fn in jobs.items()}
+        res = {k: f.result() for k, f in futs.items()}
     wall = time.monotonic() - t0
-    return {"sec": wall, "rep_rows": n_rep, "tfidf_rows": n_terms,
-            "probed": n_probe, "top_sources": n_top}
+    return {"sec": wall, **res}
 
 
 def bench_analytics(sf_dir: str) -> dict:
