@@ -445,7 +445,33 @@ def bench_analytics_xl(sf_dir: str) -> dict:
     # probe (one interpreter call per PARTITION, never per user)
     n_sess = sessionize(ray.data.read_parquet(path)).count()
     t4 = time.monotonic()
-    wall = t4 - t0
+    # as-of join at 10M lefts x ~100k rights (every 100th event as the
+    # right side): the r4 run-scan merge at data scale
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from torray.ops.window import asof_join
+
+    def right_side(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 100 == 0))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "r_ts": pc.cast(t.column("ts"), pa.int64()),
+            "r_value": t.column("value"),
+        })
+
+    left = ray.data.read_parquet(
+        path, columns=["event_id", "ts", "user_id"])
+    right = ray.data.read_parquet(
+        path, columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(right_side, batch_format="pyarrow")
+    n_asof = asof_join(
+        left, right, left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="r_ts",
+        right_value_cols=["r_value"]).count()
+    t5 = time.monotonic()
+    wall = t5 - t0
     return {"sec": wall,
             "running_sec": round(t1 - t0, 2), "running_rows": n_run,
             "quantiles_sec": round(t2 - t1, 2),
@@ -453,7 +479,8 @@ def bench_analytics_xl(sf_dir: str) -> dict:
             "window_sec": round(t3 - t2, 2), "window_rows": n_win,
             "sessionize_sec": round(t4 - t3, 2),
             "sessionize_users": n_sess,
-            "rows_per_s": round(4 * 10_000_000 / wall, 1)}
+            "asof_sec": round(t5 - t4, 2), "asof_rows": n_asof,
+            "rows_per_s": round(5 * 10_000_000 / wall, 1)}
 
 
 def _ensure_docs_xlvocab(n_docs: int = 200_000,
