@@ -623,6 +623,16 @@ def _q_events_running_salted(sf_dir: str):
     return _q_events_running_total(sf_dir, salt_range_s=86400 * 3)
 
 
+def _q_events_running_join(sf_dir: str):
+    """The distributed offset-JOIN fixup of the salted running total
+    (fixup_mode='join': nothing folds on the driver — the 10^7-segment
+    scale plan), same oracle as the broadcast plan."""
+    from torray.ops.window import running_total
+
+    return running_total(_read(sf_dir, "events"),
+                         salt_range_s=86400 * 3, fixup_mode="join")
+
+
 def _q_customers_no_events(sf_dir: str):
     """Bloom-prefiltered EXACT anti-join (NOT EXISTS): customers with
     no event activity — ``ops.bloom.bloom_antijoin``."""
@@ -724,6 +734,15 @@ def _q_events_lag_salted(sf_dir: str):
     """Hot-key two-phase LAG (2-day time-range salt + boundary-stitch
     fix-up) — byte-identical to the unsalted path, same oracle."""
     return _q_events_lag_gaps(sf_dir, salt_range_s=86400 * 2)
+
+
+def _q_events_lag_join(sf_dir: str):
+    """The distributed gap-JOIN fixup of the salted LAG
+    (fixup_mode='join'), same oracle as the broadcast plan."""
+    from torray.ops.window import lag_delta
+
+    return lag_delta(_read(sf_dir, "events"), salt_range_s=86400 * 2,
+                     fixup_mode="join")
 
 
 def _q_orders_events_full_outer(sf_dir: str):
@@ -1129,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_by_type": _q_events_quantiles_by_type,
         "events_running_total": _q_events_running_total,
         "events_running_salted": _q_events_running_salted,
+        "events_running_join": _q_events_running_join,
         "customers_no_events": _q_customers_no_events,
         "lineitem_rollup": _q_lineitem_rollup,
         "lineitem_cube": _q_lineitem_cube,
@@ -1142,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": _q_user_event_pivot,
         "events_lag_gaps": _q_events_lag_gaps,
         "events_lag_salted": _q_events_lag_salted,
+        "events_lag_join": _q_events_lag_join,
         "events_distinct_users_by_type": _q_events_distinct_users_by_type,
         "docs_top_terms": _q_docs_top_terms,
         "docs_top_terms_join": _q_docs_top_terms_join,
@@ -1447,6 +1468,13 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS running FROM events"
         ),
+        # the join-fixup plan must be byte-identical — same oracle
+        "events_running_join": (
+            "SELECT event_id, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS running FROM events"
+        ),
         "customers_no_events": (
             "SELECT c_custkey, c_mktsegment FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM events e "
@@ -1554,6 +1582,12 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS gap_us FROM events"
         ),
         "events_lag_salted": (
+            "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS BIGINT) AS gap_us FROM events"
+        ),
+        # the join-fixup plan must be byte-identical — same oracle
+        "events_lag_join": (
             "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "AS BIGINT) AS gap_us FROM events"

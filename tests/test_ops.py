@@ -1949,3 +1949,76 @@ def test_segmented_last_index_vs_naive():
             if flag[i]:
                 last = i
             assert got[i] == last, (trial, i)
+
+
+def test_running_total_join_fixup_matches_broadcast(ray_session):
+    """The distributed offset-join plan (fixup_mode='join') is
+    row-identical to the broadcast-LUT plan and to the unsalted path
+    (integer partials make all three bit-exact)."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.window import running_total
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            np.sort(rng.randint(0, 30 * 86400 * 10**6, n)).astype(
+                "datetime64[us]")),
+        "user_id": pa.array(
+            np.where(rng.rand(n) < 0.4, 7,
+                     rng.randint(0, 50, n)).astype(np.int64)),
+        "value": pa.array(np.round(rng.exponential(40.0, n) *
+                                   np.where(rng.rand(n) < 0.3, -1, 1),
+                                   2), pa.float64()),
+    })
+
+    def run(**kw):
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        return (running_total(ds, **kw).to_pandas()
+                .sort_values("event_id").reset_index(drop=True))
+
+    plain = run()
+    bcast = run(salt_range_s=86400, fixup_mode="broadcast")
+    join = run(salt_range_s=86400, fixup_mode="join")
+    auto_join = run(salt_range_s=86400, fixup_mode="auto",
+                    broadcast_segments_limit=1)  # forces join
+    pd.testing.assert_frame_equal(plain, bcast)
+    pd.testing.assert_frame_equal(plain, join)
+    pd.testing.assert_frame_equal(plain, auto_join)
+
+
+def test_lag_delta_join_fixup_matches_broadcast(ray_session):
+    """The distributed gap-join plan (fixup_mode='join') is
+    row-identical to the broadcast-LUT plan and the unsalted path,
+    including NULLs on each key's globally-first row."""
+    import pandas as pd
+    import ray
+
+    from torray.ops.window import lag_delta
+
+    rng = np.random.RandomState(6)
+    n = 4000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            np.sort(rng.randint(0, 30 * 86400 * 10**6, n)).astype(
+                "datetime64[us]")),
+        "user_id": pa.array(
+            np.where(rng.rand(n) < 0.4, 7,
+                     rng.randint(0, 50, n)).astype(np.int64)),
+    })
+
+    def run(**kw):
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        return (lag_delta(ds, **kw).to_pandas()
+                .sort_values("event_id").reset_index(drop=True))
+
+    plain = run()
+    bcast = run(salt_range_s=86400, fixup_mode="broadcast")
+    join = run(salt_range_s=86400, fixup_mode="join")
+    pd.testing.assert_frame_equal(plain, bcast)
+    pd.testing.assert_frame_equal(plain, join)
+    assert plain["gap_us"].isna().sum() == plain["gap_us"].isna().sum()

@@ -262,7 +262,9 @@ def running_total(events_ds, *, key_col: str = "user_id",
                   ts_col: str = "ts", id_col: str = "event_id",
                   value_col: str = "value", scale: int = 100,
                   salt_range_s: int | None = None,
-                  num_partitions: int = 64):
+                  num_partitions: int = 64,
+                  fixup_mode: str = "auto",
+                  broadcast_segments_limit: int = 2_000_000):
     """Per-key cumulative sum ordered by ``(ts, id)`` — the ordered
     window aggregate ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id)``
     Ray Data has no operator for.  Returns ``(id, running)`` rows.
@@ -286,9 +288,25 @@ def running_total(events_ds, *, key_col: str = "user_id",
     one task (the groupby(key) partitioning assumption, minus the
     per-group Python calls).  ``salt_range_s`` is the hot-key path:
     partition = hash(key, ts//range), each (key, range) segment gets
-    its LOCAL cumsums, and a broadcast offset table (exclusive prefix
-    of range totals per key — tiny in the hot-key regime) fixes up
-    every event in one vectorized pass.
+    its LOCAL cumsums, and per-(key, range) OFFSETS (exclusive prefix
+    of range totals per key) fix up every event in one vectorized
+    pass.  Two offset plans, selected by ``fixup_mode``:
+
+    - ``broadcast`` — fold the (key, range, total) rows into a packed
+      numpy LUT on the driver, ``ray.put`` once, fetch once per actor
+      (:class:`_RunningFixup`).  Zero extra shuffles; right when the
+      salt exists for a FEW hot keys (segments ≈ hot keys x ranges).
+    - ``join`` — the many-keys-many-ranges path (salting EVERY key at
+      10^7+ keys x ranges makes the driver fold itself the
+      bottleneck): offsets compute distributed (run-scan over the
+      totals rows partitioned by key hash) and attach to the partials
+      with a (key, range)-co-partitioned run-scan join.  One extra
+      narrow shuffle of the partials; nothing folds on the driver.
+    - ``auto`` (default) — one ``count()`` of the materialized totals
+      rows picks: broadcast iff <= ``broadcast_segments_limit``.
+
+    Both plans are bit-identical (integer partials; equivalence is
+    test-verified).
     """
     cols = [key_col, ts_col, id_col, value_col]
     from torray.ops.dedup import _mix64
@@ -400,8 +418,20 @@ def running_total(events_ds, *, key_col: str = "user_id",
                          "t": pa.array(c[last], pa.int64()),
                          "p": pa.array(p[last], pa.int64())})
 
-    tot_tables = [t for t in ray.get(partials.map_batches(
-        totals, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    totals_ds = partials.map_batches(
+        totals, batch_format="pyarrow").materialize()
+    if fixup_mode == "auto":
+        fixup_mode = ("broadcast"
+                      if totals_ds.count() <= broadcast_segments_limit
+                      else "join")
+    if fixup_mode == "join":
+        return _running_join_fixup(partials, totals_ds, id_col,
+                                   num_partitions)
+    if fixup_mode != "broadcast":
+        raise ValueError(f"unknown fixup_mode {fixup_mode!r}")
+
+    tot_tables = [t for t in ray.get(totals_ds.to_arrow_refs())
+                  if t.num_rows]
     if tot_tables:
         tot = pa.concat_tables(tot_tables)
         tk = tot.column("k").to_numpy(zero_copy_only=False)
@@ -435,10 +465,143 @@ def running_total(events_ds, *, key_col: str = "user_id",
         batch_format="pyarrow", concurrency=(1, 8))
 
 
+def _running_join_fixup(partials, totals_ds, id_col: str,
+                        num_partitions: int):
+    """Distributed offset attach for :func:`running_total`'s salted
+    path (``fixup_mode='join'``): per-(key, range) offsets compute as
+    a run-scan over the totals rows partitioned by key hash, then join
+    onto the partials with a (key, range)-co-partitioned run-scan —
+    nothing folds on the driver (at 10^7 segments the broadcast plan's
+    driver fold + ~100MB+ LUT put IS the bottleneck)."""
+    from torray.ops.dedup import _mix64
+
+    npart = np.uint64(num_partitions)
+
+    def tag_tot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        part = (_mix64(k) % npart).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def offsets_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "off": pa.array([], pa.int64())})
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        p = g.column("p").to_numpy(zero_copy_only=False)
+        # per (key, salt): keep the MAX-__pos candidate (split blocks
+        # emit several); then per key: exclusive prefix of totals
+        order = np.lexsort((p, s, k))
+        k, s, t = k[order], s[order], t[order]
+        last = np.concatenate(
+            (np.flatnonzero((k[1:] != k[:-1]) | (s[1:] != s[:-1])),
+             [len(k) - 1]))
+        k, s, t = k[last], s[last], t[last]
+        key_starts = np.flatnonzero(np.concatenate(
+            ([True], k[1:] != k[:-1])))
+        off = _segmented_cumsum(t, key_starts) - t
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "off": pa.array(off, pa.int64())})
+
+    offsets_ds = (totals_ds.map_batches(tag_tot, batch_format="pyarrow")
+                  .groupby("__part")
+                  .map_groups(offsets_partition, batch_format="pyarrow"))
+
+    join_schema = pa.schema([
+        (id_col, pa.int64()), ("__key", pa.int64()),
+        ("__salt", pa.int64()), ("__local", pa.int64()),
+        ("__off", pa.int64()), ("__side", pa.int8()),
+        ("__jpart", pa.int64()),
+    ])
+
+    def _jpart(k: np.ndarray, s: np.ndarray) -> np.ndarray:
+        return ((_mix64(k) ^ _mix64(~s)) % npart).astype(np.int64)
+
+    def tag_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return join_schema.empty_table()
+        k = t.column("__key").to_numpy(zero_copy_only=False)
+        s = t.column("__salt").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            id_col: t.column(id_col),
+            "__key": t.column("__key"),
+            "__salt": t.column("__salt"),
+            "__local": t.column("__local"),
+            "__off": pa.nulls(n, pa.int64()),
+            "__side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "__jpart": pa.array(_jpart(k, s), pa.int64()),
+        }).cast(join_schema)
+
+    def tag_offsets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return join_schema.empty_table()
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            id_col: pa.nulls(n, pa.int64()),
+            "__key": t.column("k"),
+            "__salt": t.column("s"),
+            "__local": pa.nulls(n, pa.int64()),
+            "__off": t.column("off"),
+            "__side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "__jpart": pa.array(_jpart(k, s), pa.int64()),
+        }).cast(join_schema)
+
+    def attach_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "running": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        k = g.column("__key").to_numpy(zero_copy_only=False)
+        s = g.column("__salt").to_numpy(zero_copy_only=False)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, s, k))
+        ks, ss, sides = k[order], s[order], side[order]
+        run_id = np.cumsum(np.concatenate(
+            ([True], (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])))) - 1
+        last_off = _segmented_last_index(sides == 0, run_id)
+        ppos = np.flatnonzero(sides == 1)
+        if ppos.size == 0:
+            return empty
+        match = last_off[ppos]
+        offv = pc.fill_null(g.column("__off"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # every (key, range) segment has a totals row, so a miss can
+        # only mean zero offset (the key's first range)
+        add = np.where(match >= 0,
+                       offv[order[np.clip(match, 0, None)]], 0)
+        take = pa.array(order[ppos], pa.int64())
+        local = pc.fill_null(g.column("__local"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)[order[ppos]]
+        return pa.table({
+            id_col: pc.take(g.column(id_col), take),
+            "running": pa.array(local + add, pa.int64()),
+        })
+
+    tagged = (partials.map_batches(tag_partials, batch_format="pyarrow")
+              .union(offsets_ds.map_batches(tag_offsets,
+                                            batch_format="pyarrow")))
+    return (tagged.groupby("__jpart")
+            .map_groups(attach_partition, batch_format="pyarrow"))
+
+
 def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
               id_col: str = "event_id",
               salt_range_s: int | None = None,
-              num_partitions: int = 64):
+              num_partitions: int = 64,
+              fixup_mode: str = "auto",
+              broadcast_segments_limit: int = 2_000_000):
     """Per-key LAG: each row's microsecond gap to the key's previous
     row in ``(ts, id)`` order (NULL for the key's first row) —
     ``epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY key ORDER BY
@@ -448,11 +611,14 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
     groupby on a hashed partition id, lexsort + segmented ``np.diff``
     per partition — never a Python call per key).  ``salt_range_s``
     is the hot-key path: partials compute their internal gaps and
-    report boundary (first_ts, last_ts) rows; the driver stitches
-    consecutive ranges (monotone timeline, same argument as
-    :func:`sessionize`) into a broadcast fix-up that assigns each
-    range's FIRST row its cross-boundary gap — every other row's gap
-    is already local."""
+    report boundary (first_ts, last_ts) rows; consecutive ranges
+    stitch (monotone timeline, same argument as :func:`sessionize`)
+    into a fix-up that assigns each range's FIRST row its
+    cross-boundary gap — every other row's gap is already local.
+    ``fixup_mode`` selects broadcast-LUT vs distributed join exactly
+    as in :func:`running_total` (``auto`` picks by segment count vs
+    ``broadcast_segments_limit``); plans are bit-identical
+    (test-verified)."""
     from torray.ops.dedup import _mix64
 
     cols = [key_col, ts_col, id_col]
@@ -554,8 +720,20 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
     # inside one segment are sorted, so these are exact).  All numpy —
     # per-entry python folds are a driver bottleneck at millions of
     # segments.
-    bt_tables = [t for t in ray.get(partials.map_batches(
-        bounds, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    bounds_ds = partials.map_batches(
+        bounds, batch_format="pyarrow").materialize()
+    if fixup_mode == "auto":
+        fixup_mode = ("broadcast"
+                      if bounds_ds.count() <= broadcast_segments_limit
+                      else "join")
+    if fixup_mode == "join":
+        return _lag_join_fixup(partials, bounds_ds, id_col,
+                               num_partitions)
+    if fixup_mode != "broadcast":
+        raise ValueError(f"unknown fixup_mode {fixup_mode!r}")
+
+    bt_tables = [t for t in ray.get(bounds_ds.to_arrow_refs())
+                 if t.num_rows]
     if bt_tables:
         bt = pa.concat_tables(bt_tables)
         bk_ = bt.column("k").to_numpy(zero_copy_only=False)
@@ -588,6 +766,150 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
         _LagFixup,
         fn_constructor_kwargs={"lut_ref": lut_ref, "id_col": id_col},
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _lag_join_fixup(partials, bounds_ds, id_col: str,
+                    num_partitions: int):
+    """Distributed cross-boundary-gap attach for :func:`lag_delta`'s
+    salted path (``fixup_mode='join'``) — the lag analogue of
+    :func:`_running_join_fixup`: per-(key, range) boundary gaps
+    compute as a run-scan over the bounds rows partitioned by key
+    hash (a key's FIRST range emits no row — its first event's gap is
+    NULL), then attach to each segment's first row with a (key,
+    range)-co-partitioned run-scan join."""
+    from torray.ops.dedup import _mix64
+
+    npart = np.uint64(num_partitions)
+
+    def tag_bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        part = (_mix64(k) % npart).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def gaps_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "gap": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        bf = g.column("first_ts").to_numpy(zero_copy_only=False)
+        bl = g.column("last_ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        k, s, bf, bl = k[order], s[order], bf[order], bl[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (s[1:] != s[:-1]))))
+        first_min = np.minimum.reduceat(bf, starts)
+        last_max = np.maximum.reduceat(bl, starts)
+        kk, ss = k[starts], s[starts]
+        not_first = np.concatenate(([False], kk[1:] == kk[:-1]))
+        if not not_first.any():
+            return empty
+        gaps = (first_min[not_first]
+                - last_max[np.flatnonzero(not_first) - 1])
+        return pa.table({"k": pa.array(kk[not_first], pa.int64()),
+                         "s": pa.array(ss[not_first], pa.int64()),
+                         "gap": pa.array(gaps, pa.int64())})
+
+    gaps_ds = (bounds_ds.map_batches(tag_bounds, batch_format="pyarrow")
+               .groupby("__part")
+               .map_groups(gaps_partition, batch_format="pyarrow"))
+
+    join_schema = pa.schema([
+        (id_col, pa.int64()), ("__key", pa.int64()),
+        ("__salt", pa.int64()), ("__gap", pa.int64()),
+        ("__first", pa.bool_()), ("__bgap", pa.int64()),
+        ("__side", pa.int8()), ("__jpart", pa.int64()),
+    ])
+
+    def _jpart(k: np.ndarray, s: np.ndarray) -> np.ndarray:
+        return ((_mix64(k) ^ _mix64(~s)) % npart).astype(np.int64)
+
+    def tag_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return join_schema.empty_table()
+        k = t.column("__key").to_numpy(zero_copy_only=False)
+        s = t.column("__salt").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            id_col: t.column(id_col),
+            "__key": t.column("__key"),
+            "__salt": t.column("__salt"),
+            "__gap": t.column("__gap"),
+            "__first": t.column("__first"),
+            "__bgap": pa.nulls(n, pa.int64()),
+            "__side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "__jpart": pa.array(_jpart(k, s), pa.int64()),
+        }).cast(join_schema)
+
+    def tag_gaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return join_schema.empty_table()
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            id_col: pa.nulls(n, pa.int64()),
+            "__key": t.column("k"),
+            "__salt": t.column("s"),
+            "__gap": pa.nulls(n, pa.int64()),
+            "__first": pa.nulls(n, pa.bool_()),
+            "__bgap": t.column("gap"),
+            "__side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "__jpart": pa.array(_jpart(k, s), pa.int64()),
+        }).cast(join_schema)
+
+    def attach_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "gap_us": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        k = g.column("__key").to_numpy(zero_copy_only=False)
+        s = g.column("__salt").to_numpy(zero_copy_only=False)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, s, k))
+        ks, ss, sides = k[order], s[order], side[order]
+        run_id = np.cumsum(np.concatenate(
+            ([True], (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])))) - 1
+        last_gap = _segmented_last_index(sides == 0, run_id)
+        ppos = np.flatnonzero(sides == 1)
+        if ppos.size == 0:
+            return empty
+        match = last_gap[ppos]
+        bgap = pc.fill_null(g.column("__bgap"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        take = order[ppos]
+        gap = pc.fill_null(g.column("__gap"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)[take].copy()
+        first = g.column("__first").to_numpy(
+            zero_copy_only=False)[take].astype(bool)
+        found = (match >= 0) & first
+        gap[found] = bgap[order[np.clip(match, 0, None)]][found]
+        # a first row with NO gap row is the key's globally-first
+        # range: gap stays NULL
+        null_mask = first & (match < 0)
+        out = pa.array(gap, pa.int64())
+        if null_mask.any():
+            out = pc.if_else(pa.array(null_mask),
+                             pa.nulls(len(gap), pa.int64()), out)
+        return pa.table({
+            id_col: pc.take(g.column(id_col),
+                            pa.array(take, pa.int64())),
+            "gap_us": out,
+        })
+
+    tagged = (partials.map_batches(tag_partials, batch_format="pyarrow")
+              .union(gaps_ds.map_batches(tag_gaps,
+                                         batch_format="pyarrow")))
+    return (tagged.groupby("__jpart")
+            .map_groups(attach_partition, batch_format="pyarrow"))
 
 
 def _hash_col_np(arr: np.ndarray) -> np.ndarray:
