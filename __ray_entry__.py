@@ -1092,6 +1092,77 @@ def _q_events_users_semijoin(sf_dir: str):
     return ray.data.from_arrow(pa.table({"n": pa.array([n], pa.int64())}))
 
 
+def _q_events_value_var(sf_dir: str):
+    """Exactness-safe grouped variance/stddev: integer-scaled sums,
+    float moments derived with the oracle's exact expression tree
+    (``ops.moments.group_moments``)."""
+    from torray.ops.moments import group_moments
+
+    return group_moments(_read(sf_dir, "events"))
+
+
+def _q_events_value_histogram(sf_dir: str):
+    """Fixed-width value histogram over [0, 500) in 50 bins
+    (``ops.moments.value_histogram`` — per-batch combiner, narrow
+    shuffle)."""
+    from torray.ops.moments import value_histogram
+
+    return value_histogram(_read(sf_dir, "events"),
+                           lo=0.0, hi=500.0, nbins=50)
+
+
+def _q_events_customers_intersect(sf_dir: str):
+    """Distributed SQL INTERSECT: distinct user ids present in both
+    the events and customer tables (``ops.setops``)."""
+    from torray.ops.setops import intersect_distinct
+
+    return intersect_distinct(_read(sf_dir, "events"),
+                              _read(sf_dir, "customer"),
+                              left_col="user_id",
+                              right_col="c_custkey")
+
+
+def _q_customers_except_events(sf_dir: str):
+    """Distributed SQL EXCEPT: distinct customer keys with no event
+    (the key-set cousin of the Bloom anti-join's row semantics)."""
+    from torray.ops.setops import except_distinct
+
+    return except_distinct(_read(sf_dir, "customer"),
+                           _read(sf_dir, "events"),
+                           left_col="c_custkey", right_col="user_id")
+
+
+def _q_events_global_rank(sf_dir: str):
+    """Sort-free EXACT global RANK() over value (ties share min rank)
+    via splitter-bucketed two-pass counting
+    (``ops.rank.global_rank``)."""
+    from torray.ops.rank import global_rank
+
+    return global_rank(_read(sf_dir, "events"), value_col="value",
+                       id_col="event_id", method="rank",
+                       num_buckets=32)
+
+
+def _q_events_value_row_number(sf_dir: str):
+    """Sort-free global ROW_NUMBER() over (value DESC, event_id) —
+    the deterministic-ties / descending configuration of
+    ``ops.rank.global_rank``."""
+    from torray.ops.rank import global_rank
+
+    return global_rank(_read(sf_dir, "events"), value_col="value",
+                       id_col="event_id", method="row_number",
+                       descending=True, num_buckets=32)
+
+
+def _q_docs_pii_scrub(sf_dir: str):
+    """PII scrub + normalization map (emails/IPv4 redacted, casefold,
+    whitespace canonicalized) — RE2 kernels on both sides of the gate
+    (``ops.text.scrub_normalize``)."""
+    from torray.ops.text import scrub_normalize
+
+    return scrub_normalize(_read(sf_dir, "documents"))
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1168,6 +1239,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms_join": _q_docs_top_terms_join,
         "orders_events_full_outer": _q_orders_events_full_outer,
         "events_value_stats": _q_events_value_stats,
+        "events_value_var": _q_events_value_var,
+        "events_value_histogram": _q_events_value_histogram,
+        "events_customers_intersect": _q_events_customers_intersect,
+        "customers_except_events": _q_customers_except_events,
+        "events_global_rank": _q_events_global_rank,
+        "events_value_row_number": _q_events_value_row_number,
+        "docs_pii_scrub": _q_docs_pii_scrub,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1610,6 +1688,65 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_cents, count(*) AS n, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) "
             "/ count(*) AS avg_cents FROM events GROUP BY event_type"
+        ),
+        # grouped variance: integer-scaled sums, every float column a
+        # fixed expression over those exact ints mirrored token for
+        # token by ops.moments.group_moments (bitwise-equal by design)
+        "events_value_var": (
+            "WITH s AS (SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_scaled, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT) "
+            "* CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sumsq_scaled FROM events GROUP BY event_type) "
+            "SELECT event_type, n, sum_scaled, sumsq_scaled, "
+            "(CAST(sum_scaled AS DOUBLE) / n) / 100.0 AS mean, "
+            "(CAST(sumsq_scaled AS DOUBLE) - CAST(sum_scaled AS DOUBLE)"
+            " * CAST(sum_scaled AS DOUBLE) / n) / n / 10000.0 "
+            "AS var_pop, "
+            "sqrt((CAST(sumsq_scaled AS DOUBLE) - "
+            "CAST(sum_scaled AS DOUBLE) * CAST(sum_scaled AS DOUBLE) "
+            "/ n) / n / 10000.0) AS stddev_pop FROM s"
+        ),
+        "events_value_histogram": (
+            "SELECT CAST(floor((value - 0.0) / 10.0) AS BIGINT) AS bin,"
+            " count(*) AS n FROM events "
+            "WHERE value >= 0.0 AND value < 500.0 GROUP BY 1"
+        ),
+        "events_customers_intersect": (
+            "SELECT user_id FROM events "
+            "INTERSECT SELECT c_custkey FROM customer"
+        ),
+        "customers_except_events": (
+            "SELECT c_custkey FROM customer "
+            "EXCEPT SELECT user_id FROM events"
+        ),
+        "events_global_rank": (
+            "SELECT event_id, CAST(rank() OVER (ORDER BY value) "
+            "AS BIGINT) AS rnk FROM events"
+        ),
+        "events_value_row_number": (
+            "SELECT event_id, CAST(row_number() OVER ("
+            "ORDER BY value DESC, event_id) AS BIGINT) AS rnk "
+            "FROM events"
+        ),
+        "docs_pii_scrub": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) "
+            "AS BIGINT) AS n_ipv4, "
+            "regexp_replace(regexp_replace(lower(regexp_replace("
+            "regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "'<IP>', 'g')), '\\s+', ' ', 'g'), '^ | $', '', 'g') "
+            "AS clean_text FROM documents"
         ),
         # tf-idf top-3 per doc: the SELECTION is checked (term, tf);
         # the float score is excluded (libm log differs in the last

@@ -2022,3 +2022,148 @@ def test_lag_delta_join_fixup_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(plain, bcast)
     pd.testing.assert_frame_equal(plain, join)
     assert plain["gap_us"].isna().sum() == plain["gap_us"].isna().sum()
+
+
+def test_group_moments_matches_numpy_and_drops_nan(ray_session):
+    import ray
+
+    from torray.ops.moments import group_moments
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    g = rng.integers(0, 3, n)
+    v = np.round(rng.uniform(0, 400, n), 2)
+    v[::97] = np.nan  # planted NaNs must be dropped, not poison sums
+    t = pa.table({"event_type": pa.array([f"t{x}" for x in g]),
+                  "value": pa.array(v, pa.float64())})
+    out = group_moments(ray.data.from_arrow(t)).to_pandas()
+    out = out.set_index("event_type").sort_index()
+    for gi in range(3):
+        vals = v[(g == gi) & ~np.isnan(v)]
+        cents = np.copysign(np.floor(np.abs(vals * 100) + 0.5),
+                            vals).astype(np.int64)
+        row = out.loc[f"t{gi}"]
+        assert row["n"] == len(vals)
+        assert row["sum_scaled"] == cents.sum()
+        assert row["sumsq_scaled"] == (cents * cents).sum()
+        assert row["var_pop"] == pytest.approx(
+            np.var(cents / 100.0), rel=1e-9)
+        assert row["stddev_pop"] == pytest.approx(
+            np.std(cents / 100.0), rel=1e-9)
+
+
+def test_group_moments_overflow_raises(ray_session):
+    import ray
+
+    from torray.ops.moments import group_moments
+
+    t = pa.table({"event_type": pa.array(["a"]),
+                  "value": pa.array([4e9], pa.float64())})
+    with pytest.raises(Exception):  # ray wraps the OverflowError
+        group_moments(ray.data.from_arrow(t)).to_pandas()
+
+
+def test_value_histogram_half_open_and_grouped(ray_session):
+    import ray
+
+    from torray.ops.moments import value_histogram
+
+    t = pa.table({
+        "value": pa.array([0.0, 9.99, 10.0, 49.9, 50.0, -1.0, np.nan],
+                          pa.float64()),
+        "lang": pa.array(list("aabbaab")),
+    })
+    ds = ray.data.from_arrow(t)
+    out = value_histogram(ds, lo=0.0, hi=50.0, nbins=5).to_pandas()
+    got = dict(zip(out["bin"], out["n"]))
+    # 50.0 is out (half-open), -1 below range, NaN dropped
+    assert got == {0: 2, 1: 1, 4: 1}
+    g = value_histogram(ds, lo=0.0, hi=50.0, nbins=5,
+                        group_cols=["lang"]).to_pandas()
+    got = {(r.lang, r.bin): r.n for r in g.itertuples()}
+    assert got == {("a", 0): 2, ("b", 1): 1, ("b", 4): 1}
+
+
+def test_setops_intersect_except(ray_session):
+    import ray
+
+    from torray.ops.setops import except_distinct, intersect_distinct
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 2, 3, 5, 5, 7], pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"j": pa.array([2, 3, 3, 4, 8], pa.int64())}))
+    inter = sorted(intersect_distinct(
+        left, right, left_col="k", right_col="j").to_pandas()["k"])
+    assert inter == [2, 3]
+    exc = sorted(except_distinct(
+        left, right, left_col="k", right_col="j").to_pandas()["k"])
+    assert exc == [1, 5, 7]
+    # string keys go through the same factorized run-scan
+    ls = ray.data.from_arrow(pa.table({"s": pa.array(list("abbcz"))}))
+    rs = ray.data.from_arrow(pa.table({"s": pa.array(list("bcd"))}))
+    assert sorted(intersect_distinct(
+        ls, rs, left_col="s", right_col="s").to_pandas()["s"]) == \
+        ["b", "c"]
+
+
+def test_global_rank_exact_with_ties(ray_session):
+    import ray
+
+    from torray.ops.rank import global_rank
+
+    rng = np.random.default_rng(5)
+    # heavy ties: values drawn from a tiny grid
+    v = rng.choice([1.0, 2.0, 2.5, 7.0], 3000)
+    ids = np.arange(3000, dtype=np.int64)
+    rng.shuffle(ids)
+    ds = ray.data.from_arrow(pa.table({
+        "value": pa.array(v, pa.float64()),
+        "event_id": pa.array(ids, pa.int64())})).repartition(7)
+
+    out = global_rank(ds, value_col="value", id_col="event_id",
+                      method="rank", num_buckets=8).to_pandas()
+    got = dict(zip(out["event_id"], out["rnk"]))
+    order = np.argsort(v, kind="stable")
+    # min-rank ground truth
+    sorted_v = v[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], sorted_v[1:] != sorted_v[:-1])))
+    lens = np.diff(np.append(starts, len(v)))
+    rnk_sorted = 1 + np.repeat(starts, lens)
+    for pos, idx in enumerate(order):
+        assert got[ids[idx]] == rnk_sorted[pos]
+
+    rn = global_rank(ds, value_col="value", id_col="event_id",
+                     method="row_number", num_buckets=8).to_pandas()
+    # row_number is a permutation of 1..n and respects (value, id)
+    assert sorted(rn["rnk"]) == list(range(1, 3001))
+    m = rn.set_index("event_id")["rnk"]
+    key = sorted(((v[i], ids[i]) for i in range(3000)))
+    for r, (_, eid) in enumerate(key, start=1):
+        assert m[eid] == r
+
+
+def test_scrub_normalize_redacts_and_canonicalizes(ray_session):
+    import ray
+
+    from torray.ops.text import scrub_normalize
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "Contact Bob.Smith+x@Example.co.uk  or 10.0.0.1 NOW",
+            "no pii here\tjust   Whitespace\n\nand CASE",
+            "two mails a@b.io c@d.org and ip 192.168.1.254 end",
+        ]),
+    })
+    out = scrub_normalize(
+        ray.data.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_ipv4"] == 1
+    assert out.loc[0, "clean_text"] == "contact <email> or <ip> now"
+    assert out.loc[1, "n_email"] == 0 and out.loc[1, "n_ipv4"] == 0
+    assert out.loc[1, "clean_text"] == \
+        "no pii here just whitespace and case"
+    assert out.loc[2, "n_email"] == 2 and out.loc[2, "n_ipv4"] == 1
+    assert out.loc[2, "clean_text"] == \
+        "two mails <email> <email> and ip <ip> end"

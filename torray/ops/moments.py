@@ -1,0 +1,179 @@
+"""Exactness-safe statistical moments and histograms over a Ray
+Dataset — the distributive aggregates (mean / variance / stddev /
+fixed-width histogram) a curation pipeline needs for quality-score
+calibration and value-distribution audits.
+
+Float SUMs are not associative, so a naively distributed
+``var_pop(value)`` depends on reduction order and can never hash-match
+a SQL oracle.  Both operators here avoid that the same way
+``events_value_stats`` does (``__ray_entry__._q_events_value_stats``):
+values are integer-scaled per batch (``round(v * scale)`` half away
+from zero, matching SQL ``round()``), summed EXACTLY in int64 —
+associative, order-independent — and every float column in the output
+is derived from those exact integers with one fixed expression that
+the SQL oracle mirrors token for token, so the driver's value-hash
+comparison holds bitwise.
+
+Scale shape: one vectorized ``map_batches`` partial (Arrow hash
+aggregate inside the batch — the combiner), then a single ``groupby``
+whose shuffle carries one narrow row per (group, block).  Zero
+full-row shuffles, no driver folds.
+
+int64 headroom: with ``scale=100`` the squared term holds
+``sum(cents^2) <= 9.2e18``, i.e. ~3.8e9 rows at value<=500 per group
+— beyond that pass a smaller ``scale`` (the contract is explicit, not
+silently lossy: overflow raises in numpy's checked cast below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["group_moments", "value_histogram"]
+
+
+def _cents(col: pa.ChunkedArray, scale: int) -> pa.ChunkedArray:
+    # half AWAY from zero = SQL round(); Arrow's default half_to_even
+    # would diverge on exact-.5 products (ADVICE r3).
+    return pc.cast(pc.round(pc.multiply(col, float(scale)),
+                            round_mode="half_towards_infinity"),
+                   pa.int64())
+
+
+def group_moments(ds, *, group_col: str = "event_type",
+                  value_col: str = "value", scale: int = 100):
+    """Per-group ``(n, sum_scaled, sumsq_scaled, mean, var_pop,
+    stddev_pop)`` with the integer-core / derived-float contract above.
+
+    ``mean`` is in original value units; ``var_pop``/``stddev_pop``
+    are population moments (the ``/n`` SQL variants).  The float
+    derivations are exactly::
+
+        mean       = (sum_scaled / n) / scale
+        var_pop    = (sumsq_scaled - sum_scaled*sum_scaled/n) / n
+                     / (scale*scale)
+        stddev_pop = sqrt(var_pop)
+
+    evaluated in float64 in this operation order on both sides (the
+    oracle in ``__ray_entry__.oracle_sql()['events_value_var']``
+    spells the same tree), so results are bit-identical to DuckDB.
+    """
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        # Drop null/NaN values up front (SQL aggregate semantics; the
+        # r3 ADVICE NaN-in-quantiles defect class) — `n` counts valid
+        # values, like count(value) over a NaN-free column.
+        v = t.column(value_col)
+        valid = pc.and_kleene(v.is_valid(),
+                              pc.invert(pc.is_nan(pc.cast(
+                                  v, pa.float64()))))
+        if not pc.all(valid).as_py():
+            idx = pa.array(np.flatnonzero(
+                valid.to_numpy(zero_copy_only=False)), pa.int64())
+            t = t.take(idx)
+        c = _cents(t.column(value_col), scale)
+        cn = c.to_numpy(zero_copy_only=False)
+        # checked square: overflow must raise, not wrap
+        sq = np.multiply(cn, cn, dtype=np.int64)
+        if len(cn) and (np.abs(cn) > 3_037_000_499).any():
+            raise OverflowError(
+                f"{value_col} * scale={scale} exceeds int64 square "
+                "headroom; pass a smaller scale")
+        g = pa.table({group_col: t.column(group_col), "__c": c,
+                      "__q": pa.array(sq, pa.int64())})
+        agg = pa.TableGroupBy(g, group_col).aggregate(
+            [("__c", "sum"), ("__q", "sum"), ([], "count_all")])
+        mapping = {"__c_sum": "__s", "__q_sum": "__qq",
+                   "count_all": "__n"}
+        return agg.rename_columns(
+            [mapping.get(c_, c_) for c_ in agg.column_names])
+
+    merged = (ds.select_columns([group_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(ray.data.aggregate.Sum("__s"),
+                         ray.data.aggregate.Sum("__qq"),
+                         ray.data.aggregate.Sum("__n")))
+
+    sc2 = float(scale) * float(scale)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_scaled": pa.array([], pa.int64()),
+                             "sumsq_scaled": pa.array([], pa.int64()),
+                             "mean": pa.array([], pa.float64()),
+                             "var_pop": pa.array([], pa.float64()),
+                             "stddev_pop": pa.array([], pa.float64())})
+        s = t.column("sum(__s)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        q = t.column("sum(__qq)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = t.column("sum(__n)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sf = s.astype(np.float64)
+        qf = q.astype(np.float64)
+        nf = n.astype(np.float64)
+        mean = (sf / nf) / float(scale)
+        var = (qf - sf * sf / nf) / nf / sc2
+        return pa.table({
+            group_col: t.column(group_col),
+            "n": pa.array(n, pa.int64()),
+            "sum_scaled": pa.array(s, pa.int64()),
+            "sumsq_scaled": pa.array(q, pa.int64()),
+            "mean": pa.array(mean, pa.float64()),
+            "var_pop": pa.array(var, pa.float64()),
+            "stddev_pop": pa.array(np.sqrt(var), pa.float64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def value_histogram(ds, *, value_col: str = "value", lo: float,
+                    hi: float, nbins: int, group_cols: list[str] | None
+                    = None):
+    """Fixed-width histogram of ``value_col`` over ``[lo, hi)``:
+    ``bin = floor((v - lo) / width)``, rows outside the range are
+    dropped (half-open on the right, so ``v == hi`` is out).  Returns
+    ``(bin, n)`` — or ``(*group_cols, bin, n)`` for a per-group
+    histogram.  The bin expression is one float64 subtraction +
+    division + floor, identical on both sides, so the SQL oracle
+    hash-matches exactly.
+
+    Scale shape: the per-batch Arrow hash-aggregate combiner again —
+    the shuffle carries at most ``nbins`` (x groups) rows per block
+    regardless of input size."""
+    import ray.data
+
+    if not (nbins > 0 and hi > lo):
+        raise ValueError("need nbins > 0 and hi > lo")
+    width = (float(hi) - float(lo)) / nbins
+    gcols = list(group_cols or [])
+    keys = gcols + ["bin"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        v = np.asarray(v, np.float64)
+        keep = (v >= lo) & (v < hi) & ~np.isnan(v)
+        b = np.floor((v[keep] - float(lo)) / width).astype(np.int64)
+        cols = {c: pc.take(t.column(c),
+                           pa.array(np.flatnonzero(keep), pa.int64()))
+                for c in gcols}
+        cols["bin"] = pa.array(b, pa.int64())
+        agg = pa.TableGroupBy(pa.table(cols), keys).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(
+            ["__n" if c == "count_all" else c for c in agg.column_names])
+
+    merged = (ds.select_columns(gcols + [value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(keys if len(keys) > 1 else "bin")
+              .aggregate(ray.data.aggregate.Sum("__n")))
+    return merged.map_batches(
+        lambda t: t.rename_columns(
+            ["n" if c == "sum(__n)" else c for c in t.column_names]),
+        batch_format="pyarrow")

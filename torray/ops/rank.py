@@ -20,8 +20,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["group_topk", "topk_table", "top_frequent"]
+__all__ = ["group_topk", "topk_table", "top_frequent", "global_rank"]
 
 
 def topk_table(t: pa.Table, group_col: str, score_col: str, k: int,
@@ -112,3 +113,112 @@ def top_frequent(ds, col: str, k: int, *, out_count: str = "n"):
     return (summed.map_batches(local_cut, batch_format="pyarrow")
             .repartition(1)
             .map_batches(local_cut, batch_format="pyarrow"))
+
+
+def global_rank(ds, *, value_col: str, id_col: str,
+                descending: bool = False, method: str = "rank",
+                num_buckets: int = 256):
+    """EXACT global rank of every row by ``value_col`` WITHOUT a
+    global sort: ``rank() OVER (ORDER BY value)`` (``method='rank'``,
+    ties share the min rank) or ``row_number() OVER (ORDER BY value,
+    id)`` (``method='row_number'``, deterministic ties).  Returns
+    ``(id_col, rnk)``.
+
+    A naive implementation is ``ds.sort(value_col)`` — an all-to-all
+    range exchange of EVERY column plus a second pass to number rows
+    across blocks.  This one is the two-pass counting shape instead:
+
+    1. ~``num_buckets`` approximate splitter values come from the
+       one-pass, shuffle-free :func:`torray.ops.sketch.approx_quantiles`
+       sample (approximation only affects bucket BALANCE, never
+       correctness).
+    2. Rows bucket by ``searchsorted(splitters, v)`` — equal values
+       always land in the same bucket, so ties never straddle a
+       boundary — and per-bucket row counts fold to an exclusive
+       prefix (``num_buckets`` ints on the driver, O(buckets) not
+       O(rows)).
+    3. ONE ``groupby(bucket)`` sorts each bucket locally (lexsort) and
+       emits ``prefix[bucket] + local rank`` — exact global ranks from
+       a shuffle that carries only ``(bucket, value, id)`` narrow rows.
+
+    Partitioning assumption: a bucket (~N/num_buckets rows, balanced
+    by the quantile splitters) fits in a task; size ``num_buckets`` to
+    the cluster.  Nulls/NaNs in ``value_col`` are dropped (SQL
+    aggregate semantics)."""
+    from torray.ops.sketch import approx_quantiles
+
+    if method not in ("rank", "row_number"):
+        raise ValueError(f"unknown method {method!r}")
+    narrow = ds.select_columns([value_col, id_col])
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    est = approx_quantiles(narrow, value_col, qs)
+    splitters = np.unique(np.asarray(list(est.values()), np.float64))
+    if descending:
+        splitters = np.sort(-splitters)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__b": pa.array([], pa.int64()),
+                             "__v": pa.array([], pa.float64()),
+                             id_col: t.column(id_col)})
+        v = t.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        if descending:
+            v = -v
+        keep = ~np.isnan(v)
+        if not keep.all():
+            idx = pa.array(np.flatnonzero(keep), pa.int64())
+            ids = pc.take(t.column(id_col), idx)
+            v = v[keep]
+        else:
+            ids = t.column(id_col)
+        b = np.searchsorted(splitters, v, side="left").astype(np.int64)
+        return pa.table({"__b": pa.array(b, pa.int64()),
+                         "__v": pa.array(v, pa.float64()),
+                         id_col: ids})
+
+    tagged = narrow.map_batches(tag, batch_format="pyarrow")
+    tagged = tagged.materialize()  # two consumers: counts + rank scan
+
+    # Exclusive prefix of bucket counts — O(num_buckets) driver state.
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        g = t.select(["__b"]).group_by("__b").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["__b", "__n"])
+
+    import ray
+    counts = np.zeros(len(splitters) + 1, np.int64)
+    for ref in tagged.map_batches(
+            bucket_counts, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            np.add.at(counts,
+                      t.column("__b").to_numpy(zero_copy_only=False),
+                      t.column("__n").to_numpy(zero_copy_only=False))
+    prefix = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64())})
+        v = g.column("__v").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        base = int(prefix[int(g.column("__b")[0].as_py())])
+        order = np.lexsort((ids, v))
+        vs = v[order]
+        if method == "row_number":
+            rnk = base + 1 + np.arange(len(vs), dtype=np.int64)
+        else:
+            starts = np.flatnonzero(np.concatenate(
+                ([True], vs[1:] != vs[:-1])))
+            lens = np.diff(np.append(starts, len(vs)))
+            rnk = base + 1 + np.repeat(starts, lens)
+        return pa.table({
+            id_col: pc.take(g.column(id_col),
+                            pa.array(order, pa.int64())),
+            "rnk": pa.array(rnk, pa.int64()),
+        })
+
+    return (tagged.groupby("__b")
+            .map_groups(rank_bucket, batch_format="pyarrow"))

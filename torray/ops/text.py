@@ -584,3 +584,46 @@ def char_class_counts(docs_ds, text_col: str = "text"):
     stateless vectorized map, no shuffle."""
     return docs_ds.select_columns(["doc_id", text_col]).map_batches(
         char_class_counts_batch, batch_format="pyarrow")
+
+
+# PII-ish scrub rules: (output count column, RE2 pattern, replacement).
+# RE2 is the regex engine on BOTH sides of the correctness gate (Arrow
+# binds RE2; DuckDB's regexp_replace is RE2 too), so one pattern string
+# means one semantics.
+_SCRUB_RULES = (
+    ("n_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("n_ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_normalize_batch(batch: pa.Table, text_col: str = "text",
+                          rules=_SCRUB_RULES) -> pa.Table:
+    """One vectorized pass of PII scrubbing + text normalization:
+    count-then-replace each rule's matches (emails, IPv4s) with a
+    placeholder token, lowercase, collapse runs of whitespace to one
+    space, strip the ends.  All Arrow RE2 kernels — zero Python per
+    row.  Emits ``(doc_id, clean_text, n_email, n_ipv4, ...)``."""
+    col = batch.column(text_col)
+    out = {"doc_id": batch.column("doc_id")}
+    clean = col
+    for name, pat, repl in rules:
+        out[name] = pc.cast(pc.count_substring_regex(clean, pat),
+                            pa.int64())
+        clean = pc.replace_substring_regex(clean, pat, repl)
+    clean = pc.utf8_lower(clean)
+    clean = pc.replace_substring_regex(clean, r"\s+", " ")
+    clean = pc.replace_substring_regex(clean, "^ | $", "")
+    out["clean_text"] = clean
+    return pa.table(out)
+
+
+def scrub_normalize(docs_ds, *, text_col: str = "text"):
+    """Dataset of scrubbed + normalized documents — the standard
+    pre-tokenization hygiene map of an LLM data pipeline (redact
+    emails/IPs, casefold, canonicalize whitespace).  Scale shape:
+    column-pruned read, ONE stateless vectorized ``map_batches``, no
+    shuffle, no state; the regexes are RE2 both here and in the SQL
+    oracle so the driver hash-checks the transform exactly."""
+    return docs_ds.select_columns(["doc_id", text_col]).map_batches(
+        scrub_normalize_batch, batch_format="pyarrow")
