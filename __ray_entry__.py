@@ -1154,6 +1154,68 @@ def _q_events_value_row_number(sf_dir: str):
                        descending=True, num_buckets=32)
 
 
+def _q_events_dense_rank(sf_dir: str):
+    """Sort-free EXACT global DENSE_RANK() over value — the
+    distinct-prefix configuration of ``ops.rank.global_rank`` (an
+    extra exact per-bucket COUNT DISTINCT pass feeds the prefix)."""
+    from torray.ops.rank import global_rank
+
+    return global_rank(_read(sf_dir, "events"), value_col="value",
+                       id_col="event_id", method="dense_rank",
+                       num_buckets=32)
+
+
+def _q_events_percent_rank(sf_dir: str):
+    """Global PERCENT_RANK() as the explicit ``(rank-1)/(n-1)``
+    float64 expression — mirrored token for token by the oracle so the
+    float column hash-matches bitwise."""
+    from torray.ops.rank import global_rank
+
+    return global_rank(_read(sf_dir, "events"), value_col="value",
+                       id_col="event_id", method="percent_rank",
+                       num_buckets=32)
+
+
+def _q_events_ntile(sf_dir: str):
+    """Global NTILE(16) over (value, event_id) — deterministic ties,
+    pure integer math, standard first-(n%k)-tiles-larger split."""
+    from torray.ops.rank import global_rank
+
+    return global_rank(_read(sf_dir, "events"), value_col="value",
+                       id_col="event_id", method="ntile", ntile_k=16,
+                       num_buckets=32)
+
+
+def _q_events_users_union(sf_dir: str):
+    """Distributed SQL UNION (distinct): all user/customer keys seen
+    in either table (``ops.setops.union_distinct``)."""
+    from torray.ops.setops import union_distinct
+
+    return union_distinct(_read(sf_dir, "events"),
+                          _read(sf_dir, "customer"),
+                          left_col="user_id", right_col="c_custkey")
+
+
+def _q_lineitem_covariance(sf_dir: str):
+    """Exactness-safe grouped covariance + Pearson correlation of
+    quantity vs price (``ops.moments.group_cov``; whole-unit scaling
+    keeps the squared-price sum inside int64 headroom)."""
+    from torray.ops.moments import group_cov
+
+    return group_cov(_read(sf_dir, "lineitem"),
+                     group_col="l_returnflag", x_col="l_quantity",
+                     y_col="l_extendedprice", scale_x=1, scale_y=1)
+
+
+def _q_events_histogram_by_type(sf_dir: str):
+    """Per-event-type fixed-width value histogram — the grouped
+    configuration of ``ops.moments.value_histogram``."""
+    from torray.ops.moments import value_histogram
+
+    return value_histogram(_read(sf_dir, "events"), lo=0.0, hi=500.0,
+                           nbins=50, group_cols=["event_type"])
+
+
 def _q_docs_pii_scrub(sf_dir: str):
     """PII scrub + normalization map (emails/IPv4 redacted, casefold,
     whitespace canonicalized) — RE2 kernels on both sides of the gate
@@ -1245,6 +1307,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_except_events": _q_customers_except_events,
         "events_global_rank": _q_events_global_rank,
         "events_value_row_number": _q_events_value_row_number,
+        "events_dense_rank": _q_events_dense_rank,
+        "events_percent_rank": _q_events_percent_rank,
+        "events_ntile": _q_events_ntile,
+        "events_users_union": _q_events_users_union,
+        "lineitem_covariance": _q_lineitem_covariance,
+        "events_histogram_by_type": _q_events_histogram_by_type,
         "docs_pii_scrub": _q_docs_pii_scrub,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
@@ -1729,6 +1797,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(row_number() OVER ("
             "ORDER BY value DESC, event_id) AS BIGINT) AS rnk "
             "FROM events"
+        ),
+        "events_dense_rank": (
+            "SELECT event_id, CAST(dense_rank() OVER (ORDER BY value)"
+            " AS BIGINT) AS rnk FROM events"
+        ),
+        # explicit (rank-1)/(n-1) instead of percent_rank() so BOTH
+        # sides evaluate the identical float64 expression tree
+        "events_percent_rank": (
+            "SELECT event_id, CAST(rank() OVER (ORDER BY value) - 1 "
+            "AS DOUBLE) / (count(*) OVER () - 1) AS pct FROM events"
+        ),
+        "events_ntile": (
+            "SELECT event_id, CAST(ntile(16) OVER ("
+            "ORDER BY value, event_id) AS BIGINT) AS tile FROM events"
+        ),
+        "events_users_union": (
+            "SELECT user_id FROM events "
+            "UNION SELECT c_custkey FROM customer"
+        ),
+        # grouped covariance/correlation: integer-scaled exact sums
+        # (whole units, scale 1), floats derived with the expression
+        # tree ops.moments.group_cov mirrors token for token
+        "lineitem_covariance": (
+            "WITH s AS (SELECT l_returnflag, count(*) AS n, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS sx, "
+            "CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) "
+            "AS BIGINT) AS sy, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT) "
+            "* CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) "
+            "AS sxy, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT) "
+            "* CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx, "
+            "CAST(sum(CAST(round(l_extendedprice) AS BIGINT) "
+            "* CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) "
+            "AS syy FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, "
+            "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) "
+            "* CAST(sy AS DOUBLE) / n) / n / 1.0 AS covar_pop, "
+            "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) "
+            "* CAST(sy AS DOUBLE) / n) / n / 1.0) / sqrt("
+            "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
+            "* CAST(sx AS DOUBLE) / n) / n / 1.0) "
+            "* ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) "
+            "* CAST(sy AS DOUBLE) / n) / n / 1.0)) AS corr FROM s"
+        ),
+        "events_histogram_by_type": (
+            "SELECT event_type, "
+            "CAST(floor((value - 0.0) / 10.0) AS BIGINT) AS bin, "
+            "count(*) AS n FROM events "
+            "WHERE value >= 0.0 AND value < 500.0 GROUP BY 1, 2"
         ),
         "docs_pii_scrub": (
             "SELECT doc_id, "

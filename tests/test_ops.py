@@ -2167,3 +2167,111 @@ def test_scrub_normalize_redacts_and_canonicalizes(ray_session):
     assert out.loc[2, "n_email"] == 2 and out.loc[2, "n_ipv4"] == 1
     assert out.loc[2, "clean_text"] == \
         "two mails <email> <email> and ip <ip> end"
+
+
+def test_global_rank_dense_percent_ntile(ray_session):
+    import ray
+
+    from torray.ops.rank import global_rank
+
+    rng = np.random.default_rng(7)
+    n = 2500
+    v = rng.choice([1.0, 3.0, 3.5, 9.0, 12.5], n)
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    ds = ray.data.from_arrow(pa.table({
+        "value": pa.array(v, pa.float64()),
+        "event_id": pa.array(ids, pa.int64())})).repartition(5)
+
+    # dense_rank ground truth: index into the sorted distinct values
+    uniq = np.unique(v)
+    dense_truth = np.searchsorted(uniq, v) + 1
+    out = global_rank(ds, value_col="value", id_col="event_id",
+                      method="dense_rank", num_buckets=6).to_pandas()
+    got = dict(zip(out["event_id"], out["rnk"]))
+    for i in range(n):
+        assert got[ids[i]] == dense_truth[i]
+
+    # percent_rank ground truth: (min_rank - 1) / (n - 1)
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    starts = np.flatnonzero(np.concatenate(([True], sv[1:] != sv[:-1])))
+    lens = np.diff(np.append(starts, n))
+    min_rank_sorted = 1 + np.repeat(starts, lens)
+    pr = global_rank(ds, value_col="value", id_col="event_id",
+                     method="percent_rank", num_buckets=6).to_pandas()
+    gp = dict(zip(pr["event_id"], pr["pct"]))
+    for pos, idx in enumerate(order):
+        assert gp[ids[idx]] == (min_rank_sorted[pos] - 1) / (n - 1)
+
+    # ntile(7) ground truth from row_number over (value, id)
+    k = 7
+    key = sorted(((v[i], ids[i]) for i in range(n)))
+    q, r = divmod(n, k)
+    tiles = {}
+    for rn, (_, eid) in enumerate(key, start=1):
+        if rn <= r * (q + 1):
+            tiles[eid] = (rn - 1) // (q + 1) + 1
+        else:
+            tiles[eid] = r + (rn - 1 - r * (q + 1)) // q + 1
+    nt = global_rank(ds, value_col="value", id_col="event_id",
+                     method="ntile", ntile_k=k,
+                     num_buckets=6).to_pandas()
+    gn = dict(zip(nt["event_id"], nt["tile"]))
+    assert gn == tiles
+
+
+def test_union_distinct(ray_session):
+    import ray
+
+    from torray.ops.setops import union_distinct
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 2, 5], pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"j": pa.array([2, 3, 3, 8], pa.int64())}))
+    got = sorted(union_distinct(
+        left, right, left_col="k", right_col="j").to_pandas()["k"])
+    assert got == [1, 2, 3, 5, 8]
+
+
+def test_group_cov_matches_numpy_and_drops_nan(ray_session):
+    import ray
+
+    from torray.ops.moments import group_cov
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    g = rng.integers(0, 3, n)
+    x = np.round(rng.uniform(0, 50, n), 0)
+    y = np.round(3.0 * x + rng.normal(0, 25, n), 0)
+    x[::83] = np.nan  # either-side NaN drops the row
+    y[::97] = np.nan
+    t = pa.table({"grp": pa.array([f"g{i}" for i in g]),
+                  "x": pa.array(x, pa.float64()),
+                  "y": pa.array(y, pa.float64())})
+    out = group_cov(ray.data.from_arrow(t), group_col="grp",
+                    x_col="x", y_col="y").to_pandas()
+    out = out.set_index("grp")
+    for gi in range(3):
+        m = (g == gi) & ~np.isnan(x) & ~np.isnan(y)
+        xv, yv = x[m], y[m]
+        row = out.loc[f"g{gi}"]
+        assert row["n"] == m.sum()
+        assert row["covar_pop"] == pytest.approx(
+            np.mean(xv * yv) - np.mean(xv) * np.mean(yv), rel=1e-9)
+        assert row["corr"] == pytest.approx(
+            np.corrcoef(xv, yv)[0, 1], rel=1e-9)
+
+
+def test_group_cov_overflow_raises(ray_session):
+    import ray
+
+    from torray.ops.moments import group_cov
+
+    t = pa.table({"grp": pa.array(["a"]),
+                  "x": pa.array([4e9], pa.float64()),
+                  "y": pa.array([1.0], pa.float64())})
+    with pytest.raises(Exception):
+        group_cov(ray.data.from_arrow(t), group_col="grp",
+                  x_col="x", y_col="y").to_pandas()

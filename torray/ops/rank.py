@@ -117,12 +117,25 @@ def top_frequent(ds, col: str, k: int, *, out_count: str = "n"):
 
 def global_rank(ds, *, value_col: str, id_col: str,
                 descending: bool = False, method: str = "rank",
-                num_buckets: int = 256):
-    """EXACT global rank of every row by ``value_col`` WITHOUT a
-    global sort: ``rank() OVER (ORDER BY value)`` (``method='rank'``,
-    ties share the min rank) or ``row_number() OVER (ORDER BY value,
-    id)`` (``method='row_number'``, deterministic ties).  Returns
-    ``(id_col, rnk)``.
+                num_buckets: int = 256, ntile_k: int | None = None):
+    """EXACT global window rank of every row by ``value_col`` WITHOUT
+    a global sort.  ``method`` selects the SQL window function:
+
+    - ``'rank'`` — ``rank() OVER (ORDER BY value)``, ties share the
+      min rank; returns ``(id_col, rnk)``.
+    - ``'row_number'`` — ``row_number() OVER (ORDER BY value, id)``,
+      deterministic ties; returns ``(id_col, rnk)``.
+    - ``'dense_rank'`` — ``dense_rank() OVER (ORDER BY value)``; needs
+      one extra exact distinct-count pass per bucket
+      (:func:`torray.ops.sketch.exact_distinct_by` — block-local
+      partials would double-count values split across blocks);
+      returns ``(id_col, rnk)``.
+    - ``'percent_rank'`` — ``(rank() - 1) / (n - 1)`` as the explicit
+      float64 expression (mirrored token for token by the SQL oracle,
+      so bitwise-equal); returns ``(id_col, pct)``.
+    - ``'ntile'`` — ``ntile(ntile_k) OVER (ORDER BY value, id)`` with
+      the standard first-``n % k``-tiles-get-the-extra-row split,
+      pure integer math; returns ``(id_col, tile)``.
 
     A naive implementation is ``ds.sort(value_col)`` — an all-to-all
     range exchange of EVERY column plus a second pass to number rows
@@ -147,8 +160,15 @@ def global_rank(ds, *, value_col: str, id_col: str,
     aggregate semantics)."""
     from torray.ops.sketch import approx_quantiles
 
-    if method not in ("rank", "row_number"):
+    if method not in ("rank", "row_number", "dense_rank",
+                      "percent_rank", "ntile"):
         raise ValueError(f"unknown method {method!r}")
+    if method == "ntile" and not (ntile_k and ntile_k > 0):
+        raise ValueError("method='ntile' needs ntile_k > 0")
+    out_name, out_type = {
+        "percent_rank": ("pct", pa.float64()),
+        "ntile": ("tile", pa.int64()),
+    }.get(method, ("rnk", pa.int64()))
     narrow = ds.select_columns([value_col, id_col])
 
     qs = [i / num_buckets for i in range(1, num_buckets)]
@@ -197,27 +217,65 @@ def global_rank(ds, *, value_col: str, id_col: str,
                       t.column("__b").to_numpy(zero_copy_only=False),
                       t.column("__n").to_numpy(zero_copy_only=False))
     prefix = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+
+    dprefix = None
+    if method == "dense_rank":
+        # Exclusive prefix of exact per-bucket DISTINCT-value counts.
+        # Block-local distinct partials can NOT be summed (a value
+        # split across two blocks of one bucket would count twice), so
+        # this reuses the exact grouped COUNT DISTINCT op — the same
+        # ties-never-straddle-buckets property makes the global dense
+        # index the bucket prefix + a local cumsum.
+        from torray.ops.sketch import exact_distinct_by
+
+        dcounts = np.zeros(len(splitters) + 1, np.int64)
+        dt = exact_distinct_by(tagged.select_columns(["__b", "__v"]),
+                               "__b", "__v", out_col="__nd")
+        for ref in dt.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                np.add.at(
+                    dcounts,
+                    t.column("__b").to_numpy(zero_copy_only=False),
+                    t.column("__nd").to_numpy(zero_copy_only=False))
+        dprefix = np.concatenate(([0], np.cumsum(dcounts)[:-1]))
 
     def rank_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
-                             "rnk": pa.array([], pa.int64())})
+                             out_name: pa.array([], out_type)})
         v = g.column("__v").to_numpy(zero_copy_only=False)
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
-        base = int(prefix[int(g.column("__b")[0].as_py())])
+        b = int(g.column("__b")[0].as_py())
         order = np.lexsort((ids, v))
         vs = v[order]
         if method == "row_number":
-            rnk = base + 1 + np.arange(len(vs), dtype=np.int64)
-        else:
+            out = prefix[b] + 1 + np.arange(len(vs), dtype=np.int64)
+        elif method == "ntile":
+            rn = prefix[b] + 1 + np.arange(len(vs), dtype=np.int64)
+            q, r = divmod(n_total, ntile_k)
+            cut = r * (q + 1)
+            # np.where evaluates both arms; guard q == 0 (n < k) where
+            # every row lands in the rn <= cut arm anyway
+            out = np.where(rn <= cut, (rn - 1) // (q + 1) + 1,
+                           r + (rn - 1 - cut) // max(q, 1) + 1)
+        elif method == "dense_rank":
+            newv = np.concatenate(([True], vs[1:] != vs[:-1]))
+            out = dprefix[b] + np.cumsum(newv, dtype=np.int64)
+        else:  # rank / percent_rank share the min-rank core
             starts = np.flatnonzero(np.concatenate(
                 ([True], vs[1:] != vs[:-1])))
             lens = np.diff(np.append(starts, len(vs)))
-            rnk = base + 1 + np.repeat(starts, lens)
+            out = prefix[b] + 1 + np.repeat(starts, lens)
+            if method == "percent_rank":
+                out = ((out - 1).astype(np.float64) / (n_total - 1)
+                       if n_total > 1
+                       else np.zeros(len(vs), np.float64))
         return pa.table({
             id_col: pc.take(g.column(id_col),
                             pa.array(order, pa.int64())),
-            "rnk": pa.array(rnk, pa.int64()),
+            out_name: pa.array(out, out_type),
         })
 
     return (tagged.groupby("__b")

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["intersect_distinct", "except_distinct"]
+__all__ = ["intersect_distinct", "except_distinct", "union_distinct"]
 
 
 def _tagged_distinct(ds, col: str, out: str, side: int,
@@ -77,6 +77,8 @@ def _setop(left_ds, right_ds, *, left_col: str, right_col: str,
         has_right = s[ends] == 1
         if mode == "intersect":
             win = has_left & has_right
+        elif mode == "union":
+            win = np.ones(len(starts), bool)
         else:  # except
             win = has_left & ~has_right
         take = order[starts[win]]
@@ -109,3 +111,15 @@ def except_distinct(left_ds, right_ds, *, left_col: str,
     return _setop(left_ds, right_ds, left_col=left_col,
                   right_col=right_col, out_col=out_col,
                   mode="except", num_partitions=num_partitions)
+
+
+def union_distinct(left_ds, right_ds, *, left_col: str,
+                   right_col: str, out_col: str | None = None,
+                   num_partitions: int = 64):
+    """SQL ``SELECT left_col FROM l UNION SELECT right_col FROM r``:
+    the distinct keys of the combined sides (set union, duplicates
+    collapsed across AND within tables) — same tagged-union run-scan,
+    every key run wins."""
+    return _setop(left_ds, right_ds, left_col=left_col,
+                  right_col=right_col, out_col=out_col,
+                  mode="union", num_partitions=num_partitions)
