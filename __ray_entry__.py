@@ -1216,6 +1216,28 @@ def _q_events_histogram_by_type(sf_dir: str):
                            nbins=50, group_cols=["event_type"])
 
 
+def _q_events_last_per_user(sf_dir: str):
+    """The argmax ROW per group — each user's latest event by
+    (ts, event_id), via the combiner + run-scan
+    ``ops.orderagg.group_argmax`` (never a Ray task per key)."""
+    from torray.ops.orderagg import group_argmax
+
+    return group_argmax(_read(sf_dir, "events"), group_col="user_id",
+                        order_cols=["ts", "event_id"], mode="max")
+
+
+def _q_events_user_type_agg(sf_dir: str):
+    """Ordered distinct string_agg per group: each user's sorted
+    distinct event types joined by ',' —
+    ``ops.orderagg.group_string_agg``."""
+    from torray.ops.orderagg import group_string_agg
+
+    return group_string_agg(_read(sf_dir, "events"),
+                            group_col="user_id",
+                            value_col="event_type", sep=",",
+                            out_col="types")
+
+
 def _q_docs_pii_scrub(sf_dir: str):
     """PII scrub + normalization map (emails/IPv4 redacted, casefold,
     whitespace canonicalized) — RE2 kernels on both sides of the gate
@@ -1313,6 +1335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_union": _q_events_users_union,
         "lineitem_covariance": _q_lineitem_covariance,
         "events_histogram_by_type": _q_events_histogram_by_type,
+        "events_last_per_user": _q_events_last_per_user,
+        "events_user_type_agg": _q_events_user_type_agg,
         "docs_pii_scrub": _q_docs_pii_scrub,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
@@ -1848,6 +1872,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((value - 0.0) / 10.0) AS BIGINT) AS bin, "
             "count(*) AS n FROM events "
             "WHERE value >= 0.0 AND value < 500.0 GROUP BY 1, 2"
+        ),
+        "events_last_per_user": (
+            "SELECT user_id, ts, event_id FROM ("
+            "SELECT user_id, ts, event_id, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) "
+            "AS rn FROM events) WHERE rn = 1"
+        ),
+        "events_user_type_agg": (
+            "SELECT user_id, string_agg(DISTINCT event_type, ',' "
+            "ORDER BY event_type) AS types FROM events "
+            "GROUP BY user_id"
         ),
         "docs_pii_scrub": (
             "SELECT doc_id, "

@@ -2275,3 +2275,55 @@ def test_group_cov_overflow_raises(ray_session):
     with pytest.raises(Exception):
         group_cov(ray.data.from_arrow(t), group_col="grp",
                   x_col="x", y_col="y").to_pandas()
+
+
+def test_group_argmax_and_min(ray_session):
+    import ray
+
+    from torray.ops.orderagg import group_argmax
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    g = rng.integers(0, 40, n)
+    ts = rng.integers(0, 500, n)  # heavy ts ties within groups
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array(g, pa.int64()),
+        "ts": pa.array(ts, pa.int64()),
+        "id": pa.array(ids, pa.int64())})).repartition(6)
+
+    out = group_argmax(ds, group_col="u", order_cols=["ts", "id"],
+                       mode="max").to_pandas().set_index("u")
+    assert len(out) == len(np.unique(g))
+    for gi in np.unique(g):
+        m = g == gi
+        best = max(zip(ts[m], ids[m]))
+        assert (out.loc[gi, "ts"], out.loc[gi, "id"]) == best
+
+    lo = group_argmax(ds, group_col="u", order_cols=["ts", "id"],
+                      mode="min").to_pandas().set_index("u")
+    for gi in np.unique(g):
+        m = g == gi
+        best = min(zip(ts[m], ids[m]))
+        assert (lo.loc[gi, "ts"], lo.loc[gi, "id"]) == best
+
+
+def test_group_string_agg_sorted_distinct(ray_session):
+    import ray
+
+    from torray.ops.orderagg import group_string_agg
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    g = rng.integers(0, 25, n)
+    v = rng.choice(list("edcba"), n)
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array(g, pa.int64()),
+        "s": pa.array(v)})).repartition(5)
+    out = group_string_agg(ds, group_col="u", value_col="s",
+                           sep=",").to_pandas().set_index("u")
+    assert len(out) == len(np.unique(g))
+    for gi in np.unique(g):
+        want = ",".join(sorted(set(v[g == gi])))
+        assert out.loc[gi, "agg"] == want
