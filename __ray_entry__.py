@@ -1238,6 +1238,25 @@ def _q_events_user_type_agg(sf_dir: str):
                             out_col="types")
 
 
+def _q_docs_pack_bins(sf_dir: str):
+    """Sequence packing (concat-and-chunk): each doc's pretraining
+    bin by global char offset in doc_id order, 2048-char bins —
+    ``ops.pack.pack_sequences`` (two-pass counting, no global
+    sort)."""
+    import pyarrow.compute as pc
+
+    from torray.ops.pack import pack_sequences
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(
+        lambda t: t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(t.column("text")),
+                               pa.int64())).drop_columns(["text"]),
+        batch_format="pyarrow")
+    return pack_sequences(docs, id_col="doc_id", len_col="n_chars",
+                          bin_cap=2048, num_buckets=16)
+
+
 def _q_docs_pii_scrub(sf_dir: str):
     """PII scrub + normalization map (emails/IPv4 redacted, casefold,
     whitespace canonicalized) — RE2 kernels on both sides of the gate
@@ -1337,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_histogram_by_type": _q_events_histogram_by_type,
         "events_last_per_user": _q_events_last_per_user,
         "events_user_type_agg": _q_events_user_type_agg,
+        "docs_pack_bins": _q_docs_pack_bins,
         "docs_pii_scrub": _q_docs_pii_scrub,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
@@ -1883,6 +1903,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, string_agg(DISTINCT event_type, ',' "
             "ORDER BY event_type) AS types FROM events "
             "GROUP BY user_id"
+        ),
+        # concat-and-chunk packing: bin = exclusive global char
+        # offset (doc_id order) // cap — pure integer math both sides
+        "docs_pack_bins": (
+            "SELECT doc_id, CAST((sum(length(text)) OVER ("
+            "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+            "- length(text)) // 2048 AS BIGINT) AS bin "
+            "FROM documents"
         ),
         "docs_pii_scrub": (
             "SELECT doc_id, "

@@ -526,6 +526,47 @@ def bench_tfidf_xl(sf_dir: str) -> dict:
             "docs_per_s": round(200_000 / wall, 1)}
 
 
+def bench_rank_xl(sf_dir: str) -> dict:
+    """Window-rank family at 10M events: sort-free exact global rank
+    (two-pass counting) and the argmax-row-per-group combiner, with
+    Ray's native full ``ds.sort`` timed beside them as the
+    all-columns-range-exchange reference the design avoids.  Not in
+    the default suite (TORRAY_BENCH_ONLY=rank_xl)."""
+    import ray
+
+    from torray.ops.orderagg import group_argmax
+    from torray.ops.rank import global_rank
+
+    path = _ensure_events_xl()
+    _warm_pool()
+    t0 = time.monotonic()
+    n_rank = global_rank(
+        ray.data.read_parquet(path, columns=["value", "event_id"]),
+        value_col="value", id_col="event_id", method="rank",
+        num_buckets=256).count()
+    t1 = time.monotonic()
+    n_arg = group_argmax(
+        ray.data.read_parquet(
+            path, columns=["user_id", "ts", "event_id"]),
+        group_col="user_id", order_cols=["ts", "event_id"],
+        mode="max").count()
+    t2 = time.monotonic()
+    # the naive shape for comparison: full range-exchange sort of the
+    # same two columns (rank numbering would still need another pass);
+    # materialize() because count() alone answers from metadata
+    # without executing the sort
+    n_sort = (ray.data.read_parquet(
+        path, columns=["value", "event_id"]).sort("value")
+        .materialize().count())
+    t3 = time.monotonic()
+    wall = t3 - t0
+    return {"sec": wall,
+            "rank_sec": round(t1 - t0, 2), "rank_rows": n_rank,
+            "argmax_sec": round(t2 - t1, 2), "argmax_groups": n_arg,
+            "naive_sort_sec": round(t3 - t2, 2), "sort_rows": n_sort,
+            "rows_per_s": round(2 * 10_000_000 / (t2 - t0), 1)}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -636,6 +677,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "analytics": lambda: bench_analytics(sf_dir),
         "analytics_xl": lambda: bench_analytics_xl(sf_dir),
         "tfidf_xl": lambda: bench_tfidf_xl(sf_dir),
+        "rank_xl": lambda: bench_rank_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()

@@ -2327,3 +2327,28 @@ def test_group_string_agg_sorted_distinct(ray_session):
     for gi in np.unique(g):
         want = ",".join(sorted(set(v[g == gi])))
         assert out.loc[gi, "agg"] == want
+
+
+def test_pack_sequences_concat_and_chunk(ray_session):
+    import ray
+
+    from torray.ops.pack import pack_sequences
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    ids = rng.permutation(n).astype(np.int64)
+    lens = rng.integers(1, 900, n)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tok": pa.array(lens, pa.int64())})).repartition(7)
+    out = pack_sequences(ds, id_col="doc_id", len_col="n_tok",
+                         bin_cap=4096, num_buckets=5).to_pandas()
+    got = dict(zip(out["doc_id"], out["bin"]))
+    order = np.argsort(ids)
+    start = np.cumsum(lens[order]) - lens[order]
+    for pos, i in enumerate(order):
+        assert got[ids[i]] == start[pos] // 4096
+    # bins are contiguous 0..max and every bin's first doc starts
+    # inside it
+    assert sorted(set(out["bin"])) == list(
+        range(out["bin"].max() + 1))
