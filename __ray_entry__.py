@@ -1266,6 +1266,88 @@ def _q_docs_pii_scrub(sf_dir: str):
     return scrub_normalize(_read(sf_dir, "documents"))
 
 
+def _q_events_cume_dist(sf_dir: str):
+    """Global CUME_DIST() over value — (rows <= v) / n as the one
+    float64 division both engines perform identically
+    (``ops.rank.global_rank`` method='cume_dist')."""
+    from torray.ops.rank import global_rank
+
+    return global_rank(_read(sf_dir, "events"), value_col="value",
+                       id_col="event_id", method="cume_dist",
+                       num_buckets=32)
+
+
+def _q_events_mode_per_user(sf_dir: str):
+    """MODE per group — each user's most frequent event type (ties ->
+    smallest type), via distinct-pair combiners + the argmax run-scan
+    (``ops.orderagg.group_mode``; no Python call per group)."""
+    from torray.ops.orderagg import group_mode
+
+    return group_mode(_read(sf_dir, "events"), group_col="user_id",
+                      value_col="event_type")
+
+
+def _q_docs_sample_k(sf_dir: str):
+    """Deterministic global k-row sample: the 25 documents with the
+    smallest md5(doc_id||salt) keys — partition-independent exact-k
+    sampling via per-block top-k partials
+    (``ops.sampling.sample_global_k``; no shuffle, no sort)."""
+    from torray.ops.sampling import sample_global_k
+
+    return sample_global_k(_read(sf_dir, "documents"), "doc_id", 25,
+                           salt="v1")
+
+
+def _q_events_quantiles_cont(sf_dir: str):
+    """EXACT interpolated quantiles (percentile_cont semantics) of
+    value — the two bracketing order statistics come from the
+    shuffle-free histogram selection, the interpolation expression
+    tree is mirrored token for token by the oracle
+    (``ops.sketch.exact_quantiles_cont``)."""
+    import ray
+
+    from torray.ops.sketch import exact_quantiles_cont
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = exact_quantiles_cont(_read(sf_dir, "events"), "value", qs)
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array([vals[q] for q in qs], pa.float64())}))
+
+
+def _q_events_value_mad(sf_dir: str):
+    """EXACT median absolute deviation of value (robust spread for
+    quality gating): two chained zero-shuffle quantile selections
+    (``ops.sketch.exact_mad``)."""
+    import ray
+
+    from torray.ops.sketch import exact_mad
+
+    out = exact_mad(_read(sf_dir, "events"), "value")
+    return ray.data.from_arrow(pa.table({
+        "median": pa.array([out["median"]], pa.float64()),
+        "mad": pa.array([out["mad"]], pa.float64())}))
+
+
+def _q_events_first_value(sf_dir: str):
+    """FIRST_VALUE() OVER (PARTITION BY user ORDER BY ts, id) as a
+    composition: the argmin ROW per user (``ops.orderagg.group_argmax``
+    mode='min') broadcast-joined back onto the event stream
+    (``ops.join.broadcast_join`` — the big side never shuffles)."""
+    from torray.ops.join import broadcast_join
+    from torray.ops.orderagg import group_argmax
+
+    events = _read(sf_dir, "events")
+    firsts = group_argmax(events, group_col="user_id",
+                          order_cols=["ts", "event_id"],
+                          keep_cols=["value"], mode="min")
+    firsts = _rename(firsts.select_columns(["user_id", "value"]),
+                     {"value": "first_value"})
+    joined = broadcast_join(events.select_columns(
+        ["event_id", "user_id"]), firsts, on="user_id")
+    return joined.select_columns(["event_id", "first_value"])
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1358,6 +1440,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_agg": _q_events_user_type_agg,
         "docs_pack_bins": _q_docs_pack_bins,
         "docs_pii_scrub": _q_docs_pii_scrub,
+        "events_cume_dist": _q_events_cume_dist,
+        "events_mode_per_user": _q_events_mode_per_user,
+        "docs_sample_k": _q_docs_sample_k,
+        "events_quantiles_cont": _q_events_quantiles_cont,
+        "events_value_mad": _q_events_value_mad,
+        "events_first_value": _q_events_first_value,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1929,6 +2017,50 @@ def oracle_sql() -> dict[str, str]:
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
             "'<IP>', 'g')), '\\s+', ' ', 'g'), '^ | $', '', 'g') "
             "AS clean_text FROM documents"
+        ),
+        "events_cume_dist": (
+            "SELECT event_id, cume_dist() OVER (ORDER BY value) AS cd "
+            "FROM events WHERE value IS NOT NULL"
+        ),
+        "events_mode_per_user": (
+            "SELECT user_id, event_type, n FROM ("
+            "SELECT user_id, event_type, count(*) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "docs_sample_k": (
+            "SELECT * FROM documents "
+            "ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), "
+            "1, 8), doc_id LIMIT 25"
+        ),
+        # percentile_cont via the explicit interpolation tree mirrored
+        # token for token by ops.sketch.exact_quantiles_cont: pos =
+        # q*(n-1); value = v[floor] + (v[ceil]-v[floor])*(pos-floor).
+        "events_quantiles_cont": (
+            "WITH ord AS (SELECT value AS v, "
+            "row_number() OVER (ORDER BY value) - 1 AS r "
+            "FROM events WHERE value IS NOT NULL), "
+            "cnt AS (SELECT count(*) AS n FROM ord), "
+            "p AS (SELECT q, q * (n - 1) AS pos FROM (VALUES (0.25), "
+            "(0.5), (0.75), (0.9), (0.99)) t(q) CROSS JOIN cnt) "
+            "SELECT q, lo + (hi - lo) * (pos - floor(pos)) AS value "
+            "FROM (SELECT q, pos, "
+            "(SELECT v FROM ord WHERE r = CAST(floor(pos) AS BIGINT)) "
+            "AS lo, "
+            "(SELECT v FROM ord WHERE r = CAST(ceil(pos) AS BIGINT)) "
+            "AS hi FROM p)"
+        ),
+        "events_value_mad": (
+            "WITH m AS (SELECT quantile_disc(value, 0.5) AS med "
+            "FROM events) SELECT med AS median, "
+            "(SELECT quantile_disc(abs(value - med), 0.5) "
+            "FROM events) AS mad FROM m"
+        ),
+        "events_first_value": (
+            "SELECT event_id, first_value(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS "
+            "first_value FROM events"
         ),
         # tf-idf top-3 per doc: the SELECTION is checked (term, tf);
         # the float score is excluded (libm log differs in the last

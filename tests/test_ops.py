@@ -2352,3 +2352,112 @@ def test_pack_sequences_concat_and_chunk(ray_session):
     # inside it
     assert sorted(set(out["bin"])) == list(
         range(out["bin"].max() + 1))
+
+
+def test_global_rank_cume_dist_ties(ray_session):
+    import ray
+
+    from torray.ops.rank import global_rank
+
+    rng = np.random.default_rng(9)
+    v = rng.choice([1.0, 3.0, 3.5, 9.0], 2000)
+    ids = np.arange(2000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "value": pa.array(v, pa.float64()),
+        "event_id": pa.array(ids, pa.int64())})).repartition(7)
+    out = global_rank(ds, value_col="value", id_col="event_id",
+                      method="cume_dist", num_buckets=8).to_pandas()
+    got = dict(zip(out["event_id"], out["cd"]))
+    n = len(v)
+    for i in range(n):
+        assert got[ids[i]] == np.count_nonzero(v <= v[i]) / n
+
+
+def test_group_mode_tie_break(ray_session):
+    import ray
+
+    from torray.ops.orderagg import group_mode
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 40, 4000)
+    v = rng.choice(list("abcde"), 4000)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(g, pa.int64()),
+        "v": pa.array(v, pa.string())})).repartition(9)
+    out = group_mode(ds, group_col="g",
+                     value_col="v").to_pandas().set_index("g")
+    for gi in np.unique(g):
+        vals, counts = np.unique(v[g == gi], return_counts=True)
+        best = min((-c, val) for c, val in zip(counts, vals))
+        assert out.loc[gi, "v"] == best[1]
+        assert out.loc[gi, "n"] == -best[0]
+    # planted all-tied group: two values, same count -> smaller wins
+    t = pa.table({"g": pa.array([99] * 4, pa.int64()),
+                  "v": pa.array(["z", "y", "y", "z"], pa.string())})
+    out2 = group_mode(ray.data.from_arrow(t), group_col="g",
+                      value_col="v").to_pandas()
+    assert out2.iloc[0]["v"] == "y" and out2.iloc[0]["n"] == 2
+
+
+def test_sample_global_k_partition_invariant(ray_session):
+    import ray
+
+    from torray.ops.sampling import sample_global_k
+
+    ids = np.arange(500, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "payload": pa.array(ids * 3, pa.int64())})
+    picks = []
+    for parts in (1, 4, 13):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = sample_global_k(ds, "doc_id", 20,
+                              salt="s").to_pandas()
+        assert len(out) == 20
+        assert list(out.columns) == ["doc_id", "payload"]
+        picks.append(tuple(sorted(out["doc_id"])))
+    assert picks[0] == picks[1] == picks[2]
+    # k >= n returns everything
+    full = sample_global_k(ray.data.from_arrow(t), "doc_id", 900,
+                           salt="s").to_pandas()
+    assert len(full) == 500
+
+
+def test_exact_quantiles_cont_matches_numpy(ray_session):
+    import ray
+
+    from torray.ops.sketch import exact_quantiles_cont
+
+    rng = np.random.default_rng(23)
+    v = np.concatenate([rng.normal(0, 10, 5000),
+                        rng.choice([5.0, 5.0, -2.0], 1000),
+                        [np.nan, np.nan]])
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(v, pa.float64())})).repartition(6)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = exact_quantiles_cont(ds, "x", qs, final_cap=64)
+    clean = np.sort(v[~np.isnan(v)])
+    for q in qs:
+        pos = q * (clean.size - 1)
+        lo, hi = clean[int(np.floor(pos))], clean[int(np.ceil(pos))]
+        want = lo + (hi - lo) * (pos - np.floor(pos))
+        assert got[q] == want, q
+
+
+def test_exact_mad_matches_numpy(ray_session):
+    import ray
+
+    from torray.ops.sketch import exact_mad
+
+    rng = np.random.default_rng(29)
+    v = rng.normal(100, 7, 4001)  # odd n: disc median = true middle
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(v, pa.float64())})).repartition(5)
+    out = exact_mad(ds, "x", final_cap=64)
+    med = np.sort(v)[(4001 + 1) // 2 - 1]
+    mad = np.sort(np.abs(v - med))[(4001 + 1) // 2 - 1]
+    assert out["median"] == med and out["mad"] == mad
+    # empty input -> NaNs, no crash
+    empty = ray.data.from_arrow(pa.table({
+        "x": pa.array([], pa.float64())}))
+    oe = exact_mad(empty, "x")
+    assert np.isnan(oe["median"]) and np.isnan(oe["mad"])

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["group_argmax", "group_string_agg"]
+__all__ = ["group_argmax", "group_string_agg", "group_mode"]
 
 
 def _best_rows(t: pa.Table, group_col: str, order_cols: list[str],
@@ -83,6 +83,51 @@ def group_argmax(ds, *, group_col: str, order_cols: list[str],
             .map_batches(partial, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def group_mode(ds, *, group_col: str, value_col: str,
+               out_count: str = "n", num_partitions: int = 64):
+    """The MODE per group — the most frequent ``value_col`` per
+    ``group_col``, ties broken by ascending value (SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY count(*) DESC, v)
+    = 1`` over the grouped counts).  Returns
+    ``(group_col, value_col, out_count)``.
+
+    Scale shape: each block collapses to DISTINCT (group, value,
+    count) partials via Arrow C++ ``group_by`` (repeats never leave
+    their block), ONE ``groupby([group, value])`` sum folds partials,
+    then :func:`group_argmax` picks each group's winner with its
+    combiner + hashed-partition run-scan — no Python call per group
+    anywhere.  The shuffles carry distinct (group, value) pairs, which
+    is the information-theoretic floor for an exact mode."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select([group_col, value_col])
+             .group_by([group_col, value_col])
+             .aggregate([([], "count_all")]))
+        return pa.table({group_col: g.column(group_col),
+                         value_col: g.column(value_col),
+                         "__n": g.column("count_all").cast(pa.int64())})
+
+    counts = (ds.select_columns([group_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, value_col]).aggregate(Sum("__n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("sum(__n)").cast(pa.int64())
+        neg = pa.array(-n.to_numpy(zero_copy_only=False), pa.int64())
+        return pa.table({group_col: t.column(group_col),
+                         value_col: t.column(value_col),
+                         out_count: n, "__negn": neg})
+
+    picked = group_argmax(
+        counts.map_batches(finish, batch_format="pyarrow"),
+        group_col=group_col, order_cols=["__negn", value_col],
+        keep_cols=[out_count], mode="min",
+        num_partitions=num_partitions)
+    return picked.map_batches(
+        lambda t: t.drop_columns(["__negn"]), batch_format="pyarrow")
 
 
 def group_string_agg(ds, *, group_col: str, value_col: str,

@@ -136,6 +136,10 @@ def global_rank(ds, *, value_col: str, id_col: str,
     - ``'ntile'`` — ``ntile(ntile_k) OVER (ORDER BY value, id)`` with
       the standard first-``n % k``-tiles-get-the-extra-row split,
       pure integer math; returns ``(id_col, tile)``.
+    - ``'cume_dist'`` — ``cume_dist() OVER (ORDER BY value)`` =
+      (rows with value <= this row's value) / n, the one float64
+      division both engines perform identically; returns
+      ``(id_col, cd)``.
 
     A naive implementation is ``ds.sort(value_col)`` — an all-to-all
     range exchange of EVERY column plus a second pass to number rows
@@ -161,12 +165,13 @@ def global_rank(ds, *, value_col: str, id_col: str,
     from torray.ops.sketch import approx_quantiles
 
     if method not in ("rank", "row_number", "dense_rank",
-                      "percent_rank", "ntile"):
+                      "percent_rank", "ntile", "cume_dist"):
         raise ValueError(f"unknown method {method!r}")
     if method == "ntile" and not (ntile_k and ntile_k > 0):
         raise ValueError("method='ntile' needs ntile_k > 0")
     out_name, out_type = {
         "percent_rank": ("pct", pa.float64()),
+        "cume_dist": ("cd", pa.float64()),
         "ntile": ("tile", pa.int64()),
     }.get(method, ("rnk", pa.int64()))
     narrow = ds.select_columns([value_col, id_col])
@@ -263,6 +268,15 @@ def global_rank(ds, *, value_col: str, id_col: str,
         elif method == "dense_rank":
             newv = np.concatenate(([True], vs[1:] != vs[:-1]))
             out = dprefix[b] + np.cumsum(newv, dtype=np.int64)
+        elif method == "cume_dist":
+            # rows <= v = bucket prefix + the tie run's END position
+            # (ties never straddle buckets, so the local run end is
+            # exact); one int->float division, same tree as SQL.
+            starts = np.flatnonzero(np.concatenate(
+                ([True], vs[1:] != vs[:-1])))
+            lens = np.diff(np.append(starts, len(vs)))
+            ends = np.repeat(starts + lens, lens)
+            out = (prefix[b] + ends).astype(np.float64) / n_total
         else:  # rank / percent_rank share the min-rank core
             starts = np.flatnonzero(np.concatenate(
                 ([True], vs[1:] != vs[:-1])))

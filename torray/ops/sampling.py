@@ -17,7 +17,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_split", "sample_per_group", "filter_by_quantile"]
+__all__ = ["hash_split", "sample_per_group", "filter_by_quantile",
+           "sample_global_k"]
 
 
 def _hash_prefix(value, salt: str) -> str:
@@ -92,6 +93,42 @@ def sample_per_group(ds, group_col: str, n: int, id_col: str,
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def sample_global_k(ds, id_col: str, k: int, salt: str = ""):
+    """EXACTLY ``k`` rows sampled globally and deterministically: the
+    rows with the ``k`` smallest ``(md5(id || salt) prefix, id)`` keys
+    — a reproducible uniform sample whose membership is independent of
+    partitioning, ordering, and cluster size (unlike
+    ``Dataset.random_sample``, which is fraction-based and
+    seed-per-run).  Changing ``salt`` re-rolls the sample.
+
+    Scale shape: every block is cut to its LOCAL k smallest keys (a
+    correct partial — the global k are contained in the union), so
+    only ``k x blocks`` candidate rows reach the single-task final
+    cut.  No shuffle, no sort, no driver pass over ids.  SQL
+    equivalent: ``ORDER BY substr(md5(id || salt), 1, 8), id LIMIT
+    k``."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = pa.array([_hash_prefix(v, salt)
+                         for v in t.column(id_col).to_pylist()],
+                        pa.string())
+        return t.append_column("__skey", keys)
+
+    def cut(t: pa.Table) -> pa.Table:
+        if t.num_rows > k:
+            keys = t.column("__skey").to_numpy(zero_copy_only=False)
+            ids = np.asarray(t.column(id_col).to_pylist())
+            order = np.lexsort((ids, keys))[:k]
+            t = t.take(pa.array(np.sort(order), pa.int64()))
+        return t
+
+    return (ds.map_batches(lambda t: cut(keyed(t)),
+                           batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(lambda t: cut(t).drop_columns(["__skey"]),
+                         batch_format="pyarrow"))
 
 
 def filter_by_quantile(ds, col: str, q: float, *, keep: str = "ge"):

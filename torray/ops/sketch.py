@@ -24,7 +24,8 @@ from torray.ops.dedup import _mix64, fnv1a64_strings
 
 __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "approx_distinct_by", "approx_quantiles", "exact_quantiles",
-           "group_quantiles", "exact_distinct_by"]
+           "exact_quantiles_cont", "exact_mad", "group_quantiles",
+           "exact_distinct_by"]
 
 
 def _hash_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -212,6 +213,21 @@ def _disc_rank(q: float, n: int) -> int:
     return max(0, int(np.ceil(float(q) * n)) - 1)
 
 
+def _clean_proj(ds, col: str):
+    """One-column projection with NULLs and NaNs dropped (SQL
+    aggregate semantics — NaN is not null in Arrow, so it must go
+    explicitly or it inflates the Count-based rank n while never
+    landing in a histogram bin)."""
+    import pyarrow.compute as pc
+
+    def _clean(t: pa.Table) -> pa.Table:
+        v = pc.drop_null(t.column(col).cast(pa.float64()))
+        return pa.table({"v": v.filter(pc.invert(pc.is_nan(v)))})
+
+    return ds.select_columns([col]).map_batches(
+        _clean, batch_format="pyarrow")
+
+
 def exact_quantiles(ds, col: str, quantiles, *, bins: int = 4096,
                     final_cap: int = 1 << 16,
                     max_passes: int = 8) -> dict[float, float]:
@@ -219,49 +235,118 @@ def exact_quantiles(ds, col: str, quantiles, *, bins: int = 4096,
     :func:`_disc_rank`) of a numeric column WITHOUT a distributed sort.
 
     Iterative histogram refinement (the classic distributed selection
-    recipe): pass 1 gets (count, min, max); each refinement pass
-    histograms the still-unresolved candidate intervals into ``bins``
-    buckets (per-block int64[bins] partials, driver merges KBs), and
-    each target rank's interval shrinks ~``bins``x per pass.  Once an
-    interval holds <= ``final_cap`` rows — or stops shrinking, which
-    after a few passes means it is a handful of float ULPs wide — a
-    last pass collects that interval's (value, count) pairs (unique'd
-    per block, so heavy duplicates cost distinct values, not rows) and
-    the driver picks the exact rank.
-
-    Scale shape: NO shuffle — every pass is a map_batches fold with
-    O(bins) per-block output; the column re-streams once per pass
-    (2-3 passes for realistic distributions), which at 100 TB beats
-    materializing an 8-byte column to the object store, let alone an
-    all-to-all sort.  Nulls/NaNs are dropped (SQL aggregate
-    semantics).
-    """
-    import pyarrow.compute as pc
+    recipe — see :func:`_values_at_ranks` for the passes and the scale
+    shape): NO shuffle, O(bins) per-block partials, the column
+    re-streams once per pass.  Nulls/NaNs are dropped (SQL aggregate
+    semantics)."""
     from ray.data.aggregate import Count, Max, Min
 
-    def _clean(t: pa.Table) -> pa.Table:
-        v = pc.drop_null(t.column(col).cast(pa.float64()))
-        # NaNs are not null in Arrow: drop them explicitly, or they
-        # inflate the Count-based rank n while never landing in a
-        # histogram bin (SQL aggregates ignore NaN like NULL).
-        return pa.table({"v": v.filter(pc.invert(pc.is_nan(v)))})
-
-    proj = ds.select_columns([col]).map_batches(
-        _clean, batch_format="pyarrow")
+    proj = _clean_proj(ds, col)
     stats = proj.aggregate(Count("v", ignore_nulls=True),
                            Min("v"), Max("v"))
     n = int((stats or {}).get("count(v)") or 0)
     if n == 0:
         return {float(q): float("nan") for q in quantiles}
     gmin, gmax = float(stats["min(v)"]), float(stats["max(v)"])
-    # Per quantile: (lo, hi, rank) — target sits at 0-based ``rank``
+    ranks = sorted({_disc_rank(q, n) for q in quantiles})
+    at = _values_at_ranks(proj, n, gmin, gmax, ranks, bins=bins,
+                          final_cap=final_cap, max_passes=max_passes)
+    return {float(q): at[_disc_rank(q, n)] for q in quantiles}
+
+
+def exact_quantiles_cont(ds, col: str, quantiles, *, bins: int = 4096,
+                         final_cap: int = 1 << 16,
+                         max_passes: int = 8) -> dict[float, float]:
+    """EXACT interpolated quantiles (``quantile_cont`` /
+    ``percentile_cont`` semantics) without a distributed sort: the
+    target position is ``pos = q * (n - 1)``; the result interpolates
+    the two bracketing order statistics as ``v[floor(pos)] +
+    (v[ceil(pos)] - v[floor(pos)]) * (pos - floor(pos))`` — that float
+    expression tree is the documented contract (an oracle computing
+    the same tree from the same two ranks matches bitwise; DuckDB's
+    built-in ``quantile_cont`` agrees to the last ULP on the same
+    doubles).
+
+    Same engine as :func:`exact_quantiles`: one (count, min, max)
+    pass, then histogram-refinement selection of the <= 2x|quantiles|
+    distinct bracketing ranks — still zero shuffles."""
+    from ray.data.aggregate import Count, Max, Min
+
+    proj = _clean_proj(ds, col)
+    stats = proj.aggregate(Count("v", ignore_nulls=True),
+                           Min("v"), Max("v"))
+    n = int((stats or {}).get("count(v)") or 0)
+    if n == 0:
+        return {float(q): float("nan") for q in quantiles}
+    gmin, gmax = float(stats["min(v)"]), float(stats["max(v)"])
+    pos = {float(q): float(q) * (n - 1) for q in quantiles}
+    ranks = sorted({int(np.floor(p)) for p in pos.values()}
+                   | {int(np.ceil(p)) for p in pos.values()})
+    at = _values_at_ranks(proj, n, gmin, gmax, ranks, bins=bins,
+                          final_cap=final_cap, max_passes=max_passes)
+    out = {}
+    for q, p in pos.items():
+        lo, hi = at[int(np.floor(p))], at[int(np.ceil(p))]
+        frac = p - np.floor(p)
+        out[q] = float(lo + (hi - lo) * frac)
+    return out
+
+
+def exact_mad(ds, col: str, *, bins: int = 4096,
+              final_cap: int = 1 << 16) -> dict[str, float]:
+    """EXACT median absolute deviation: ``median(|v - median(v)|)``
+    with ``quantile_disc`` semantics on both medians — the robust
+    spread statistic quality-gating pipelines want when outliers make
+    stddev useless.  Returns ``{'median': m, 'mad': d}``.
+
+    Two chained :func:`exact_quantiles` selections (each zero-shuffle,
+    O(bins) per-block partials); the deviation column is derived
+    lazily per batch (``|v - m|`` in float64, the same IEEE op the SQL
+    oracle performs), never materialized.  Nulls/NaNs drop per SQL
+    aggregate semantics."""
+    import pyarrow.compute as pc
+
+    med = exact_quantiles(ds, col, [0.5], bins=bins,
+                          final_cap=final_cap)[0.5]
+    if np.isnan(med):
+        return {"median": med, "mad": float("nan")}
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(col), pa.float64())
+        return pa.table({"__dev": pc.abs(pc.subtract(v, med))})
+
+    mad = exact_quantiles(
+        ds.select_columns([col]).map_batches(dev,
+                                             batch_format="pyarrow"),
+        "__dev", [0.5], bins=bins, final_cap=final_cap)[0.5]
+    return {"median": med, "mad": mad}
+
+
+def _values_at_ranks(proj, n: int, gmin: float, gmax: float,
+                     ranks, *, bins: int = 4096,
+                     final_cap: int = 1 << 16,
+                     max_passes: int = 8) -> dict[int, float]:
+    """The histogram-refinement selection core: EXACT values at the
+    given 0-based ``ranks`` of the ascending-sorted ``v`` column of
+    ``proj`` (a cleaned one-column dataset), given its (n, min, max).
+
+    Pass k histograms the still-unresolved candidate intervals into
+    ``bins`` buckets (per-block int64[bins] partials, driver merges
+    KBs) and each target rank's interval shrinks ~``bins``x.  Once an
+    interval holds <= ``final_cap`` rows — or stops shrinking, which
+    after a few passes means it is a handful of float ULPs wide — a
+    last pass collects that interval's (value, count) pairs (unique'd
+    per block, so heavy duplicates cost distinct values, not rows) and
+    the driver picks the exact rank.  NO shuffle anywhere: every pass
+    is a map_batches fold with O(bins) per-block output."""
+    # Per target: (lo, hi, rank) — target sits at 0-based ``rank``
     # among values in [lo, hi(inclusive)); non-terminal refinement
     # intervals are half-open, and the inclusive final collect only
     # ever pads values AFTER the target rank (see below), so one
     # inclusive convention is safe throughout.
-    state: dict[float, tuple[float, float, int]] = {
-        float(q): (gmin, gmax, _disc_rank(q, n)) for q in quantiles}
-    unresolved = {q for q, (lo, hi, _) in state.items() if hi > lo
+    state: dict[int, tuple[float, float, int]] = {
+        int(r): (gmin, gmax, int(r)) for r in ranks}
+    unresolved = {r for r, (lo, hi, _) in state.items() if hi > lo
                   and n > final_cap}
 
     for _ in range(max_passes):
