@@ -1348,6 +1348,42 @@ def _q_events_first_value(sf_dir: str):
     return joined.select_columns(["event_id", "first_value"])
 
 
+
+def _q_events_moving_avg(sf_dir: str):
+    """Per-user ROWS-frame moving SUM/AVG (5-row window ordered by
+    ts, id) — the bounded sliding window via the partition run-scan
+    (``ops.window.moving_agg``; exact int64-scaled sums, one mirrored
+    float division for the avg)."""
+    from torray.ops.window import moving_agg
+
+    return moving_agg(_read(sf_dir, "events"), frame=5)
+
+
+def _q_events_quantiles_cont_by_type(sf_dir: str):
+    """Per-group INTERPOLATED quantiles (percentile_cont) of value by
+    event type — grouped companion to ``events_quantiles_cont``
+    (``ops.sketch.group_quantiles_cont``; run-scan, no Python call
+    per group; interpolation tree mirrored by the oracle)."""
+    from torray.ops.sketch import group_quantiles_cont
+
+    return group_quantiles_cont(_read(sf_dir, "events"), "event_type",
+                                "value", [0.25, 0.5, 0.9])
+
+
+def _q_docs_para_dedup(sf_dir: str):
+    """C4-style repeated-paragraph removal: documents re-paragraphed
+    into fixed 4-word chunks (``ops.text.chunk_words`` — the synthetic
+    corpus has no natural breaks), then every chunk occurring >= 2
+    times across the corpus is deleted from every document
+    (``ops.text.paragraph_dedup``: distinct-(paragraph, n) block
+    combiners -> ONE groupby(paragraph) -> broadcast removal set ->
+    vectorized Arrow rewrite)."""
+    from torray.ops.text import chunk_words, paragraph_dedup
+
+    docs = chunk_words(_read(sf_dir, "documents"), words_per_chunk=4)
+    return paragraph_dedup(docs, min_count=2)
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1446,6 +1482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_cont": _q_events_quantiles_cont,
         "events_value_mad": _q_events_value_mad,
         "events_first_value": _q_events_first_value,
+        "events_moving_avg": _q_events_moving_avg,
+        "events_quantiles_cont_by_type": _q_events_quantiles_cont_by_type,
+        "docs_para_dedup": _q_docs_para_dedup,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -2061,6 +2100,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, first_value(value) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS "
             "first_value FROM events"
+        ),
+        "events_moving_avg": (
+            "SELECT event_id, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w "
+            "AS BIGINT) AS mov_sum, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w "
+            "AS DOUBLE) / (100 * count(*) OVER w) AS mov_avg "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        # grouped percentile_cont via the explicit interpolation tree
+        # mirrored token for token by ops.sketch.group_quantiles_cont
+        "events_quantiles_cont_by_type": (
+            "WITH ord AS (SELECT event_type g, value v, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value) - 1 AS r, "
+            "count(*) OVER (PARTITION BY event_type) AS n "
+            "FROM events WHERE value IS NOT NULL), "
+            "p AS (SELECT q FROM (VALUES (0.25), (0.5), (0.9)) t(q)), "
+            "gq AS (SELECT DISTINCT g, n FROM ord), "
+            "tgt AS (SELECT g, q, q * (n - 1) AS pos "
+            "FROM gq CROSS JOIN p) "
+            "SELECT tgt.g AS event_type, tgt.q AS q, "
+            "lo.v + (hi.v - lo.v) * (tgt.pos - floor(tgt.pos)) "
+            "AS value FROM tgt "
+            "JOIN ord lo ON lo.g = tgt.g "
+            "AND lo.r = CAST(floor(tgt.pos) AS BIGINT) "
+            "JOIN ord hi ON hi.g = tgt.g "
+            "AND hi.r = CAST(ceil(tgt.pos) AS BIGINT)"
+        ),
+        # same 4-word re-paragraphing + >= 2 cross-corpus count + in-
+        # order reassembly; docs losing every chunk survive as ''
+        "docs_para_dedup": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) "
+            "AS wi FROM documents), "
+            "paras AS (SELECT doc_id, (wi - 1) // 4 AS pi, "
+            "string_agg(w, ' ' ORDER BY wi) AS para FROM words "
+            "GROUP BY doc_id, (wi - 1) // 4), "
+            "cnt AS (SELECT para, count(*) AS n FROM paras "
+            "GROUP BY para), "
+            "keep AS (SELECT p.doc_id, p.pi, p.para FROM paras p "
+            "JOIN cnt c USING (para) WHERE c.n < 2), "
+            "joined AS (SELECT doc_id, "
+            "string_agg(para, chr(10) ORDER BY pi) AS clean "
+            "FROM keep GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(j.clean, '') AS clean_text "
+            "FROM documents d LEFT JOIN joined j USING (doc_id)"
         ),
         # tf-idf top-3 per doc: the SELECTION is checked (term, tf);
         # the float score is excluded (libm log differs in the last

@@ -2461,3 +2461,111 @@ def test_exact_mad_matches_numpy(ray_session):
         "x": pa.array([], pa.float64())}))
     oe = exact_mad(empty, "x")
     assert np.isnan(oe["median"]) and np.isnan(oe["mad"])
+
+
+def test_moving_agg_matches_pandas(ray_session):
+    import ray
+
+    from torray.ops.window import moving_agg
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, n) * 1000,
+                       pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "value": pa.array(np.round(rng.normal(0, 50, n), 2),
+                          pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = (moving_agg(ds, frame=3).to_pandas()
+           .set_index("event_id").sort_index())
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["cents"] = np.copysign(
+        np.floor(np.abs(df["value"] * 100) + 0.5), df["value"]
+    ).astype(np.int64)
+    g = df.groupby("user_id")["cents"]
+    df["mov_sum"] = g.transform(
+        lambda s: s.rolling(3, min_periods=1).sum()).astype(np.int64)
+    df["cnt"] = g.transform(
+        lambda s: s.rolling(3, min_periods=1).count()).astype(np.int64)
+    want = df.set_index("event_id").sort_index()
+    assert (out["mov_sum"] == want["mov_sum"]).all()
+    assert np.allclose(out["mov_avg"],
+                       want["mov_sum"] / (100 * want["cnt"]), rtol=0,
+                       atol=0)
+
+
+def test_group_quantiles_cont_matches_numpy(ray_session):
+    import ray
+
+    from torray.ops.sketch import group_quantiles_cont
+
+    rng = np.random.default_rng(37)
+    g = rng.integers(0, 12, 5000)
+    v = rng.normal(0, 100, 5000)
+    v[rng.random(5000) < 0.01] = np.nan
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(g, pa.int64()),
+        "v": pa.array(v, pa.float64())})).repartition(6)
+    qs = [0.1, 0.5, 0.99]
+    out = group_quantiles_cont(ds, "g", "v", qs).to_pandas()
+    for gi in np.unique(g):
+        vals = np.sort(v[(g == gi) & ~np.isnan(v)])
+        for q in qs:
+            pos = q * (vals.size - 1)
+            lo, hi = vals[int(np.floor(pos))], vals[int(np.ceil(pos))]
+            want = lo + (hi - lo) * (pos - np.floor(pos))
+            got = out[(out["g"] == gi) & (out["q"] == q)]["value"].iloc[0]
+            assert got == want, (gi, q)
+    # all-NaN group surfaces as NaN
+    t2 = pa.table({"g": pa.array([99, 99], pa.int64()),
+                   "v": pa.array([np.nan, np.nan], pa.float64())})
+    out2 = group_quantiles_cont(ray.data.from_arrow(t2), "g", "v",
+                                [0.5]).to_pandas()
+    assert np.isnan(out2["value"]).all()
+
+
+def test_paragraph_dedup_semantics(ray_session):
+    import ray
+
+    from torray.ops.text import paragraph_dedup
+
+    boiler = "accept all cookies to continue"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            f"{boiler}\nunique prose one\nmore prose",
+            f"intro text\n{boiler}\ntail two",
+            f"{boiler}\n{boiler}",          # fully boilerplate
+            "solo paragraph never repeated",
+        ], pa.string()),
+    })
+    ds = ray.data.from_arrow(docs).repartition(3)
+    out = (paragraph_dedup(ds, min_count=2).to_pandas()
+           .set_index("doc_id")["clean_text"])
+    assert out[1] == "unique prose one\nmore prose"
+    assert out[2] == "intro text\ntail two"
+    assert out[3] == ""                      # survives as empty, kept
+    assert out[4] == "solo paragraph never repeated"
+    # partition invariance
+    out1 = (paragraph_dedup(ray.data.from_arrow(docs), min_count=2)
+            .to_pandas().set_index("doc_id")["clean_text"])
+    assert (out1 == out).all()
+
+
+def test_chunk_words_roundtrip(ray_session):
+    import ray
+
+    from torray.ops.text import chunk_words
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e f g", "x y", "only"], pa.string()),
+    })
+    out = (chunk_words(ray.data.from_arrow(docs), words_per_chunk=3)
+           .to_pandas().set_index("doc_id")["text"])
+    assert out[1] == "a b c\nd e f\ng"
+    assert out[2] == "x y"
+    assert out[3] == "only"

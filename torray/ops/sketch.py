@@ -25,6 +25,7 @@ from torray.ops.dedup import _mix64, fnv1a64_strings
 __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "approx_distinct_by", "approx_quantiles", "exact_quantiles",
            "exact_quantiles_cont", "exact_mad", "group_quantiles",
+           "group_quantiles_cont",
            "exact_distinct_by"]
 
 
@@ -508,6 +509,84 @@ def group_quantiles(ds, group_col: str, col: str, quantiles,
                 np.int64) - 1)
         idx = (starts[:, None] + ranks).ravel()
         vals = v[idx]
+        vals[np.repeat(n_valid == 0, len(qs))] = np.nan
+        n_groups = len(starts)
+        take = pa.array(order[np.repeat(starts, len(qs))], pa.int64())
+        return pa.table({
+            group_col: pc.take(group.column(group_col), take),
+            "q": pa.array(np.tile(qs, n_groups), pa.float64()),
+            "value": pa.array(vals, pa.float64()),
+        })
+
+    return (ds.select_columns([group_col, col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+
+def group_quantiles_cont(ds, group_col: str, col: str, quantiles,
+                         num_partitions: int = 64):
+    """Exact per-group INTERPOLATED quantiles (``quantile_cont`` /
+    ``percentile_cont`` semantics) in long format ``(group, q,
+    value)`` — the grouped companion to :func:`exact_quantiles_cont`.
+
+    Same partition run-scan shape as :func:`group_quantiles` (groups
+    hash into coarse partitions, ONE groupby on the partition id, one
+    lexsort + vectorized picks per group run — no Python call per
+    group).  Per group: ``pos = q * (n - 1)``; the result is
+    ``v[floor(pos)] + (v[ceil(pos)] - v[floor(pos)]) * (pos -
+    floor(pos))`` over the group's ascending non-NaN values — that
+    float expression tree is the documented contract an SQL oracle
+    mirrors bitwise.  NaNs drop per group; all-NaN groups surface with
+    ``value = NaN`` (the SQL aggregate over an all-NULL group)."""
+    from torray.ops.window import _hash_col_np
+
+    qs = np.asarray([float(q) for q in quantiles], np.float64)
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "__v": pa.array([], pa.float64()),
+                             "__part": pa.array([], pa.int64())})
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(g)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            group_col: batch.column(group_col),
+            "__v": batch.column(col).cast(pa.float64()),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    import pyarrow.compute as pc
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        v = group.column("__v").to_numpy(zero_copy_only=False)
+        # nulls arrive as NaN from the float64 cast; NaN sorts to the
+        # end of each group run, so ranks over n_valid skip them
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        lens = np.diff(np.append(starts, len(g)))
+        nan_per_run = np.add.reduceat(np.isnan(v).astype(np.int64),
+                                      starts)
+        n_valid = lens - nan_per_run
+        # pos = q*(n-1) per (group, q); guard n_valid == 0 with a fake
+        # n of 1 (pos 0) and overwrite with NaN below
+        n_safe = np.maximum(n_valid, 1)
+        pos = qs[None, :] * (n_safe[:, None] - 1).astype(np.float64)
+        lo_r = np.floor(pos).astype(np.int64)
+        hi_r = np.ceil(pos).astype(np.int64)
+        lo = v[(starts[:, None] + lo_r).ravel()]
+        hi = v[(starts[:, None] + hi_r).ravel()]
+        frac = (pos - np.floor(pos)).ravel()
+        vals = lo + (hi - lo) * frac
         vals[np.repeat(n_valid == 0, len(qs))] = np.nan
         n_groups = len(starts)
         take = pa.array(order[np.repeat(starts, len(qs))], pa.int64())

@@ -32,6 +32,8 @@ __all__ = [
     "tfidf_top_terms",
     "char_class_counts_batch",
     "char_class_counts",
+    "paragraph_dedup",
+    "chunk_words",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -627,3 +629,150 @@ def scrub_normalize(docs_ds, *, text_col: str = "text"):
     oracle so the driver hash-checks the transform exactly."""
     return docs_ds.select_columns(["doc_id", text_col]).map_batches(
         scrub_normalize_batch, batch_format="pyarrow")
+
+
+def paragraph_dedup(ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n",
+                    min_count: int = 2, out_col: str = "clean_text",
+                    bad_cap: int = 5_000_000):
+    """C4-style repeated-paragraph removal: split each document into
+    paragraphs on ``sep``, count every distinct paragraph across the
+    WHOLE corpus, and delete each paragraph occurring ``>= min_count``
+    times from every document (boilerplate — navigation, cookie
+    banners, license blurbs — repeats across pages; prose does not).
+    Returns ``(id_col, out_col)`` with surviving paragraphs rejoined
+    by ``sep`` in their original order; a fully-boilerplate document
+    survives as an empty string (the caller filters on length).
+
+    Scale shape: the count pass collapses each block to DISTINCT
+    (paragraph, n) partials via Arrow ``value_counts`` (repeats never
+    leave their block), then ONE ``groupby(paragraph)`` sum — the
+    shuffle carries distinct paragraph strings once each, the
+    information-theoretic floor for an exact cross-corpus count.  The
+    over-frequent survivors (a tiny fraction: only text that actually
+    repeats) broadcast as one ``ray.put`` set fetched per task, and
+    the rewrite pass is pure Arrow kernels (``split_pattern`` ->
+    ``is_in`` -> offset rebuild -> ``binary_join``), zero additional
+    shuffle.  ``bad_cap`` guards the broadcast; past it, switch the
+    membership probe to a Bloom + exact verify join (the
+    ``ops.bloom`` pattern).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"para": pa.array([], pa.string()),
+                             "__n": pa.array([], pa.int64())})
+        paras = pc.split_pattern(t.column(text_col), sep)
+        flat = pc.list_flatten(paras)
+        vc = flat.combine_chunks().value_counts()
+        return pa.table({"para": vc.field("values"),
+                         "__n": vc.field("counts").cast(pa.int64())})
+
+    counts = (ds.select_columns([text_col])
+              .map_batches(count_partial, batch_format="pyarrow")
+              .groupby("para").aggregate(Sum("__n")))
+
+    def over_threshold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"para": pa.array([], pa.string())})
+        mask = pc.greater_equal(t.column("sum(__n)"), min_count)
+        return t.filter(mask).select(["para"])
+
+    bad_tbls = [t for t in ray.get(
+        counts.map_batches(over_threshold, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    bad = (pa.concat_tables(bad_tbls).column("para").combine_chunks()
+           if bad_tbls else pa.chunked_array([pa.array([], pa.string())]))
+    if len(bad) > bad_cap:
+        raise ValueError(
+            f"{len(bad)} over-frequent paragraphs > bad_cap {bad_cap}: "
+            "broadcast would not be small (use a Bloom prefilter)")
+    bad_ref = ray.put(bad)
+
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             out_col: pa.array([], pa.string())})
+        bad_set = ray.get(bad_ref)
+        paras = pc.split_pattern(t.column(text_col), sep).combine_chunks()
+        flat = pc.list_flatten(paras)
+        keep = pc.invert(pc.is_in(flat, value_set=bad_set))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        # rebuild list offsets over the kept paragraphs only
+        lens = pc.list_value_length(paras).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        if len(flat):
+            # reduceat needs indices < len; empty-run starts can sit at
+            # the array end — clamp, then zero those runs' counts below
+            kept_per_doc = np.add.reduceat(
+                keep_np.astype(np.int64),
+                np.minimum(starts, len(flat) - 1))
+        else:
+            kept_per_doc = np.zeros(len(lens), np.int64)
+        kept_per_doc[lens == 0] = 0  # reduceat repeats on empty runs
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.filter(keep))
+        return pa.table({
+            id_col: t.column(id_col),
+            out_col: pc.binary_join(kept_list, sep),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(rewrite, batch_format="pyarrow"))
+
+
+def chunk_words(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                words_per_chunk: int = 4, sep: str = "\n"):
+    """Re-paragraph space-tokenized text into fixed ``words_per_chunk``
+    word chunks joined by ``sep`` (the deterministic paragraph deriver
+    for corpora whose documents carry no natural paragraph breaks —
+    pairs with :func:`paragraph_dedup`).  Returns ``(id_col,
+    text_col)`` with the rewritten text; the last chunk of a document
+    may be shorter.
+
+    Fully vectorized (one stateless map, zero shuffle): words flatten
+    once, chunk boundaries come from integer offset arithmetic
+    (``doc_start + w*i`` clamped at the doc end), and both rejoins are
+    Arrow ``binary_join`` kernels — no Python loop over documents or
+    chunks."""
+    w = int(words_per_chunk)
+    if w <= 0:
+        raise ValueError("words_per_chunk must be positive")
+
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def rechunk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             text_col: pa.array([], pa.string())})
+        words = pc.split_pattern(t.column(text_col), " ").combine_chunks()
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_ends = np.cumsum(lens)
+        doc_starts = doc_ends - lens
+        chunks_per_doc = -(-lens // w)  # ceil; 0 only if lens == 0
+        total = int(chunks_per_doc.sum())
+        # per-chunk global index within its doc, then end offsets
+        first_chunk = np.cumsum(chunks_per_doc) - chunks_per_doc
+        i_in_doc = (np.arange(total, dtype=np.int64)
+                    - np.repeat(first_chunk, chunks_per_doc))
+        ends = np.minimum(
+            np.repeat(doc_starts, chunks_per_doc) + w * (i_in_doc + 1),
+            np.repeat(doc_ends, chunks_per_doc))
+        chunk_list = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], ends)), pa.int32()), flat)
+        chunk_strs = pc.binary_join(chunk_list, " ")
+        d_offs = np.concatenate(([0], np.cumsum(chunks_per_doc)))
+        doc_list = pa.ListArray.from_arrays(
+            pa.array(d_offs, pa.int32()), chunk_strs)
+        return pa.table({id_col: t.column(id_col),
+                         text_col: pc.binary_join(doc_list, sep)})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(rechunk, batch_format="pyarrow"))

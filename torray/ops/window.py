@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
-           "interval_join", "running_total", "lag_delta"]
+           "interval_join", "running_total", "lag_delta", "moving_agg"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -1659,3 +1659,86 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
     return (tagged.map_batches(tag_part, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(emit_partition, batch_format="pyarrow"))
+
+
+def moving_agg(events_ds, *, key_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               value_col: str = "value", frame: int = 5,
+               scale: int = 100, num_partitions: int = 64):
+    """Per-key ROWS-frame moving aggregate — ``SUM(v) OVER (PARTITION
+    BY key ORDER BY ts, id ROWS BETWEEN frame-1 PRECEDING AND CURRENT
+    ROW)`` plus its AVG — the bounded sliding window Ray Data has no
+    operator for.  Returns ``(id, mov_sum, mov_avg)``: ``mov_sum`` is
+    the exact int64 sum in ``round(v * scale)`` units (associative, so
+    any SQL engine's windowed SUM over the same scaled integers is
+    bit-identical); ``mov_avg = mov_sum / (scale * cnt)`` as the ONE
+    float64 division both engines perform on the same two integers
+    (``cnt`` = actual rows in the frame, < ``frame`` near a key's
+    start).
+
+    Same partition run-scan shape as :func:`running_total`'s default
+    path (hash(key) -> coarse partition, ONE groupby on the partition
+    id, lexsort + segmented cumsum per partition — never a Python call
+    per key): the frame sum is ``cum[i] - cum[i - frame]`` with the
+    subtrahend clamped at the segment start, fully vectorized.
+    Partitioning assumption: a key's rows fit in one task (same as any
+    co-grouped op).  A ROWS frame only needs ``frame - 1`` carry rows
+    across a time split, so a salted hot-key variant is cheap if ever
+    needed; at the events-table key cardinality the hash partitioning
+    bounds every task already."""
+    from torray.ops.dedup import _mix64
+
+    cols = [key_col, ts_col, id_col, value_col]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             cols + ["__part"]})
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        out = {c: batch.column(c) for c in cols}
+        out["__part"] = pa.array(part, pa.int64())
+        return pa.table(out)
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "mov_sum": pa.array([], pa.int64()),
+                      "mov_avg": pa.array([], pa.float64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        prod = np.asarray(v, np.float64) * scale
+        # half AWAY from zero, matching SQL round() (np.round banks)
+        scaled = np.copysign(np.floor(np.abs(prod) + 0.5),
+                             prod).astype(np.int64)
+        order = np.lexsort((ids, ts, k))
+        k, ids, scaled = k[order], ids[order], scaled[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], k[1:] != k[:-1])))
+        cum = _segmented_cumsum(scaled, starts)
+        seg_lens = np.diff(np.append(starts, len(k)))
+        pos = np.arange(len(k), dtype=np.int64) - np.repeat(starts,
+                                                            seg_lens)
+        sub_idx = np.maximum(np.arange(len(k), dtype=np.int64) - frame,
+                             0)
+        sub = np.where(pos >= frame, cum[sub_idx], 0)
+        mov = cum - sub
+        cnt = np.minimum(pos + 1, frame)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "mov_sum": pa.array(mov, pa.int64()),
+            "mov_avg": pa.array(mov.astype(np.float64)
+                                / (scale * cnt).astype(np.float64),
+                                pa.float64()),
+        })
+
+    return (events_ds.select_columns(cols)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
