@@ -2081,7 +2081,8 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY value) - 1 AS r "
             "FROM events WHERE value IS NOT NULL), "
             "cnt AS (SELECT count(*) AS n FROM ord), "
-            "p AS (SELECT q, q * (n - 1) AS pos FROM (VALUES (0.25), "
+            "p AS (SELECT q, CAST(q AS DOUBLE) * (n - 1) AS pos "
+            "FROM (VALUES (0.25), "
             "(0.5), (0.75), (0.9), (0.99)) t(q) CROSS JOIN cnt) "
             "SELECT q, lo + (hi - lo) * (pos - floor(pos)) AS value "
             "FROM (SELECT q, pos, "
@@ -2121,7 +2122,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE value IS NOT NULL), "
             "p AS (SELECT q FROM (VALUES (0.25), (0.5), (0.9)) t(q)), "
             "gq AS (SELECT DISTINCT g, n FROM ord), "
-            "tgt AS (SELECT g, q, q * (n - 1) AS pos "
+            "tgt AS (SELECT g, q, CAST(q AS DOUBLE) * (n - 1) AS pos "
             "FROM gq CROSS JOIN p) "
             "SELECT tgt.g AS event_type, tgt.q AS q, "
             "lo.v + (hi.v - lo.v) * (tgt.pos - floor(tgt.pos)) "
