@@ -1384,6 +1384,38 @@ def _q_docs_para_dedup(sf_dir: str):
     return paragraph_dedup(docs, min_count=2)
 
 
+
+def _q_events_skew_join(sf_dir: str):
+    """Skew-aware big-big INNER join: events x customer on user_id,
+    with users above 60 events joined map-side against a broadcast
+    customer slice and the cold tail through the ordinary hash join
+    (``ops.join.skew_join``; both plans union to the exact join)."""
+    from torray.ops.join import skew_join
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "user_id"])
+    cu = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_mktsegment"])
+    return skew_join(ev, cu, on="user_id", right_on="c_custkey",
+                     hot_threshold=60, k_hot=64)
+
+
+
+def _q_docs_bigram_lm(sf_dir: str):
+    """CCNet-style corpus-bigram LM signal (``ops.text.
+    bigram_lm_scores``): per document, the number of bigrams and the
+    exact corpus-count sums over its bigrams and their head words —
+    the integer core of the fluency score (the float avg_logprob is
+    ln() of the same integers; diff-tested in pytest).  Everything is
+    distributed: block-combiner counts, two co-partitioned run-scan
+    joins, one per-doc fold — no vocabulary ever folds on the
+    driver."""
+    from torray.ops.text import bigram_lm_scores
+
+    out = bigram_lm_scores(_read(sf_dir, "documents"))
+    return out.select_columns(
+        ["doc_id", "n_bigrams", "sum_bigram_n", "sum_head_n"])
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1485,6 +1517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": _q_events_moving_avg,
         "events_quantiles_cont_by_type": _q_events_quantiles_cont_by_type,
         "docs_para_dedup": _q_docs_para_dedup,
+        "events_skew_join": _q_events_skew_join,
+        "docs_bigram_lm": _q_docs_bigram_lm,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -2134,6 +2168,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         # same 4-word re-paragraphing + >= 2 cross-corpus count + in-
         # order reassembly; docs losing every chunk survive as ''
+        "events_skew_join": (
+            "SELECT e.event_id, e.user_id, c.c_mktsegment "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        ),
+        # word-bigram corpus counts summed per document: bigrams via
+        # zipped unnest (wi+1 self-join), exact GROUP BY counts, two
+        # joins, one per-doc fold — mirrors bigram_lm_scores' integers
+        "docs_bigram_lm": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) "
+            "AS wi FROM documents), "
+            "big AS (SELECT a.doc_id, a.w AS w1, "
+            "a.w || ' ' || b.w AS bg FROM words a JOIN words b "
+            "ON a.doc_id = b.doc_id AND b.wi = a.wi + 1), "
+            "cb AS (SELECT bg, count(*) AS n FROM big GROUP BY bg), "
+            "cu AS (SELECT w, count(*) AS n FROM words GROUP BY w) "
+            "SELECT big.doc_id, count(*) AS n_bigrams, "
+            "CAST(sum(cb.n) AS BIGINT) AS sum_bigram_n, "
+            "CAST(sum(cu.n) AS BIGINT) AS sum_head_n "
+            "FROM big JOIN cb USING (bg) "
+            "JOIN cu ON cu.w = big.w1 GROUP BY big.doc_id"
+        ),
         "docs_para_dedup": (
             "WITH words AS (SELECT doc_id, "
             "unnest(string_split(text, ' ')) AS w, "

@@ -2569,3 +2569,71 @@ def test_chunk_words_roundtrip(ray_session):
     assert out[1] == "a b c\nd e f\ng"
     assert out[2] == "x y"
     assert out[3] == "only"
+
+
+def test_skew_join_exact_and_both_paths(ray_session):
+    import ray
+
+    from torray.ops.join import skew_join
+
+    rng = np.random.default_rng(41)
+    # planted skew: key 7 has 500 rows, others ~10
+    keys = np.concatenate([np.full(500, 7), rng.integers(0, 40, 400)])
+    rng.shuffle(keys)
+    left = pa.table({"k": pa.array(keys, pa.int64()),
+                     "lid": pa.array(np.arange(len(keys)), pa.int64())})
+    right = pa.table({"rk": pa.array(np.arange(0, 30), pa.int64()),
+                      "val": pa.array([f"v{i}" for i in range(30)],
+                                      pa.string())})
+    lds = ray.data.from_arrow(left).repartition(5)
+    rds = ray.data.from_arrow(right).repartition(3)
+    out = (skew_join(lds, rds, on="k", right_on="rk",
+                     hot_threshold=100, k_hot=8, num_partitions=4)
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    lf, rf = left.to_pandas(), right.to_pandas()
+    want = (lf.merge(rf, left_on="k", right_on="rk")
+            .drop(columns=["rk"]).sort_values("lid")
+            .reset_index(drop=True))
+    assert out.shape == want.shape
+    assert (out["k"] == want["k"]).all()
+    assert (out["val"] == want["val"]).all()
+    # no hot keys -> pure shuffle plan, still exact
+    out2 = (skew_join(lds, rds, on="k", right_on="rk",
+                      hot_threshold=10**9, num_partitions=4)
+            .to_pandas().sort_values("lid").reset_index(drop=True))
+    assert out2.shape == want.shape
+    assert (out2["val"] == want["val"]).all()
+
+
+def test_bigram_lm_scores_matches_reference(ray_session):
+    from collections import Counter
+
+    import ray
+
+    from torray.ops.text import bigram_lm_scores
+
+    rng = np.random.default_rng(43)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 20)))
+             for _ in range(60)]
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = (bigram_lm_scores(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+    uni = Counter(w for s in texts for w in s.split(" "))
+    big = Counter((a, b) for s in texts
+                  for a, b in zip(s.split(" "), s.split(" ")[1:]))
+    for i, s in enumerate(texts):
+        ws = s.split(" ")
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            assert i not in out.index
+            continue
+        row = out.loc[i]
+        assert row["n_bigrams"] == len(bgs)
+        assert row["sum_bigram_n"] == sum(big[b] for b in bgs)
+        assert row["sum_head_n"] == sum(uni[b[0]] for b in bgs)
+        want_lp = float(np.sum(
+            [np.log(big[b] / uni[b[0]]) for b in bgs])) / len(bgs)
+        assert abs(row["avg_logprob"] - want_lp) < 1e-12

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["broadcast_join"]
+__all__ = ["broadcast_join", "skew_join"]
 
 
 def broadcast_join(big_ds, small_ds, *, on, right_on=None,
@@ -64,3 +64,76 @@ def broadcast_join(big_ds, small_ds, *, on, right_on=None,
         return t.join(s, keys=keys, right_keys=rkeys, join_type=how)
 
     return big_ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def skew_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
+              hot_threshold: int = 1_000_000, k_hot: int = 64,
+              num_partitions: int = 32,
+              small_cap_rows: int = 10_000_000):
+    """Skew-aware INNER equi-join for two large datasets whose join key
+    is hot on the left (the fact side): keys with ``>= hot_threshold``
+    left rows are joined MAP-SIDE against a broadcast slice of the
+    right side, everything else goes through the ordinary hash-shuffle
+    join — the standard two-plan split that keeps one hot key (a
+    viral host, a bot user, a default value) from pinning an entire
+    shuffle partition on one task.
+
+    Scale shape: hot-key detection is :func:`torray.ops.rank.
+    top_frequent` (distinct-per-block combiners; the shuffle carries
+    distinct keys, never rows), so the pre-pass costs one narrow
+    count.  At most ``k_hot`` keys go hot; their RIGHT rows (a few
+    rows per key for a fact⋈dimension join) broadcast once via
+    ``ray.put`` and the hot left rows stream through an Arrow C++
+    join per batch — zero shuffle for exactly the rows that would
+    have skewed.  Cold rows take Ray's native hash join, whose
+    partitions are now bounded.  Output = left columns + non-key
+    right columns (both plans produce this schema; their union is the
+    exact inner join, since the hot/cold key sets are disjoint)."""
+    import ray
+
+    from torray.ops.rank import top_frequent
+
+    rkey = right_on or on
+    counts = top_frequent(left_ds.select_columns([on]), on, k_hot)
+    hot_tbl = counts.to_arrow_refs()
+    hot_parts = [t for t in ray.get(hot_tbl) if t.num_rows]
+    if hot_parts:
+        ht = pa.concat_tables(hot_parts)
+        import pyarrow.compute as pc
+        ht = ht.filter(pc.greater_equal(ht.column("n"), hot_threshold))
+        hot_vals = ht.column(on).combine_chunks()
+    else:
+        hot_vals = pa.chunked_array(
+            [pa.array([], left_ds.schema().base_schema.field(on).type)])
+
+    if len(hot_vals) == 0:
+        return left_ds.join(right_ds, "inner",
+                            num_partitions=num_partitions,
+                            on=(on,), right_on=(rkey,))
+
+    hot_ref = ray.put(hot_vals)
+
+    def split(keep_hot: bool, key: str):
+        import pyarrow.compute as pc
+
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t.column(key), value_set=ray.get(hot_ref))
+            return t.filter(mask if keep_hot else pc.invert(mask))
+        return f
+
+    left_hot = left_ds.map_batches(split(True, on),
+                                   batch_format="pyarrow")
+    left_cold = left_ds.map_batches(split(False, on),
+                                    batch_format="pyarrow")
+    right_hot = right_ds.map_batches(split(True, rkey),
+                                     batch_format="pyarrow")
+    right_cold = right_ds.map_batches(split(False, rkey),
+                                      batch_format="pyarrow")
+
+    hot_joined = broadcast_join(left_hot, right_hot, on=on,
+                                right_on=rkey, how="inner",
+                                small_cap_rows=small_cap_rows)
+    cold_joined = left_cold.join(right_cold, "inner",
+                                 num_partitions=num_partitions,
+                                 on=(on,), right_on=(rkey,))
+    return hot_joined.union(cold_joined)

@@ -34,6 +34,7 @@ __all__ = [
     "char_class_counts",
     "paragraph_dedup",
     "chunk_words",
+    "bigram_lm_scores",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -776,3 +777,242 @@ def chunk_words(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return (ds.select_columns([id_col, text_col])
             .map_batches(rechunk, batch_format="pyarrow"))
+
+
+def bigram_lm_scores(docs_ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", num_partitions: int = 64):
+    """CCNet-style corpus-LM fluency signal: train a word-bigram model
+    on the corpus itself (one pass of exact counts) and score every
+    document by its mean bigram log-probability ``ln(n(w1 w2) /
+    n(w1))`` — unusual word sequences (gibberish, keyword stuffing,
+    OCR noise) score low, fluent prose scores high.  Returns one row
+    per document with >= 2 words: ``(id, n_bigrams, sum_bigram_n,
+    sum_head_n, avg_logprob)`` — the integer sums are the
+    SQL-checkable core (exact corpus-count sums over the document's
+    bigrams); ``avg_logprob`` is their float companion.
+
+    Scale shape (everything distributed, nothing folds on the
+    driver — the lesson of ``tfidf_top_terms``' join plan baked in
+    from the start):
+
+    - explode is vectorized (``split_pattern`` -> offset math ->
+      ``binary_join_element_wise``; per-(doc, bigram) tf compression
+      via one lexsort per block, no Python per doc or token);
+    - bigram and head-word counts are per-block Arrow ``group_by``
+      combiners + ONE narrow ``groupby`` each (shuffles carry
+      distinct strings — the exact-count floor);
+    - counts attach back via two co-partitioned run-scan joins
+      (hash(key) partitions, segmented last-index scan — the
+      ``_tfidf_join`` shape), so the vocabulary never exists in one
+      place;
+    - the per-document fold is one ``groupby(id)`` over five int64 /
+      float64 columns.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.dedup import _mix64, fnv1a64_strings
+    from torray.ops.window import _segmented_last_index
+
+    npart = np.uint64(num_partitions)
+
+    exploded_schema = pa.schema([
+        (id_col, pa.int64()), ("w1", pa.string()),
+        ("bg", pa.string()), ("tf", pa.int64())])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return exploded_schema.empty_table()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(batch.column(text_col),
+                                 " ").combine_chunks()
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n < 2:
+            return exploded_schema.empty_table()
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        mask = doc_idx[1:] == doc_idx[:-1]
+        w1 = flat.slice(0, n - 1).filter(pa.array(mask))
+        w2 = flat.slice(1, n - 1).filter(pa.array(mask))
+        bg = pc.binary_join_element_wise(w1, w2, " ")
+        docs = ids[doc_idx[:-1][mask]]
+        # per-(doc, bigram) tf in one lexsort (block-local combiner)
+        bg_u = np.asarray(bg.to_pylist())
+        if len(bg_u) == 0:
+            return exploded_schema.empty_table()
+        order = np.lexsort((bg_u, docs))
+        d_s, b_s = docs[order], bg_u[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (b_s[1:] != b_s[:-1]))))
+        tf = np.diff(np.append(starts, len(d_s)))
+        take = pa.array(order[starts], pa.int64())
+        return pa.table({
+            id_col: pa.array(d_s[starts], pa.int64()),
+            "w1": w1.take(take),
+            "bg": bg.take(take),
+            "tf": pa.array(tf, pa.int64()),
+        }).cast(exploded_schema)
+
+    # materialized because TWO consumers read it (the bigram-count
+    # fold and the attach join); without this Ray re-executes the
+    # explode per consumer.  The rows are (id, w1, bg, tf) — tf-
+    # compressed, no document text — and spill to the object store
+    # rather than any driver heap.
+    exploded = (docs_ds.select_columns([id_col, text_col])
+                .map_batches(explode, batch_format="pyarrow")
+                .materialize())
+
+    def count_partial(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"key": pa.array([], pa.string()),
+                                 "__n": pa.array([], pa.int64())})
+            g = (t.select([col, "tf"]).group_by(col)
+                 .aggregate([("tf", "sum")]))
+            return pa.table({"key": g.column(col),
+                             "__n": g.column("tf_sum").cast(pa.int64())})
+        return f
+
+    bg_counts = (exploded.map_batches(count_partial("bg"),
+                                      batch_format="pyarrow")
+                 .groupby("key").aggregate(Sum("__n")))
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "__n": pa.array([], pa.int64())})
+        words = pc.split_pattern(batch.column(text_col),
+                                 " ").combine_chunks()
+        vc = pc.list_flatten(words).value_counts()
+        return pa.table({"key": vc.field("values"),
+                         "__n": vc.field("counts").cast(pa.int64())})
+
+    uni_counts = (docs_ds.select_columns([text_col])
+                  .map_batches(uni_partial, batch_format="pyarrow")
+                  .groupby("key").aggregate(Sum("__n")))
+
+    def attach(left_ds, counts_ds, key: str, out_name: str,
+               left_fields: list):
+        """Co-partitioned run-scan attach of counts_ds's summed count
+        to every left row by string ``key`` column."""
+        mid = pa.schema(left_fields + [
+            (out_name, pa.int64()), ("__side", pa.int8()),
+            ("__part", pa.int64())])
+        left_names = [f[0] for f in left_fields]
+
+        def tag_left(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return mid.empty_table()
+            part = (fnv1a64_strings(t.column(key).combine_chunks())
+                    % npart).astype(np.int64)
+            cols = {nm: t.column(nm) for nm in left_names}
+            cols[out_name] = pa.nulls(t.num_rows, pa.int64())
+            cols["__side"] = pa.array(
+                np.ones(t.num_rows, np.int8), pa.int8())
+            cols["__part"] = pa.array(part, pa.int64())
+            return pa.table(cols).cast(mid)
+
+        def tag_counts(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return mid.empty_table()
+            part = (fnv1a64_strings(t.column("key").combine_chunks())
+                    % npart).astype(np.int64)
+            cols = {}
+            for nm, typ in left_fields:
+                cols[nm] = (t.column("key") if nm == key
+                            else pa.nulls(t.num_rows, typ))
+            cols[out_name] = t.column("sum(__n)").cast(pa.int64())
+            cols["__side"] = pa.array(
+                np.zeros(t.num_rows, np.int8), pa.int8())
+            cols["__part"] = pa.array(part, pa.int64())
+            return pa.table(cols).cast(mid)
+
+        out_schema = pa.schema(left_fields + [(out_name, pa.int64())])
+
+        def scan(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return out_schema.empty_table()
+            ks = np.asarray(group.column(key).to_pylist())
+            side = group.column("__side").to_numpy(zero_copy_only=False)
+            order = np.lexsort((side, ks))
+            ks_s, side_s = ks[order], side[order]
+            run_id = np.cumsum(np.concatenate(
+                ([True], ks_s[1:] != ks_s[:-1]))) - 1
+            last_c = _segmented_last_index(side_s == 0, run_id)
+            lpos = np.flatnonzero(side_s == 1)
+            match = last_c[lpos]
+            cv = pc.fill_null(group.column(out_name), 1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # every key has a count row (trained on the same corpus);
+            # the 1 fallback only guards log(0) on malformed input
+            attached = np.where(match >= 0,
+                                cv[order[np.clip(match, 0, None)]], 1)
+            take = pa.array(order[lpos], pa.int64())
+            cols = {nm: group.column(nm).take(take)
+                    for nm in left_names}
+            cols[out_name] = pa.array(attached, pa.int64())
+            return pa.table(cols).cast(out_schema)
+
+        tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+                  .union(counts_ds.map_batches(tag_counts,
+                                               batch_format="pyarrow")))
+        return (tagged.groupby("__part")
+                .map_groups(scan, batch_format="pyarrow"))
+
+    with_cb = attach(exploded, bg_counts, "bg", "__cb",
+                     [(id_col, pa.int64()), ("w1", pa.string()),
+                      ("bg", pa.string()), ("tf", pa.int64())])
+    with_cu = attach(with_cb, uni_counts, "w1", "__cu",
+                     [(id_col, pa.int64()), ("w1", pa.string()),
+                      ("bg", pa.string()), ("tf", pa.int64()),
+                      ("__cb", pa.int64())])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "__nb": pa.array([], pa.int64()),
+                "__scb": pa.array([], pa.int64()),
+                "__scu": pa.array([], pa.int64()),
+                "__lp": pa.array([], pa.float64())})
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        cb = t.column("__cb").to_numpy(zero_copy_only=False)
+        cu = t.column("__cu").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t.column(id_col),
+            "__nb": pa.array(tf, pa.int64()),
+            "__scb": pa.array(tf * cb, pa.int64()),
+            "__scu": pa.array(tf * cu, pa.int64()),
+            "__lp": pa.array(
+                tf * np.log(cb.astype(np.float64)
+                            / cu.astype(np.float64)), pa.float64()),
+        })
+
+    folded = (with_cu.map_batches(contrib, batch_format="pyarrow")
+              .groupby(id_col)
+              .aggregate(Sum("__nb"), Sum("__scb"), Sum("__scu"),
+                         Sum("__lp")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "sum_bigram_n": pa.array([], pa.int64()),
+                "sum_head_n": pa.array([], pa.int64()),
+                "avg_logprob": pa.array([], pa.float64())})
+        nb = t.column("sum(__nb)").cast(pa.int64())
+        lp = t.column("sum(__lp)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_bigrams": nb,
+            "sum_bigram_n": t.column("sum(__scb)").cast(pa.int64()),
+            "sum_head_n": t.column("sum(__scu)").cast(pa.int64()),
+            "avg_logprob": pa.array(
+                lp / nb.to_numpy(zero_copy_only=False),
+                pa.float64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
