@@ -1416,6 +1416,19 @@ def _q_docs_bigram_lm(sf_dir: str):
         ["doc_id", "n_bigrams", "sum_bigram_n", "sum_head_n"])
 
 
+
+def _q_docs_stratified_split(sf_dir: str):
+    """Exact stratified 80/10/10 split of documents by language
+    (``ops.sampling.stratified_split``: per-stratum md5-ranked slice
+    assignment with integer-percent cut points — every language hits
+    its proportions exactly, partition- and cluster-size independent)."""
+    from torray.ops.sampling import stratified_split
+
+    return stratified_split(_read(sf_dir, "documents"),
+                            group_col="lang", id_col="doc_id",
+                            salt="v1")
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1519,6 +1532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_para_dedup": _q_docs_para_dedup,
         "events_skew_join": _q_events_skew_join,
         "docs_bigram_lm": _q_docs_bigram_lm,
+        "docs_stratified_split": _q_docs_stratified_split,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -2171,6 +2185,17 @@ def oracle_sql() -> dict[str, str]:
         "events_skew_join": (
             "SELECT e.event_id, e.user_id, c.c_mktsegment "
             "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        ),
+        "docs_stratified_split": (
+            "WITH r AS (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY "
+            "substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8), "
+            "doc_id) - 1 AS rk, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN rk < (80 * n + 99) // 100 THEN 'train' "
+            "WHEN rk < (90 * n + 99) // 100 THEN 'val' "
+            "ELSE 'test' END AS split FROM r"
         ),
         # word-bigram corpus counts summed per document: bigrams via
         # zipped unnest (wi+1 self-join), exact GROUP BY counts, two

@@ -2637,3 +2637,32 @@ def test_bigram_lm_scores_matches_reference(ray_session):
         want_lp = float(np.sum(
             [np.log(big[b] / uni[b[0]]) for b in bgs])) / len(bgs)
         assert abs(row["avg_logprob"] - want_lp) < 1e-12
+
+
+def test_stratified_split_exact_proportions(ray_session):
+    import ray
+
+    from torray.ops.sampling import stratified_split
+
+    rng = np.random.default_rng(47)
+    g = rng.choice(["a", "b", "c"], 1000, p=[0.6, 0.3, 0.1])
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "id": pa.array(np.arange(1000), pa.int64())})
+    outs = []
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = (stratified_split(ds, group_col="g", id_col="id",
+                                fractions={"train": 70, "test": 30},
+                                salt="s")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        outs.append(out)
+        m = out.merge(t.to_pandas(), left_on="id", right_on="id")
+        for gi in "abc":
+            n = (m["g"] == gi).sum()
+            n_train = ((m["g"] == gi) & (m["split"] == "train")).sum()
+            assert n_train == (70 * n + 99) // 100  # exact, not expected
+    # partition invariance
+    assert (outs[0]["split"] == outs[1]["split"]).all()
+    with pytest.raises(ValueError):
+        stratified_split(ray.data.from_arrow(t), group_col="g",
+                         id_col="id", fractions={"a": 50, "b": 49})

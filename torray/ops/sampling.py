@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["hash_split", "sample_per_group", "filter_by_quantile",
-           "sample_global_k"]
+           "sample_global_k", "stratified_split"]
 
 
 def _hash_prefix(value, salt: str) -> str:
@@ -158,3 +158,88 @@ def filter_by_quantile(ds, col: str, q: float, *, keep: str = "ge"):
     return ds.map_batches(
         lambda t: t.filter(op(pc.cast(t.column(col), pa.float64()), cut)),
         batch_format="pyarrow")
+
+
+def stratified_split(ds, *, group_col: str, id_col: str,
+                     fractions: dict[str, int] | None = None,
+                     salt: str = "", num_partitions: int = 64):
+    """EXACT stratified train/val/test assignment: within every group
+    (stratum), rows are ranked by the deterministic key ``(md5(id ||
+    salt) prefix, id)`` and the first ``ceil(pct_1% * n)`` ranks get
+    split 1, the next slice split 2, and so on — every stratum hits
+    its target proportions exactly (vs :func:`hash_split`, which is
+    proportional only in expectation), and membership is independent
+    of partitioning, ordering, and cluster size.  Returns
+    ``(id_col, split)``.
+
+    ``fractions`` maps split name -> INTEGER percent (insertion order
+    = slice order; must sum to 100).  Integer percents make the cut
+    points exact integer arithmetic ``(cum_pct * n + 99) // 100`` on
+    BOTH engines — a float ``ceil(0.8 * n)`` computes 4.0000000000002
+    for some n and silently shifts a boundary rank.
+
+    Scale shape: the same partition run-scan as
+    :func:`sample_per_group` (groups hash into coarse partitions, ONE
+    groupby on the partition id, one lexsort + vectorized threshold
+    compare per partition — no Python call per group).  The md5 keys
+    are the SQL-reproducibility contract (DuckDB ``md5()``), computed
+    once per row in the tag pass."""
+    from torray.ops.window import _hash_col_np
+
+    fractions = fractions or {"train": 80, "val": 10, "test": 10}
+    names = list(fractions)
+    pcts = np.asarray([int(fractions[n]) for n in names], np.int64)
+    if pcts.sum() != 100 or (pcts < 0).any():
+        raise ValueError(
+            f"fractions must be non-negative integer percents summing "
+            f"to 100, got {fractions}")
+    cum = np.cumsum(pcts)  # cut points; last is 100 -> rank < n always
+
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "__g": pa.array([], pa.string()),
+                             "__key": pa.array([], pa.string()),
+                             "__part": pa.array([], pa.int64())})
+        ids = batch.column(id_col).to_pylist()
+        keys = pa.array([_hash_prefix(v, salt) for v in ids],
+                        pa.string())
+        g = batch.column(group_col).cast(pa.string())
+        part = (_hash_col_np(np.asarray(g.to_pylist()))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "__g": g, "__key": keys,
+                         "__part": pa.array(part, pa.int64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "split": pa.array([], pa.string())})
+        g = np.asarray(group.column("__g").to_pylist())
+        k = np.asarray(group.column("__key").to_pylist())
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k, g))
+        g_s = g[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g_s[1:] != g_s[:-1])))
+        lens = np.diff(np.append(starts, len(g_s)))
+        rank = (np.arange(len(g_s), dtype=np.int64)
+                - np.repeat(starts, lens))
+        n = np.repeat(lens, lens)
+        # label = number of cut points at or below this rank
+        label = np.zeros(len(g_s), np.int64)
+        for c in cum[:-1]:
+            label += rank >= (c * n + 99) // 100
+        take = pa.array(order, pa.int64())
+        return pa.table({
+            id_col: group.column(id_col).take(take),
+            "split": pa.array(np.asarray(names, object)[label],
+                              pa.string()),
+        })
+
+    return (ds.select_columns([group_col, id_col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
