@@ -1429,6 +1429,28 @@ def _q_docs_stratified_split(sf_dir: str):
                             salt="v1")
 
 
+
+def _q_events_lead_gaps(sf_dir: str):
+    """Per-user LEAD gaps — microseconds to each user's NEXT event
+    (``ops.window.lead_delta``, the forward mirror of the LAG op;
+    partition run-scan, no Python call per key)."""
+    from torray.ops.window import lead_delta
+
+    return lead_delta(_read(sf_dir, "events"))
+
+
+
+def _q_docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample: 25 documents drawn with
+    probability proportional to length via Efraimidis-Spirakis A-Res
+    keys over md5-derived uniforms (``ops.sampling.weighted_sample_k``
+    — per-block top-k partials, no shuffle; same keys in SQL)."""
+    from torray.ops.sampling import weighted_sample_k
+
+    return weighted_sample_k(_read(sf_dir, "documents"), "doc_id",
+                             "n_chars", 25, salt="v1")
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1533,6 +1555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_skew_join": _q_events_skew_join,
         "docs_bigram_lm": _q_docs_bigram_lm,
         "docs_stratified_split": _q_docs_stratified_split,
+        "events_lead_gaps": _q_events_lead_gaps,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -1940,6 +1964,22 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (event_type = 'error') AS n_error, "
             "count(*) FILTER (event_type = 'signup') AS n_signup "
             "FROM events GROUP BY user_id"
+        ),
+        # Efraimidis-Spirakis keys: u = md5-uniform, key = u^(1/w);
+        # both engines evaluate the identical IEEE pow over the same
+        # doubles (verified bitwise at sf0.001/sf0.01)
+        "docs_weighted_sample": (
+            "WITH kd AS (SELECT *, "
+            "pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), "
+            "1, 8))::UBIGINT / 4294967296.0, 1.0 / n_chars) AS wk "
+            "FROM documents WHERE n_chars > 0) "
+            "SELECT doc_id, text, lang, source, n_chars FROM kd "
+            "ORDER BY wk DESC, doc_id LIMIT 25"
+        ),
+        "events_lead_gaps": (
+            "SELECT event_id, CAST(lead(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
         ),
         "events_lag_gaps": (
             "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) "

@@ -2666,3 +2666,66 @@ def test_stratified_split_exact_proportions(ray_session):
     with pytest.raises(ValueError):
         stratified_split(ray.data.from_arrow(t), group_col="g",
                          id_col="id", fractions={"a": 50, "b": 49})
+
+
+def test_lead_delta_matches_pandas(ray_session):
+    import ray
+
+    from torray.ops.window import lead_delta
+
+    rng = np.random.default_rng(53)
+    n = 2000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, n) * 1000,
+                       pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = (lead_delta(ds).to_pandas()
+           .set_index("event_id").sort_index()["gap_us"])
+    df = (t.to_pandas()
+          .assign(us=lambda d: d["ts"].astype("int64"))
+          .sort_values(["user_id", "ts", "event_id"]))
+    want = (df.groupby("user_id")["us"].shift(-1) - df["us"])
+    want.index = df["event_id"]
+    want = want.sort_index()
+    assert (out.isna() == want.isna()).all()
+    mask = ~want.isna()
+    assert (out[mask] == want[mask]).all()
+
+
+def test_weighted_sample_k_properties(ray_session):
+    import hashlib
+
+    import ray
+
+    from torray.ops.sampling import weighted_sample_k
+
+    rng = np.random.default_rng(59)
+    n = 800
+    w = np.where(np.arange(n) < 40, 500.0, 1.0)  # 40 heavy rows
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    picks = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = weighted_sample_k(ds, "id", "w", 30,
+                                salt="x").to_pandas()
+        assert len(out) == 30
+        picks.append(tuple(sorted(out["id"])))
+    assert picks[0] == picks[1]  # partition invariance
+    # exact agreement with a local A-Res computation
+    u = np.array([int(hashlib.md5(f"{i}x".encode()).hexdigest()[:8],
+                      16) for i in range(n)], np.float64) / 2**32
+    key = u ** (1.0 / w)
+    want = tuple(sorted(np.argsort(-key, kind="stable")[:30]))
+    assert picks[0] == want
+    # weighted: heavy rows dominate the sample
+    assert sum(1 for i in picks[0] if i < 40) > 15
+    # zero/negative weights never win
+    t2 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                   "w": pa.array([0.0, -5.0, 2.0], pa.float64())})
+    out2 = weighted_sample_k(ray.data.from_arrow(t2), "id", "w", 2,
+                             salt="x").to_pandas()
+    assert 3 in set(out2["id"])

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["hash_split", "sample_per_group", "filter_by_quantile",
-           "sample_global_k", "stratified_split"]
+           "sample_global_k", "stratified_split", "weighted_sample_k"]
 
 
 def _hash_prefix(value, salt: str) -> str:
@@ -243,3 +243,48 @@ def stratified_split(ds, *, group_col: str, id_col: str,
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def weighted_sample_k(ds, id_col: str, weight_col: str, k: int,
+                      salt: str = ""):
+    """Deterministic weighted sample WITHOUT replacement: the ``k``
+    rows with the largest ``u ** (1 / w)`` keys, where ``u`` is the
+    md5-derived uniform ``int(md5(id || salt)[:8], 16) / 2**32`` and
+    ``w`` the row's weight — the Efraimidis-Spirakis A-Res scheme
+    (Inf. Proc. Letters 2006, public algorithm): inclusion probability
+    is proportional to weight, membership is reproducible and
+    independent of partitioning and cluster size, and changing
+    ``salt`` re-rolls.  Non-positive / null weights never win
+    (their key is 0).
+
+    Scale shape: same as :func:`sample_global_k` — every block cuts to
+    its LOCAL top-k keys (a correct partial), so only ``k x blocks``
+    candidate rows reach the single-task final cut; no shuffle, no
+    sort, no driver pass.  SQL equivalent: ``ORDER BY
+    pow(u, 1.0 / w) DESC, id LIMIT k`` over the same md5 uniforms
+    (both engines evaluate one IEEE ``pow``; ties are broken by id)."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        u = np.array([int(_hash_prefix(v, salt), 16) for v in ids],
+                     np.float64) / float(1 << 32)
+        w = np.asarray(t.column(weight_col).to_numpy(
+            zero_copy_only=False), np.float64)
+        good = np.isfinite(w) & (w > 0)
+        key = np.zeros(len(u), np.float64)
+        key[good] = u[good] ** (1.0 / w[good])
+        return t.append_column("__wkey", pa.array(key, pa.float64()))
+
+    def cut(t: pa.Table) -> pa.Table:
+        if t.num_rows > k:
+            keys = t.column("__wkey").to_numpy(zero_copy_only=False)
+            ids = np.asarray(t.column(id_col).to_pylist())
+            order = np.lexsort((ids, -keys))[:k]
+            t = t.take(pa.array(np.sort(order), pa.int64()))
+        return t
+
+    return (ds.map_batches(lambda t: cut(keyed(t)),
+                           batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(lambda t: cut(t).drop_columns(["__wkey"]),
+                         batch_format="pyarrow"))

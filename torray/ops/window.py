@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
-           "interval_join", "running_total", "lag_delta", "moving_agg"]
+           "interval_join", "running_total", "lag_delta", "moving_agg",
+           "lead_delta"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -1737,6 +1738,61 @@ def moving_agg(events_ds, *, key_col: str = "user_id",
                                 / (scale * cnt).astype(np.float64),
                                 pa.float64()),
         })
+
+    return (events_ds.select_columns(cols)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def lead_delta(events_ds, *, key_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               num_partitions: int = 64):
+    """Per-key LEAD: each row's microsecond gap TO the key's next row
+    in ``(ts, id)`` order (NULL for the key's last row) —
+    ``lead(epoch_us(ts)) OVER (PARTITION BY key ORDER BY ts, id) -
+    epoch_us(ts)``.  Returns ``(id, gap_us)`` — the forward mirror of
+    :func:`lag_delta` (idle-time-ahead, time-to-next-event labels).
+
+    Same partition run-scan shape (hash(key) partitions, one lexsort +
+    one ``np.diff`` per partition, never a Python call per key).  For
+    hot keys, note every gap except a segment's last is local to the
+    segment — the salted variant of :func:`lag_delta` stitches the
+    mirror-image boundary if ever needed."""
+    from torray.ops.dedup import _mix64
+
+    cols = [key_col, ts_col, id_col]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             cols + ["__part"]})
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        out = {c: batch.column(c) for c in cols}
+        out["__part"] = pa.array(part, pa.int64())
+        return pa.table(out)
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, k))
+        k, ts, ids = k[order], ts[order], ids[order]
+        same_next = np.concatenate((k[1:] == k[:-1], [False]))
+        gaps = np.empty(len(k), np.int64)
+        gaps[:-1] = ts[1:] - ts[:-1]
+        gaps[-1] = 0
+        arr = pa.array(gaps, pa.int64())
+        arr = pc.if_else(pa.array(same_next), arr,
+                         pa.nulls(len(k), pa.int64()))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "gap_us": arr})
 
     return (events_ds.select_columns(cols)
             .map_batches(tag, batch_format="pyarrow")
