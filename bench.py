@@ -567,6 +567,33 @@ def bench_rank_xl(sf_dir: str) -> dict:
             "rows_per_s": round(2 * 10_000_000 / (t2 - t0), 1)}
 
 
+
+def bench_text_xl(sf_dir: str) -> dict:
+    """New-op text probes at 20x documents volume (100k docs at
+    sf0.1): C4-style repeated-paragraph removal (chunk_words ->
+    paragraph_dedup) and the corpus-bigram LM scorer — the data-scale
+    evidence for the distinct-paragraph count shuffle and the two
+    run-scan count joins.  Not in the default suite
+    (TORRAY_BENCH_ONLY=text_xl)."""
+    import ray
+
+    from torray.ops.text import bigram_lm_scores, chunk_words, paragraph_dedup
+
+    path = _ensure_docs_xl(sf_dir)
+    _warm_pool()
+    t0 = time.monotonic()
+    n_para = paragraph_dedup(
+        chunk_words(ray.data.read_parquet(path), words_per_chunk=4),
+        min_count=2).count()
+    t1 = time.monotonic()
+    n_lm = bigram_lm_scores(ray.data.read_parquet(path)).count()
+    t2 = time.monotonic()
+    return {"sec": t2 - t0,
+            "para_dedup_sec": round(t1 - t0, 2), "para_rows": n_para,
+            "bigram_lm_sec": round(t2 - t1, 2), "lm_rows": n_lm,
+            "docs_per_s": round(2 * 100_000 / (t2 - t0), 1)}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -678,6 +705,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "analytics_xl": lambda: bench_analytics_xl(sf_dir),
         "tfidf_xl": lambda: bench_tfidf_xl(sf_dir),
         "rank_xl": lambda: bench_rank_xl(sf_dir),
+        "text_xl": lambda: bench_text_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()

@@ -2729,3 +2729,25 @@ def test_weighted_sample_k_properties(ray_session):
     out2 = weighted_sample_k(ray.data.from_arrow(t2), "id", "w", 2,
                              salt="x").to_pandas()
     assert 3 in set(out2["id"])
+
+
+def test_paragraph_dedup_join_plan_equals_broadcast(ray_session):
+    import ray
+
+    from torray.ops.text import chunk_words, paragraph_dedup
+
+    rng = np.random.default_rng(61)
+    vocab = list("abcdefgh")
+    texts = [" ".join(rng.choice(vocab, rng.integers(4, 30)))
+             for _ in range(80)]
+    t = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    chunked = chunk_words(ray.data.from_arrow(t).repartition(5),
+                          words_per_chunk=2)
+    a = (paragraph_dedup(chunked, min_count=2, mode="broadcast")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (paragraph_dedup(chunked, min_count=2, mode="join")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) == 80  # fully-scrubbed docs still emit ''
+    assert (a["clean_text"] == "").any()  # 2-word chunks repeat a lot

@@ -635,7 +635,7 @@ def scrub_normalize(docs_ds, *, text_col: str = "text"):
 def paragraph_dedup(ds, *, id_col: str = "doc_id",
                     text_col: str = "text", sep: str = "\n",
                     min_count: int = 2, out_col: str = "clean_text",
-                    bad_cap: int = 5_000_000):
+                    mode: str = "auto", bad_cap: int = 5_000_000):
     """C4-style repeated-paragraph removal: split each document into
     paragraphs on ``sep``, count every distinct paragraph across the
     WHOLE corpus, and delete each paragraph occurring ``>= min_count``
@@ -651,12 +651,25 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id",
     shuffle carries distinct paragraph strings once each, the
     information-theoretic floor for an exact cross-corpus count.  The
     over-frequent survivors (a tiny fraction: only text that actually
-    repeats) broadcast as one ``ray.put`` set fetched per task, and
-    the rewrite pass is pure Arrow kernels (``split_pattern`` ->
-    ``is_in`` -> offset rebuild -> ``binary_join``), zero additional
-    shuffle.  ``bad_cap`` guards the broadcast; past it, switch the
-    membership probe to a Bloom + exact verify join (the
-    ``ops.bloom`` pattern).
+    repeats) then flow through one of two plans, selected by ``mode``:
+
+    - ``'broadcast'`` — collect the bad set once, ``ray.put``, and
+      rewrite every document with pure Arrow kernels
+      (``split_pattern`` -> ``is_in`` -> offset rebuild ->
+      ``binary_join``), zero additional shuffle.  Right when the bad
+      set is small (the common case: only text that repeats).
+    - ``'join'`` — nothing folds on the driver: documents explode to
+      (doc, idx, paragraph) rows, the bad flag attaches via a
+      co-partitioned run-scan on hash(paragraph), surviving rows
+      reassemble with a doc-hash run-scan (lexsort + offset
+      ``binary_join`` — no Python call per doc), and fully-scrubbed
+      documents are recovered by an id run-scan anti-join so they
+      still emit ``''``.  Three extra narrow shuffles; the plan for
+      boilerplate-heavy corpora where the bad set itself is huge.
+    - ``'auto'`` (default) — one ``count()`` of the bad set picks:
+      broadcast iff <= ``bad_cap``.
+
+    Plans are row-identical (test-verified).
     """
     import ray
     from ray.data.aggregate import Sum
@@ -681,18 +694,28 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id",
         mask = pc.greater_equal(t.column("sum(__n)"), min_count)
         return t.filter(mask).select(["para"])
 
-    bad_tbls = [t for t in ray.get(
-        counts.map_batches(over_threshold, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows]
+    bad_ds = counts.map_batches(over_threshold,
+                                batch_format="pyarrow")
+    id_type = ds.schema().base_schema.field(id_col).type
+    if mode == "auto":
+        bad_ds = bad_ds.materialize()
+        mode = "broadcast" if bad_ds.count() <= bad_cap else "join"
+    if mode == "join":
+        return _paragraph_dedup_join(ds, bad_ds, id_col=id_col,
+                                     text_col=text_col, sep=sep,
+                                     out_col=out_col, id_type=id_type)
+    if mode != "broadcast":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    bad_tbls = [t for t in ray.get(bad_ds.to_arrow_refs())
+                if t.num_rows]
     bad = (pa.concat_tables(bad_tbls).column("para").combine_chunks()
            if bad_tbls else pa.chunked_array([pa.array([], pa.string())]))
     if len(bad) > bad_cap:
         raise ValueError(
             f"{len(bad)} over-frequent paragraphs > bad_cap {bad_cap}: "
-            "broadcast would not be small (use a Bloom prefilter)")
+            "broadcast would not be small (use mode='join')")
     bad_ref = ray.put(bad)
-
-    id_type = ds.schema().base_schema.field(id_col).type
 
     def rewrite(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -725,6 +748,170 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id",
 
     return (ds.select_columns([id_col, text_col])
             .map_batches(rewrite, batch_format="pyarrow"))
+
+
+
+def _paragraph_dedup_join(ds, bad_ds, *, id_col: str, text_col: str,
+                          sep: str, out_col: str, id_type,
+                          num_partitions: int = 64):
+    """The driver-free plan of :func:`paragraph_dedup` (``mode=
+    'join'``): bad-paragraph flags attach via a hash(paragraph)
+    run-scan, docs reassemble via a hash(doc) run-scan, and
+    fully-scrubbed docs are recovered with an id run-scan anti-join —
+    three narrow shuffles, no collected state anywhere."""
+    from torray.ops.dedup import _mix64, fnv1a64_strings
+    from torray.ops.window import _hash_col_np
+
+    npart = np.uint64(num_partitions)
+    mid = pa.schema([(id_col, pa.int64()), ("__pidx", pa.int64()),
+                     ("para", pa.string()), ("__side", pa.int8()),
+                     ("__part", pa.int64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mid.empty_table()
+        paras = pc.split_pattern(t.column(text_col),
+                                 sep).combine_chunks()
+        flat = pc.list_flatten(paras)
+        lens = pc.list_value_length(paras).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(ids, lens)
+        starts = np.cumsum(lens) - lens
+        pidx = (np.arange(len(flat), dtype=np.int64)
+                - np.repeat(starts, lens))
+        part = (fnv1a64_strings(flat) % npart).astype(np.int64)
+        n = len(flat)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "__pidx": pa.array(pidx, pa.int64()),
+            "para": flat,
+            "__side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "__part": pa.array(part, pa.int64()),
+        }).cast(mid)
+
+    def tag_bad(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mid.empty_table()
+        col = t.column("para").combine_chunks()
+        part = (fnv1a64_strings(col) % npart).astype(np.int64)
+        n = t.num_rows
+        return pa.table({
+            id_col: pa.nulls(n, pa.int64()),
+            "__pidx": pa.nulls(n, pa.int64()),
+            "para": col,
+            "__side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "__part": pa.array(part, pa.int64()),
+        }).cast(mid)
+
+    survivor_schema = pa.schema([
+        (id_col, pa.int64()), ("__pidx", pa.int64()),
+        ("para", pa.string()), ("__dpart", pa.int64())])
+
+    def flag_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return survivor_schema.empty_table()
+        ks = np.asarray(group.column("para").to_pylist())
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        order = np.argsort(ks, kind="stable")
+        ks_s, side_s = ks[order], side[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ks_s[1:] != ks_s[:-1])))
+        lens = np.diff(np.append(starts, len(ks_s)))
+        run_has_bad = np.add.reduceat(
+            (side_s == 0).astype(np.int64), starts) > 0
+        bad_row = np.repeat(run_has_bad, lens)
+        keep = order[(side_s == 1) & ~bad_row]
+        take = pa.array(np.sort(keep), pa.int64())
+        ids = group.column(id_col).take(take)
+        dpart = (_mix64(ids.combine_chunks().cast(pa.int64())
+                        .to_numpy(zero_copy_only=False))
+                 % npart).astype(np.int64)
+        return pa.table({
+            id_col: ids,
+            "__pidx": group.column("__pidx").take(take),
+            "para": group.column("para").take(take),
+            "__dpart": pa.array(dpart, pa.int64()),
+        }).cast(survivor_schema)
+
+    survivors = (ds.select_columns([id_col, text_col])
+                 .map_batches(explode, batch_format="pyarrow")
+                 .union(bad_ds.map_batches(tag_bad,
+                                           batch_format="pyarrow"))
+                 .groupby("__part")
+                 .map_groups(flag_scan, batch_format="pyarrow"))
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            (out_col, pa.string())])
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        pidx = group.column("__pidx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pidx, ids))
+        ids_s = ids[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ids_s[1:] != ids_s[:-1])))
+        lens = np.diff(np.append(starts, len(ids_s)))
+        flat = group.column("para").take(
+            pa.array(order, pa.int64())).combine_chunks()
+        doc_list = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(lens))),
+                     pa.int32()), flat)
+        return pa.table({
+            id_col: pa.array(ids_s[starts], pa.int64()),
+            out_col: pc.binary_join(doc_list, sep),
+        }).cast(out_schema)
+
+    rebuilt = (survivors.groupby("__dpart")
+               .map_groups(reassemble, batch_format="pyarrow")
+               .materialize())
+
+    # anti-join: doc ids with NO surviving paragraph emit ''
+    anti_mid = pa.schema([(id_col, pa.int64()),
+                          ("__side", pa.int8()),
+                          ("__part", pa.int64())])
+
+    def tag_ids(side_val: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return anti_mid.empty_table()
+            ids = t.column(id_col).cast(pa.int64())
+            part = (_mix64(ids.to_numpy(zero_copy_only=False))
+                    % npart).astype(np.int64)
+            return pa.table({
+                id_col: ids,
+                "__side": pa.array(
+                    np.full(t.num_rows, side_val, np.int8), pa.int8()),
+                "__part": pa.array(part, pa.int64()),
+            }).cast(anti_mid)
+        return f
+
+    def anti_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_s, side_s = ids[order], side[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ids_s[1:] != ids_s[:-1])))
+        has_rebuilt = np.add.reduceat(
+            (side_s == 0).astype(np.int64), starts) > 0
+        missing = ids_s[starts][~has_rebuilt]
+        return pa.table({
+            id_col: pa.array(missing, pa.int64()),
+            out_col: pa.array([""] * len(missing), pa.string()),
+        }).cast(out_schema)
+
+    empties = (ds.select_columns([id_col])
+               .map_batches(tag_ids(1), batch_format="pyarrow")
+               .union(rebuilt.select_columns([id_col])
+                      .map_batches(tag_ids(0), batch_format="pyarrow"))
+               .groupby("__part")
+               .map_groups(anti_scan, batch_format="pyarrow"))
+    return rebuilt.union(empties)
 
 
 def chunk_words(ds, *, id_col: str = "doc_id", text_col: str = "text",
