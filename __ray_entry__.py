@@ -1451,6 +1451,54 @@ def _q_docs_weighted_sample(sf_dir: str):
                              "n_chars", 25, salt="v1")
 
 
+
+def _q_docs_para_dedup_join(sf_dir: str):
+    """The driver-free JOIN plan of the repeated-paragraph removal
+    (``paragraph_dedup(mode='join')``: hash(paragraph) flag run-scan,
+    hash(doc) reassembly, id anti-join) — must be row-identical to the
+    broadcast plan, same oracle."""
+    from torray.ops.text import chunk_words, paragraph_dedup
+
+    docs = chunk_words(_read(sf_dir, "documents"), words_per_chunk=4)
+    return paragraph_dedup(docs, min_count=2, mode="join")
+
+
+def _q_events_range_window(sf_dir: str):
+    """Per-user time-RANGE-frame moving SUM/AVG/COUNT (10-minute
+    frame) — ``ops.window.moving_agg_range``."""
+    from torray.ops.window import moving_agg_range
+
+    return moving_agg_range(_read(sf_dir, "events"),
+                            range_us=600_000_000)
+
+
+def _q_events_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel (strict-after thresholds) —
+    ``ops.window.funnel_steps``."""
+    from torray.ops.window import funnel_steps
+
+    return funnel_steps(_read(sf_dir, "events"),
+                        ["view", "click", "purchase"])
+
+
+def _q_events_hourly_users(sf_dir: str):
+    """EXACT distinct users per hourly tumbling window —
+    ``ops.window.window_distinct``."""
+    from torray.ops.window import window_distinct
+
+    return window_distinct(_read(sf_dir, "events"),
+                           window_us=3_600_000_000)
+
+
+def _q_events_cohorts(sf_dir: str):
+    """Weekly cohort-retention triangle (first-event cohort ×
+    period offset) — ``ops.window.cohort_retention``."""
+    from torray.ops.window import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events"),
+                            period_us=604_800_000_000)
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1557,6 +1605,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_split": _q_docs_stratified_split,
         "events_lead_gaps": _q_events_lead_gaps,
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_para_dedup_join": _q_docs_para_dedup_join,
+        "events_range_window": _q_events_range_window,
+        "events_funnel": _q_events_funnel,
+        "events_hourly_users": _q_events_hourly_users,
+        "events_cohorts": _q_events_cohorts,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_users_per_type": _q_events_users_per_type,
@@ -2273,6 +2326,71 @@ def oracle_sql() -> dict[str, str]:
             "FROM keep GROUP BY doc_id) "
             "SELECT d.doc_id, coalesce(j.clean, '') AS clean_text "
             "FROM documents d LEFT JOIN joined j USING (doc_id)"
+        ),
+        # the join plan must be row-identical — same oracle
+        "docs_para_dedup_join": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) "
+            "AS wi FROM documents), "
+            "paras AS (SELECT doc_id, (wi - 1) // 4 AS pi, "
+            "string_agg(w, ' ' ORDER BY wi) AS para FROM words "
+            "GROUP BY doc_id, (wi - 1) // 4), "
+            "cnt AS (SELECT para, count(*) AS n FROM paras "
+            "GROUP BY para), "
+            "keep AS (SELECT p.doc_id, p.pi, p.para FROM paras p "
+            "JOIN cnt c USING (para) WHERE c.n < 2), "
+            "joined AS (SELECT doc_id, "
+            "string_agg(para, chr(10) ORDER BY pi) AS clean "
+            "FROM keep GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(j.clean, '') AS clean_text "
+            "FROM documents d LEFT JOIN joined j USING (doc_id)"
+        ),
+        # RANGE-frame moving aggregate: scaled int64 sum is exact on
+        # both sides; range_avg is the ONE float64 division both
+        # engines perform on the same two integers.
+        "events_range_window": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS "
+            "tus, CAST(round(value * 100) AS BIGINT) AS sv "
+            "FROM events) "
+            "SELECT event_id, "
+            "CAST(sum(sv) OVER w AS BIGINT) AS range_sum, "
+            "CAST(sum(sv) OVER w AS DOUBLE) "
+            "/ (100.0 * (count(*) OVER w)) AS range_avg, "
+            "count(*) OVER w AS range_cnt FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY tus "
+            "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        # funnel: t1 = min ts of step 1; t_i = min ts of step i with
+        # ts strictly after t_{i-1}
+        "events_funnel": (
+            "WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t "
+            "FROM events WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t "
+            "FROM events e JOIN t1 ON e.user_id = t1.user_id "
+            "WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t "
+            "GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t "
+            "FROM events e JOIN t2 ON e.user_id = t2.user_id "
+            "WHERE e.event_type = 'purchase' "
+            "AND epoch_us(e.ts) > t2.t GROUP BY e.user_id) "
+            "SELECT 1 AS step, count(*) AS users FROM t1 "
+            "UNION ALL SELECT 2, count(*) FROM t2 "
+            "UNION ALL SELECT 3, count(*) FROM t3"
+        ),
+        "events_hourly_users": (
+            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 "
+            "AS window_start_us, count(DISTINCT user_id) AS users "
+            "FROM events GROUP BY 1"
+        ),
+        "events_cohorts": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 604800000000 AS per FROM events), "
+            "c AS (SELECT user_id, min(per) AS cohort FROM p "
+            "GROUP BY user_id) "
+            "SELECT c.cohort AS cohort_period, "
+            "p.per - c.cohort AS period_offset, count(*) AS users "
+            "FROM p JOIN c USING (user_id) GROUP BY 1, 2"
         ),
         # tf-idf top-3 per doc: the SELECTION is checked (term, tf);
         # the float score is excluded (libm log differs in the last

@@ -2751,3 +2751,125 @@ def test_paragraph_dedup_join_plan_equals_broadcast(ray_session):
     assert a.equals(b)
     assert len(a) == 80  # fully-scrubbed docs still emit ''
     assert (a["clean_text"] == "").any()  # 2-word chunks repeat a lot
+
+
+def test_moving_agg_range_matches_pandas(ray_session):
+    import ray
+
+    from torray.ops.window import moving_agg_range
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    # coarse ts grid so equal-ts RANGE peers actually occur
+    ts_us = rng.integers(0, 400, n) * 1_000_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "value": pa.array(np.round(rng.normal(0, 50, n), 2),
+                          pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+    rng_us = 30_000_000
+    out = (moving_agg_range(ds, range_us=rng_us).to_pandas()
+           .set_index("event_id").sort_index())
+    df = t.to_pandas()
+    df["tus"] = df["ts"].astype("int64")
+    df["cents"] = np.copysign(
+        np.floor(np.abs(df["value"] * 100) + 0.5), df["value"]
+    ).astype(np.int64)
+    want_sum = np.empty(n, np.int64)
+    want_cnt = np.empty(n, np.int64)
+    for i, r in df.iterrows():
+        m = ((df["user_id"] == r["user_id"])
+             & (df["tus"] >= r["tus"] - rng_us)
+             & (df["tus"] <= r["tus"]))
+        want_sum[i] = int(df.loc[m, "cents"].sum())
+        want_cnt[i] = int(m.sum())
+    df["range_sum"], df["range_cnt"] = want_sum, want_cnt
+    want = df.set_index("event_id").sort_index()
+    assert (out["range_sum"] == want["range_sum"]).all()
+    assert (out["range_cnt"] == want["range_cnt"]).all()
+    assert np.array_equal(
+        out["range_avg"].to_numpy(),
+        want["range_sum"].to_numpy()
+        / (100.0 * want["range_cnt"].to_numpy()))
+
+
+def test_funnel_steps_matches_reference(ray_session):
+    import ray
+
+    from torray.ops.window import funnel_steps
+
+    rng = np.random.default_rng(43)
+    n = 4000
+    types = np.array(["a", "b", "c", "x"])
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 120, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**8, n), pa.timestamp("us")),
+        "event_type": pa.array(types[rng.integers(0, 4, n)]),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = (funnel_steps(ds, ["a", "b", "c"]).to_pandas()
+           .set_index("step")["users"].sort_index())
+    df = t.to_pandas()
+    df["tus"] = df["ts"].astype("int64")
+    want = [0, 0, 0]
+    for _, g in df.groupby("user_id"):
+        th = -1
+        for i, s in enumerate(["a", "b", "c"]):
+            cand = g[(g["event_type"] == s) & (g["tus"] > th)]["tus"]
+            if cand.empty:
+                break
+            th = cand.min()
+            want[i] += 1
+    assert list(out) == want
+    # a step type absent from the data zeroes that step and later ones
+    out2 = (funnel_steps(ds, ["a", "zz", "c"]).to_pandas()
+            .set_index("step")["users"].sort_index())
+    assert out2.iloc[1] == 0 and out2.iloc[2] == 0 and out2.iloc[0] > 0
+
+
+def test_window_distinct_and_cohorts_match_pandas(ray_session):
+    import ray
+
+    from torray.ops.window import cohort_retention, window_distinct
+
+    rng = np.random.default_rng(47)
+    n = 5000
+    w_us = 3_600_000_000
+    p_us = 86_400_000_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 200, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 7 * p_us, n),
+                       pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    df = t.to_pandas()
+    df["tus"] = df["ts"].astype("int64")
+
+    out = (window_distinct(ds, window_us=w_us).to_pandas()
+           .sort_values("window_start_us").reset_index(drop=True))
+    df["w"] = (df["tus"] // w_us) * w_us
+    want = (df.groupby("w")["user_id"].nunique().rename("users")
+            .reset_index())
+    assert (out["window_start_us"].to_numpy()
+            == want["w"].to_numpy()).all()
+    assert (out["users"].to_numpy() == want["users"].to_numpy()).all()
+
+    out = (cohort_retention(ds, period_us=p_us).to_pandas()
+           .sort_values(["cohort_period", "period_offset"])
+           .reset_index(drop=True))
+    df["per"] = df["tus"] // p_us
+    pairs = df[["user_id", "per"]].drop_duplicates()
+    cohort = pairs.groupby("user_id")["per"].min().rename("cohort")
+    j = pairs.join(cohort, on="user_id")
+    j["off"] = j["per"] - j["cohort"]
+    want = (j.groupby(["cohort", "off"]).size().rename("users")
+            .reset_index().sort_values(["cohort", "off"])
+            .reset_index(drop=True))
+    assert (out["cohort_period"].to_numpy()
+            == want["cohort"].to_numpy()).all()
+    assert (out["period_offset"].to_numpy()
+            == want["off"].to_numpy()).all()
+    assert (out["users"].to_numpy() == want["users"].to_numpy()).all()

@@ -1798,3 +1798,380 @@ def lead_delta(events_ds, *, key_col: str = "user_id",
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def moving_agg_range(events_ds, *, key_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value",
+                     range_us: int = 600_000_000, scale: int = 100,
+                     num_partitions: int = 64):
+    """Per-key TIME-RANGE-frame moving aggregate — ``SUM(v) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN range_us PRECEDING AND
+    CURRENT ROW)`` plus its AVG and COUNT — the time-based sliding
+    window (RANGE frame) companion to :func:`moving_agg`'s ROWS frame.
+    RANGE semantics: the frame holds every row of the key whose ts is
+    in ``[ts_i - range_us, ts_i]`` INCLUSIVE — equal-ts peers are all
+    in, regardless of tie order, exactly like SQL.  Returns
+    ``(id, range_sum, range_avg, range_cnt)``; ``range_sum`` is the
+    exact int64 sum in ``round(v * scale)`` units so any SQL engine's
+    windowed SUM over the same scaled integers is bit-identical, and
+    ``range_avg = range_sum / (scale * cnt)`` is the ONE float64
+    division both engines perform on the same two integers.
+
+    Scale shape: the same partition run-scan as :func:`moving_agg`
+    (hash(key) -> coarse partition, ONE groupby on the partition id,
+    lexsort per partition — never a Python call per key).  The frame
+    bounds are found WITHOUT a per-key loop by lifting each key
+    segment's timestamps into a disjoint band (``ts_rel + seg_id *
+    stride`` with ``stride > ts_span + range_us``) so two global
+    ``np.searchsorted`` calls resolve every row's frame start/end at
+    once; the frame sum is then a difference of two global cumsum
+    reads.  Partitioning assumption: a key's rows fit in one task
+    (same contract as every co-grouped op here)."""
+    from torray.ops.dedup import _mix64
+
+    cols = [key_col, ts_col, id_col, value_col]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             cols + ["__part"]})
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        out = {c: batch.column(c) for c in cols}
+        out["__part"] = pa.array(part, pa.int64())
+        return pa.table(out)
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "range_sum": pa.array([], pa.int64()),
+                      "range_avg": pa.array([], pa.float64()),
+                      "range_cnt": pa.array([], pa.int64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        prod = np.asarray(v, np.float64) * scale
+        # half AWAY from zero, matching SQL round() (np.round banks)
+        scaled = np.copysign(np.floor(np.abs(prod) + 0.5),
+                             prod).astype(np.int64)
+        order = np.lexsort((ids, ts, k))
+        k, ts, ids, scaled = k[order], ts[order], ids[order], \
+            scaled[order]
+        n = len(k)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], k[1:] != k[:-1])))
+        seg_lens = np.diff(np.append(starts, n))
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64),
+                           seg_lens)
+        ts_rel = ts - ts.min()
+        stride = int(ts_rel.max()) + int(range_us) + 2
+        if stride * len(starts) > (1 << 62):  # pragma: no cover
+            raise ValueError(
+                "moving_agg_range: band lift would overflow int64 "
+                "(ts span x segments too large for one partition) — "
+                "raise num_partitions")
+        ts_adj = ts_rel + seg_id * stride
+        lo = np.searchsorted(ts_adj, ts_adj - range_us, side="left")
+        hi = np.searchsorted(ts_adj, ts_adj, side="right")
+        cum = np.cumsum(scaled)
+        mov = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+        cnt = (hi - lo).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "range_sum": pa.array(mov, pa.int64()),
+            "range_avg": pa.array(mov.astype(np.float64)
+                                  / (scale * cnt).astype(np.float64),
+                                  pa.float64()),
+            "range_cnt": pa.array(cnt, pa.int64()),
+        })
+
+    return (events_ds.select_columns(cols)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def funnel_steps(events_ds, steps, *, key_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 num_partitions: int = 64):
+    """Ordered-sequence funnel — for each step ``i`` of the event-type
+    sequence ``steps``, how many keys performed ``steps[0..i]`` in
+    strict timestamp order (each step strictly AFTER the earliest
+    completion time of the previous one — the standard product-funnel
+    definition: t1 = min ts of step0; t_i = min ts of step_i with
+    ts > t_{i-1}).  Returns ``(step, users)`` with ``step`` 1-based —
+    the MATCH_RECOGNIZE-lite sequence detector Ray Data has no
+    operator for.
+
+    Scale shape: the tag stage maps the type string to a small step
+    ordinal and DROPS every non-step row before the shuffle, so the
+    exchange carries only (key, ts, step_no) int64 rows for relevant
+    events.  Inside each hash(key) partition the per-key thresholds
+    advance with the same disjoint-band ``np.searchsorted`` lift as
+    :func:`moving_agg_range` — ``len(steps)`` vectorized passes, never
+    a Python call per key.  A failed step parks the key's threshold
+    past its band so later steps fail for free."""
+    from torray.ops.dedup import _mix64
+
+    steps = list(steps)
+    n_steps = len(steps)
+    if n_steps == 0:
+        raise ValueError("funnel_steps: need at least one step")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "__ts": pa.array([], pa.int64()),
+                          "__step": pa.array([], pa.int64()),
+                          "__part": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        et = batch.column(type_col)
+        step_no = pa.nulls(batch.num_rows, pa.int64())
+        for i, s in enumerate(steps):
+            step_no = pc.if_else(pc.equal(et, s),
+                                 pa.scalar(i, pa.int64()), step_no)
+        keep = pc.is_valid(step_no)
+        if not pc.any(keep).as_py():
+            return empty
+        t = batch.filter(keep)
+        step_no = step_no.filter(keep)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            key_col: t.column(key_col),
+            "__ts": t.column(ts_col).cast(pa.int64()),
+            "__step": step_no,
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    empty_out = pa.table({"step": pa.array([], pa.int64()),
+                          "users": pa.array([], pa.int64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column("__ts").to_numpy(zero_copy_only=False)
+        sn = group.column("__step").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, k))
+        k, ts, sn = k[order], ts[order], sn[order]
+        n = len(k)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], k[1:] != k[:-1])))
+        nseg = len(starts)
+        seg_lens = np.diff(np.append(starts, n))
+        seg_id = np.repeat(np.arange(nseg, dtype=np.int64), seg_lens)
+        ts_rel = ts - ts.min()
+        stride = int(ts_rel.max()) + 2
+        if stride * (nseg + 1) > (1 << 62):  # pragma: no cover
+            raise ValueError("funnel_steps: band lift would overflow "
+                             "int64 — raise num_partitions")
+        ts_adj = ts_rel + seg_id * stride
+        bands = np.arange(nseg, dtype=np.int64) * stride
+        th = bands - 1  # pre-step threshold: anything in band beats it
+        counts = np.zeros(n_steps, np.int64)
+        for i in range(n_steps):
+            m = sn == i
+            sts = ts_adj[m]
+            sseg = seg_id[m]
+            if len(sts) == 0:
+                th = bands + stride  # nobody advances
+                continue
+            idx = np.searchsorted(sts, th, side="right")
+            found = idx < len(sts)
+            # first candidate past the threshold must be in the SAME
+            # key's band to count
+            cand_seg = np.full(nseg, -1, np.int64)
+            cand_seg[found] = sseg[idx[found]]
+            hit = cand_seg == np.arange(nseg, dtype=np.int64)
+            counts[i] = int(hit.sum())
+            th = np.where(hit, sts[np.where(hit, idx, 0)],
+                          bands + stride)  # park failures past band
+        return pa.table({
+            "step": pa.array(np.arange(1, n_steps + 1, dtype=np.int64),
+                             pa.int64()),
+            "users": pa.array(counts, pa.int64()),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "step": g.column("step").slice(0, 1),
+            "users": pa.array(
+                [int(g.column("users").to_numpy(
+                    zero_copy_only=False).sum())], pa.int64()),
+        })
+
+    return (events_ds.select_columns([key_col, ts_col, type_col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow")
+            .groupby("step")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
+def window_distinct(events_ds, *, ts_col: str = "ts",
+                    val_col: str = "user_id",
+                    window_us: int = 3_600_000_000,
+                    num_partitions: int = 64):
+    """EXACT distinct-value count per tumbling window — ``COUNT
+    (DISTINCT val) GROUP BY epoch_us(ts) // window_us`` — the
+    unique-visitors-per-hour query.  Returns ``(window_start_us,
+    users)`` with ``window_start_us`` the window's inclusive start in
+    epoch microseconds (int64, timezone-free on purpose).
+
+    Scale shape: each block pre-deduplicates to its DISTINCT (window,
+    value) pairs with Arrow's C++ ``group_by`` (combiner — repeated
+    values never leave their block), then ONE hash(window) partition
+    shuffle of those narrow int64 pairs feeds a lexsort run-scan that
+    finishes every window in its partition (one Python call per
+    PARTITION, not per window).  The shuffle is bounded by true
+    distinct pairs x blocks."""
+    from torray.ops.dedup import _mix64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"__w": pa.array([], pa.int64()),
+                             "__v": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        # integer division (exact; epochs are positive so it is
+        # floor division, matching SQL // on the same ints)
+        w = pc.divide(batch.column(ts_col).cast(pa.int64()),
+                      pa.scalar(window_us, pa.int64()))
+        t = pa.table({"__w": w, "__v": batch.column(val_col)})
+        t = t.group_by(["__w", "__v"]).aggregate([])
+        wn = t.column("__w").to_numpy(zero_copy_only=False)
+        part = (_mix64(wn.astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    empty = pa.table({"window_start_us": pa.array([], pa.int64()),
+                      "users": pa.array([], pa.int64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        w = group.column("__w").to_numpy(zero_copy_only=False)
+        v = group.column("__v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, w))
+        w, v = w[order], v[order]
+        fresh = np.concatenate(([True],
+                                (w[1:] != w[:-1]) | (v[1:] != v[:-1])))
+        w, v = w[fresh], v[fresh]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], w[1:] != w[:-1])))
+        cnt = np.diff(np.append(starts, len(w)))
+        return pa.table({
+            "window_start_us": pa.array(w[starts] * window_us,
+                                        pa.int64()),
+            "users": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return (events_ds.select_columns([ts_col, val_col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def cohort_retention(events_ds, *, key_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period_us: int = 604_800_000_000,
+                     num_partitions: int = 64):
+    """Cohort retention — keys grouped by the period (default week) of
+    their FIRST event; for each (cohort_period, period_offset) the
+    count of cohort keys active in that later period.  Returns
+    ``(cohort_period, period_offset, users)`` where ``cohort_period =
+    epoch_us(first ts) // period_us`` and ``period_offset = active
+    period - cohort_period`` (offset 0 row = cohort size).  The
+    classic retention-triangle query.
+
+    Scale shape: blocks combine to DISTINCT (key, period) int64 pairs
+    (Arrow C++ group_by), ONE hash(key) shuffle co-locates each key's
+    pairs, and a lexsort run-scan derives the cohort (the segment's
+    first period — the min, since the segment is sorted) and emits
+    pre-counted (cohort, offset, n) partials; a second TINY shuffle of
+    those calendar-bounded partials (periods^2 rows x partitions at
+    worst) folds them with one vectorized run-scan per partition —
+    never a Python call per key or per cohort cell."""
+    from torray.ops.dedup import _mix64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"__k": pa.array([], pa.int64()),
+                             "__p": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        p = pc.divide(batch.column(ts_col).cast(pa.int64()),
+                      pa.scalar(period_us, pa.int64()))
+        t = pa.table({"__k": batch.column(key_col).cast(pa.int64()),
+                      "__p": p})
+        t = t.group_by(["__k", "__p"]).aggregate([])
+        k = t.column("__k").to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    cell_schema = pa.schema([("__c", pa.int64()), ("__o", pa.int64()),
+                             ("__n", pa.int64()),
+                             ("__part2", pa.int64())])
+
+    def scan_keys(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return cell_schema.empty_table()
+        k = group.column("__k").to_numpy(zero_copy_only=False)
+        p = group.column("__p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, k))
+        k, p = k[order], p[order]
+        fresh = np.concatenate(([True],
+                                (k[1:] != k[:-1]) | (p[1:] != p[:-1])))
+        k, p = k[fresh], p[fresh]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], k[1:] != k[:-1])))
+        seg_lens = np.diff(np.append(starts, len(k)))
+        cohort = np.repeat(p[starts], seg_lens)
+        offset = p - cohort
+        order2 = np.lexsort((offset, cohort))
+        c2, o2 = cohort[order2], offset[order2]
+        cstarts = np.flatnonzero(np.concatenate(
+            ([True], (c2[1:] != c2[:-1]) | (o2[1:] != o2[:-1]))))
+        n = np.diff(np.append(cstarts, len(c2))).astype(np.int64)
+        c_out, o_out = c2[cstarts], o2[cstarts]
+        part2 = (_mix64(c_out * np.int64(1_000_003) + o_out)
+                 % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({"__c": pa.array(c_out, pa.int64()),
+                         "__o": pa.array(o_out, pa.int64()),
+                         "__n": pa.array(n, pa.int64()),
+                         "__part2": pa.array(part2, pa.int64())})
+
+    empty_out = pa.table({"cohort_period": pa.array([], pa.int64()),
+                          "period_offset": pa.array([], pa.int64()),
+                          "users": pa.array([], pa.int64())})
+
+    def fold_cells(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        c = group.column("__c").to_numpy(zero_copy_only=False)
+        o = group.column("__o").to_numpy(zero_copy_only=False)
+        n = group.column("__n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, c))
+        c, o, n = c[order], o[order], n[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (c[1:] != c[:-1]) | (o[1:] != o[:-1]))))
+        sums = np.add.reduceat(n, starts)
+        return pa.table({
+            "cohort_period": pa.array(c[starts], pa.int64()),
+            "period_offset": pa.array(o[starts], pa.int64()),
+            "users": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    return (events_ds.select_columns([key_col, ts_col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_keys, batch_format="pyarrow")
+            .groupby("__part2")
+            .map_groups(fold_cells, batch_format="pyarrow"))
