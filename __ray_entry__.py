@@ -1499,6 +1499,14 @@ def _q_events_cohorts(sf_dir: str):
                             period_us=604_800_000_000)
 
 
+def _q_emb_centroids(sf_dir: str):
+    """EXACT per-label embedding centroid (long format, scaled-int
+    micro-unit sums) — ``ops.similarity.group_centroids``."""
+    from torray.ops.similarity import group_centroids
+
+    return group_centroids(_read(sf_dir, "embeddings"))
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1607,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
+        "emb_centroids": _q_emb_centroids,
         "events_funnel": _q_events_funnel,
         "events_hourly_users": _q_events_hourly_users,
         "events_cohorts": _q_events_cohorts,
@@ -2382,6 +2391,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (epoch_us(ts) // 3600000000) * 3600000000 "
             "AS window_start_us, count(DISTINCT user_id) AS users "
             "FROM events GROUP BY 1"
+        ),
+        # per-label centroid: scaled int64 micro sums are exact on
+        # both sides; centroid is the ONE float64 division both
+        # engines perform on the same two integers
+        "emb_centroids": (
+            "WITH x AS (SELECT CAST(label AS BIGINT) AS label, "
+            "unnest(embedding) AS e, "
+            "unnest(generate_series(1, len(embedding))) AS d "
+            "FROM embeddings) "
+            "SELECT label, d - 1 AS dim, "
+            "CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000000) "
+            "AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*)) "
+            "AS centroid FROM x GROUP BY 1, 2"
         ),
         "events_cohorts": (
             "WITH p AS (SELECT DISTINCT user_id, "

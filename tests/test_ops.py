@@ -2873,3 +2873,38 @@ def test_window_distinct_and_cohorts_match_pandas(ray_session):
     assert (out["period_offset"].to_numpy()
             == want["off"].to_numpy()).all()
     assert (out["users"].to_numpy() == want["users"].to_numpy()).all()
+
+
+def test_group_centroids_matches_numpy(ray_session):
+    import ray
+
+    from torray.ops.similarity import group_centroids
+
+    import pandas as pd
+
+    rng = np.random.default_rng(53)
+    n, d = 2000, 8
+    mat = rng.normal(0, 1, (n, d)).astype(np.float32)
+    lab = rng.integers(0, 7, n)
+    t = pa.table({
+        "label": pa.array(lab, pa.int32()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = (group_centroids(ds).to_pandas()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    prod = mat.astype(np.float64) * 1_000_000
+    scaled = np.copysign(np.floor(np.abs(prod) + 0.5),
+                         prod).astype(np.int64)
+    rows = []
+    for g in np.unique(lab):
+        m = lab == g
+        s = scaled[m].sum(axis=0)
+        for di in range(d):
+            rows.append((g, di, s[di] / (1_000_000.0 * m.sum())))
+    want = pd.DataFrame(rows, columns=["label", "dim", "centroid"])
+    assert np.array_equal(out["label"].to_numpy(),
+                          want["label"].to_numpy())
+    assert np.array_equal(out["dim"].to_numpy(), want["dim"].to_numpy())
+    assert np.array_equal(out["centroid"].to_numpy(),
+                          want["centroid"].to_numpy())

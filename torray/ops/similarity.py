@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 __all__ = ["knn_bruteforce", "lsh_knn", "ivf_knn", "kmeans_cluster",
            "embedding_cosine_dedup", "embedding_cosine_dedup_lsh",
-           "semantic_dedup"]
+           "semantic_dedup", "group_centroids"]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -630,3 +630,90 @@ def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
             ["id_a", "id_b"])
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def group_centroids(emb_ds, *, group_col: str = "label",
+                    vec_col: str = "embedding", scale: int = 1_000_000,
+                    num_partitions: int = 64):
+    """EXACT per-group embedding centroid, long format — ``(group,
+    dim, centroid)`` with ``dim`` 0-based and ``centroid`` the mean of
+    ``round(component * scale)`` micro-units divided back out: the
+    per-dim sum is an exact int64, so any SQL engine summing the same
+    scaled integers agrees bit-for-bit, and ``centroid = sum_micro /
+    (scale * n)`` is the ONE float64 division both engines perform on
+    the same two integers (the repo-wide exactness recipe — see
+    ``ops.window.running_total``).
+
+    Scale shape: each block folds to (group, dim, sum_micro, n)
+    int64 partials with ONE ``np.add.at`` scatter (groups x dims rows
+    per block — the raw vectors never leave their block), then a
+    hash(group) partition shuffle of those partials feeds a lexsort +
+    ``np.add.reduceat`` fold — one Python call per PARTITION.  The
+    shuffle volume is bounded by groups x dims x blocks, independent
+    of row count."""
+    from torray.ops.dedup import _mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"__g": pa.array([], pa.int64()),
+                          "__d": pa.array([], pa.int64()),
+                          "__s": pa.array([], pa.int64()),
+                          "__n": pa.array([], pa.int64()),
+                          "__part": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        mat = _batch_matrix(batch, vec_col)
+        n, d = mat.shape
+        if d == 0:
+            return empty
+        prod = mat * scale
+        # half AWAY from zero, matching SQL round() (np.round banks)
+        scaled = np.copysign(np.floor(np.abs(prod) + 0.5),
+                             prod).astype(np.int64)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ug, inv = np.unique(g, return_inverse=True)
+        k = len(ug)
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, inv, scaled)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        g_out = np.repeat(ug, d)
+        part = (_mix64(np.repeat(ug, d))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            "__g": pa.array(g_out, pa.int64()),
+            "__d": pa.array(np.tile(np.arange(d, dtype=np.int64), k),
+                            pa.int64()),
+            "__s": pa.array(sums.ravel(), pa.int64()),
+            "__n": pa.array(np.repeat(cnt, d), pa.int64()),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    empty_out = pa.table({group_col: pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "centroid": pa.array([], pa.float64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        g = group.column("__g").to_numpy(zero_copy_only=False)
+        d = group.column("__d").to_numpy(zero_copy_only=False)
+        s = group.column("__s").to_numpy(zero_copy_only=False)
+        n = group.column("__n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        g, d, s, n = g[order], d[order], s[order], n[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (g[1:] != g[:-1]) | (d[1:] != d[:-1]))))
+        tot = np.add.reduceat(s, starts)
+        cnt = np.add.reduceat(n, starts)
+        return pa.table({
+            group_col: pa.array(g[starts], pa.int64()),
+            "dim": pa.array(d[starts], pa.int64()),
+            "centroid": pa.array(tot.astype(np.float64)
+                                 / (scale * cnt).astype(np.float64),
+                                 pa.float64()),
+        })
+
+    return (emb_ds.select_columns([group_col, vec_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(fold, batch_format="pyarrow"))
