@@ -1507,6 +1507,14 @@ def _q_emb_centroids(sf_dir: str):
     return group_centroids(_read(sf_dir, "embeddings"))
 
 
+def _q_events_json_field(sf_dir: str):
+    """Vectorized JSON-props field extraction (RE2, no per-row
+    json.loads) — ``ops.text.json_field``."""
+    from torray.ops.text import json_field
+
+    return json_field(_read(sf_dir, "events"), "k")
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1616,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
         "emb_centroids": _q_emb_centroids,
+        "events_json_field": _q_events_json_field,
         "events_funnel": _q_events_funnel,
         "events_hourly_users": _q_events_hourly_users,
         "events_cohorts": _q_events_cohorts,
@@ -2391,6 +2400,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (epoch_us(ts) // 3600000000) * 3600000000 "
             "AS window_start_us, count(DISTINCT user_id) AS users "
             "FROM events GROUP BY 1"
+        ),
+        "events_json_field": (
+            "SELECT event_id, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
         ),
         # per-label centroid: scaled int64 micro sums are exact on
         # both sides; centroid is the ONE float64 division both

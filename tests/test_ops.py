@@ -2908,3 +2908,33 @@ def test_group_centroids_matches_numpy(ray_session):
     assert np.array_equal(out["dim"].to_numpy(), want["dim"].to_numpy())
     assert np.array_equal(out["centroid"].to_numpy(),
                           want["centroid"].to_numpy())
+
+
+def test_json_field_edge_cases(ray_session):
+    import ray
+
+    from torray.ops.text import json_field
+
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "props": pa.array([
+            '{"k": 87, "s": "abc"}',
+            '{"k":-5}',
+            '{"other": 1}',          # key absent -> NULL
+            '{ "k" : 0 , "s" : "" }',
+            '{"kk": 9, "k": 3}',     # prefix key must not match
+        ]),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = (json_field(ds, "k").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = [87, -5, None, 0, 3]
+    got = out["k"].tolist()
+    assert [None if g != g else int(g) for g in
+            (got[i] if got[i] is not None else float("nan")
+             for i in range(5))] == want
+    out_s = (json_field(ds, "s", dtype="string").to_pandas()
+             .sort_values("event_id").reset_index(drop=True))
+    assert out_s["s"].tolist()[0] == "abc"
+    assert out_s["s"].tolist()[3] == ""
+    assert out_s["s"].tolist()[2] is None

@@ -35,6 +35,8 @@ __all__ = [
     "paragraph_dedup",
     "chunk_words",
     "bigram_lm_scores",
+    "json_field_batch",
+    "json_field",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1203,3 +1205,50 @@ def bigram_lm_scores(docs_ds, *, id_col: str = "doc_id",
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def json_field_batch(batch: pa.Table, key: str, *,
+                     col: str = "props", id_col: str = "event_id",
+                     dtype: str = "int") -> pa.Table:
+    """Extract one scalar field from a JSON-string column with a
+    single vectorized RE2 pass (``pc.extract_regex``) — the
+    flat-JSON-props fast path every event pipeline needs, with no
+    Python-per-row json.loads.  ``dtype`` is ``"int"`` (value cast to
+    int64) or ``"string"`` (quoted value, unescaped-quote bodies
+    only).  A missing key yields NULL, matching SQL
+    ``json_extract_string(...)``'s NULL.
+
+    Contract: flat objects with primitive values (the shape the
+    events table carries).  Nested objects/arrays need a real parser
+    and are out of scope — documented, not guessed at."""
+    import re as _re
+
+    esc = _re.escape(key)
+    if dtype == "int":
+        pat = '"' + esc + '"\\s*:\\s*(?P<v>-?[0-9]+)'
+        out_type = pa.int64()
+    elif dtype == "string":
+        pat = '"' + esc + '"\\s*:\\s*"(?P<v>[^"]*)"'
+        out_type = pa.string()
+    else:  # pragma: no cover
+        raise ValueError(f"json_field_batch: unknown dtype {dtype!r}")
+    hit = pc.extract_regex(batch.column(col), pat)
+    val = pc.struct_field(hit, "v")
+    if dtype == "int":
+        val = pc.cast(val, pa.int64())
+    return pa.table({id_col: batch.column(id_col),
+                     key: val.combine_chunks()
+                     if isinstance(val, pa.ChunkedArray) else val})
+
+
+def json_field(ds, key: str, *, col: str = "props",
+               id_col: str = "event_id", dtype: str = "int"):
+    """Dataset of ``(id, key)`` — one JSON field pulled out of a
+    string column.  Scale shape: column-pruned read, ONE stateless
+    vectorized map, no shuffle; RE2 on both sides of the correctness
+    gate (Arrow binds RE2; the oracle uses DuckDB's json extractor on
+    the same strings)."""
+    return ds.select_columns([id_col, col]).map_batches(
+        lambda b: json_field_batch(b, key, col=col, id_col=id_col,
+                                   dtype=dtype),
+        batch_format="pyarrow")
