@@ -1515,6 +1515,15 @@ def _q_events_json_field(sf_dir: str):
     return json_field(_read(sf_dir, "events"), "k")
 
 
+def _q_events_zscore(sf_dir: str):
+    """EXACT per-type z-score standardization from shared int64 sums
+    — ``ops.sketch.group_standardize``."""
+    from torray.ops.sketch import group_standardize
+
+    return group_standardize(_read(sf_dir, "events"), "event_type",
+                             "value")
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1625,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_window": _q_events_range_window,
         "emb_centroids": _q_emb_centroids,
         "events_json_field": _q_events_json_field,
+        "events_zscore": _q_events_zscore,
         "events_funnel": _q_events_funnel,
         "events_hourly_users": _q_events_hourly_users,
         "events_cohorts": _q_events_cohorts,
@@ -2405,6 +2415,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, "
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
             "FROM events"
+        ),
+        # z-score: both engines derive mean/var from the SAME int64
+        # sums and evaluate the SAME float64 expression tree —
+        # bit-identical; zero-variance groups are NULL by explicit
+        # CASE on both sides
+        "events_zscore": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS sv FROM events), "
+            "g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(sv) AS DOUBLE) AS s, "
+            "CAST(sum(sv * sv) AS DOUBLE) AS q FROM e "
+            "GROUP BY event_type) "
+            "SELECT e.event_id, "
+            "CASE WHEN g.q / g.n - (g.s / g.n) * (g.s / g.n) <= 0 "
+            "THEN NULL ELSE (CAST(e.sv AS DOUBLE) - g.s / g.n) "
+            "/ sqrt(g.q / g.n - (g.s / g.n) * (g.s / g.n)) END AS z "
+            "FROM e JOIN g USING (event_type)"
         ),
         # per-label centroid: scaled int64 micro sums are exact on
         # both sides; centroid is the ONE float64 division both

@@ -2938,3 +2938,40 @@ def test_json_field_edge_cases(ray_session):
     assert out_s["s"].tolist()[0] == "abc"
     assert out_s["s"].tolist()[3] == ""
     assert out_s["s"].tolist()[2] is None
+
+
+def test_group_standardize_matches_numpy(ray_session):
+    import ray
+
+    from torray.ops.sketch import group_standardize
+
+    rng = np.random.default_rng(59)
+    n = 4000
+    g = np.array(["a", "b", "c", "flat"])[rng.integers(0, 3, n)]
+    g[:50] = "flat"  # zero-variance group -> NULL z
+    v = np.round(rng.normal(10, 5, n), 2)
+    v[:50] = 7.77
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(g),
+        "value": pa.array(v, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = (group_standardize(ds, "event_type", "value").to_pandas()
+           .set_index("event_id").sort_index())
+    sv = np.copysign(np.floor(np.abs(v * 100) + 0.5), v).astype(np.int64)
+    zs = np.full(n, np.nan)
+    for gi in np.unique(g):
+        m = g == gi
+        nn = float(m.sum())
+        s = float(sv[m].sum())
+        q = float((sv[m] * sv[m]).sum())
+        mean = s / nn
+        var = q / nn - mean * mean
+        if var > 0:
+            zs[m] = (sv[m].astype(np.float64) - mean) / np.sqrt(var)
+    got = out["z"].to_numpy()
+    flat_ids = np.flatnonzero(g == "flat")
+    assert np.isnan(got[flat_ids]).all()
+    ok = ~np.isnan(zs)
+    assert np.array_equal(got[ok], zs[ok])

@@ -26,7 +26,7 @@ __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "approx_distinct_by", "approx_quantiles", "exact_quantiles",
            "exact_quantiles_cont", "exact_mad", "group_quantiles",
            "group_quantiles_cont",
-           "exact_distinct_by"]
+           "exact_distinct_by", "group_standardize"]
 
 
 def _hash_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -635,3 +635,84 @@ def exact_distinct_by(ds, group_col: str, col: str,
             .map_batches(fold, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(per_group, batch_format="pyarrow"))
+
+
+def group_standardize(ds, group_col: str, col: str, *,
+                      id_col: str = "event_id", scale: int = 100,
+                      num_partitions: int = 64):
+    """EXACT per-group z-score standardization (population std) —
+    ``(id, z)`` with ``z = (sv - S/n) / sqrt(Q/n - (S/n)^2)`` over the
+    scaled integers ``sv = round(value * scale)``, ``S = sum(sv)``,
+    ``Q = sum(sv^2)`` (all int64, so both engines see identical
+    integers and perform the identical float64 expression tree —
+    bit-for-bit parity, the repo-wide exactness recipe).  A group with
+    zero variance (or an all-NULL group) yields NULL z, matching the
+    oracle's explicit CASE guard.
+
+    Scale shape: the partition run-scan (hash(group) -> coarse
+    partition, ONE groupby on the partition id, lexsort + segmented
+    ``np.add.reduceat`` for S/Q/n, vectorized per-run broadcast back
+    to rows — never a Python call per group).  Shuffle carries
+    (group, id, sv) narrow rows.  int64 bound: |sv| <= ~3e9 keeps
+    ``sum(sv^2)`` exact for 10^9-row groups; raise ``scale`` awareness
+    accordingly (documented contract, not guessed at)."""
+    from torray.ops.window import _hash_col_np
+
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "__id": pa.array([], pa.int64()),
+                             "__sv": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        prod = np.asarray(v, np.float64) * scale
+        # half AWAY from zero, matching SQL round() (np.round banks)
+        sv = np.copysign(np.floor(np.abs(prod) + 0.5),
+                         prod).astype(np.int64)
+        part = (_hash_col_np(g)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            group_col: batch.column(group_col),
+            "__id": batch.column(id_col).cast(pa.int64()),
+            "__sv": pa.array(sv, pa.int64()),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "z": pa.array([], pa.float64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        ids = group.column("__id").to_numpy(zero_copy_only=False)
+        sv = group.column("__sv").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, ids, sv = g[order], ids[order], sv[order]
+        n_rows = len(g)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g[1:] != g[:-1])))
+        lens = np.diff(np.append(starts, n_rows)).astype(np.int64)
+        s = np.add.reduceat(sv, starts)
+        q = np.add.reduceat(sv * sv, starts)
+        n = lens.astype(np.float64)
+        m = s.astype(np.float64) / n
+        var = q.astype(np.float64) / n - m * m
+        m_row = np.repeat(m, lens)
+        var_row = np.repeat(var, lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (sv.astype(np.float64) - m_row) / np.sqrt(var_row)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "z": pa.array(np.where(var_row <= 0, np.nan, z),
+                          pa.float64(),
+                          mask=(var_row <= 0)),
+        })
+
+    return (ds.select_columns([group_col, id_col, col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
