@@ -1524,6 +1524,20 @@ def _q_events_zscore(sf_dir: str):
                              "value")
 
 
+def _q_events_cm_counts(sf_dir: str):
+    """Count-Min sketch frequency estimates for the event types
+    (bounded-memory grouped counts; one-sided error) —
+    ``ops.sketch.count_min_sketch``.  Rows-only: approximate counts
+    have no exact SQL twin; the error bound is pytest-checked."""
+    from torray.ops.sketch import count_min_estimate, count_min_sketch
+
+    cm = count_min_sketch(_read(sf_dir, "events"), "event_type")
+    types = pa.array(["view", "click", "purchase", "signup", "error"])
+    est = count_min_estimate(cm, types)
+    return pa.table({"event_type": types,
+                     "approx_count": pa.array(est, pa.int64())})
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1640,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": _q_events_cohorts,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_cm_counts": _q_events_cm_counts,
         "events_users_per_type": _q_events_users_per_type,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_repetition": _q_docs_repetition,

@@ -2975,3 +2975,34 @@ def test_group_standardize_matches_numpy(ray_session):
     assert np.isnan(got[flat_ids]).all()
     ok = ~np.isnan(zs)
     assert np.array_equal(got[ok], zs[ok])
+
+
+def test_count_min_error_bound(ray_session):
+    import ray
+
+    from torray.ops.sketch import count_min_estimate, count_min_sketch
+
+    rng = np.random.default_rng(61)
+    # heavy hitters + a long tail that forces collisions
+    heavy = np.repeat(np.arange(5), 2000)
+    tail = rng.integers(1000, 60_000, 20_000)
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(vals, pa.int64())})).repartition(6)
+    width, depth = 1024, 4
+    cm = count_min_sketch(ds, "k", width=width, depth=depth)
+    # sketch mass conservation: every row sums to N
+    assert (cm.sum(axis=1) == len(vals)).all()
+    probe = pa.array(np.arange(5), pa.int64())
+    est = count_min_estimate(cm, probe)
+    true = np.array([(vals == i).sum() for i in range(5)])
+    assert (est >= true).all()  # CM never undercounts
+    # one-sided error <= e/width * N with prob 1-e^-depth; allow 3x
+    bound = 3 * np.e / width * len(vals)
+    assert (est - true <= bound).all(), (est, true, bound)
+    # empty probe and empty dataset don't crash
+    assert count_min_estimate(cm, pa.array([], pa.int64())).size == 0
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    cm0 = count_min_sketch(empty, "k", width=64, depth=2)
+    assert cm0.shape == (2, 64) and cm0.sum() == 0

@@ -26,7 +26,8 @@ __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "approx_distinct_by", "approx_quantiles", "exact_quantiles",
            "exact_quantiles_cont", "exact_mad", "group_quantiles",
            "group_quantiles_cont",
-           "exact_distinct_by", "group_standardize"]
+           "exact_distinct_by", "group_standardize",
+           "count_min_sketch", "count_min_estimate"]
 
 
 def _hash_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -716,3 +717,64 @@ def group_standardize(ds, group_col: str, col: str, *,
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def _cm_rows(hashes: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) column indices for Count-Min: row i rehashes the
+    value hash with a fixed odd seed through the same splitmix64
+    finalizer — depth independent-enough hash rows, all vectorized."""
+    idx = np.empty((depth, hashes.size), np.int64)
+    for i in range(depth):
+        seed = np.uint64(0x9E3779B97F4A7C15 * (2 * i + 1) & (2**64 - 1))
+        idx[i] = (_mix64((hashes ^ seed).astype(np.int64))
+                  % np.uint64(width)).astype(np.int64)
+    return idx
+
+
+def count_min_sketch(ds, col: str, *, width: int = 2048,
+                     depth: int = 4) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) of a column's
+    value frequencies — THE bounded-memory grouped-count structure
+    when the key cardinality is too large for an exact groupby.
+    Returns the merged ``(depth, width)`` int64 count matrix.
+
+    Scale shape: each block folds its values into a local matrix with
+    ``depth`` vectorized ``np.add.at`` scatters and emits ONE binary
+    row (depth x width x 8 bytes — 64 KB at the defaults, independent
+    of block size); sketches merge by elementwise SUM, so the driver
+    fold is one-row-per-block partials, never values — the same
+    zero-shuffle shape as :func:`approx_distinct`.  Point-estimate
+    error: ``est - true <= e/width * N`` with prob ``1 - e^-depth``
+    (one-sided — Count-Min never undercounts)."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        h = _hash_values(batch.column(col))
+        mat = np.zeros((depth, width), np.int64)
+        if h.size:
+            idx = _cm_rows(h, width, depth)
+            for i in range(depth):
+                np.add.at(mat[i], idx[i], 1)
+        return pa.table({"cm": pa.array([mat.tobytes()], pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        fold, batch_format="pyarrow").take_all()
+    merged = np.zeros((depth, width), np.int64)
+    for row in parts:
+        merged += np.frombuffer(row["cm"], np.int64).reshape(
+            depth, width)
+    return merged
+
+
+def count_min_estimate(sketch: np.ndarray,
+                       keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Point estimates for ``keys`` from a :func:`count_min_sketch`
+    matrix: min over the depth rows, fully vectorized."""
+    depth, width = sketch.shape
+    h = _hash_values(keys if isinstance(keys, (pa.Array,
+                                               pa.ChunkedArray))
+                     else pa.array(keys))
+    if h.size == 0:
+        return np.empty(0, np.int64)
+    idx = _cm_rows(h, width, depth)
+    ests = np.stack([sketch[i][idx[i]] for i in range(depth)])
+    return ests.min(axis=0)
