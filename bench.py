@@ -594,6 +594,40 @@ def bench_text_xl(sf_dir: str) -> dict:
             "docs_per_s": round(2 * 100_000 / (t2 - t0), 1)}
 
 
+def bench_window_xl(sf_dir: str) -> dict:
+    """The round-4 window-family ops at 10M events: time-RANGE moving
+    aggregate, funnel, per-window distinct, cohort retention — the
+    data-scale evidence for the banded-searchsorted run-scans and the
+    distinct-pair combiners.  Not in the default suite
+    (TORRAY_BENCH_ONLY=window_xl)."""
+    import ray
+
+    from torray.ops.window import (cohort_retention, funnel_steps,
+                                   moving_agg_range, window_distinct)
+
+    path = _ensure_events_xl()
+    _warm_pool()
+    t0 = time.monotonic()
+    n_rng = moving_agg_range(ray.data.read_parquet(path)).count()
+    t1 = time.monotonic()
+    fun = funnel_steps(ray.data.read_parquet(path),
+                       ["view", "click", "purchase"]).take_all()
+    t2 = time.monotonic()
+    n_win = window_distinct(ray.data.read_parquet(path)).count()
+    t3 = time.monotonic()
+    n_coh = cohort_retention(ray.data.read_parquet(path)).count()
+    t4 = time.monotonic()
+    wall = t4 - t0
+    return {"sec": wall,
+            "range_sec": round(t1 - t0, 2), "range_rows": n_rng,
+            "funnel_sec": round(t2 - t1, 2),
+            "funnel_step1": int(fun[0]["users"]) if fun else 0,
+            "window_distinct_sec": round(t3 - t2, 2),
+            "windows": n_win,
+            "cohort_sec": round(t4 - t3, 2), "cohort_cells": n_coh,
+            "rows_per_s": round(4 * 10_000_000 / wall, 1)}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -706,6 +740,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "tfidf_xl": lambda: bench_tfidf_xl(sf_dir),
         "rank_xl": lambda: bench_rank_xl(sf_dir),
         "text_xl": lambda: bench_text_xl(sf_dir),
+        "window_xl": lambda: bench_window_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()

@@ -3006,3 +3006,54 @@ def test_count_min_error_bound(ray_session):
     empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     cm0 = count_min_sketch(empty, "k", width=64, depth=2)
     assert cm0.shape == (2, 64) and cm0.sum() == 0
+
+
+def test_window_tag_ops_handle_empty_and_mixed_blocks(ray_session):
+    """Zero-row input (and zero-row blocks among non-empty ones) must
+    not poison the shuffle schema — the tag stages emit the same
+    column types regardless of batch size."""
+    import ray
+
+    from torray.ops.window import (lead_delta, moving_agg,
+                                   moving_agg_range, sessionize)
+
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_id": pa.array([], pa.int64()),
+        "value": pa.array([], pa.float64()),
+        "event_type": pa.array([], pa.string()),
+    })
+    rows = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                       pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        "event_type": pa.array(["a", "b", "a"], pa.string()),
+    })
+    # a union of an empty and a non-empty dataset yields mixed blocks
+    mixed = ray.data.from_arrow(empty).union(ray.data.from_arrow(rows))
+    assert moving_agg_range(mixed).count() == 3
+    assert moving_agg(mixed).count() == 3
+    assert lead_delta(mixed).count() == 3
+    assert sessionize(mixed).count() == 2
+    only_empty = ray.data.from_arrow(empty)
+    assert moving_agg_range(only_empty).count() == 0
+    assert sessionize(only_empty).count() == 0
+
+
+def test_funnel_steps_string_keys(ray_session):
+    import ray
+
+    from torray.ops.window import funnel_steps
+
+    t = pa.table({
+        "user_id": pa.array(["u1", "u1", "u1", "u2", "u2"]),
+        "ts": pa.array([1, 2, 3, 4, 5], pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "c", "a", "c"]),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = (funnel_steps(ds, ["a", "b", "c"]).to_pandas()
+           .set_index("step")["users"].sort_index())
+    assert list(out) == [2, 1, 1]

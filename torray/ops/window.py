@@ -626,9 +626,8 @@ def lag_delta(events_ds, *, key_col: str = "user_id", ts_col: str = "ts",
     range_us = None if salt_range_s is None else salt_range_s * 1_000_000
 
     def tag(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({c: pa.array([], pa.int64()) for c in
-                             cols + ["__salt", "__part"]})
+        # zero-row batches flow through the generic path (see
+        # moving_agg's tag) so the emitted schema is block-invariant
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
         if range_us is None:
             salt = np.zeros(len(k), np.int64)
@@ -1692,9 +1691,10 @@ def moving_agg(events_ds, *, key_col: str = "user_id",
     cols = [key_col, ts_col, id_col, value_col]
 
     def tag(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({c: pa.array([], pa.int64()) for c in
-                             cols + ["__part"]})
+        # zero-row batches flow through the generic path so the
+        # emitted schema (ts timestamp, value float, ...) is
+        # block-invariant — an all-int64 empty special case would
+        # clash with non-empty blocks in the shuffle union
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
         part = (_mix64(k.astype(np.int64))
                 % np.uint64(num_partitions)).astype(np.int64)
@@ -1764,9 +1764,10 @@ def lead_delta(events_ds, *, key_col: str = "user_id",
     cols = [key_col, ts_col, id_col]
 
     def tag(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({c: pa.array([], pa.int64()) for c in
-                             cols + ["__part"]})
+        # zero-row batches flow through the generic path so the
+        # emitted schema (ts timestamp, value float, ...) is
+        # block-invariant — an all-int64 empty special case would
+        # clash with non-empty blocks in the shuffle union
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
         part = (_mix64(k.astype(np.int64))
                 % np.uint64(num_partitions)).astype(np.int64)
@@ -1833,9 +1834,10 @@ def moving_agg_range(events_ds, *, key_col: str = "user_id",
     cols = [key_col, ts_col, id_col, value_col]
 
     def tag(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({c: pa.array([], pa.int64()) for c in
-                             cols + ["__part"]})
+        # zero-row batches flow through the generic path so the
+        # emitted schema (ts timestamp, value float, ...) is
+        # block-invariant — an all-int64 empty special case would
+        # clash with non-empty blocks in the shuffle union
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
         part = (_mix64(k.astype(np.int64))
                 % np.uint64(num_partitions)).astype(np.int64)
@@ -1917,32 +1919,25 @@ def funnel_steps(events_ds, steps, *, key_col: str = "user_id",
     :func:`moving_agg_range` — ``len(steps)`` vectorized passes, never
     a Python call per key.  A failed step parks the key's threshold
     past its band so later steps fail for free."""
-    from torray.ops.dedup import _mix64
-
     steps = list(steps)
     n_steps = len(steps)
     if n_steps == 0:
         raise ValueError("funnel_steps: need at least one step")
 
     def tag(batch: pa.Table) -> pa.Table:
-        empty = pa.table({key_col: pa.array([], pa.int64()),
-                          "__ts": pa.array([], pa.int64()),
-                          "__step": pa.array([], pa.int64()),
-                          "__part": pa.array([], pa.int64())})
-        if batch.num_rows == 0:
-            return empty
+        # zero-row / zero-match batches flow through the generic path
+        # so the emitted schema (incl. the key's real type) is
+        # block-invariant; keys may be int or string (_hash_col_np)
         et = batch.column(type_col)
         step_no = pa.nulls(batch.num_rows, pa.int64())
         for i, s in enumerate(steps):
             step_no = pc.if_else(pc.equal(et, s),
                                  pa.scalar(i, pa.int64()), step_no)
         keep = pc.is_valid(step_no)
-        if not pc.any(keep).as_py():
-            return empty
         t = batch.filter(keep)
         step_no = step_no.filter(keep)
         k = t.column(key_col).to_numpy(zero_copy_only=False)
-        part = (_mix64(k.astype(np.int64))
+        part = (_hash_col_np(k)
                 % np.uint64(num_partitions)).astype(np.int64)
         return pa.table({
             key_col: t.column(key_col),
