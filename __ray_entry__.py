@@ -1538,6 +1538,18 @@ def _q_events_cm_counts(sf_dir: str):
                      "approx_count": pa.array(est, pa.int64())})
 
 
+def _q_events_quantiles_by_type_approx(sf_dir: str):
+    """Hot-group-safe APPROXIMATE per-type quantiles (bounded
+    per-group shuffle volume) — ``ops.sketch.group_quantiles_approx``.
+    Rows-only: approximate quantiles have no exact SQL twin; the rank
+    error bound is pytest-checked."""
+    from torray.ops.sketch import group_quantiles_approx
+
+    return group_quantiles_approx(_read(sf_dir, "events"),
+                                  "event_type", "value",
+                                  [0.25, 0.5, 0.75])
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1655,6 +1667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
+        "events_quantiles_by_type_approx":
+            _q_events_quantiles_by_type_approx,
         "events_users_per_type": _q_events_users_per_type,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_repetition": _q_docs_repetition,

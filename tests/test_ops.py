@@ -3057,3 +3057,34 @@ def test_funnel_steps_string_keys(ray_session):
     out = (funnel_steps(ds, ["a", "b", "c"]).to_pandas()
            .set_index("step")["users"].sort_index())
     assert list(out) == [2, 1, 1]
+
+
+def test_group_quantiles_approx_error_bound(ray_session):
+    import ray
+
+    from torray.ops.sketch import group_quantiles_approx
+
+    rng = np.random.default_rng(67)
+    n = 300_000
+    g = rng.integers(1, 4, n)
+    g[:150_000] = 0  # hot group spread over many blocks
+    v = rng.normal(100, 20, n)
+    v[rng.random(n) < 0.005] = np.nan  # NaNs dropped
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(g, pa.int64()),
+        "v": pa.array(v, pa.float64())})).repartition(24)
+    qs = [0.1, 0.5, 0.9]
+    out = group_quantiles_approx(ds, "g", "v", qs,
+                                 block_cap=256).to_pandas()
+    assert len(out) == 4 * len(qs)
+    for gi in np.unique(g):
+        vals = np.sort(v[(g == gi) & ~np.isnan(v)])
+        for q in qs:
+            got = out[(out["g"] == gi) & (out["q"] == q)]["value"].iloc[0]
+            rank = np.searchsorted(vals, got) / len(vals)
+            # 24 blocks x (rows_in_block/256) rank error <= ~24/256
+            assert abs(rank - q) < 0.02, (gi, q, rank)
+    # empty input -> empty result, no crash
+    empty = ray.data.from_arrow(pa.table({
+        "g": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}))
+    assert group_quantiles_approx(empty, "g", "v", qs).count() == 0

@@ -27,7 +27,8 @@ __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "exact_quantiles_cont", "exact_mad", "group_quantiles",
            "group_quantiles_cont",
            "exact_distinct_by", "group_standardize",
-           "count_min_sketch", "count_min_estimate"]
+           "count_min_sketch", "count_min_estimate",
+           "group_quantiles_approx"]
 
 
 def _hash_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -778,3 +779,120 @@ def count_min_estimate(sketch: np.ndarray,
     idx = _cm_rows(h, width, depth)
     ests = np.stack([sketch[i][idx[i]] for i in range(depth)])
     return ests.min(axis=0)
+
+
+def group_quantiles_approx(ds, group_col: str, col: str, quantiles, *,
+                           block_cap: int = 512,
+                           num_partitions: int = 64):
+    """APPROXIMATE per-group quantiles in long format ``(group, q,
+    value)`` — the hot-group companion to :func:`group_quantiles`:
+    that op is exact but requires a group's VALUES to fit in one task;
+    this one bounds per-group shuffle volume at ``block_cap`` weighted
+    points per block (strided cumulative-weight compression, the same
+    scheme as :func:`approx_quantiles`), so a group hotter than a task
+    still works.  Rank error per group is bounded by ~rows_in_block /
+    block_cap summed over that group's blocks (≤ group_rows /
+    block_cap overall).
+
+    Scale shape: block partials emit (group, value, weight) rows —
+    ≤ ``block_cap`` per group per block, with only runs LONGER than
+    the cap paying a Python compression call (≤ rows/cap of them);
+    ONE hash(group) partition shuffle; the final fold is a lexsort +
+    banded ``np.searchsorted`` weighted-rank pick — one Python call
+    per PARTITION, never per group.  Partial volume per group is
+    blocks × block_cap; at extreme block counts insert a tree-merge
+    round (documented extension, not silently assumed)."""
+    from torray.ops.window import _hash_col_np
+
+    qs = np.asarray([float(q) for q in quantiles], np.float64)
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~np.isnan(v)
+        g, v = g[ok], v[ok]
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g[1:] != g[:-1]))) if len(g) else \
+            np.empty(0, np.int64)
+        lens = np.diff(np.append(starts, len(g)))
+        keep_idx = []
+        wts = []
+        for si, ln in zip(starts, lens):
+            if ln <= block_cap:
+                keep_idx.append(np.arange(si, si + ln))
+                wts.append(np.ones(ln))
+            else:
+                run = v[si:si + ln]
+                kv, kw = _compress_weighted(run, np.ones(ln),
+                                            block_cap)
+                # indices of the kept points within the run
+                pos = np.searchsorted(
+                    np.cumsum(np.ones(ln)), np.cumsum(kw))
+                keep_idx.append(si + np.minimum(pos, ln - 1))
+                wts.append(kw)
+        if keep_idx:
+            idx = np.concatenate(keep_idx)
+            w = np.concatenate(wts)
+        else:
+            idx = np.empty(0, np.int64)
+            w = np.empty(0, np.float64)
+        gk = g[idx]
+        part = (_hash_col_np(gk)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(gk, gtype),
+            "__v": pa.array(v[idx], pa.float64()),
+            "__w": pa.array(w, pa.float64()),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    empty_out = pa.table({group_col: pa.array([], gtype),
+                          "q": pa.array([], pa.float64()),
+                          "value": pa.array([], pa.float64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        v = group.column("__v").to_numpy(zero_copy_only=False)
+        w = group.column("__w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        g, v, w = g[order], v[order], w[order]
+        n = len(g)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g[1:] != g[:-1])))
+        lens = np.diff(np.append(starts, n))
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64),
+                           lens)
+        cum = np.cumsum(w)
+        run_off = np.concatenate(([0.0], cum[starts[1:] - 1]))
+        cw = cum - run_off[run_id]          # within-run cum weight
+        totals = np.add.reduceat(w, starts)
+        # banded weighted-rank pick: lift within-run cum weights into
+        # disjoint bands, one global searchsorted for ALL (group, q)
+        stride = float(totals.max()) + 1.0
+        bands = np.arange(len(starts), dtype=np.float64) * stride
+        cw_banded = cw + bands[run_id]
+        # smallest point with cum weight >= q * total (per run)
+        targets = (qs[None, :] * totals[:, None]
+                   + bands[:, None]).ravel()
+        idx = np.searchsorted(cw_banded, targets, side="left")
+        ends = np.append(starts[1:], n) - 1
+        idx = np.minimum(idx, np.repeat(ends, len(qs)))
+        take = pa.array(order[np.repeat(starts, len(qs))], pa.int64())
+        import pyarrow.compute as pc
+
+        return pa.table({
+            group_col: pc.take(group.column(group_col), take),
+            "q": pa.array(np.tile(qs, len(starts)), pa.float64()),
+            "value": pa.array(v[idx], pa.float64()),
+        })
+
+    return (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(fold, batch_format="pyarrow"))
