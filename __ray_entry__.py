@@ -1550,6 +1550,42 @@ def _q_events_quantiles_by_type_approx(sf_dir: str):
                                   [0.25, 0.5, 0.75])
 
 
+def _q_events_asof_forward(sf_dir: str,
+                           salt_range_s: int | None = None):
+    """Forward as-of join (next purchase at-or-after each event) —
+    ``ops.window.asof_join(direction='forward')``."""
+    import ray.data
+
+    from torray.ops.window import asof_join
+
+    ev = _read(sf_dir, "events")
+    pur = (ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"),
+                                    "purchase")),
+        batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .aggregate(ray.data.aggregate.Max("event_id")))
+    pur = pur.map_batches(
+        lambda t: pa.table({"p_user": t.column("user_id"),
+                            "p_ts": t.column("ts"),
+                            "purchase_id": t.column("max(event_id)")}),
+        batch_format="pyarrow")
+    joined = asof_join(ev, pur, left_key="user_id", right_key="p_user",
+                       left_ts="ts", right_ts="p_ts",
+                       right_value_cols=["purchase_id"],
+                       num_partitions=4, direction="forward",
+                       salt_range_s=salt_range_s)
+    return joined.map_batches(
+        lambda t: t.select(["event_id", "purchase_id"]),
+        batch_format="pyarrow")
+
+
+def _q_events_asof_forward_salted(sf_dir: str):
+    """Hot-key time-range-salted forward as-of — must be row-identical
+    to the unsalted plan, same oracle."""
+    return _q_events_asof_forward(sf_dir, salt_range_s=86400)
+
+
 def _q_crawl_counts(sf_dir: str):
     """The eight SpiderStats numbers (A1-A3) as a one-row table."""
     import ray
@@ -1661,6 +1697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroids": _q_emb_centroids,
         "events_json_field": _q_events_json_field,
         "events_zscore": _q_events_zscore,
+        "events_asof_forward": _q_events_asof_forward,
+        "events_asof_forward_salted": _q_events_asof_forward_salted,
         "events_funnel": _q_events_funnel,
         "events_hourly_users": _q_events_hourly_users,
         "events_cohorts": _q_events_cohorts,
@@ -2461,6 +2499,21 @@ def oracle_sql() -> dict[str, str]:
             "THEN NULL ELSE (CAST(e.sv AS DOUBLE) - g.s / g.n) "
             "/ sqrt(g.q / g.n - (g.s / g.n) * (g.s / g.n)) END AS z "
             "FROM e JOIN g USING (event_type)"
+        ),
+        "events_asof_forward": (
+            "SELECT e.event_id, p.purchase_id FROM events e "
+            "ASOF LEFT JOIN (SELECT user_id, ts, "
+            "max(event_id) AS purchase_id FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) p "
+            "ON e.user_id = p.user_id AND e.ts <= p.ts"
+        ),
+        # the salted plan must be row-identical — same oracle
+        "events_asof_forward_salted": (
+            "SELECT e.event_id, p.purchase_id FROM events e "
+            "ASOF LEFT JOIN (SELECT user_id, ts, "
+            "max(event_id) AS purchase_id FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) p "
+            "ON e.user_id = p.user_id AND e.ts <= p.ts"
         ),
         # per-label centroid: scaled int64 micro sums are exact on
         # both sides; centroid is the ONE float64 division both

@@ -3088,3 +3088,50 @@ def test_group_quantiles_approx_error_bound(ray_session):
     empty = ray.data.from_arrow(pa.table({
         "g": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}))
     assert group_quantiles_approx(empty, "g", "v", qs).count() == 0
+
+
+def test_asof_join_forward_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from torray.ops.window import asof_join
+
+    rng = np.random.default_rng(71)
+    nl, nr = 2000, 400
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 40, nl), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**6, nl), pa.timestamp("us")),
+        "lid": pa.array(np.arange(nl), pa.int64()),
+    })
+    # unique right per (k, ts)
+    rk = rng.integers(0, 40, nr)
+    rts = rng.integers(0, 10**6, nr)
+    rdf = (pd.DataFrame({"k": rk, "rts": rts})
+           .drop_duplicates(["k", "rts"]).reset_index(drop=True))
+    rdf["rid"] = np.arange(len(rdf))
+    right = pa.table({
+        "k": pa.array(rdf["k"].to_numpy(), pa.int64()),
+        "rts": pa.array(rdf["rts"].to_numpy(), pa.timestamp("us")),
+        "rid": pa.array(rdf["rid"].to_numpy(), pa.int64()),
+    })
+    lds = ray.data.from_arrow(left).repartition(5)
+    rds = ray.data.from_arrow(right).repartition(3)
+    for salt in (None, 1):  # salt=1s forces many ranges + carries
+        out = asof_join(lds, rds, left_key="k", right_key="k",
+                        left_ts="ts", right_ts="rts",
+                        right_value_cols=["rid"], num_partitions=8,
+                        direction="forward", salt_range_s=salt)
+        got = (out.to_pandas()[["lid", "rid"]]
+               .sort_values("lid").reset_index(drop=True))
+        ldf = left.to_pandas()
+        ldf["tus"] = ldf["ts"].astype("int64")
+        want = []
+        for _, r in ldf.iterrows():
+            cand = rdf[(rdf["k"] == r["k"]) & (rdf["rts"] >= r["tus"])]
+            want.append(cand.sort_values("rts")["rid"].iloc[0]
+                        if len(cand) else np.nan)
+        a = got.sort_values("lid")["rid"].to_numpy(dtype=float,
+                                                   na_value=np.nan)
+        b = np.array(want, dtype=float)[np.argsort(
+            ldf["lid"].to_numpy())]
+        assert np.array_equal(a, b, equal_nan=True), salt

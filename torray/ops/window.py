@@ -1084,9 +1084,18 @@ def sessionize(events_ds, *, gap_s: int = 1800,
 
 def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_ts: str, right_ts: str, right_value_cols: list[str],
-              num_partitions: int = 64, salt_range_s: int | None = None):
+              num_partitions: int = 64, salt_range_s: int | None = None,
+              direction: str = "backward"):
     """As-of LEFT join: for each left row, the right row with the same
     key and the greatest ``right_ts`` <= ``left_ts`` (nulls when none).
+
+    ``direction="forward"`` flips the match to the SMALLEST
+    ``right_ts`` >= ``left_ts`` (next-event-after semantics, equality
+    inclusive) by negating both timestamp tags — the entire backward
+    machinery (run-scan merge, salted carry rows) is reused unchanged,
+    since forward-asof on ts is exactly backward-asof on -ts.  Output
+    columns (including the left ts) are untouched; only the internal
+    ``__ts``/``__salt`` tags negate.
 
     Expressed Ray-Data-first: tag both sides, union them (schema-
     aligned), then the partition RUN-SCAN shape (see
@@ -1117,6 +1126,10 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     (ties at equal ts would otherwise be resolved by arrival order,
     which is partitioning-dependent)."""
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    _sign = -1 if direction == "forward" else 1
+
     range_us = (salt_range_s * 1_000_000) if salt_range_s else None
 
     def _salt_of(ts_arr: pa.Array) -> pa.Array:
@@ -1126,6 +1139,8 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
     def tag_left(t: pa.Table) -> pa.Table:
         ts = t.column(left_ts).cast(pa.int64())
+        if _sign < 0:
+            ts = pc.multiply(ts, pa.scalar(-1, pa.int64()))
         cols = {
             "__key": t.column(left_key).cast(pa.int64()),
             "__ts": ts,
@@ -1165,6 +1180,8 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
     def tag_right(t: pa.Table) -> pa.Table:
         ts = t.column(right_ts).cast(pa.int64())
+        if _sign < 0:
+            ts = pc.multiply(ts, pa.scalar(-1, pa.int64()))
         return _right_rows_table(
             t.column(right_key).cast(pa.int64()), ts, _salt_of(ts),
             {name: t.column(name) for name in right_value_cols},
@@ -1205,6 +1222,8 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
         # is the measured multi-column-groupby pathology).
         def left_presence(t: pa.Table) -> pa.Table:
             ts = t.column(left_ts).cast(pa.int64())
+            if _sign < 0:  # forward mode salts in negated-ts space
+                ts = pc.multiply(ts, pa.scalar(-1, pa.int64()))
             nt = pa.table({"__key": t.column(left_key).cast(pa.int64()),
                            "__salt": _salt_of(ts)})
             nt = pa.TableGroupBy(nt, ["__key", "__salt"]).aggregate(
