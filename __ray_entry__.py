@@ -21,6 +21,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 _CACHE_ROOT = "/tmp/torray_cache_v2"  # v2: frontier schema gained retries
