@@ -41,18 +41,14 @@ def _hash_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return fnv1a64_strings(col)
 
 
-def hll_registers(hashes: np.ndarray, b: int = 12) -> np.ndarray:
-    """Fold uint64 hashes into a 2^b uint8 register array: register
-    index = top b bits, value = max(leading-zero run of the remaining
-    64-b bits + 1).  Fully vectorized (bit ops + ``np.maximum.at``)."""
-    m = 1 << b
-    reg = np.zeros(m, np.uint8)
-    if hashes.size == 0:
-        return reg
+def _hll_idx_rho(hashes: np.ndarray, b: int) -> tuple[np.ndarray,
+                                                       np.ndarray]:
+    """(register index, rho) pairs for uint64 hashes: index = top b
+    bits, rho = leading-zero run of the remaining 64-b bits + 1.
+    Fully vectorized (exact bit loop — the float64 exponent trick is
+    lossy)."""
     idx = (hashes >> np.uint64(64 - b)).astype(np.int64)
     w = (hashes << np.uint64(b)) | np.uint64((1 << b) - 1)  # sentinel
-    # leading zeros of w via float64 exponent trick is lossy; use the
-    # exact bit loop over 64-b positions in vector form instead:
     rho = np.ones(hashes.size, np.uint8)
     mask = np.uint64(1) << np.uint64(63)
     cur = w
@@ -64,8 +60,33 @@ def hll_registers(hashes: np.ndarray, b: int = 12) -> np.ndarray:
         if not alive.any():
             break
         cur = cur << np.uint64(1)
+    return idx, rho
+
+
+def hll_registers(hashes: np.ndarray, b: int = 12) -> np.ndarray:
+    """Fold uint64 hashes into a 2^b uint8 register array: register
+    index = top b bits, value = max(leading-zero run of the remaining
+    64-b bits + 1).  Fully vectorized (bit ops + ``np.maximum.at``)."""
+    m = 1 << b
+    reg = np.zeros(m, np.uint8)
+    if hashes.size == 0:
+        return reg
+    idx, rho = _hll_idx_rho(hashes, b)
     np.maximum.at(reg, idx, rho)
     return reg
+
+
+def _hll_estimate_rows(reg: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimates for a (k, m) register matrix — the
+    vectorized twin of :func:`hll_estimate` (same alpha, same
+    linear-counting correction), one numpy pass for ALL groups."""
+    k, m = reg.shape
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else \
+        {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.exp2(-reg.astype(np.float64)).sum(axis=1)
+    zeros = (reg == 0).sum(axis=1)
+    lc = m * np.log(m / np.maximum(zeros, 1))
+    return np.where((est <= 2.5 * m) & (zeros > 0), lc, est)
 
 
 def hll_estimate(reg: np.ndarray) -> float:
@@ -102,43 +123,75 @@ def approx_distinct(ds, col: str, b: int = 12) -> int:
 
 
 def approx_distinct_by(ds, group_col: str, col: str, b: int = 12,
-                       out_col: str = "approx_distinct"):
+                       out_col: str = "approx_distinct",
+                       num_partitions: int = 64):
     """Approximate COUNT(DISTINCT col) PER GROUP -> Dataset
     ``(group_col, approx_distinct)``.
 
     Per batch, values fold into one register row per (group, block) —
-    so the groupby shuffle carries ``2^b``-byte sketch rows bounded by
-    groups x blocks, never the raw values; a ``map_groups`` pass
-    merges registers with an elementwise max and estimates.  The same
-    register-merge shape every warehouse engine uses for grouped
-    approx_count_distinct."""
+    the shuffle carries ``2^b``-byte sketch rows bounded by groups x
+    blocks, never the raw values.  FULLY vectorized at every stage
+    (the 10^7-group bar every grouped op here meets): the block fold
+    scatters ALL groups at once into a (groups, 2^b) matrix with ONE
+    2-D ``np.maximum.at`` and emits it as a fixed-size-binary column
+    via a single buffer copy; the merge is a partition RUN-SCAN
+    (hash(group) partitions, lexsort + ``np.maximum.reduceat`` over
+    the stacked register matrix) with row-wise vectorized estimates —
+    never a Python call per group on either side."""
+    from torray.ops.window import _ds_field_type, _hash_col_np
+
+    m = 1 << b
+    gtype = _ds_field_type(ds, group_col)
 
     def fold(batch: pa.Table) -> pa.Table:
         keys = batch.column(group_col).to_numpy(zero_copy_only=False)
         hashes = _hash_values(batch.column(col))
         uniq, inv = np.unique(keys, return_inverse=True)
-        regs = []
-        for gi in range(len(uniq)):
-            regs.append(hll_registers(hashes[inv == gi], b).tobytes())
+        reg2d = np.zeros((len(uniq), m), np.uint8)
+        if hashes.size:
+            idx, rho = _hll_idx_rho(hashes, b)
+            np.maximum.at(reg2d, (inv, idx), rho)
+        regs = pa.Array.from_buffers(
+            pa.binary(m), len(uniq),
+            [None, pa.py_buffer(np.ascontiguousarray(reg2d).tobytes())])
+        part = (_hash_col_np(uniq)
+                % np.uint64(num_partitions)).astype(np.int64)
         return pa.table({
-            group_col: pa.array(uniq, type=batch.schema.field(
-                group_col).type),
-            "__reg": pa.array(regs, pa.binary()),
+            group_col: pa.array(uniq, type=gtype),
+            "__reg": regs,
+            "__part": pa.array(part, pa.int64()),
         })
 
+    empty_out = pa.table({group_col: pa.array([], gtype),
+                          out_col: pa.array([], pa.int64())})
+
     def merge(group: pa.Table) -> pa.Table:
-        reg = np.zeros(1 << b, np.uint8)
-        for buf in group.column("__reg").to_pylist():
-            np.maximum(reg, np.frombuffer(buf, np.uint8), out=reg)
+        if group.num_rows == 0:
+            return empty_out
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        col_reg = group.column("__reg")
+        if isinstance(col_reg, pa.ChunkedArray):
+            col_reg = col_reg.combine_chunks()
+        buf = np.frombuffer(col_reg.buffers()[1], np.uint8)
+        mat = buf[col_reg.offset * m:
+                  (col_reg.offset + len(col_reg)) * m].reshape(-1, m)
+        order = np.argsort(g, kind="stable")
+        g, mat = g[order], mat[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g[1:] != g[:-1])))
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        est = np.round(_hll_estimate_rows(merged)).astype(np.int64)
+        take = pa.array(order[starts], pa.int64())
+        import pyarrow.compute as pc
+
         return pa.table({
-            group_col: group.column(group_col).slice(0, 1),
-            out_col: pa.array([int(round(hll_estimate(reg)))],
-                              pa.int64()),
+            group_col: pc.take(group.column(group_col), take),
+            out_col: pa.array(est, pa.int64()),
         })
 
     return (ds.select_columns([group_col, col])
             .map_batches(fold, batch_format="pyarrow")
-            .groupby(group_col)
+            .groupby("__part")
             .map_groups(merge, batch_format="pyarrow"))
 
 

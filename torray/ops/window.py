@@ -912,6 +912,19 @@ def _lag_join_fixup(partials, bounds_ds, id_col: str,
             .map_groups(attach_partition, batch_format="pyarrow"))
 
 
+def _ds_field_type(ds, col: str) -> "pa.DataType":
+    """Arrow type of a Dataset column, robust to pandas-block schemas
+    (``base_schema`` is only a ``pa.Schema`` for Arrow blocks; pandas
+    object columns report ``object`` and resolve to ``pa.string()``,
+    the only object dtype these ops accept)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.field(col).type
+    t = dict(zip(sch.names, sch.types)).get(col)
+    return t if isinstance(t, pa.DataType) else pa.string()
+
+
 def _hash_col_np(arr: np.ndarray) -> np.ndarray:
     """uint64 hash of a numpy key column (int-like via splitmix64,
     anything else via the vectorized FNV string fold)."""
