@@ -1607,6 +1607,36 @@ def _q_crawl_seen(sf_dir: str):
     return crawler.seen_snapshot_ds()
 
 
+def _q_docs_inverted_index(sf_dir: str):
+    """Inverted index over the documents table: per lowercase word
+    term with df >= 5, its document frequency and ascending doc-id
+    posting list — ``ops.text.inverted_index`` (distinct-pair block
+    combiner, ONE narrow (term, doc_id) shuffle, one lexsort + one
+    join per term inside the partition)."""
+    from torray.ops.text import inverted_index
+
+    return inverted_index(_read(sf_dir, "documents"), min_df=5)
+
+
+def _q_events_resample(sf_dir: str):
+    """Gap-filled hourly resample per event type (count + sum_cents,
+    explicit zero rows for empty hours between each type's first and
+    last event) — ``ops.window.resample`` (per-block Arrow partials,
+    one key-hashed shuffle, vectorized dense-grid fill)."""
+    from torray.ops.window import resample
+
+    return resample(_read(sf_dir, "events"), width_s=3600)
+
+
+def _q_events_type_share(sf_dir: str):
+    """Per-event-type share of total value (SQL ratio-to-report
+    window) — ``ops.rollup.group_share`` (exact int64-cent sums;
+    share = one mirrored float64 division)."""
+    from torray.ops.rollup import group_share
+
+    return group_share(_read(sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1722,6 +1752,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "media_features": _q_media_features,
         "media_image_features": _q_media_image_features,
+        "docs_inverted_index": _q_docs_inverted_index,
+        "events_resample": _q_events_resample,
+        "events_type_share": _q_events_type_share,
         "docs_curation": _q_docs_curation,
         "crawl_scan": _q_crawl_scan,
         "crawl_bfs": _q_crawl_bfs,
@@ -2576,5 +2609,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, term) AS rn FROM scored) "
             "WHERE rn <= 3"
+        ),
+        # inverted index: distinct (doc, term) pairs, df floor, and
+        # the ascending doc-id posting list (ORDER BY doc_id is
+        # numeric on both engines; torray sorts the int64 ids before
+        # joining)
+        "docs_inverted_index": (
+            "WITH tok AS (SELECT DISTINCT * FROM ("
+            "SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z'']+')) "
+            "AS term FROM documents)) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' "
+            "ORDER BY doc_id) AS postings "
+            "FROM tok GROUP BY term HAVING count(*) >= 5"
+        ),
+        # gap-filled hourly resample: generate_series fills each
+        # type's [min, max] window range; zero rows for empty hours
+        "events_resample": (
+            "WITH agg AS (SELECT event_type, "
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w, "
+            "count(*) AS n, CAST(sum(CAST(round(value * 100) "
+            "AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY 1, 2), "
+            "bounds AS (SELECT event_type, min(w) AS w0, max(w) AS w1 "
+            "FROM agg GROUP BY 1), "
+            "grid AS (SELECT event_type, unnest(generate_series(w0, w1)) "
+            "AS w FROM bounds) "
+            'SELECT g.event_type, g.w AS "window", '
+            "CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events, "
+            "CAST(COALESCE(a.s, 0) AS BIGINT) AS sum_cents "
+            "FROM grid g LEFT JOIN agg a "
+            "ON g.event_type = a.event_type AND g.w = a.w"
+        ),
+        # ratio-to-total: share = one float64 division over the same
+        # exact int64 cent sums on both engines (bit-identical)
+        "events_type_share": (
+            "WITH s AS (SELECT event_type, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents FROM events GROUP BY 1) "
+            "SELECT event_type, sum_cents, "
+            "CAST(sum_cents AS DOUBLE) / "
+            "CAST((SELECT sum(sum_cents) FROM s) AS DOUBLE) AS share "
+            "FROM s"
         ),
     }

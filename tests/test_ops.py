@@ -3135,3 +3135,109 @@ def test_asof_join_forward_matches_pandas(ray_session):
         b = np.array(want, dtype=float)[np.argsort(
             ldf["lid"].to_numpy())]
         assert np.array_equal(a, b, equal_nan=True), salt
+
+
+def test_inverted_index_matches_pandas(ray_session):
+    import re
+
+    import ray
+
+    from torray.ops.text import inverted_index
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "it's", "Zeta"]
+    texts, rows = [], []
+    for i in range(300):
+        words = rng.choice(vocab, rng.integers(1, 8))
+        texts.append(" ".join(words) + " filler9 .")
+        rows.append(i)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rows, pa.int64()),
+        "text": pa.array(texts)})).repartition(6)
+    got = inverted_index(ds, min_df=3).to_pandas().set_index("term")
+
+    word_re = re.compile(r"[A-Za-z']+")
+    ref: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        for w in set(word_re.findall(t.lower())):
+            ref.setdefault(w, set()).add(i)
+    ref = {w: ids for w, ids in ref.items() if len(ids) >= 3}
+    assert set(got.index) == set(ref)
+    for w, ids in ref.items():
+        assert got.loc[w, "df"] == len(ids)
+        assert got.loc[w, "postings"] == ",".join(
+            str(x) for x in sorted(ids))
+
+
+def test_resample_gap_fill_exact(ray_session):
+    import ray
+
+    from torray.ops.window import resample
+
+    rng = np.random.default_rng(43)
+    n = 4000
+    # sparse hours: each key only hits scattered hours in a 500-hour
+    # span, so the grid must invent the zero rows in between
+    keys = rng.choice(["a", "b", "c"], n)
+    hours = rng.choice(np.arange(500) * 13 % 500, n)  # gappy
+    ts = (hours.astype(np.int64) * 3600 + rng.integers(0, 3600, n)
+          ) * 1_000_000
+    vals = np.round(rng.normal(0, 40, n), 2)
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(keys),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array(vals, pa.float64())})).repartition(7)
+    out = resample(ds, width_s=3600).to_pandas()
+
+    cents = np.copysign(np.floor(np.abs(vals) * 100 + 0.5),
+                        vals).astype(np.int64)
+    for k in "abc":
+        m = keys == k
+        h = hours[m].astype(np.int64)
+        w0, w1 = h.min(), h.max()
+        sub = out[out["event_type"] == k].sort_values("window")
+        assert list(sub["window"]) == list(range(w0, w1 + 1))
+        want_n = np.bincount(h - w0, minlength=w1 - w0 + 1)
+        want_s = np.bincount(h - w0, weights=cents[m],
+                             minlength=w1 - w0 + 1).astype(np.int64)
+        assert (sub["n_events"].to_numpy() == want_n).all()
+        assert (sub["sum_cents"].to_numpy() == want_s).all()
+    # zero rows really exist
+    assert (out["n_events"] == 0).any()
+
+
+def test_resample_grid_cap_raises(ray_session):
+    import ray
+
+    from torray.ops.window import resample
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a"]),
+        "ts": pa.array([0, 10_000 * 3_600_000_000],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0], pa.float64())}))
+    with pytest.raises(Exception, match="max_windows_per_group"):
+        resample(ds, width_s=3600,
+                 max_windows_per_group=100).to_pandas()
+
+
+def test_group_share_exact(ray_session):
+    import ray
+
+    from torray.ops.rollup import group_share
+
+    rng = np.random.default_rng(47)
+    n = 5000
+    keys = rng.choice(["x", "y", "z", "w"], n)
+    vals = np.round(rng.normal(10, 5, n), 2)
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(keys),
+        "value": pa.array(vals, pa.float64())})).repartition(9)
+    out = group_share(ds).to_pandas().set_index("event_type")
+    cents = np.copysign(np.floor(np.abs(vals) * 100 + 0.5),
+                        vals).astype(np.int64)
+    total = cents.sum()
+    for k in "xyzw":
+        want = cents[keys == k].sum()
+        assert out.loc[k, "sum_cents"] == want
+        assert out.loc[k, "share"] == np.float64(want) / np.float64(total)

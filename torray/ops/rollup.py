@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts"]
+__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts", "group_share"]
 
 
 def grouping_sets(ds, keys: list[str], value_col: str,
@@ -170,3 +170,53 @@ def pivot_counts(ds, group_col: str, pivot_col: str,
              for c in t.column_names])
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def group_share(ds, *, key_col: str = "event_type",
+                value_col: str = "value", scale: int = 100):
+    """Per-group share of the global total (SQL ``sum(v) / sum(v)
+    OVER ()``): exact scaled-int64 group sums plus each group's
+    float64 fraction of the grand total.
+
+    Scale shape: per-block Arrow ``group_by`` partials (raw rows never
+    leave their block), then ONE single-partition fold over the
+    groups x blocks partial rows — the same bounded driver-sized
+    reduction as ``rollup``'s grand-total row, valid because the
+    partial set is groups-bounded, not data-bounded.  ``share`` is
+    one float64 division over the exact int sums, mirrored token for
+    token by the SQL oracle (bit-identical).  Output: (key_col,
+    sum_cents, share).
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column(value_col), float(scale)),
+                     round_mode="half_towards_infinity"),
+            pa.int64())
+        sub = pa.table({key_col: t.column(key_col), "c": cents})
+        agg = sub.group_by([key_col]).aggregate([("c", "sum")])
+        return pa.table({key_col: agg.column(key_col),
+                         "s": agg.column("c_sum").cast(pa.int64()),
+                         "__one": pa.array(
+                             np.zeros(agg.num_rows, np.int64))})
+
+    def fold(group: pa.Table) -> pa.Table:
+        key_type = group.schema.field(key_col).type
+        if group.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_type),
+                             "sum_cents": pa.array([], pa.int64()),
+                             "share": pa.array([], pa.float64())})
+        agg = (group.select([key_col, "s"])
+               .group_by([key_col]).aggregate([("s", "sum")]))
+        sc = agg.column("s_sum").to_numpy(zero_copy_only=False)
+        total = np.int64(sc.sum())
+        share = sc.astype(np.float64) / np.float64(total)
+        return pa.table({key_col: agg.column(key_col),
+                         "sum_cents": pa.array(sc, pa.int64()),
+                         "share": pa.array(share, pa.float64())})
+
+    return (ds.select_columns([key_col, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__one")
+            .map_groups(fold, batch_format="pyarrow"))

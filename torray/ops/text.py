@@ -37,6 +37,7 @@ __all__ = [
     "bigram_lm_scores",
     "json_field_batch",
     "json_field",
+    "inverted_index",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1252,3 +1253,78 @@ def json_field(ds, key: str, *, col: str = "props",
         lambda b: json_field_batch(b, key, col=col, id_col=id_col,
                                    dtype=dtype),
         batch_format="pyarrow")
+
+
+def inverted_index(docs_ds, *, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 5,
+                   num_partitions: int = 64):
+    """Distributed inverted index (search posting lists): per lowercase
+    word term, its document frequency and the comma-joined ascending
+    doc-id posting list, restricted to terms with ``df >= min_df``.
+
+    Scale shape: the per-block partial emits DISTINCT (term, doc_id)
+    pairs (per-doc ``np.unique``, the same combiner as
+    ``term_doc_frequency``) so repeated in-doc terms never leave their
+    block; the ONE shuffle carries those narrow pairs hash-partitioned
+    by term.  Inside each coarse partition a single lexsort groups
+    every term's ids and the posting strings are built with one
+    ``str.join`` per term — bounded Python (one call per emitted term
+    over in-memory slices, never a Ray task per key; same contract as
+    ``orderagg.group_string_agg``).  A term's posting list must fit in
+    a task: index terms above the ``min_df`` floor but cap pathological
+    stopword terms upstream (e.g. drop df > n_docs/2 terms post-hoc)
+    if whole-corpus terms matter.  Output: (term, df, postings).
+    """
+    from torray.ops.window import _hash_col_np
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        terms, out_ids = [], []
+        for i, txt in enumerate(texts):
+            if not txt:
+                continue
+            u = np.unique(_WORD_RE.findall(txt.lower()))
+            if len(u):
+                terms.append(u)
+                out_ids.append(np.full(len(u), ids[i], np.int64))
+        if not terms:
+            return pa.table({"term": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        tm = np.concatenate(terms)
+        di = np.concatenate(out_ids)
+        part = (_hash_col_np(tm)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({"term": pa.array(tm, pa.string()),
+                         id_col: pa.array(di, pa.int64()),
+                         "__part": pa.array(part, pa.int64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "postings": pa.array([], pa.string())})
+        if group.num_rows == 0:
+            return empty
+        tm = group.column("term").to_numpy(zero_copy_only=False)
+        di = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((di, tm))
+        tms, dis = tm[order], di[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], tms[1:] != tms[:-1])))
+        bounds = np.append(starts, len(tms))
+        dfs = np.diff(bounds)
+        keep = dfs >= min_df
+        if not keep.any():
+            return empty
+        s, b, d = starts[keep], bounds[1:][keep], dfs[keep]
+        dstr = dis.astype(str)
+        postings = [",".join(dstr[s[i]:b[i]]) for i in range(len(s))]
+        return pa.table({"term": pa.array(tms[s], pa.string()),
+                         "df": pa.array(d, pa.int64()),
+                         "postings": pa.array(postings, pa.string())})
+
+    return (docs_ds.select_columns([id_col, text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))

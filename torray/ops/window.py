@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "interval_join", "running_total", "lag_delta", "moving_agg",
-           "lead_delta"]
+           "lead_delta", "resample"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -2202,3 +2202,114 @@ def cohort_retention(events_ds, *, key_col: str = "user_id",
             .map_groups(scan_keys, batch_format="pyarrow")
             .groupby("__part2")
             .map_groups(fold_cells, batch_format="pyarrow"))
+
+
+def resample(events_ds, *, key_col: str = "event_type",
+             ts_col: str = "ts", value_col: str = "value",
+             width_s: int = 3600, scale: int = 100,
+             num_partitions: int = 64,
+             max_windows_per_group: int = 5_000_000):
+    """Gap-filled time-series resample: per key, count + scaled-int sum
+    for EVERY ``width_s`` window between that key's first and last
+    event — missing windows come back as explicit zero rows (the SQL
+    ``generate_series`` + LEFT JOIN idiom).
+
+    Scale shape: each block pre-aggregates (key, window) partials with
+    one Arrow C++ ``group_by`` (raw rows never leave their block; the
+    shuffle carries at most keys x windows-touched narrow rows per
+    block, hash-partitioned by key so a key's whole timeline lands in
+    one partition).  Inside the partition ONE lexsort + ``reduceat``
+    folds cross-block partials and the dense grids are built fully
+    vectorized (repeat/cumsum offsets + one scatter — no per-key
+    Python beyond slice bookkeeping).  Output is linear in the filled
+    span: ``max_windows_per_group`` hard-errors instead of silently
+    materializing a runaway grid for a key spanning decades at
+    second resolution.  Sums are half-away-from-zero scaled int64
+    (``sum_cents`` at the default scale), bit-comparable to SQL.
+    Output: (key_col, window, n_events, sum_cents) where ``window`` =
+    floor(epoch_seconds / width_s).
+    """
+    import pyarrow.compute as _pc
+
+    width_us = np.int64(width_s) * np.int64(1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = ts // width_us
+        cents = _pc.cast(
+            _pc.round(_pc.multiply(t.column(value_col), float(scale)),
+                      round_mode="half_towards_infinity"),
+            pa.int64())
+        sub = pa.table({key_col: t.column(key_col),
+                        "w": pa.array(w, pa.int64()),
+                        "c": cents})
+        agg = (sub.group_by([key_col, "w"])
+               .aggregate([("c", "sum"), ("c", "count")]))
+        kk = agg.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(kk)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({key_col: agg.column(key_col),
+                         "w": agg.column("w"),
+                         "s": agg.column("c_sum").cast(pa.int64()),
+                         "n": agg.column("c_count").cast(pa.int64()),
+                         "__part": pa.array(part, pa.int64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        key_type = group.schema.field(key_col).type
+        if group.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_type),
+                             "window": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_cents": pa.array([], pa.int64())})
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        s = group.column("s").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        k, w, s, n = k[order], w[order], s[order], n[order]
+        # fold cross-block partials of the same (key, window)
+        new = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (w[1:] != w[:-1])))
+        idx = np.flatnonzero(new)
+        kc, wc = k[idx], w[idx]
+        sc = np.add.reduceat(s, idx)
+        nc = np.add.reduceat(n, idx)
+        # per-key runs over the combined rows
+        knew = np.concatenate(([True], kc[1:] != kc[:-1]))
+        kstarts = np.flatnonzero(knew)
+        kends = np.append(kstarts[1:], len(kc))
+        w0 = wc[kstarts]
+        w1 = wc[kends - 1]
+        spans = (w1 - w0 + 1).astype(np.int64)
+        if spans.max(initial=0) > max_windows_per_group:
+            bad = kc[kstarts[int(np.argmax(spans))]]
+            raise ValueError(
+                f"resample grid for key {bad!r} spans {spans.max()} "
+                f"windows > max_windows_per_group="
+                f"{max_windows_per_group}; widen width_s or raise "
+                f"the cap")
+        offsets = np.concatenate(([0], np.cumsum(spans[:-1])))
+        total = int(spans.sum())
+        key_idx = np.repeat(np.arange(len(kstarts)), spans)
+        grid = (np.arange(total, dtype=np.int64)
+                - offsets[key_idx] + w0[key_idx])
+        gn = np.zeros(total, np.int64)
+        gs = np.zeros(total, np.int64)
+        row_key_idx = np.cumsum(knew) - 1
+        pos = offsets[row_key_idx] + (wc - w0[row_key_idx])
+        gn[pos] = nc
+        gs[pos] = sc
+        # idx[kstarts] are positions in the SORTED arrays; map back to
+        # original row positions for the typed Arrow take
+        sorted_take = pa.array(order[idx[kstarts]][key_idx], pa.int64())
+        keys_out = group.column(key_col).take(sorted_take)
+        return pa.table({key_col: keys_out,
+                         "window": pa.array(grid, pa.int64()),
+                         "n_events": pa.array(gn, pa.int64()),
+                         "sum_cents": pa.array(gs, pa.int64())})
+
+    return (events_ds.select_columns([key_col, ts_col, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
