@@ -1637,6 +1637,18 @@ def _q_events_type_share(sf_dir: str):
     return group_share(_read(sf_dir, "events"))
 
 
+def _q_docs_bm25_top10(sf_dir: str):
+    """BM25 lexical retrieval: global top-10 documents for the query
+    {batch, join, stream, window} — ``ops.text.bm25_topk`` (one
+    hit-bounded tokenize pass, driver-side stats/df folds over
+    blocks-bounded partials, per-block top-k partial + single final
+    cut; int-only output, ordering (score DESC, doc_id))."""
+    from torray.ops.text import bm25_topk
+
+    return bm25_topk(_read(sf_dir, "documents"),
+                     ["batch", "join", "stream", "window"], top_k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1753,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_image_features": _q_media_image_features,
         "docs_inverted_index": _q_docs_inverted_index,
+        "docs_bm25_top10": _q_docs_bm25_top10,
         "events_resample": _q_events_resample,
         "events_type_share": _q_events_type_share,
         "docs_curation": _q_docs_curation,
@@ -2609,6 +2622,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, term) AS rn FROM scored) "
             "WHERE rn <= 3"
+        ),
+        # BM25 retrieval: identical float expression tree on both
+        # engines; the compared output is int-only (rank/doc ids/term
+        # and tf counts) with deterministic (score DESC, doc_id) order
+        "docs_bm25_top10": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z'']+')) "
+            "AS term FROM documents), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
+            "n AS (SELECT count(*) AS n_docs, "
+            "CAST(sum(len(regexp_extract_all(lower(text), '[a-z'']+'))) "
+            "AS DOUBLE) / count(*) AS avgdl FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok WHERE term IN ('batch','join','stream','window') "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY 1), "
+            "scored AS (SELECT tf.doc_id, "
+            "ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)) "
+            "* (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) "
+            "/ (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 "
+            "+ 0.75 * CAST(dl.dl AS DOUBLE) / n.avgdl)) AS s, tf.tf "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n) "
+            "SELECT CAST(row_number() OVER (ORDER BY sum(s) DESC, "
+            "doc_id) AS BIGINT) AS rank, doc_id, "
+            "CAST(count(*) AS BIGINT) AS hit_terms, "
+            "CAST(sum(tf) AS BIGINT) AS total_tf "
+            "FROM scored GROUP BY doc_id "
+            "ORDER BY sum(s) DESC, doc_id LIMIT 10"
         ),
         # inverted index: distinct (doc, term) pairs, df floor, and
         # the ascending doc-id posting list (ORDER BY doc_id is

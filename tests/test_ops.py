@@ -3241,3 +3241,51 @@ def test_group_share_exact(ray_session):
         want = cents[keys == k].sum()
         assert out.loc[k, "sum_cents"] == want
         assert out.loc[k, "share"] == np.float64(want) / np.float64(total)
+
+
+def test_bm25_topk_matches_reference(ray_session):
+    import ray
+
+    from torray.ops.text import bm25_topk
+
+    rng = np.random.default_rng(53)
+    vocab = ["alpha", "beta", "gamma", "delta", "pad", "fill", "x"]
+    texts = []
+    for _ in range(400):
+        words = rng.choice(vocab, rng.integers(3, 40))
+        texts.append(" ".join(words))
+    ids = np.arange(400, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts)})).repartition(6)
+    q = ["alpha", "gamma"]
+    got = bm25_topk(ds, q, top_k=15).to_pandas()
+
+    # reference BM25 in plain numpy
+    import re
+    wre = re.compile(r"[A-Za-z']+")
+    docs = [wre.findall(t.lower()) for t in texts]
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    df = {t: sum(1 for d in docs if t in d) for t in q}
+    idf = {t: np.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in q}
+    scores = []
+    for i, d in enumerate(docs):
+        s = 0.0
+        hit, ttf = 0, 0
+        for t in q:
+            tf = d.count(t)
+            if not tf:
+                continue
+            hit += 1
+            ttf += tf
+            s += (idf[t] * (tf * 2.2)
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * len(d) / avgdl)))
+        scores.append((s, i, hit, ttf))
+    scores = [x for x in scores if x[2]]
+    scores.sort(key=lambda x: (-x[0], x[1]))
+    want = scores[:15]
+    assert list(got["doc_id"]) == [x[1] for x in want]
+    assert list(got["hit_terms"]) == [x[2] for x in want]
+    assert list(got["total_tf"]) == [x[3] for x in want]
+    assert list(got["rank"]) == list(range(1, len(want) + 1))

@@ -38,6 +38,7 @@ __all__ = [
     "json_field_batch",
     "json_field",
     "inverted_index",
+    "bm25_topk",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1328,3 +1329,148 @@ def inverted_index(docs_ds, *, text_col: str = "text",
             .map_batches(partial, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def bm25_topk(docs_ds, query_terms: list[str], *, k1: float = 1.2,
+              b: float = 0.75, top_k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Distributed BM25 lexical retrieval: the global top-k documents
+    for a bag-of-words query, scored with Robertson/Sparck-Jones BM25
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation ``k1``,
+    length normalization ``b``).
+
+    Scale shape: ONE tokenize pass over the corpus emits only
+    query-term hits — (doc_id, doc_len, term, tf) rows for matched
+    docs plus a per-block (n_docs, total_len) stats row — and that
+    narrow hit-bounded set is materialized ONCE so the stats fold, the
+    df fold, and the scoring pass reuse it without re-tokenizing the
+    corpus (the materialized volume is bounded by matching docs x
+    query terms, never by the corpus).  Corpus stats and per-term df
+    fold driver-side over blocks-bounded partials; idf is a tiny
+    broadcast closure.  Scoring is one vectorized map, the per-doc sum
+    one narrow groupby, and the global top-k a per-block partial cut
+    followed by a single k x blocks final task (the
+    ``sample_global_k`` pattern) — the full scored set never sorts
+    globally or lands on the driver.  Ordering is (score DESC,
+    doc_id); score floats are the same expression tree both engines
+    evaluate, so the int-only output (rank, doc_id, hit_terms,
+    total_tf) is deterministic up to sub-ULP score collisions of
+    distinct inputs (same acceptance as ``tfidf_top_terms``).
+    Output: (rank, doc_id, hit_terms, total_tf).
+    """
+    qset = sorted({t.lower() for t in query_terms})
+    qarr = np.array(qset)
+    k1 = float(k1)
+    b = float(b)
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        out_id, out_dl, out_term, out_tf = [], [], [], []
+        n_docs = 0
+        total_len = 0
+        for i, txt in enumerate(texts):
+            words = (np.array(_WORD_RE.findall(txt.lower()))
+                     if txt else np.array([], str))
+            n_docs += 1
+            total_len += len(words)
+            if not len(words):
+                continue
+            hit = words[np.isin(words, qarr)]
+            if not len(hit):
+                continue
+            u, c = np.unique(hit, return_counts=True)
+            out_term.append(u)
+            out_tf.append(c)
+            out_id.append(np.full(len(u), ids[i], np.int64))
+            out_dl.append(np.full(len(u), len(words), np.int64))
+        if out_id:
+            tm = np.concatenate(out_term)
+            hits = pa.table({
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "dl": pa.array(np.concatenate(out_dl), pa.int64()),
+                "term": pa.array(tm, pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+                "kind": pa.array(np.zeros(len(tm), np.int64))})
+        else:
+            hits = pa.table({id_col: pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        stats = pa.table({id_col: pa.array([n_docs], pa.int64()),
+                          "dl": pa.array([total_len], pa.int64()),
+                          "term": pa.array([""], pa.string()),
+                          "tf": pa.array([0], pa.int64()),
+                          "kind": pa.array([1], pa.int64())})
+        return pa.concat_tables([hits, stats])
+
+    rows = (docs_ds.select_columns([id_col, text_col])
+            .map_batches(tf_partial, batch_format="pyarrow")
+            .materialize())
+
+    stats = rows.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 1))
+        .select([id_col, "dl"]),
+        batch_format="pyarrow").to_pandas()
+    n_docs = int(stats[id_col].sum())
+    total_len = int(stats["dl"].sum())
+    if n_docs == 0:
+        raise ValueError("bm25_topk over an empty corpus")
+    avgdl = float(total_len) / float(n_docs)
+
+    tf_rows = rows.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0))
+        .select([id_col, "dl", "term", "tf"]),
+        batch_format="pyarrow")
+    df_pdf = tf_rows.groupby("term").count().to_pandas()
+    df_map = dict(zip(df_pdf["term"], df_pdf["count()"]))
+    idf = {t: float(np.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5)
+                           / (df_map.get(t, 0) + 0.5)))
+           for t in qset}
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        w = np.array([idf[x] for x in terms], np.float64)
+        s = (w * (tf * (k1 + 1.0))
+             / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        return pa.table({id_col: t.column(id_col),
+                         "score": pa.array(s, pa.float64()),
+                         "tf": t.column("tf"),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_doc = (tf_rows.map_batches(score_batch, batch_format="pyarrow")
+               .groupby(id_col).sum(["score", "tf", "one"]))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sc = t.column("sum(score)").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:top_k]
+        out = t.take(pa.array(order, pa.int64()))
+        return out.append_column(
+            "__one", pa.array(np.zeros(len(order), np.int64)))
+
+    def final_cut(group: pa.Table) -> pa.Table:
+        empty = pa.table({"rank": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "hit_terms": pa.array([], pa.int64()),
+                          "total_tf": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sc = group.column("sum(score)").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:top_k]
+        out = group.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            id_col: out.column(id_col),
+            "hit_terms": out.column("sum(one)").cast(pa.int64()),
+            "total_tf": out.column("sum(tf)").cast(pa.int64())})
+
+    return (per_doc.map_batches(block_topk, batch_format="pyarrow")
+            .groupby("__one")
+            .map_groups(final_cut, batch_format="pyarrow"))
