@@ -1649,6 +1649,29 @@ def _q_docs_bm25_top10(sf_dir: str):
                      ["batch", "join", "stream", "window"], top_k=10)
 
 
+def _q_lineitem_regression(sf_dir: str):
+    """Per-returnflag OLS fit of extendedprice on quantity
+    (``ops.moments.group_linreg``; regr_slope / regr_intercept from
+    the same exact int64 cross sums as the covariance op)."""
+    from torray.ops.moments import group_linreg
+
+    return group_linreg(_read(sf_dir, "lineitem"),
+                        group_col="l_returnflag", x_col="l_quantity",
+                        y_col="l_extendedprice", scale_x=1, scale_y=1)
+
+
+def _q_events_winsorized(sf_dir: str):
+    """Winsorized event values: clip at the exact p05/p95 cut points
+    (``ops.sampling.winsorize`` — one shuffle-free exact-quantile
+    selection + a vectorized streaming clamp, bit-exact vs SQL)."""
+    from torray.ops.sampling import winsorize
+
+    ds = _read(sf_dir, "events")
+    return winsorize(ds, "value", lo_q=0.05, hi_q=0.95,
+                     out_col="value_wins").select_columns(
+        ["event_id", "value_wins"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1716,6 +1739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": _q_events_ntile,
         "events_users_union": _q_events_users_union,
         "lineitem_covariance": _q_lineitem_covariance,
+        "lineitem_regression": _q_lineitem_regression,
+        "events_winsorized": _q_events_winsorized,
         "events_histogram_by_type": _q_events_histogram_by_type,
         "events_last_per_user": _q_events_last_per_user,
         "events_user_type_agg": _q_events_user_type_agg,
@@ -2273,6 +2298,37 @@ def oracle_sql() -> dict[str, str]:
         # grouped covariance/correlation: integer-scaled exact sums
         # (whole units, scale 1), floats derived with the expression
         # tree ops.moments.group_cov mirrors token for token
+        "events_winsorized": (
+            "WITH c AS (SELECT quantile_disc(value, 0.05) AS lo, "
+            "quantile_disc(value, 0.95) AS hi FROM events) "
+            "SELECT event_id, CASE WHEN value < lo THEN lo "
+            "WHEN value > hi THEN hi ELSE value END AS value_wins "
+            "FROM events, c"
+        ),
+        "lineitem_regression": (
+            "WITH s AS (SELECT l_returnflag, count(*) AS n, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS sx, "
+            "CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) "
+            "AS BIGINT) AS sy, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT) "
+            "* CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) "
+            "AS sxy, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT) "
+            "* CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx "
+            "FROM lineitem GROUP BY l_returnflag), "
+            "d AS (SELECT l_returnflag, n, "
+            "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) "
+            "* CAST(sy AS DOUBLE) / n) / n / 1.0 AS cov, "
+            "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
+            "* CAST(sx AS DOUBLE) / n) / n / 1.0 AS vx, "
+            "CAST(sy AS DOUBLE) / n / 1.0 AS my, "
+            "CAST(sx AS DOUBLE) / n / 1.0 AS mx FROM s) "
+            "SELECT l_returnflag, n, "
+            "CASE WHEN vx = 0.0 THEN NULL ELSE cov / vx END AS slope, "
+            "CASE WHEN vx = 0.0 THEN NULL "
+            "ELSE my - (cov / vx) * mx END AS intercept FROM d"
+        ),
         "lineitem_covariance": (
             "WITH s AS (SELECT l_returnflag, count(*) AS n, "
             "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "

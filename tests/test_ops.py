@@ -3289,3 +3289,72 @@ def test_bm25_topk_matches_reference(ray_session):
     assert list(got["hit_terms"]) == [x[2] for x in want]
     assert list(got["total_tf"]) == [x[3] for x in want]
     assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_group_linreg_matches_numpy_and_zero_variance(ray_session):
+    import ray
+
+    from torray.ops.moments import group_linreg
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    g = rng.integers(0, 3, n)
+    x = np.round(rng.uniform(0, 40, n), 0)
+    y = np.round(2.5 * x + 7 + rng.normal(0, 10, n), 0)
+    # group g2 has constant x -> zero variance -> NULL slope/intercept
+    x[g == 2] = 5.0
+    t = pa.table({"grp": pa.array([f"g{i}" for i in g]),
+                  "x": pa.array(x, pa.float64()),
+                  "y": pa.array(y, pa.float64())})
+    out = group_linreg(ray.data.from_arrow(t), group_col="grp",
+                       x_col="x", y_col="y").to_pandas()
+    out = out.set_index("grp")
+    for gi in range(2):
+        m = g == gi
+        slope, intercept = np.polyfit(x[m], y[m], 1)
+        row = out.loc[f"g{gi}"]
+        assert row["n"] == m.sum()
+        assert row["slope"] == pytest.approx(slope, rel=1e-9)
+        assert row["intercept"] == pytest.approx(intercept, rel=1e-9)
+    import pandas as pd
+
+    row2 = out.loc["g2"]
+    assert row2["n"] == (g == 2).sum()
+    assert pd.isna(row2["slope"]) and pd.isna(row2["intercept"])
+
+
+def test_winsorize_clips_at_exact_quantiles(ray_session):
+    import ray
+
+    from torray.ops.sampling import winsorize
+
+    rng = np.random.default_rng(31)
+    v = np.round(rng.normal(100, 30, 5000), 2)
+    t = pa.table({"id": pa.array(np.arange(len(v)), pa.int64()),
+                  "v": pa.array(v, pa.float64())})
+    out = winsorize(ray.data.from_arrow(t), "v", lo_q=0.05, hi_q=0.95,
+                    out_col="w").to_pandas().sort_values("id")
+    # quantile_disc semantics: cut at element floor/selection like
+    # exact_quantiles — verify clamp band and interior identity
+    lo, hi = out["w"].min(), out["w"].max()
+    sv = np.sort(v)
+    assert lo in sv and hi in sv
+    assert (out["w"] >= lo).all() and (out["w"] <= hi).all()
+    inside = (v >= lo) & (v <= hi)
+    assert (out["w"].to_numpy()[inside] == v[inside]).all()
+    assert (out["w"].to_numpy()[v < lo] == lo).all()
+    assert (out["w"].to_numpy()[v > hi] == hi).all()
+    # roughly 5% clipped each side
+    assert 0.03 < (v < lo).mean() < 0.07
+    assert 0.03 < (v > hi).mean() < 0.07
+
+
+def test_winsorize_empty_input(ray_session):
+    import ray
+
+    from torray.ops.sampling import winsorize
+
+    t = pa.table({"id": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.float64())})
+    out = winsorize(ray.data.from_arrow(t), "v").to_pandas()
+    assert len(out) == 0

@@ -31,7 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["group_moments", "value_histogram", "group_cov"]
+__all__ = ["group_moments", "value_histogram", "group_cov",
+           "group_linreg"]
 
 
 def _cents(col: pa.ChunkedArray, scale: int) -> pa.ChunkedArray:
@@ -279,3 +280,107 @@ def value_histogram(ds, *, value_col: str = "value", lo: float,
         lambda t: t.rename_columns(
             ["n" if c == "sum(__n)" else c for c in t.column_names]),
         batch_format="pyarrow")
+
+
+def group_linreg(ds, *, group_col: str, x_col: str, y_col: str,
+                 scale_x: int = 1, scale_y: int = 1):
+    """Per-group EXACT OLS simple linear regression (``y = slope*x +
+    intercept``) from the same five int64 cross sums as
+    :func:`group_cov` — ``regr_slope`` / ``regr_intercept`` with the
+    integer-core / derived-float contract: both floats are one fixed
+    float64 expression over exact sums, mirrored token for token by
+    the SQL oracle (driver hash-check holds bitwise).  Zero-variance-x
+    groups yield NULL slope/intercept (the float var tree compares
+    equal to 0.0 identically on both engines).
+
+    Output: ``(group, n, slope, intercept)``.  Null/NaN on either side
+    drops the row (SQL regr_* semantics).  Same int64 headroom
+    preflight as group_cov.
+
+    Scale shape: identical to group_moments — per-batch Arrow hash
+    aggregate, one narrow (group, 6 ints) shuffle, zero driver folds.
+    """
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(x_col), pa.float64())
+        y = pc.cast(t.column(y_col), pa.float64())
+        valid = pc.and_kleene(
+            pc.and_kleene(x.is_valid(), pc.invert(pc.is_nan(x))),
+            pc.and_kleene(y.is_valid(), pc.invert(pc.is_nan(y))))
+        if not pc.all(valid).as_py():
+            idx = pa.array(np.flatnonzero(
+                valid.to_numpy(zero_copy_only=False)), pa.int64())
+            t = t.take(idx)
+        cx = _cents(t.column(x_col), scale_x).to_numpy(
+            zero_copy_only=False)
+        cy = _cents(t.column(y_col), scale_y).to_numpy(
+            zero_copy_only=False)
+        if len(cx):
+            ax, ay = np.abs(cx).max(), np.abs(cy).max()
+            if (ax > 3_037_000_499 or ay > 3_037_000_499
+                    or float(ax) * float(ay) > 9.2e18):
+                raise OverflowError(
+                    f"scaled {x_col}/{y_col} exceed int64 product "
+                    "headroom; pass smaller scale_x/scale_y")
+        g = pa.table({group_col: t.column(group_col),
+                      "__x": pa.array(cx, pa.int64()),
+                      "__y": pa.array(cy, pa.int64()),
+                      "__xy": pa.array(cx * cy, pa.int64()),
+                      "__xx": pa.array(cx * cx, pa.int64())})
+        agg = pa.TableGroupBy(g, group_col).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
+             ("__xx", "sum"), ([], "count_all")])
+        mapping = {"__x_sum": "__sx", "__y_sum": "__sy",
+                   "__xy_sum": "__sxy", "__xx_sum": "__sxx",
+                   "count_all": "__n"}
+        return agg.rename_columns(
+            [mapping.get(c_, c_) for c_ in agg.column_names])
+
+    merged = (ds.select_columns([group_col, x_col, y_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(ray.data.aggregate.Sum("__sx"),
+                         ray.data.aggregate.Sum("__sy"),
+                         ray.data.aggregate.Sum("__sxy"),
+                         ray.data.aggregate.Sum("__sxx"),
+                         ray.data.aggregate.Sum("__n")))
+
+    sxy_div = float(scale_x) * float(scale_y)
+    sxx_div = float(scale_x) * float(scale_x)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "slope": pa.array([], pa.float64()),
+                             "intercept": pa.array([], pa.float64())})
+        cols = {k: t.column(f"sum({k})").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+            for k in ("__sx", "__sy", "__sxy", "__sxx")}
+        n = t.column("sum(__n)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nf = n.astype(np.float64)
+        # the exact expression tree the SQL oracle mirrors:
+        cov = ((cols["__sxy"] - cols["__sx"] * cols["__sy"] / nf)
+               / nf / sxy_div)
+        vx = ((cols["__sxx"] - cols["__sx"] * cols["__sx"] / nf)
+              / nf / sxx_div)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = cov / vx
+            intercept = (cols["__sy"] / nf / float(scale_y)
+                         - slope * (cols["__sx"] / nf
+                                    / float(scale_x)))
+        bad = vx == 0.0
+        return pa.table({
+            group_col: t.column(group_col),
+            "n": pa.array(n, pa.int64()),
+            "slope": pa.array(
+                np.where(bad, np.nan, slope), pa.float64(),
+                mask=bad),
+            "intercept": pa.array(
+                np.where(bad, np.nan, intercept), pa.float64(),
+                mask=bad),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -18,7 +18,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["hash_split", "sample_per_group", "filter_by_quantile",
-           "sample_global_k", "stratified_split", "weighted_sample_k"]
+           "sample_global_k", "stratified_split", "weighted_sample_k",
+           "winsorize"]
 
 
 def _hash_prefix(value, salt: str) -> str:
@@ -288,3 +289,44 @@ def weighted_sample_k(ds, id_col: str, weight_col: str, k: int,
             .repartition(1)
             .map_batches(lambda t: cut(t).drop_columns(["__wkey"]),
                          batch_format="pyarrow"))
+
+
+def winsorize(ds, col: str, *, lo_q: float = 0.01, hi_q: float = 0.99,
+              out_col: str | None = None):
+    """Winsorize (clip) a column at exact quantile cut points — the
+    outlier-taming step before normalization/statistics: values below
+    the ``lo_q`` quantile move up to it, values above ``hi_q`` move
+    down to it.
+
+    Both cuts come from ONE :func:`torray.ops.sketch.exact_quantiles`
+    call (shuffle-free multipass selection, ``quantile_disc``
+    semantics), then a single vectorized streaming clamp — zero
+    shuffles, and because clamping is pure comparison + copy (no
+    float arithmetic) the output is reproducible bit-for-bit against
+    the SQL ``CASE``-with-scalar-subquery form.  ``out_col`` defaults
+    to replacing ``col`` in place.
+    """
+    import pyarrow.compute as pc
+
+    from torray.ops.sketch import exact_quantiles
+
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    cuts = exact_quantiles(ds, col, [lo_q, hi_q])
+    lo_cut, hi_cut = cuts[float(lo_q)], cuts[float(hi_q)]
+    target = out_col or col
+
+    def clamp(t: pa.Table) -> pa.Table:
+        if np.isnan(lo_cut):
+            v = t.column(col)  # empty input: nothing to clamp
+        else:
+            v = pc.min_element_wise(
+                pc.max_element_wise(
+                    pc.cast(t.column(col), pa.float64()), lo_cut),
+                hi_cut)
+        if target in t.column_names:
+            return t.set_column(
+                t.column_names.index(target), target, v)
+        return t.append_column(target, v)
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
