@@ -1672,6 +1672,129 @@ def _q_events_winsorized(sf_dir: str):
         ["event_id", "value_wins"])
 
 
+def _rev_by_orderkey(li):
+    """Per-block EXACT revenue combiner: int64 sums of
+    ``price_cents x (100 - disc_pct)`` grouped by orderkey inside each
+    block (Arrow C++ hash aggregate), so the groupby shuffle carries
+    at most (orderkey, int64) per block — the pre-aggregation pattern
+    every wide step here uses.  Exact at 1e-4 units; one mirrored
+    float64 division derives the SQL-identical revenue."""
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()), disc))
+        g = pa.table({"l_orderkey": t.column("l_orderkey"),
+                      "__rev": rev})
+        agg = pa.TableGroupBy(g, "l_orderkey").aggregate(
+            [("__rev", "sum")])
+        return agg.rename_columns(
+            ["__rev" if c == "__rev_sum" else c
+             for c in agg.column_names])
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(ray.data.aggregate.Sum("__rev")))
+
+
+def _q_orders_revenue_top(sf_dir: str):
+    """Shipping-priority revenue (TPC-H Q3 shape): top-10 orders by
+    revenue from BUILDING-segment customers, order placed before the
+    cutoff, revenue only from lineitems shipped after it.
+
+    Composition — each step the scale-correct plan: broadcast-Bloom
+    EXACT semi-join (orders ⋊ filtered customers, only survivors
+    shuffle), per-block int64 revenue combiner + ONE narrow groupby
+    (``_rev_by_orderkey``), big-big hash join revenue ⋈ orders, Ray
+    native distributed sort on the INT core (ties by orderkey) +
+    limit.  revenue = rev_e4 / 10000.0 is one IEEE division of the
+    exact int sum — bitwise equal on both engines."""
+    import datetime
+
+    from torray.ops.bloom import bloom_semijoin
+
+    cut = pa.scalar(datetime.datetime(1998, 1, 1))
+    cust = _read(sf_dir, "customer").map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"),
+                                    "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cut))
+        .select(["o_orderkey", "o_orderdate", "o_orderpriority",
+                 "o_custkey"]),
+        batch_format="pyarrow")
+    orders = bloom_semijoin(orders, cust, big_key="o_custkey",
+                            small_key="c_custkey")
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount",
+         "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_shipdate"), cut))
+        .drop_columns(["l_shipdate"]), batch_format="pyarrow")
+    rev = _rev_by_orderkey(li)
+    joined = rev.join(orders, "inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    top = joined.sort(["sum(__rev)", "l_orderkey"],
+                      descending=[True, False]).limit(10)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "revenue": pc.divide(
+                pc.cast(t.column("sum(__rev)"), pa.float64()),
+                10000.0),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority")})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_customer_returns_top(sf_dir: str):
+    """Returned-item revenue by customer (TPC-H Q10 shape): top-20
+    customers by revenue across their orders' RETURNED lineitems —
+    a three-table chain where every wide step is pre-combined:
+    filter(R) -> per-block revenue combiner + one orderkey groupby ->
+    hash join to orders (one narrow row per qualifying order) ->
+    second int64 groupby on custkey -> hash join to customer for the
+    name -> distributed sort on the int core + limit."""
+    import ray.data
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount",
+         "l_returnflag"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        .drop_columns(["l_returnflag"]), batch_format="pyarrow")
+    rev = _rev_by_orderkey(li).map_batches(
+        lambda t: t.rename_columns(
+            ["__rev" if c == "sum(__rev)" else c
+             for c in t.column_names]), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"])
+    per_order = rev.join(orders, "inner", num_partitions=8,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = (per_order.groupby("o_custkey")
+                .aggregate(ray.data.aggregate.Sum("__rev")))
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name"])
+    named = per_cust.join(cust, "inner", num_partitions=8,
+                          on=("o_custkey",), right_on=("c_custkey",))
+    top = named.sort(["sum(__rev)", "o_custkey"],
+                     descending=[True, False]).limit(20)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("o_custkey"),
+            "c_name": t.column("c_name"),
+            "revenue": pc.divide(
+                pc.cast(t.column("sum(__rev)"), pa.float64()),
+                10000.0)})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1741,6 +1864,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_covariance": _q_lineitem_covariance,
         "lineitem_regression": _q_lineitem_regression,
         "events_winsorized": _q_events_winsorized,
+        "orders_revenue_top": _q_orders_revenue_top,
+        "customer_returns_top": _q_customer_returns_top,
         "events_histogram_by_type": _q_events_histogram_by_type,
         "events_last_per_user": _q_events_last_per_user,
         "events_user_type_agg": _q_events_user_type_agg,
@@ -2298,6 +2423,41 @@ def oracle_sql() -> dict[str, str]:
         # grouped covariance/correlation: integer-scaled exact sums
         # (whole units, scale 1), floats derived with the expression
         # tree ops.moments.group_cov mirrors token for token
+        # multi-join revenue pipelines: int-core revenue
+        # (price_cents x (100 - disc_pct), exact at 1e-4), ordering on
+        # the int sum, ONE mirrored float division for the output
+        "orders_revenue_top": (
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem "
+            "WHERE l_shipdate > TIMESTAMP '1998-01-01'), "
+            "o AS (SELECT o_orderkey, o_orderdate, o_orderpriority "
+            "FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')), "
+            "r AS (SELECT l_orderkey, CAST(sum(rev) AS BIGINT) "
+            "AS rev_e4 FROM l GROUP BY l_orderkey) "
+            "SELECT o_orderkey, CAST(rev_e4 AS DOUBLE) / 10000.0 "
+            "AS revenue, o_orderdate, o_orderpriority "
+            "FROM r JOIN o ON l_orderkey = o_orderkey "
+            "ORDER BY rev_e4 DESC, o_orderkey LIMIT 10"
+        ),
+        "customer_returns_top": (
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem WHERE l_returnflag = 'R'), "
+            "r AS (SELECT l_orderkey, CAST(sum(rev) AS BIGINT) "
+            "AS rev_e4 FROM l GROUP BY l_orderkey), "
+            "pc AS (SELECT o_custkey, CAST(sum(rev_e4) AS BIGINT) "
+            "AS rev_e4 FROM r JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_custkey) "
+            "SELECT c_custkey, c_name, "
+            "CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue "
+            "FROM pc JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY rev_e4 DESC, c_custkey LIMIT 20"
+        ),
         "events_winsorized": (
             "WITH c AS (SELECT quantile_disc(value, 0.05) AS lo, "
             "quantile_disc(value, 0.95) AS hi FROM events) "
