@@ -1672,6 +1672,20 @@ def _q_events_winsorized(sf_dir: str):
         ["event_id", "value_wins"])
 
 
+def _q_docs_collocations(sf_dir: str):
+    """Top-15 PMI collocations over the documents corpus
+    (``ops.text.pmi_collocations``): exact distributed pair/unigram
+    counts, min_count=5 hapax gate before the run-scan attaches,
+    ranking on the mirrored float ratio (no ln in the ordering).
+    The un-hashed pmi float is dropped for the driver compare."""
+    from torray.ops.text import pmi_collocations
+
+    out = pmi_collocations(_read(sf_dir, "documents"), k=15,
+                           min_count=5)
+    return out.select_columns(["rank", "w1", "w2", "n_pair",
+                               "n_w1", "n_w2"])
+
+
 def _rev_by_orderkey(li):
     """Per-block EXACT revenue combiner: int64 sums of
     ``price_cents x (100 - disc_pct)`` grouped by orderkey inside each
@@ -1866,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": _q_events_winsorized,
         "orders_revenue_top": _q_orders_revenue_top,
         "customer_returns_top": _q_customer_returns_top,
+        "docs_collocations": _q_docs_collocations,
         "events_histogram_by_type": _q_events_histogram_by_type,
         "events_last_per_user": _q_events_last_per_user,
         "events_user_type_agg": _q_events_user_type_agg,
@@ -2423,6 +2438,31 @@ def oracle_sql() -> dict[str, str]:
         # grouped covariance/correlation: integer-scaled exact sums
         # (whole units, scale 1), floats derived with the expression
         # tree ops.moments.group_cov mirrors token for token
+        # PMI collocations: exact int counts; rank on the mirrored
+        # float ratio n_pair/(n_w1*n_w2) (constant-total-equivalent
+        # to PMI, no ln drift); the pmi float itself is un-hashed
+        "docs_collocations": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) "
+            "AS wi FROM documents), "
+            "big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 "
+            "FROM words a JOIN words b "
+            "ON a.doc_id = b.doc_id AND b.wi = a.wi + 1), "
+            "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair "
+            "FROM big GROUP BY w1, w2 HAVING count(*) >= 5), "
+            "cu AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w "
+            "FROM words GROUP BY w), "
+            "j AS (SELECT cb.w1, cb.w2, cb.n_pair, "
+            "u1.n_w AS n_w1, u2.n_w AS n_w2 FROM cb "
+            "JOIN cu u1 ON u1.w = cb.w1 "
+            "JOIN cu u2 ON u2.w = cb.w2) "
+            "SELECT CAST(row_number() OVER (ORDER BY "
+            "CAST(n_pair AS DOUBLE) / (CAST(n_w1 AS DOUBLE) "
+            "* CAST(n_w2 AS DOUBLE)) DESC, w1, w2) AS BIGINT) "
+            "AS rank, w1, w2, n_pair, n_w1, n_w2 "
+            "FROM j ORDER BY rank LIMIT 15"
+        ),
         # multi-join revenue pipelines: int-core revenue
         # (price_cents x (100 - disc_pct), exact at 1e-4), ordering on
         # the int sum, ONE mirrored float division for the output

@@ -3358,3 +3358,53 @@ def test_winsorize_empty_input(ray_session):
                   "v": pa.array([], pa.float64())})
     out = winsorize(ray.data.from_arrow(t), "v").to_pandas()
     assert len(out) == 0
+
+
+def test_pmi_collocations_matches_bruteforce(ray_session):
+    import math
+
+    import ray
+
+    from torray.ops.text import pmi_collocations
+
+    rng = np.random.default_rng(37)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(200):
+        toks = list(rng.choice(vocab, rng.integers(5, 30)))
+        # plant a strong collocation
+        if i % 3 == 0:
+            pos = rng.integers(0, len(toks))
+            toks[pos:pos] = ["hong", "kong"]
+        docs.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = pmi_collocations(ray.data.from_arrow(t), k=10,
+                           min_count=3).to_pandas()
+
+    # brute-force reference
+    uni, pair = {}, {}
+    for d in docs:
+        ws = d.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    n_tok = sum(uni.values())
+    n_bg = sum(pair.values())
+    cands = [(c / (uni[a] * uni[b]), a, b, c)
+             for (a, b), c in pair.items() if c >= 3]
+    cands.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = cands[:10]
+    assert list(got["w1"]) == [x[1] for x in want]
+    assert list(got["w2"]) == [x[2] for x in want]
+    assert list(got["n_pair"]) == [x[3] for x in want]
+    assert list(got["n_w1"]) == [uni[x[1]] for x in want]
+    assert list(got["n_w2"]) == [uni[x[2]] for x in want]
+    assert list(got["rank"]) == list(range(1, 11))
+    assert got["w1"].iloc[0] == "hong" and got["w2"].iloc[0] == "kong"
+    # pmi float companion matches the formula
+    for _, row in got.iterrows():
+        expect = math.log(row["n_pair"] * n_tok * n_tok
+                          / (n_bg * row["n_w1"] * row["n_w2"]))
+        assert row["pmi"] == pytest.approx(expect, rel=1e-12)

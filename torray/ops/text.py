@@ -35,6 +35,7 @@ __all__ = [
     "paragraph_dedup",
     "chunk_words",
     "bigram_lm_scores",
+    "pmi_collocations",
     "json_field_batch",
     "json_field",
     "inverted_index",
@@ -970,6 +971,86 @@ def chunk_words(ds, *, id_col: str = "doc_id", text_col: str = "text",
             .map_batches(rechunk, batch_format="pyarrow"))
 
 
+def _count_attach(left_ds, counts_ds, key: str, out_name: str,
+                  left_fields: list, num_partitions: int = 64):
+    """Co-partitioned run-scan attach of ``counts_ds``'s summed count
+    (``(key, sum(__n))`` rows, e.g. a ``groupby(...).aggregate(Sum)``
+    output) to every ``left_ds`` row by the string ``key`` column —
+    the distributed alternative to folding a vocabulary on the driver:
+    both sides hash-partition on fnv1a64(key), one segmented
+    last-index scan per partition pairs each left row with its count.
+    Missing keys attach 1 (guards log(0); corpus-trained counts never
+    miss).  Shared by :func:`bigram_lm_scores` (two attaches) and
+    :func:`pmi_collocations`."""
+    from torray.ops.dedup import fnv1a64_strings
+    from torray.ops.window import _segmented_last_index
+
+    npart = np.uint64(num_partitions)
+    mid = pa.schema(left_fields + [
+        (out_name, pa.int64()), ("__side", pa.int8()),
+        ("__part", pa.int64())])
+    left_names = [f[0] for f in left_fields]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mid.empty_table()
+        part = (fnv1a64_strings(t.column(key).combine_chunks())
+                % npart).astype(np.int64)
+        cols = {nm: t.column(nm) for nm in left_names}
+        cols[out_name] = pa.nulls(t.num_rows, pa.int64())
+        cols["__side"] = pa.array(
+            np.ones(t.num_rows, np.int8), pa.int8())
+        cols["__part"] = pa.array(part, pa.int64())
+        return pa.table(cols).cast(mid)
+
+    def tag_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mid.empty_table()
+        part = (fnv1a64_strings(t.column("key").combine_chunks())
+                % npart).astype(np.int64)
+        cols = {}
+        for nm, typ in left_fields:
+            cols[nm] = (t.column("key") if nm == key
+                        else pa.nulls(t.num_rows, typ))
+        cols[out_name] = t.column("sum(__n)").cast(pa.int64())
+        cols["__side"] = pa.array(
+            np.zeros(t.num_rows, np.int8), pa.int8())
+        cols["__part"] = pa.array(part, pa.int64())
+        return pa.table(cols).cast(mid)
+
+    out_schema = pa.schema(left_fields + [(out_name, pa.int64())])
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ks = np.asarray(group.column(key).to_pylist())
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ks))
+        ks_s, side_s = ks[order], side[order]
+        run_id = np.cumsum(np.concatenate(
+            ([True], ks_s[1:] != ks_s[:-1]))) - 1
+        last_c = _segmented_last_index(side_s == 0, run_id)
+        lpos = np.flatnonzero(side_s == 1)
+        match = last_c[lpos]
+        cv = pc.fill_null(group.column(out_name), 1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # every key has a count row (trained on the same corpus);
+        # the 1 fallback only guards log(0) on malformed input
+        attached = np.where(match >= 0,
+                            cv[order[np.clip(match, 0, None)]], 1)
+        take = pa.array(order[lpos], pa.int64())
+        cols = {nm: group.column(nm).take(take)
+                for nm in left_names}
+        cols[out_name] = pa.array(attached, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(counts_ds.map_batches(tag_counts,
+                                           batch_format="pyarrow")))
+    return (tagged.groupby("__part")
+            .map_groups(scan, batch_format="pyarrow"))
+
+
 def bigram_lm_scores(docs_ds, *, id_col: str = "doc_id",
                      text_col: str = "text", num_partitions: int = 64):
     """CCNet-style corpus-LM fluency signal: train a word-bigram model
@@ -1001,11 +1082,6 @@ def bigram_lm_scores(docs_ds, *, id_col: str = "doc_id",
     """
     import ray
     from ray.data.aggregate import Sum
-
-    from torray.ops.dedup import _mix64, fnv1a64_strings
-    from torray.ops.window import _segmented_last_index
-
-    npart = np.uint64(num_partitions)
 
     exploded_schema = pa.schema([
         (id_col, pa.int64()), ("w1", pa.string()),
@@ -1084,81 +1160,15 @@ def bigram_lm_scores(docs_ds, *, id_col: str = "doc_id",
                   .map_batches(uni_partial, batch_format="pyarrow")
                   .groupby("key").aggregate(Sum("__n")))
 
-    def attach(left_ds, counts_ds, key: str, out_name: str,
-               left_fields: list):
-        """Co-partitioned run-scan attach of counts_ds's summed count
-        to every left row by string ``key`` column."""
-        mid = pa.schema(left_fields + [
-            (out_name, pa.int64()), ("__side", pa.int8()),
-            ("__part", pa.int64())])
-        left_names = [f[0] for f in left_fields]
-
-        def tag_left(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return mid.empty_table()
-            part = (fnv1a64_strings(t.column(key).combine_chunks())
-                    % npart).astype(np.int64)
-            cols = {nm: t.column(nm) for nm in left_names}
-            cols[out_name] = pa.nulls(t.num_rows, pa.int64())
-            cols["__side"] = pa.array(
-                np.ones(t.num_rows, np.int8), pa.int8())
-            cols["__part"] = pa.array(part, pa.int64())
-            return pa.table(cols).cast(mid)
-
-        def tag_counts(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return mid.empty_table()
-            part = (fnv1a64_strings(t.column("key").combine_chunks())
-                    % npart).astype(np.int64)
-            cols = {}
-            for nm, typ in left_fields:
-                cols[nm] = (t.column("key") if nm == key
-                            else pa.nulls(t.num_rows, typ))
-            cols[out_name] = t.column("sum(__n)").cast(pa.int64())
-            cols["__side"] = pa.array(
-                np.zeros(t.num_rows, np.int8), pa.int8())
-            cols["__part"] = pa.array(part, pa.int64())
-            return pa.table(cols).cast(mid)
-
-        out_schema = pa.schema(left_fields + [(out_name, pa.int64())])
-
-        def scan(group: pa.Table) -> pa.Table:
-            if group.num_rows == 0:
-                return out_schema.empty_table()
-            ks = np.asarray(group.column(key).to_pylist())
-            side = group.column("__side").to_numpy(zero_copy_only=False)
-            order = np.lexsort((side, ks))
-            ks_s, side_s = ks[order], side[order]
-            run_id = np.cumsum(np.concatenate(
-                ([True], ks_s[1:] != ks_s[:-1]))) - 1
-            last_c = _segmented_last_index(side_s == 0, run_id)
-            lpos = np.flatnonzero(side_s == 1)
-            match = last_c[lpos]
-            cv = pc.fill_null(group.column(out_name), 1).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            # every key has a count row (trained on the same corpus);
-            # the 1 fallback only guards log(0) on malformed input
-            attached = np.where(match >= 0,
-                                cv[order[np.clip(match, 0, None)]], 1)
-            take = pa.array(order[lpos], pa.int64())
-            cols = {nm: group.column(nm).take(take)
-                    for nm in left_names}
-            cols[out_name] = pa.array(attached, pa.int64())
-            return pa.table(cols).cast(out_schema)
-
-        tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
-                  .union(counts_ds.map_batches(tag_counts,
-                                               batch_format="pyarrow")))
-        return (tagged.groupby("__part")
-                .map_groups(scan, batch_format="pyarrow"))
-
-    with_cb = attach(exploded, bg_counts, "bg", "__cb",
-                     [(id_col, pa.int64()), ("w1", pa.string()),
-                      ("bg", pa.string()), ("tf", pa.int64())])
-    with_cu = attach(with_cb, uni_counts, "w1", "__cu",
-                     [(id_col, pa.int64()), ("w1", pa.string()),
-                      ("bg", pa.string()), ("tf", pa.int64()),
-                      ("__cb", pa.int64())])
+    with_cb = _count_attach(exploded, bg_counts, "bg", "__cb",
+                            [(id_col, pa.int64()), ("w1", pa.string()),
+                             ("bg", pa.string()), ("tf", pa.int64())],
+                            num_partitions)
+    with_cu = _count_attach(with_cb, uni_counts, "w1", "__cu",
+                            [(id_col, pa.int64()), ("w1", pa.string()),
+                             ("bg", pa.string()), ("tf", pa.int64()),
+                             ("__cb", pa.int64())],
+                            num_partitions)
 
     def contrib(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1207,6 +1217,158 @@ def bigram_lm_scores(docs_ds, *, id_col: str = "doc_id",
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def pmi_collocations(docs_ds, *, text_col: str = "text", k: int = 15,
+                     min_count: int = 3, num_partitions: int = 64):
+    """Top-k word-bigram collocations by pointwise mutual information
+    — the classic corpus-analysis signal for multiword expressions
+    ("new york", "machine learning"): ``pmi = ln(p(w1,w2) /
+    (p(w1) p(w2)))``, high when a pair co-occurs far above chance.
+
+    Exactness contract: all counts are EXACT int64 (pair counts and
+    both unigram counts); ranking uses the float64 ratio ``n_pair /
+    (n_w1 * n_w2)`` — with the corpus totals constant this orders
+    identically to PMI, and as ONE IEEE divide of exact ints it is
+    bit-reproducible against the SQL mirror (no ``ln`` in the
+    ordering).  Ties break on (w1, w2).  ``pmi`` itself is an
+    un-hashed float companion.
+
+    Scale shape: per-block bigram ``value_counts`` combiners + one
+    narrow groupby each for pair and unigram counts (shuffles carry
+    distinct strings — the exact-count floor); the ``min_count``
+    gate cuts the hapax tail BEFORE the two :func:`_count_attach`
+    run-scan joins, so the vocabulary never folds on the driver; the
+    final cut is per-block top-k partials -> one k x blocks fold.
+    Both count datasets are materialized (each has two consumers;
+    rows are (string, int64) only, no document text).
+
+    Output: ``(rank, w1, w2, n_pair, n_w1, n_w2, pmi)``.
+    """
+    from ray.data.aggregate import Sum
+
+    pair_schema = pa.schema([("key", pa.string()),
+                             ("__n", pa.int64())])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        words = pc.split_pattern(batch.column(text_col),
+                                 " ").combine_chunks()
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n < 2:
+            return pair_schema.empty_table()
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        mask = doc_idx[1:] == doc_idx[:-1]
+        w1 = flat.slice(0, n - 1).filter(pa.array(mask))
+        w2 = flat.slice(1, n - 1).filter(pa.array(mask))
+        vc = pc.binary_join_element_wise(w1, w2, " ").value_counts()
+        return pa.table({
+            "key": vc.field("values"),
+            "__n": vc.field("counts").cast(pa.int64())}).cast(
+                pair_schema)
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        words = pc.split_pattern(batch.column(text_col),
+                                 " ").combine_chunks()
+        vc = pc.list_flatten(words).value_counts()
+        return pa.table({
+            "key": vc.field("values"),
+            "__n": vc.field("counts").cast(pa.int64())}).cast(
+                pair_schema)
+
+    texts = docs_ds.select_columns([text_col])
+    bg_counts = (texts.map_batches(pair_partial,
+                                   batch_format="pyarrow")
+                 .groupby("key").aggregate(Sum("__n")).materialize())
+    uni_counts = (texts.map_batches(uni_partial,
+                                    batch_format="pyarrow")
+                  .groupby("key").aggregate(Sum("__n")).materialize())
+
+    filt_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                             ("n_pair", pa.int64())])
+
+    def gate_split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return filt_schema.empty_table()
+        t = t.filter(pc.greater_equal(t.column("sum(__n)"),
+                                      min_count))
+        parts = pc.split_pattern(t.column("key"), " ")
+        return pa.table({
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+            "n_pair": t.column("sum(__n)").cast(pa.int64())}).cast(
+                filt_schema)
+
+    gated = bg_counts.map_batches(gate_split, batch_format="pyarrow")
+    with_w1 = _count_attach(
+        gated, uni_counts, "w1", "n_w1",
+        [("w1", pa.string()), ("w2", pa.string()),
+         ("n_pair", pa.int64())], num_partitions)
+    with_w2 = _count_attach(
+        with_w1, uni_counts, "w2", "n_w2",
+        [("w1", pa.string()), ("w2", pa.string()),
+         ("n_pair", pa.int64()), ("n_w1", pa.int64())],
+        num_partitions)
+
+    scored_schema = pa.schema([
+        ("w1", pa.string()), ("w2", pa.string()),
+        ("n_pair", pa.int64()), ("n_w1", pa.int64()),
+        ("n_w2", pa.int64()), ("__ratio", pa.float64())])
+
+    def cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return scored_schema.empty_table()
+        if "__ratio" not in t.column_names:
+            ratio = (t.column("n_pair").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+                / (t.column("n_w1").to_numpy(
+                    zero_copy_only=False).astype(np.float64)
+                   * t.column("n_w2").to_numpy(
+                       zero_copy_only=False).astype(np.float64)))
+            t = t.append_column("__ratio",
+                                pa.array(ratio, pa.float64()))
+        t = t.select([f.name for f in scored_schema])
+        w1 = np.asarray(t.column("w1").to_pylist())
+        w2 = np.asarray(t.column("w2").to_pylist())
+        r = t.column("__ratio").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -r))[:k]
+        return t.take(pa.array(order, pa.int64())).cast(scored_schema)
+
+    # per-block partial cut bounds the fold to k x blocks rows
+    topk = (with_w2.map_batches(cut, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(cut, batch_format="pyarrow"))
+
+    # corpus totals for the pmi value (never hashed): one bounded
+    # driver fold over each materialized count dataset
+    n_tokens = uni_counts.sum("sum(__n)") or 0
+    n_bigrams = bg_counts.sum("sum(__n)") or 0
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("rank", pa.int64())]
+                + [(f.name, f.type) for f in scored_schema
+                   if f.name != "__ratio"]
+                + [("pmi", pa.float64())]).empty_table()
+        const = (float(n_tokens) * float(n_tokens)
+                 / max(float(n_bigrams), 1.0))
+        pmi = np.log(t.column("__ratio").to_numpy(
+            zero_copy_only=False) * const)
+        return pa.table({
+            "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+            "w1": t.column("w1"), "w2": t.column("w2"),
+            "n_pair": t.column("n_pair"), "n_w1": t.column("n_w1"),
+            "n_w2": t.column("n_w2"),
+            "pmi": pa.array(pmi, pa.float64())})
+
+    return topk.map_batches(finish, batch_format="pyarrow")
 
 
 def json_field_batch(batch: pa.Table, key: str, *,
