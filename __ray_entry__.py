@@ -1441,6 +1441,19 @@ def _q_events_lead_gaps(sf_dir: str):
 
 
 
+def _q_events_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event-type
+    sequences (``ops.window.transition_counts``): exact int64 pair
+    counts from a partition run-scan (order (ts, event_id)), per-src
+    totals attached via the co-partitioned run-scan join, ``p`` as ONE
+    mirrored float divide of exact ints — bit-identical to the SQL
+    window ``sum(n) OVER (PARTITION BY src)``."""
+    from torray.ops.window import transition_counts
+
+    return transition_counts(_read(sf_dir, "events"))
+
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted sample: 25 documents drawn with
     probability proportional to length via Efraimidis-Spirakis A-Res
@@ -1899,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_lm": _q_docs_bigram_lm,
         "docs_stratified_split": _q_docs_stratified_split,
         "events_lead_gaps": _q_events_lead_gaps,
+        "events_transitions": _q_events_transitions,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
@@ -2340,6 +2354,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # Markov transition matrix: exact int64 pair counts; p is ONE
+        # float divide of exact ints, mirrored token for token
+        "events_transitions": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "c AS (SELECT prev AS src, event_type AS dst, "
+            "CAST(count(*) AS BIGINT) AS n FROM o "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2) "
+            "SELECT src, dst, n, CAST(n AS DOUBLE) / "
+            "CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p "
+            "FROM c ORDER BY src, dst"
         ),
         "events_lag_gaps": (
             "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) "

@@ -3408,3 +3408,57 @@ def test_pmi_collocations_matches_bruteforce(ray_session):
         expect = math.log(row["n_pair"] * n_tok * n_tok
                           / (n_bg * row["n_w1"] * row["n_w2"]))
         assert row["pmi"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_transition_counts_matches_bruteforce(ray_session):
+    import ray
+
+    from torray.ops.window import transition_counts
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            rng.integers(0, 10**9, n), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 80, n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["a", "b", "c", "d"], n)),
+        "value": pa.array(rng.random(n), pa.float64()),
+        "props": pa.array(["{}"] * n)})
+    got = (transition_counts(ray.data.from_arrow(t))
+           .to_pandas().sort_values(["src", "dst"])
+           .reset_index(drop=True))
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    pairs = {}
+    for _, g in df.groupby("user_id"):
+        et = list(g["event_type"])
+        for a, b in zip(et, et[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    tots = {}
+    for (a, _), c in pairs.items():
+        tots[a] = tots.get(a, 0) + c
+    want = sorted((a, b, c) for (a, b), c in pairs.items())
+    assert list(got["src"]) == [w[0] for w in want]
+    assert list(got["dst"]) == [w[1] for w in want]
+    assert list(got["n"]) == [w[2] for w in want]
+    for _, row in got.iterrows():
+        assert row["p"] == np.float64(row["n"]) / np.float64(
+            tots[row["src"]])
+
+
+def test_transition_counts_empty(ray_session):
+    import ray
+
+    from torray.ops.window import transition_counts
+
+    t = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string())})
+    out = transition_counts(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 0

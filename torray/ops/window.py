@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "interval_join", "running_total", "lag_delta", "moving_agg",
-           "lead_delta", "resample"]
+           "lead_delta", "resample", "transition_counts"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -2313,3 +2313,122 @@ def resample(events_ds, *, key_col: str = "event_type",
             .map_batches(partial, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def transition_counts(events_ds, *, key_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      cat_col: str = "event_type",
+                      num_partitions: int = 64):
+    """Per-key ordered transition (first-order Markov) matrix over a
+    categorical column: for every key's event sequence ordered by
+    ``(ts, id)``, count each adjacent ``(src, dst)`` category pair and
+    attach the conditional probability ``p = n / sum(n per src)``.
+
+    Exactness contract: counts are EXACT int64; ``p`` is ONE IEEE
+    float64 divide of two exact ints, mirrored token for token by the
+    SQL ``CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS
+    DOUBLE)`` — bit-identical.  Ordering within a key is total
+    (``id`` is unique), so the matrix is partition-invariant.
+
+    Scale shape: hash(key) -> ``num_partitions`` coarse partitions,
+    ONE groupby; inside each partition a lexsort + adjacent-shift scan
+    emits pair rows and pre-combines them (the cross-partition shuffle
+    carries at most |cats|^2 rows per partition, never per event).
+    Per-src totals attach via the co-partitioned run-scan join
+    (:func:`torray.ops.text._count_attach`) — no driver-side fold of
+    the category vocabulary.
+
+    Output: ``(src, dst, n, p)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.dedup import _mix64
+
+    npart = np.uint64(num_partitions)
+    pair_schema = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                             ("__n", pa.int64()), ("__part", pa.int64())])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([key_col, ts_col, id_col, cat_col])
+        k = batch.column(key_col).cast(pa.int64())
+        part = (_mix64(k.to_numpy(zero_copy_only=False)
+                       .astype(np.uint64)) % npart).astype(np.int64)
+        return pa.table({
+            key_col: k,
+            "__ts": batch.column(ts_col).cast(pa.int64()),
+            id_col: batch.column(id_col).cast(pa.int64()),
+            cat_col: batch.column(cat_col),
+            "__part": pa.array(part, pa.int64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pair_schema.empty_table()
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column("__ts").to_numpy(zero_copy_only=False)
+        ei = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ei, ts, k))
+        ks = k[order]
+        cs = group.column(cat_col).take(
+            pa.array(order, pa.int64())).combine_chunks()
+        same = pa.array(ks[1:] == ks[:-1])
+        n1 = len(cs) - 1
+        src = cs.slice(0, n1).filter(same)
+        dst = cs.slice(1, n1).filter(same)
+        t = pa.table({"src": src, "dst": dst})
+        g = pa.TableGroupBy(t, ["src", "dst"]).aggregate(
+            [([], "count_all")])
+        g = g.append_column("__part", pa.nulls(g.num_rows, pa.int64()))
+        return pa.table({"src": g.column("src"),
+                         "dst": g.column("dst"),
+                         "__n": g.column("count_all").cast(pa.int64()),
+                         "__part": g.column("__part")}).cast(pair_schema)
+
+    counts = (events_ds.select_columns(
+        [key_col, ts_col, id_col, cat_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(scan_partition, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Sum("__n"))
+        .materialize())  # two consumers: totals + attach
+
+    def to_n(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("src", pa.string()),
+                              ("dst", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        return pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                         "n": t.column("sum(__n)").cast(pa.int64())})
+
+    def to_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("key", pa.string()),
+                              ("__n", pa.int64())]).empty_table()
+        return pa.table({"key": t.column("src"),
+                         "__n": t.column("sum(__n)").cast(pa.int64())})
+
+    from torray.ops.text import _count_attach
+
+    n_ds = counts.map_batches(to_n, batch_format="pyarrow")
+    tot_ds = (counts.map_batches(to_key, batch_format="pyarrow")
+              .groupby("key").aggregate(Sum("__n")))
+    with_tot = _count_attach(
+        n_ds, tot_ds, "src", "tot",
+        [("src", pa.string()), ("dst", pa.string()), ("n", pa.int64())],
+        num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([
+                ("src", pa.string()), ("dst", pa.string()),
+                ("n", pa.int64()), ("p", pa.float64())]).empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tot = t.column("tot").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                         "n": t.column("n"),
+                         "p": pa.array(n / tot, pa.float64())})
+
+    return with_tot.map_batches(finish, batch_format="pyarrow")
