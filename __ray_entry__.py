@@ -1454,6 +1454,20 @@ def _q_events_transitions(sf_dir: str):
 
 
 
+def _q_events_profile(sf_dir: str):
+    """One-pass distributed profile of the events table
+    (``ops.profile.profile_table``): per-block Arrow partials (one row
+    per column per block), one narrow (col, value) distinct shuffle
+    for EXACT cardinalities (injective shortest-round-trip string
+    rendering, no hash-collision undercount), bounded one-row-per-
+    column final fold.  min/max are exact values cast once to float64
+    (timestamps as epoch micros, lossless below 2^53)."""
+    from torray.ops.profile import profile_table
+
+    return profile_table(_read(sf_dir, "events"))
+
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted sample: 25 documents drawn with
     probability proportional to length via Efraimidis-Spirakis A-Res
@@ -1913,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_split": _q_docs_stratified_split,
         "events_lead_gaps": _q_events_lead_gaps,
         "events_transitions": _q_events_transitions,
+        "events_profile": _q_events_profile,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
@@ -2354,6 +2369,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # table profile: exact counts/distincts; min/max are exact
+        # values cast ONCE to double (epoch micros < 2^53, lossless)
+        "events_profile": (
+            "SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_null, "
+            "CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct, "
+            "CAST(min(event_id) AS DOUBLE) AS min_num, "
+            "CAST(max(event_id) AS DOUBLE) AS max_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, "
+            "CAST(NULL AS VARCHAR) AS max_str FROM events "
+            "UNION ALL SELECT 'ts', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), CAST(count(DISTINCT ts) AS BIGINT), "
+            "CAST(min(epoch_us(ts)) AS DOUBLE), "
+            "CAST(max(epoch_us(ts)) AS DOUBLE), "
+            "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM events "
+            "UNION ALL SELECT 'user_id', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT), "
+            "CAST(min(user_id) AS DOUBLE), "
+            "CAST(max(user_id) AS DOUBLE), "
+            "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM events "
+            "UNION ALL SELECT 'event_type', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), CAST(count(DISTINCT event_type) AS BIGINT), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "min(event_type), max(event_type) FROM events "
+            "UNION ALL SELECT 'value', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), CAST(count(DISTINCT value) AS BIGINT), "
+            "CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE), "
+            "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM events "
+            "UNION ALL SELECT 'props', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), CAST(count(DISTINCT props) AS BIGINT), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "min(props), max(props) FROM events ORDER BY col"
         ),
         # Markov transition matrix: exact int64 pair counts; p is ONE
         # float divide of exact ints, mirrored token for token

@@ -3462,3 +3462,56 @@ def test_transition_counts_empty(ray_session):
         "props": pa.array([], pa.string())})
     out = transition_counts(ray.data.from_arrow(t)).to_pandas()
     assert len(out) == 0
+
+
+def test_profile_table_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from torray.ops.profile import profile_table
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    vals = rng.random(n)
+    vals[::7] = np.nan  # nulls via masked array below
+    t = pa.table({
+        "a": pa.array(rng.integers(-50, 50, n), pa.int64()),
+        "b": pa.array([None if i % 7 == 0 else float(rng.random())
+                       for i in range(n)], pa.float64()),
+        "s": pa.array([None if i % 11 == 0 else f"s{i % 40}"
+                       for i in range(n)]),
+        "ts": pa.array(rng.integers(0, 10**9, n),
+                       pa.timestamp("us"))})
+    got = profile_table(
+        ray.data.from_arrow(t).repartition(6)).to_pandas()
+    got = got.set_index("col")
+    df = t.to_pandas()
+    assert (got["n"] == n).all()
+    assert got.loc["b", "n_null"] == df["b"].isna().sum()
+    assert got.loc["s", "n_null"] == df["s"].isna().sum()
+    assert got.loc["a", "n_distinct"] == df["a"].nunique()
+    assert got.loc["b", "n_distinct"] == df["b"].nunique()
+    assert got.loc["s", "n_distinct"] == df["s"].nunique()
+    assert got.loc["ts", "n_distinct"] == df["ts"].nunique()
+    assert got.loc["a", "min_num"] == float(df["a"].min())
+    assert got.loc["a", "max_num"] == float(df["a"].max())
+    assert got.loc["b", "min_num"] == float(df["b"].min())
+    assert got.loc["s", "min_str"] == df["s"].dropna().min()
+    assert got.loc["s", "max_str"] == df["s"].dropna().max()
+    assert got.loc["ts", "min_num"] == float(
+        df["ts"].astype("int64").min())
+    assert pd.isna(got.loc["s", "min_num"])
+    assert pd.isna(got.loc["a", "min_str"])
+
+
+def test_profile_table_empty(ray_session):
+    import ray
+
+    from torray.ops.profile import profile_table
+
+    t = pa.table({"a": pa.array([], pa.int64()),
+                  "s": pa.array([], pa.string())})
+    got = profile_table(ray.data.from_arrow(t)).to_pandas()
+    assert list(got["col"]) == ["a", "s"]
+    assert list(got["n"]) == [0, 0]
+    assert list(got["n_distinct"]) == [0, 0]
