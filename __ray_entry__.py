@@ -1468,6 +1468,22 @@ def _q_events_profile(sf_dir: str):
 
 
 
+def _q_parts_triangles(sf_dir: str):
+    """EXACT triangle count of the part co-occurrence graph (parts
+    sharing an order): ``ops.graph.cooccurrence_edges`` (salted-run
+    pair emission, narrow dedupe) into ``ops.graph.triangle_count``
+    (degree-oriented node-iterator — wedges bounded O(m^1.5) — plus a
+    tagged-union run-scan close; all shuffles int64)."""
+    from torray.ops.graph import cooccurrence_edges, triangle_count
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, group_col="l_orderkey",
+                               item_col="l_partkey")
+    return triangle_count(edges)
+
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted sample: 25 documents drawn with
     probability proportional to length via Efraimidis-Spirakis A-Res
@@ -1928,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lead_gaps": _q_events_lead_gaps,
         "events_transitions": _q_events_transitions,
         "events_profile": _q_events_profile,
+        "parts_triangles": _q_parts_triangles,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
@@ -2369,6 +2386,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # triangle count: orientation-invariant exact counts — the
+        # engine's degree orientation changes cost, never the answer
+        "parts_triangles": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) "
+            "AS n_edges, (SELECT CAST(count(*) AS BIGINT) FROM e e1 "
+            "JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles"
         ),
         # table profile: exact counts/distincts; min/max are exact
         # values cast ONCE to double (epoch micros < 2^53, lossless)

@@ -3515,3 +3515,59 @@ def test_profile_table_empty(ray_session):
     assert list(got["col"]) == ["a", "s"]
     assert list(got["n"]) == [0, 0]
     assert list(got["n_distinct"]) == [0, 0]
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    from itertools import combinations
+
+    import ray
+
+    from torray.ops.graph import triangle_count
+
+    rng = np.random.default_rng(23)
+    n_nodes, n_edges = 60, 400
+    seen = set()
+    while len(seen) < n_edges:
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            seen.add((min(int(a), int(b)), max(int(a), int(b))))
+    edges = sorted(seen)
+    adj = {i: set() for i in range(n_nodes)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = sum(1 for u, v, w in combinations(range(n_nodes), 3)
+               if v in adj[u] and w in adj[u] and w in adj[v])
+    t = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                  "v": pa.array([e[1] for e in edges], pa.int64())})
+    got = triangle_count(ray.data.from_arrow(t).repartition(5))
+    assert got.column("n_edges")[0].as_py() == n_edges
+    assert got.column("n_triangles")[0].as_py() == want
+
+
+def test_cooccurrence_edges_dedup_and_selfpairs(ray_session):
+    import ray
+
+    from torray.ops.graph import cooccurrence_edges
+
+    # group 1: items 3,1,3 (self-pair 3-3 dropped); group 2: 1,3
+    # (duplicate edge deduped); group 3 singleton
+    t = pa.table({"g": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                  "i": pa.array([3, 1, 3, 1, 3, 9], pa.int64())})
+    got = (cooccurrence_edges(ray.data.from_arrow(t),
+                              group_col="g", item_col="i")
+           .to_pandas().sort_values(["u", "v"]))
+    assert list(got["u"]) == [1]
+    assert list(got["v"]) == [3]
+
+
+def test_triangle_count_empty(ray_session):
+    import ray
+
+    from torray.ops.graph import triangle_count
+
+    t = pa.table({"u": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.int64())})
+    got = triangle_count(ray.data.from_arrow(t))
+    assert got.column("n_edges")[0].as_py() == 0
+    assert got.column("n_triangles")[0].as_py() == 0

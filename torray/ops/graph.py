@@ -260,3 +260,251 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 3,
                 np.rint(t.column("rank").to_numpy(zero_copy_only=False)
                         * 1e9).astype(np.int64), pa.int64())}),
         batch_format="pyarrow")
+
+
+def cooccurrence_edges(ds, *, group_col: str, item_col: str,
+                       max_group: int | None = None,
+                       num_partitions: int = 64):
+    """Distinct undirected co-occurrence edges: item pairs that share
+    a group (parts in the same order, terms in the same doc).  Pair
+    emission rides :func:`torray.ops.dedup.salted_bucket_pairs` (hash-
+    partitioned runs, no Python call per group; ``max_group`` caps
+    degenerate groups — pass None for the exact emission); self-pairs
+    (an item twice in one group) are dropped and the pair stream is
+    deduped by one narrow (id_a, id_b) groupby.  Output: canonical
+    ``(u, v)`` int64 rows with ``u < v``.
+    """
+    import ray
+    from torray.ops.dedup import salted_bucket_pairs
+
+    pairs = salted_bucket_pairs(
+        ds.select_columns([group_col, item_col]),
+        group_col, item_col, max_bucket=max_group,
+        num_partitions=num_partitions)
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("u", "v"))
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
+                         "v": pa.array(np.maximum(a, b), pa.int64())})
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("u", "v"))
+        return t.select(["u", "v"])
+
+    return (pairs.map_batches(clean, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(ray.data.aggregate.Count())
+            .map_batches(keys_only, batch_format="pyarrow"))
+
+
+def _attach_int_value(left_ds, values_ds, key: str, out_name: str,
+                      left_cols: tuple[str, ...],
+                      num_partitions: int = 64):
+    """Co-partitioned run-scan attach of ``values_ds`` (``(node, val)``
+    int64 rows, node unique) onto every ``left_ds`` row by the int64
+    ``key`` column — the int-key twin of
+    :func:`torray.ops.text._count_attach`: both sides hash-partition
+    on splitmix64(key), one segmented last-index scan per partition
+    pairs each left row with its value (missing keys attach 0)."""
+    from torray.ops.dedup import _mix64
+    from torray.ops.window import _segmented_last_index
+
+    npart = np.uint64(num_partitions)
+    mid_cols = tuple(left_cols) + (out_name, "__side", "__part")
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(mid_cols)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.uint64))
+                % npart).astype(np.int64)
+        cols = {c: t.column(c) for c in left_cols}
+        cols[out_name] = pa.nulls(t.num_rows, pa.int64())
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int64),
+                                  pa.int64())
+        cols["__part"] = pa.array(part, pa.int64())
+        return pa.table(cols)
+
+    def tag_values(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(mid_cols)
+        k = t.column("node").to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.uint64))
+                % npart).astype(np.int64)
+        cols = {}
+        for c in left_cols:
+            cols[c] = (t.column("node") if c == key
+                       else pa.nulls(t.num_rows, pa.int64()))
+        cols[out_name] = t.column("val").cast(pa.int64())
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int64),
+                                  pa.int64())
+        cols["__part"] = pa.array(part, pa.int64())
+        return pa.table(cols)
+
+    out_cols = tuple(left_cols) + (out_name,)
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty_int64_table(out_cols)
+        k = group.column(key).to_numpy(zero_copy_only=False)
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, k))
+        ks, ss = k[order], side[order]
+        run_id = np.cumsum(np.concatenate(
+            ([True], ks[1:] != ks[:-1]))) - 1
+        last_v = _segmented_last_index(ss == 0, run_id)
+        lpos = np.flatnonzero(ss == 1)
+        match = last_v[lpos]
+        import pyarrow.compute as pc
+        vv = pc.fill_null(group.column(out_name), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        attached = np.where(match >= 0,
+                            vv[order[np.clip(match, 0, None)]], 0)
+        take = pa.array(order[lpos], pa.int64())
+        cols = {c: group.column(c).take(take) for c in left_cols}
+        cols[out_name] = pa.array(attached, pa.int64())
+        return pa.table(cols)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(values_ds.map_batches(tag_values,
+                                           batch_format="pyarrow")))
+    return (tagged.groupby("__part")
+            .map_groups(scan, batch_format="pyarrow"))
+
+
+def triangle_count(edges_ds, *, num_partitions: int = 64) -> pa.Table:
+    """EXACT global triangle count over a canonical undirected edge
+    list (``(u, v)`` int64 rows, ``u < v``, distinct — e.g.
+    :func:`cooccurrence_edges` output).
+
+    The classic all-to-all-hostile graph kernel, done as three narrow
+    int64 shuffles (node-iterator with degree orientation, MPC-style):
+
+    1. degrees — explode endpoints, one pre-combined groupby count;
+    2. orient each edge from its lower-(degree, id) endpoint and emit
+       wedges: hash(src)-partitioned runs of the oriented adjacency,
+       all neighbor pairs per run (the degree orientation bounds
+       out-degree by O(sqrt(m)), so total wedges are O(m^1.5) instead
+       of sum(deg^2) — the hub-safe bound);
+    3. close — tagged union of wedge rows and the canonical edge set,
+       hash-partitioned on (u, v), one sorted run-scan counts wedges
+       whose (u, v) run also holds an edge row.
+
+    Each triangle is counted exactly once (its unique minimum vertex
+    under the (degree, id) total order is the wedge center).  Returns
+    a one-row Table ``(n_edges, n_triangles)`` — both exact int64.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.dedup import _mix64, salted_bucket_pairs
+
+    edges = edges_ds.materialize()  # consumed 3x (degrees/orient/close)
+    n_edges = edges.count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("node", "__n"))
+        nodes = pa.concat_arrays([
+            t.column("u").combine_chunks(),
+            t.column("v").combine_chunks()])
+        g = pa.TableGroupBy(pa.table({"node": nodes}),
+                            "node").aggregate([([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "__n": g.column("count_all").cast(pa.int64())})
+
+    degrees = (edges.map_batches(explode, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("__n")))
+
+    def to_val(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("node", "val"))
+        return pa.table({"node": t.column("node"),
+                         "val": t.column("sum(__n)").cast(pa.int64())})
+
+    deg_ds = degrees.map_batches(to_val, batch_format="pyarrow")
+    with_du = _attach_int_value(edges, deg_ds, "u", "deg_u",
+                                ("u", "v"), num_partitions)
+    with_dv = _attach_int_value(with_du, deg_ds, "v", "deg_v",
+                                ("u", "v", "deg_u"), num_partitions)
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("src", "dst"))
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = t.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = t.column("deg_v").to_numpy(zero_copy_only=False)
+        # total order (degree, id); u < v already breaks degree ties
+        u_first = du <= dv
+        return pa.table({
+            "src": pa.array(np.where(u_first, u, v), pa.int64()),
+            "dst": pa.array(np.where(u_first, v, u), pa.int64())})
+
+    oriented = with_dv.map_batches(orient, batch_format="pyarrow")
+    wedges = salted_bucket_pairs(oriented, "src", "dst",
+                                 max_bucket=None,
+                                 num_partitions=num_partitions)
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("u", "v", "__side", "__part"))
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        part = (_mix64(u.astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15)
+                       + v.astype(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "__side": pa.array(
+                             np.ones(len(u), np.int64), pa.int64()),
+                         "__part": pa.array(part, pa.int64())})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("u", "v", "__side", "__part"))
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        part = (_mix64(u.astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15)
+                       + v.astype(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({"u": t.column("u"), "v": t.column("v"),
+                         "__side": pa.array(
+                             np.zeros(len(u), np.int64), pa.int64()),
+                         "__part": pa.array(part, pa.int64())})
+
+    def close_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty_int64_table(("__n",))
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        s = group.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, v, u))
+        us, vs, ss = u[order], v[order], s[order]
+        new_run = np.concatenate(
+            ([True], (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])))
+        run_id = np.cumsum(new_run) - 1
+        nruns = run_id[-1] + 1
+        has_edge = np.zeros(nruns, np.int64)
+        np.add.at(has_edge, run_id, (ss == 0).astype(np.int64))
+        wedge_n = np.zeros(nruns, np.int64)
+        np.add.at(wedge_n, run_id, (ss == 1).astype(np.int64))
+        total = int(wedge_n[has_edge > 0].sum())
+        return pa.table({"__n": pa.array([total], pa.int64())})
+
+    tagged = (wedges.map_batches(tag_wedge, batch_format="pyarrow")
+              .union(edges.map_batches(tag_edge,
+                                       batch_format="pyarrow")))
+    parts = (tagged.groupby("__part")
+             .map_groups(close_partition, batch_format="pyarrow"))
+    n_tri = parts.sum("__n") or 0
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_triangles": pa.array([int(n_tri)], pa.int64())})
