@@ -1484,6 +1484,83 @@ def _q_parts_triangles(sf_dir: str):
 
 
 
+def _q_customers_idle_rich(sf_dir: str):
+    """TPC-H Q22 shape: per-nation count + balance total of customers
+    whose balance beats the positive-balance average AND who have no
+    event activity.  The scalar subquery is a bounded per-block partial fold
+    (one (cnt, sum_cents) row per block); the threshold compare is
+    INT-EXACT — ``cents * cnt > sum_cents`` avoids the float-average
+    boundary entirely and the oracle mirrors it token for token; the
+    NOT EXISTS is the broadcast-Bloom EXACT anti-join (absent rows
+    stream shuffle-free).  ``totacctbal = sum_cents / 100.0`` is one
+    mirrored IEEE division of the exact int sum."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.bloom import bloom_antijoin
+    from torray.ops.moments import _cents
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("c_acctbal"), 0.0))
+        s = pc.sum(_cents(pos.column("c_acctbal"), 100)).as_py() or 0
+        return pa.table({"cnt": pa.array([pos.num_rows], pa.int64()),
+                         "s": pa.array([int(s)], pa.int64())})
+
+    parts = cust.map_batches(pos_partial,
+                             batch_format="pyarrow").take_all()
+    cnt = sum(r["cnt"] for r in parts)
+    scents = sum(r["s"] for r in parts)
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal"), 100)
+        keep = pc.greater(pc.multiply(cents, cnt), scents)
+        return t.append_column(
+            "__cents", cents).filter(keep).select(
+            ["c_custkey", "c_nationkey", "__cents"])
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+    idle = bloom_antijoin(
+        rich_ds, _read(sf_dir, "events").select_columns(["user_id"]),
+        big_key="c_custkey", small_key="user_id")
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "c_nationkey": pa.array([], pa.int32()),
+                "__n": pa.array([], pa.int64()),
+                "__s": pa.array([], pa.int64())})
+        g = pa.TableGroupBy(
+            t.select(["c_nationkey", "__cents"]),
+            "c_nationkey").aggregate(
+            [([], "count_all"), ("__cents", "sum")])
+        return pa.table({
+            "c_nationkey": g.column("c_nationkey"),
+            "__n": g.column("count_all").cast(pa.int64()),
+            "__s": g.column("__cents_sum").cast(pa.int64())})
+
+    agg = (idle.map_batches(nation_partial, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Sum("__n"), Sum("__s")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "c_nationkey": pa.array([], pa.int32()),
+                "numcust": pa.array([], pa.int64()),
+                "totacctbal": pa.array([], pa.float64())})
+        s = t.column("sum(__s)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_nationkey": t.column("c_nationkey"),
+            "numcust": t.column("sum(__n)").cast(pa.int64()),
+            "totacctbal": pa.array(
+                s.astype(np.float64) / 100.0, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted sample: 25 documents drawn with
     probability proportional to length via Efraimidis-Spirakis A-Res
@@ -1945,6 +2022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "events_profile": _q_events_profile,
         "parts_triangles": _q_parts_triangles,
+        "customers_idle_rich": _q_customers_idle_rich,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
@@ -2386,6 +2464,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # Q22 shape: the avg-balance threshold compares INT-EXACT
+        # (cents * cnt > sum_cents — no float-average boundary);
+        # totacctbal is ONE mirrored division of the exact int sum
+        "customers_idle_rich": (
+            "WITH pos AS (SELECT CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) "
+            "AS BIGINT) AS s FROM customer WHERE c_acctbal > 0.0) "
+            "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+            "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) "
+            "AS DOUBLE) / 100.0 AS totacctbal FROM customer "
+            "WHERE CAST(round(c_acctbal * 100) AS BIGINT) "
+            "* (SELECT cnt FROM pos) > (SELECT s FROM pos) "
+            "AND NOT EXISTS (SELECT 1 FROM events "
+            "WHERE user_id = c_custkey) "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         # triangle count: orientation-invariant exact counts — the
         # engine's degree orientation changes cost, never the answer

@@ -3571,3 +3571,37 @@ def test_triangle_count_empty(ray_session):
     got = triangle_count(ray.data.from_arrow(t))
     assert got.column("n_edges")[0].as_py() == 0
     assert got.column("n_triangles")[0].as_py() == 0
+
+
+def test_customers_idle_rich_query(ray_session):
+    """Q22-shape driver query vs a pandas reference at sf0.001."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = (entrymod._q_customers_idle_rich(sf).to_pandas()
+           .sort_values("c_nationkey").reset_index(drop=True))
+
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    cents = np.copysign(
+        np.floor(np.abs(cust["c_acctbal"] * 100) + 0.5),
+        cust["c_acctbal"]).astype(np.int64)
+    pos = cents[cust["c_acctbal"] > 0.0]
+    cnt, s = len(pos), int(pos.sum())
+    keep = (cents * cnt > s) & ~cust["c_custkey"].isin(
+        set(ev["user_id"]))
+    sel = cust[keep].assign(cents=cents[keep])
+    want = (sel.groupby("c_nationkey", as_index=False)
+            .agg(numcust=("c_custkey", "size"),
+                 cents=("cents", "sum")))
+    want["totacctbal"] = want["cents"].astype(np.float64) / 100.0
+    want = want.sort_values("c_nationkey").reset_index(drop=True)
+    assert list(got["c_nationkey"]) == list(want["c_nationkey"])
+    assert list(got["numcust"]) == list(want["numcust"])
+    assert list(got["totacctbal"]) == list(want["totacctbal"])
+    assert len(got) > 0
