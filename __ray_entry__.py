@@ -829,6 +829,17 @@ def _q_user_event_pivot(sf_dir: str):
                         ["click", "view", "purchase", "error", "signup"])
 
 
+def _q_user_value_pivot(sf_dir: str):
+    """Pivoted per-user event-type value SUMS (sum-FILTER columns) —
+    ``ops.rollup.pivot_sum``: scaled-int64 2-D scatter partials, one
+    narrow groupby, ONE mirrored ``/100.0`` per output float."""
+    from torray.ops.rollup import pivot_sum
+
+    return pivot_sum(_read(sf_dir, "events"), "user_id", "event_type",
+                     ["click", "view", "purchase", "error", "signup"],
+                     "value")
+
+
 def _q_customer_event_counts(sf_dir: str):
     """LEFT OUTER join + grouped non-null count: events per customer
     INCLUDING zero-event customers (Ray native left_outer join)."""
@@ -1977,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_counts": _q_customer_event_counts,
         "supplier_nation_broadcast": _q_supplier_nation_broadcast,
         "user_event_pivot": _q_user_event_pivot,
+        "user_value_pivot": _q_user_value_pivot,
         "events_lag_gaps": _q_events_lag_gaps,
         "events_lag_salted": _q_events_lag_salted,
         "events_lag_join": _q_events_lag_join,
@@ -2439,6 +2451,26 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_broadcast": (
             "SELECT s_suppkey, n_name FROM supplier "
             "JOIN nation ON s_nationkey = n_nationkey"
+        ),
+        # pivot sums: scaled-int64 cores, ONE mirrored /100.0 each;
+        # empty cells coalesce to 0 on both engines
+        "user_value_pivot": (
+            "SELECT user_id, "
+            "CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) "
+            "FILTER (event_type = 'click'), 0) AS DOUBLE) / 100.0 "
+            "AS sum_click, "
+            "CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) "
+            "FILTER (event_type = 'view'), 0) AS DOUBLE) / 100.0 "
+            "AS sum_view, "
+            "CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) "
+            "FILTER (event_type = 'purchase'), 0) AS DOUBLE) / 100.0 "
+            "AS sum_purchase, "
+            "CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) "
+            "FILTER (event_type = 'error'), 0) AS DOUBLE) / 100.0 "
+            "AS sum_error, "
+            "CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) "
+            "FILTER (event_type = 'signup'), 0) AS DOUBLE) / 100.0 "
+            "AS sum_signup FROM events GROUP BY user_id"
         ),
         "user_event_pivot": (
             "SELECT user_id, "

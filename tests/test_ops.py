@@ -3605,3 +3605,29 @@ def test_customers_idle_rich_query(ray_session):
     assert list(got["numcust"]) == list(want["numcust"])
     assert list(got["totacctbal"]) == list(want["totacctbal"])
     assert len(got) > 0
+
+
+def test_pivot_sum_matches_pandas(ray_session):
+    import ray
+
+    from torray.ops.rollup import pivot_sum
+
+    rng = np.random.default_rng(3)
+    n = 2500
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "c": pa.array(rng.choice(["x", "y", "z", "other"], n)),
+        "v": pa.array(np.round(rng.random(n) * 50, 2), pa.float64())})
+    got = (pivot_sum(ray.data.from_arrow(t).repartition(6),
+                     "g", "c", ["x", "y"], "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    df = t.to_pandas()
+    cents = np.copysign(np.floor(np.abs(df["v"] * 100) + 0.5),
+                        df["v"]).astype(np.int64)
+    for col, val in [("sum_x", "x"), ("sum_y", "y")]:
+        want = (df.assign(cents=np.where(df["c"] == val, cents, 0))
+                .groupby("g")["cents"].sum())
+        for _, row in got.iterrows():
+            assert row[col] == np.float64(
+                want.loc[row["g"]]) / np.float64(100.0)
+    assert set(got.columns) == {"g", "sum_x", "sum_y"}

@@ -19,8 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts", "group_share"]
+__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts", "pivot_sum", "group_share"]
 
 
 def grouping_sets(ds, keys: list[str], value_col: str,
@@ -170,6 +171,69 @@ def pivot_counts(ds, group_col: str, pivot_col: str,
              for c in t.column_names])
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def pivot_sum(ds, group_col: str, pivot_col: str, values: list[str],
+              value_col: str, *, prefix: str = "sum_",
+              scale: int = 100):
+    """Pivot a categorical column into per-value SUM columns
+    (``SELECT group, sum(v) FILTER (pivot = x) AS sum_x ...``) — the
+    value twin of :func:`pivot_counts`.
+
+    Exactness contract: sums accumulate as scaled int64
+    (``round(v * scale)`` half away from zero, matching SQL
+    ``round``); each output float is ONE mirrored division
+    ``sum_scaled / scale`` — bit-identical to the SQL twin.  Rows with
+    NULL ``value_col`` contribute 0 (SQL sum-FILTER yields NULL for an
+    empty set; this op emits 0.0 — mirror with ``coalesce`` in SQL).
+
+    Scale shape: identical to :func:`pivot_counts` — one partial row
+    per (group, block) via a vectorized 2-D scatter-add, groups x
+    blocks narrow int64 rows into ONE groupby, Sum per category.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from torray.ops.moments import _cents
+
+    vals = list(values)
+    idx = {v: i for i, v in enumerate(vals)}
+    cols = [f"{prefix}{v}" for v in vals]
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        p = t.column(pivot_col).to_pylist()
+        v = pc.fill_null(_cents(t.column(value_col), scale),
+                         0).to_numpy(zero_copy_only=False)
+        code = np.asarray([idx.get(x, -1) for x in p], np.int64)
+        keep = code >= 0
+        g, code, v = g[keep], code[keep], v[keep]
+        if len(g) == 0:
+            return pa.table({group_col: pa.array(
+                [], t.schema.field(group_col).type),
+                **{c: pa.array([], pa.int64()) for c in cols}})
+        ug, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(ug), len(vals)), np.int64)
+        np.add.at(sums, (inv, code), v)
+        return pa.table({
+            group_col: pa.array(ug, t.schema.field(group_col).type),
+            **{c: pa.array(sums[:, i], pa.int64())
+               for i, c in enumerate(cols)}})
+
+    agg = (ds.select_columns([group_col, pivot_col, value_col])
+           .map_batches(fold, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(*[Sum(c) for c in cols]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {group_col: t.column(group_col)}
+        for c in cols:
+            s = pc.fill_null(t.column(f"sum({c})"), 0).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            out[c] = pa.array(s / float(scale), pa.float64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def group_share(ds, *, key_col: str = "event_type",
