@@ -93,6 +93,16 @@ def skew_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
 
     from torray.ops.rank import top_frequent
 
+    # Ray's hash-shuffle join schedules one aggregator actor per
+    # partition; asking for more partitions than the cluster has CPUs
+    # leaves the actor pool waiting forever (observed: a 32-partition
+    # join wedged a 4-CPU test cluster).  Cap by the actual cluster —
+    # at 256 nodes the cap is a no-op, on a laptop it prevents the
+    # deadlock.
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 0) or
+                      num_partitions)
+    num_partitions = max(2, min(num_partitions, cluster_cpus))
+
     rkey = right_on or on
     counts = top_frequent(left_ds.select_columns([on]), on, k_hot)
     hot_tbl = counts.to_arrow_refs()
