@@ -32,6 +32,20 @@ def ray_session():
         )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Concurrent read_parquet calls from driver threads re-probe the
+    # fsspec.implementations.http import (aiohttp is absent, so the
+    # failure is never cached) and race Python's partial-module state
+    # into an uncaught ImportError — same shim as
+    # bench._thread_safe_reads.
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        _m = types.ModuleType("fsspec.implementations.http")
+        _m.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = _m
     yield
     ray.shutdown()
 
