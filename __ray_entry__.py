@@ -1572,6 +1572,37 @@ def _q_customers_idle_rich(sf_dir: str):
 
 
 
+def _q_parts_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape: per-(brand, size) count of DISTINCT suppliers
+    shipping that part class, excluding one brand and a banned
+    supplier set.  Composition: broadcast-Bloom EXACT anti-join strips
+    banned suppliers shuffle-free, the part dimension attaches via the
+    broadcast Arrow C++ join, and ``ops.sketch.exact_distinct_by``
+    (composite key, hash-partitioned C++ two-level group_by — Python
+    once per PARTITION, never per group) counts exactly."""
+    from torray.ops.bloom import bloom_antijoin
+    from torray.ops.join import broadcast_join
+    from torray.ops.sketch import exact_distinct_by
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"])
+    banned = _read(sf_dir, "supplier").map_batches(
+        lambda t: t.filter(pc.less(t.column("s_nationkey"), 5))
+        .select(["s_suppkey"]), batch_format="pyarrow")
+    li = bloom_antijoin(li, banned, big_key="l_suppkey",
+                        small_key="s_suppkey")
+    part = _read(sf_dir, "part").map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("p_brand"),
+                                        "Brand#1"))
+        .select(["p_partkey", "p_brand", "p_size"]),
+        batch_format="pyarrow")
+    joined = broadcast_join(li, part, on="l_partkey",
+                            right_on="p_partkey", how="inner")
+    return exact_distinct_by(joined, ["p_brand", "p_size"],
+                             "l_suppkey", out_col="supplier_cnt")
+
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted sample: 25 documents drawn with
     probability proportional to length via Efraimidis-Spirakis A-Res
@@ -2035,6 +2066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "parts_triangles": _q_parts_triangles,
         "customers_idle_rich": _q_customers_idle_rich,
+        "parts_supplier_cnt": _q_parts_supplier_cnt,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
@@ -2496,6 +2528,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # Q16 shape: grouped EXACT count-distinct over a composite
+        # key, after an anti-join and a dimension join
+        "parts_supplier_cnt": (
+            "SELECT p_brand, p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) "
+            "AS supplier_cnt FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#1' AND l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_nationkey < 5) "
+            "GROUP BY p_brand, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_size"
         ),
         # Q22 shape: the avg-balance threshold compares INT-EXACT
         # (cents * cnt > sum_cents — no float-average boundary);

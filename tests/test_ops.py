@@ -3631,3 +3631,25 @@ def test_pivot_sum_matches_pandas(ray_session):
             assert row[col] == np.float64(
                 want.loc[row["g"]]) / np.float64(100.0)
     assert set(got.columns) == {"g", "sum_x", "sum_y"}
+
+
+def test_exact_distinct_by_composite_key(ray_session):
+    import ray
+
+    from torray.ops.sketch import exact_distinct_by
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table({
+        "b": pa.array(rng.choice(["p", "q", "r"], n)),
+        "s": pa.array(rng.integers(0, 6, n), pa.int32()),
+        "v": pa.array(rng.integers(0, 200, n), pa.int64())})
+    got = (exact_distinct_by(ray.data.from_arrow(t).repartition(7),
+                             ["b", "s"], "v", out_col="nd")
+           .to_pandas().sort_values(["b", "s"]).reset_index(drop=True))
+    df = t.to_pandas()
+    want = (df.groupby(["b", "s"], as_index=False)["v"].nunique()
+            .sort_values(["b", "s"]).reset_index(drop=True))
+    assert list(got["b"]) == list(want["b"])
+    assert list(got["s"]) == list(want["s"])
+    assert list(got["nd"]) == list(want["v"])

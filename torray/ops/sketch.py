@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from torray.ops.dedup import _mix64, fnv1a64_strings
 
@@ -657,39 +658,77 @@ def group_quantiles_cont(ds, group_col: str, col: str, quantiles,
             .map_groups(scan_partition, batch_format="pyarrow"))
 
 
-def exact_distinct_by(ds, group_col: str, col: str,
-                      out_col: str = "n_distinct"):
-    """EXACT per-group COUNT(DISTINCT col) -> ``(group, n_distinct)``
-    — the precise companion to :func:`approx_distinct_by` for when the
-    group cardinalities must be right, not estimated.
+def _group_hash(t: pa.Table, gcols: list[str]) -> np.ndarray:
+    """uint64 hash of the composite group key (ints/timestamps via
+    splitmix64, strings via fnv1a64; mixed chain-combined)."""
+    h = np.zeros(t.num_rows, np.uint64)
+    for c in gcols:
+        arr = t.column(c)
+        typ = arr.type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            hc = fnv1a64_strings(arr.combine_chunks())
+        elif (pa.types.is_integer(typ) or pa.types.is_timestamp(typ)
+              or pa.types.is_date(typ)):
+            hc = _mix64(pc.cast(arr, pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.uint64))
+        else:
+            raise TypeError(
+                f"unhashable group column type {typ} for {c!r}")
+        h = _mix64(h * np.uint64(0x9E3779B97F4A7C15) + hc)
+    return h
+
+
+def exact_distinct_by(ds, group_col, col: str,
+                      out_col: str = "n_distinct", *,
+                      num_partitions: int = 64):
+    """EXACT per-group COUNT(DISTINCT col) -> ``(*groups,
+    n_distinct)`` — the precise companion to :func:`approx_distinct_by`
+    for when the group cardinalities must be right, not estimated.
+    ``group_col`` may be one column name or a list (composite key).
 
     Scale shape: each block pre-deduplicates to its DISTINCT (group,
     value) pairs with Arrow's C++ ``group_by`` (a combiner — repeated
-    values never leave their block), then ONE ``groupby(group)``
-    shuffle of those pairs feeds a vectorized per-group unique count.
-    The shuffle is bounded by ``true distinct pairs x blocks`` in the
-    worst case and by the true distinct count when blocks repeat
-    values.  Choose the HLL variant when values-per-group are huge and
-    ~1.6% error is acceptable — its shuffle is O(groups x blocks)
-    register rows regardless of cardinality.
+    values never leave their block) and tags hash(group) ->
+    ``num_partitions`` coarse partitions; ONE ``groupby("__part")``
+    shuffle, then inside each partition one C++ two-level group_by
+    (dedup across blocks, then count) — Python is called once per
+    PARTITION, never per group (the per-key ``map_groups`` shape this
+    replaces costs one interpreter call per distinct group: the
+    engine's own measured pathology at 10^8 groups).  The shuffle is
+    bounded by ``true distinct pairs x blocks`` worst case.  Choose
+    the HLL variant when values-per-group are huge and ~1.6% error is
+    acceptable — its shuffle is O(groups x blocks) register rows
+    regardless of cardinality.
     """
-    import pyarrow.compute as pc
+    gcols = ([group_col] if isinstance(group_col, str)
+             else list(group_col))
+    npart = np.uint64(num_partitions)
+    from torray.ops.window import _ds_field_type
+    out_schema = pa.schema(
+        [(c, _ds_field_type(ds, c)) for c in gcols]
+        + [(out_col, pa.int64())])
 
     def fold(t: pa.Table) -> pa.Table:
-        return (t.select([group_col, col])
-                .group_by([group_col, col]).aggregate([]))
+        d = (t.select(gcols + [col])
+             .group_by(gcols + [col]).aggregate([]))
+        part = (_group_hash(d, gcols) % npart).astype(np.int64)
+        return d.append_column("__part", pa.array(part, pa.int64()))
 
-    def per_group(g: pa.Table) -> pa.Table:
-        n = len(pc.unique(g.column(col).combine_chunks()))
-        return pa.table({
-            group_col: g.column(group_col).slice(0, 1),
-            out_col: pa.array([n], pa.int64()),
-        })
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # schemaless empty map_groups blocks
+            return out_schema.empty_table()
+        # a group never straddles partitions (hash of the full key)
+        d = (group.drop_columns(["__part"])
+             .group_by(gcols + [col]).aggregate([]))
+        g = d.group_by(gcols).aggregate([([], "count_all")])
+        cols = {c: g.column(c) for c in gcols}
+        cols[out_col] = g.column("count_all").cast(pa.int64())
+        return pa.table(cols).cast(out_schema)
 
-    return (ds.select_columns([group_col, col])
+    return (ds.select_columns(gcols + [col])
             .map_batches(fold, batch_format="pyarrow")
-            .groupby(group_col)
-            .map_groups(per_group, batch_format="pyarrow"))
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
 
 
 def group_standardize(ds, group_col: str, col: str, *,
