@@ -1603,6 +1603,112 @@ def _q_parts_supplier_cnt(sf_dir: str):
 
 
 
+def _q_supplier_waits(sf_dir: str):
+    """TPC-H Q21 shape: per-supplier count of lineitems where the
+    supplier shipped LATE (>60 days after the order date) on a
+    finalized multi-supplier order on which NO OTHER supplier was
+    late — the classic EXISTS + NOT-EXISTS pair, done without either:
+    the order date attaches to lineitem via the co-partitioned int-key
+    run-scan join (``ops.graph._attach_int_value``), then ONE
+    hash(orderkey) partition pass computes each order's distinct and
+    distinct-late supplier counts with segmented scans (orders never
+    straddle partitions) and emits per-supplier partial counts —
+    Python once per partition, all shuffles int64."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.dedup import _mix64
+    from torray.ops.graph import _attach_int_value
+
+    npart = 64
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+        return pa.table({
+            "node": f.column("o_orderkey"),
+            "val": pc.cast(f.column("o_orderdate"), pa.int64())})
+
+    odates = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderstatus", "o_orderdate"]).map_batches(
+        orders_f, batch_format="pyarrow")
+
+    def li_narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "__sd": pc.cast(t.column("l_shipdate"), pa.int64())})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        li_narrow, batch_format="pyarrow")
+    with_od = _attach_int_value(
+        li, odates, "l_orderkey", "__od",
+        ("l_orderkey", "l_suppkey", "__sd"), npart)
+
+    def tag(t: pa.Table) -> pa.Table:
+        # missing keys attach 0 (non-'F' orders): drop them
+        t = t.filter(pc.greater(t.column("__od"), 0))
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("l_orderkey", "l_suppkey", "__late",
+                              "__part")})
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sd = t.column("__sd").to_numpy(zero_copy_only=False)
+        od = t.column("__od").to_numpy(zero_copy_only=False)
+        late = (sd > od + 60 * 86_400_000_000).astype(np.int64)
+        part = (_mix64(ok.astype(np.uint64))
+                % np.uint64(npart)).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "__late": pa.array(late, pa.int64()),
+            "__part": pa.array(part, pa.int64())})
+
+    def waits_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = group.column("l_suppkey").to_numpy(zero_copy_only=False)
+        late = group.column("__late").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        o_s, s_s, late_s = ok[order], sk[order], late[order]
+        new_order = np.concatenate(([True], o_s[1:] != o_s[:-1]))
+        new_supp = new_order | np.concatenate(
+            ([True], s_s[1:] != s_s[:-1]))
+        ord_id = np.cumsum(new_order) - 1
+        supp_run_id = np.cumsum(new_supp) - 1
+        n_runs = supp_run_id[-1] + 1
+        run_late = np.zeros(n_runs, np.int64)
+        np.maximum.at(run_late, supp_run_id, late_s)
+        run_order = ord_id[np.flatnonzero(new_supp)]
+        n_orders = ord_id[-1] + 1
+        n_supp = np.zeros(n_orders, np.int64)
+        np.add.at(n_supp, run_order, 1)
+        n_late_supp = np.zeros(n_orders, np.int64)
+        np.add.at(n_late_supp, run_order, run_late)
+        row_q = ((late_s == 1) & (n_supp[ord_id] >= 2)
+                 & (n_late_supp[ord_id] == 1))
+        u, c = np.unique(s_s[row_q], return_counts=True)
+        return pa.table({"l_suppkey": pa.array(u, pa.int64()),
+                         "__n": pa.array(c, pa.int64())})
+
+    agg = (with_od.map_batches(tag, batch_format="pyarrow")
+           .groupby("__part")
+           .map_groups(waits_partition, batch_format="pyarrow")
+           .groupby("l_suppkey").aggregate(Sum("__n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        return pa.table({
+            "suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "numwait": t.column("sum(__n)").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted sample: 25 documents drawn with
     probability proportional to length via Efraimidis-Spirakis A-Res
@@ -2067,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangles": _q_parts_triangles,
         "customers_idle_rich": _q_customers_idle_rich,
         "parts_supplier_cnt": _q_parts_supplier_cnt,
+        "supplier_waits": _q_supplier_waits,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
@@ -2528,6 +2635,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # Q21 shape: EXISTS + NOT-EXISTS via one per-order partition
+        # scan; counts are exact ints
+        "supplier_waits": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END AS late FROM lineitem "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F') "
+            "SELECT l1.l_suppkey AS suppkey, "
+            "CAST(count(*) AS BIGINT) AS numwait FROM l l1 "
+            "WHERE l1.late = 1 AND EXISTS (SELECT 1 FROM l l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM l l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1) "
+            "GROUP BY suppkey ORDER BY numwait DESC, suppkey"
         ),
         # Q16 shape: grouped EXACT count-distinct over a composite
         # key, after an anti-join and a dimension join

@@ -3653,3 +3653,38 @@ def test_exact_distinct_by_composite_key(ray_session):
     assert list(got["b"]) == list(want["b"])
     assert list(got["s"]) == list(want["s"])
     assert list(got["nd"]) == list(want["v"])
+
+
+def test_supplier_waits_query(ray_session):
+    """Q21-shape driver query vs a pandas reference at sf0.001."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = (entrymod._q_supplier_waits(sf).to_pandas()
+           .sort_values("suppkey").reset_index(drop=True))
+
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"]).to_pandas()
+    od = pq.read_table(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate",
+                 "o_orderstatus"]).to_pandas()
+    od = od[od["o_orderstatus"] == "F"]
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    m["late"] = (m["l_shipdate"]
+                 > m["o_orderdate"] + np.timedelta64(60, "D"))
+    waits = {}
+    for _, g in m.groupby("l_orderkey"):
+        supps = g["l_suppkey"].unique()
+        late_supps = g.loc[g["late"], "l_suppkey"].unique()
+        if len(supps) >= 2 and len(late_supps) == 1:
+            s = late_supps[0]
+            waits[s] = waits.get(s, 0) + int(g["late"].sum())
+    want = sorted(waits.items())
+    assert list(got["suppkey"]) == [w[0] for w in want]
+    assert list(got["numwait"]) == [w[1] for w in want]
+    assert len(got) > 0
