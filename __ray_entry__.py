@@ -1709,6 +1709,18 @@ def _q_supplier_waits(sf_dir: str):
 
 
 
+def _q_events_minmax_norm(sf_dir: str):
+    """EXACT per-type min-max normalization of event values
+    (``ops.sketch.group_minmax_normalize``): identical int64
+    numerator/denominator on both engines, ONE mirrored IEEE divide —
+    bit-identical; constant groups yield NULL on both sides."""
+    from torray.ops.sketch import group_minmax_normalize
+
+    return group_minmax_normalize(_read(sf_dir, "events"),
+                                  "event_type", "value")
+
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted sample: 25 documents drawn with
     probability proportional to length via Efraimidis-Spirakis A-Res
@@ -2174,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_idle_rich": _q_customers_idle_rich,
         "parts_supplier_cnt": _q_parts_supplier_cnt,
         "supplier_waits": _q_supplier_waits,
+        "events_minmax_norm": _q_events_minmax_norm,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
@@ -2635,6 +2648,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # min-max normalize: int64 numerator/denominator, ONE
+        # mirrored divide; constant groups NULL via the CASE guard
+        "events_minmax_norm": (
+            "WITH sv AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+            "mm AS (SELECT event_id, v, "
+            "min(v) OVER (PARTITION BY event_type) AS mn, "
+            "max(v) OVER (PARTITION BY event_type) AS mx FROM sv) "
+            "SELECT event_id, CASE WHEN mx = mn THEN NULL ELSE "
+            "CAST(v - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END "
+            "AS x FROM mm"
         ),
         # Q21 shape: EXISTS + NOT-EXISTS via one per-order partition
         # scan; counts are exact ints

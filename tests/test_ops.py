@@ -3688,3 +3688,38 @@ def test_supplier_waits_query(ray_session):
     assert list(got["suppkey"]) == [w[0] for w in want]
     assert list(got["numwait"]) == [w[1] for w in want]
     assert len(got) > 0
+
+
+def test_group_minmax_normalize(ray_session):
+    import ray
+
+    from torray.ops.sketch import group_minmax_normalize
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "g": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(np.round(rng.random(n) * 40 - 20, 2),
+                      pa.float64())})
+    # plant a constant group
+    t2 = pa.table({
+        "event_id": pa.array([n, n + 1], pa.int64()),
+        "g": pa.array(["const", "const"]),
+        "v": pa.array([7.5, 7.5], pa.float64())})
+    ds = ray.data.from_arrow(pa.concat_tables([t, t2])).repartition(5)
+    got = (group_minmax_normalize(ds, "g", "v")
+           .to_pandas().set_index("event_id"))
+    df = pa.concat_tables([t, t2]).to_pandas()
+    sv = np.copysign(np.floor(np.abs(df["v"] * 100) + 0.5),
+                     df["v"]).astype(np.int64)
+    df = df.assign(sv=sv)
+    mn = df.groupby("g")["sv"].transform("min")
+    mx = df.groupby("g")["sv"].transform("max")
+    for i, row in df.iterrows():
+        x = got.loc[row["event_id"], "x"]
+        if mx[i] == mn[i]:
+            assert np.isnan(x)
+        else:
+            assert x == np.float64(row["sv"] - mn[i]) / np.float64(
+                mx[i] - mn[i])

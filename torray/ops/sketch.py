@@ -28,6 +28,7 @@ __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "exact_quantiles_cont", "exact_mad", "group_quantiles",
            "group_quantiles_cont",
            "exact_distinct_by", "group_standardize",
+           "group_minmax_normalize",
            "count_min_sketch", "count_min_estimate",
            "group_quantiles_approx"]
 
@@ -804,6 +805,77 @@ def group_standardize(ds, group_col: str, col: str, *,
             "z": pa.array(np.where(var_row <= 0, np.nan, z),
                           pa.float64(),
                           mask=(var_row <= 0)),
+        })
+
+    return (ds.select_columns([group_col, id_col, col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def group_minmax_normalize(ds, group_col: str, col: str, *,
+                           id_col: str = "event_id", scale: int = 100,
+                           num_partitions: int = 64):
+    """EXACT per-group min-max normalization — ``(id, x)`` with
+    ``x = (sv - min) / (max - min)`` over the scaled integers
+    ``sv = round(value * scale)``: both engines see identical int64
+    numerator and denominator and perform ONE identical IEEE divide —
+    bit-for-bit parity.  A constant group (max == min) yields NULL,
+    matching the oracle's CASE guard.
+
+    Same scale shape as :func:`group_standardize`: hash(group) ->
+    coarse partition, ONE groupby, lexsort + segmented
+    ``np.minimum/maximum.reduceat`` — never a Python call per group.
+    """
+    from torray.ops.window import _hash_col_np
+
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "__id": pa.array([], pa.int64()),
+                             "__sv": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        prod = np.asarray(v, np.float64) * scale
+        sv = np.copysign(np.floor(np.abs(prod) + 0.5),
+                         prod).astype(np.int64)
+        part = (_hash_col_np(g)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            group_col: batch.column(group_col),
+            "__id": batch.column(id_col).cast(pa.int64()),
+            "__sv": pa.array(sv, pa.int64()),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "x": pa.array([], pa.float64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        ids = group.column("__id").to_numpy(zero_copy_only=False)
+        sv = group.column("__sv").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, ids, sv = g[order], ids[order], sv[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g[1:] != g[:-1])))
+        lens = np.diff(np.append(starts, len(g))).astype(np.int64)
+        mn = np.minimum.reduceat(sv, starts)
+        mx = np.maximum.reduceat(sv, starts)
+        mn_row = np.repeat(mn, lens)
+        rng_row = np.repeat(mx - mn, lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = ((sv - mn_row).astype(np.float64)
+                 / rng_row.astype(np.float64))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "x": pa.array(np.where(rng_row == 0, np.nan, x),
+                          pa.float64(), mask=(rng_row == 0)),
         })
 
     return (ds.select_columns([group_col, id_col, col])
