@@ -301,6 +301,60 @@ def _q_dup_clusters(sf_dir: str):
     return connected_components(pairs, num_partitions=2)
 
 
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size histogram — the corpus-health number a
+    curation run reports ("how much boilerplate, how big are the
+    blobs"): connected components over exact cosine dup pairs, ONE
+    narrow groupby to component sizes, per-block partial histogram
+    fold to ``(cluster_size, n_clusters)``."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.graph import connected_components
+    from torray.ops.similarity import embedding_cosine_dedup
+
+    pairs = embedding_cosine_dedup(_read(sf_dir, "embeddings"),
+                                   threshold=0.45)
+    comp = connected_components(pairs, num_partitions=2)
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"component": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        g = pa.TableGroupBy(t.select(["component"]),
+                            "component").aggregate([([], "count_all")])
+        return pa.table({
+            "component": g.column("component"),
+            "__n": g.column("count_all").cast(pa.int64())})
+
+    sizes = (comp.map_batches(size_partial, batch_format="pyarrow")
+             .groupby("component").aggregate(Sum("__n")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster_size": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        sz = t.column("sum(__n)").cast(pa.int64())
+        g = pa.TableGroupBy(pa.table({"cluster_size": sz}),
+                            "cluster_size").aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "cluster_size": g.column("cluster_size"),
+            "__n": g.column("count_all").cast(pa.int64())})
+
+    hist = (sizes.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("cluster_size").aggregate(Sum("__n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster_size": pa.array([], pa.int64()),
+                             "n_clusters": pa.array([], pa.int64())})
+        return pa.table({
+            "cluster_size": t.column("cluster_size").cast(pa.int64()),
+            "n_clusters": t.column("sum(__n)").cast(pa.int64())})
+
+    return hist.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_parts_pagerank(sf_dir: str):
     """PageRank over the symmetrized part<->supplier graph derived from
     lineitem (node ids: part*2, supplier*2+1). 3 power iterations,
@@ -1721,6 +1775,77 @@ def _q_events_minmax_norm(sf_dir: str):
 
 
 
+def _q_parts_small_orders(sf_dir: str):
+    """TPC-H Q17 shape: total revenue (scaled /7.0 like Q17's
+    avg_yearly) of lineitems whose quantity is below 20% of their
+    part's average quantity.  The correlated average never
+    materializes as a float: the gate ``qty < sum/(5n)`` compares
+    INT-EXACT as ``qv * 5 * n < sq``, and the engine computes it in
+    ONE hash(partkey) partition pass (lexsort + segmented reduceat —
+    parts never straddle partitions; per-partition partial sums, a
+    bounded one-row-per-partition fold).  avg_yearly is the mirrored
+    ``sum/100.0/7.0`` expression tree on both engines."""
+    from torray.ops.dedup import _mix64
+    from torray.ops.moments import _cents
+
+    npart = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        part = (_mix64(pk.astype(np.uint64))
+                % np.uint64(npart)).astype(np.int64)
+        return pa.table({
+            "pk": t.column("l_partkey"),
+            "qv": _cents(t.column("l_quantity"), 100),
+            "pv": _cents(t.column("l_extendedprice"), 100),
+            "__part": pa.array(part, pa.int64())})
+
+    def partial(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        pk = group.column("pk").to_numpy(zero_copy_only=False)
+        qv = group.column("qv").to_numpy(zero_copy_only=False)
+        pv = group.column("pv").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk, qv, pv = pk[order], qv[order], pv[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], pk[1:] != pk[:-1])))
+        lens = np.diff(np.append(starts, len(pk))).astype(np.int64)
+        sq = np.add.reduceat(qv, starts)
+        run = np.repeat(np.arange(len(starts)), lens)
+        keep = qv * 5 * lens[run] < sq[run]
+        return pa.table({
+            "s": pa.array([int(pv[keep].sum())], pa.int64()),
+            "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = (_read(sf_dir, "lineitem")
+             .select_columns(["l_partkey", "l_quantity",
+                              "l_extendedprice"])
+             .map_batches(tag, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(partial, batch_format="pyarrow")).take_all()
+    s = sum(r["s"] for r in parts)
+    n = sum(r["n"] for r in parts)
+    return pa.table({
+        "avg_yearly": pa.array([float(s) / 100.0 / 7.0],
+                               pa.float64()),
+        "n_rows": pa.array([int(n)], pa.int64())})
+
+
+
+def _q_events_iqr_outliers(sf_dir: str):
+    """EXACT per-type Tukey-fence outlier flags
+    (``ops.sketch.iqr_outliers``): integer-only fence compare
+    ``2*sv <> 2*q +- 3*IQR`` — no float enters the decision; q1/q3
+    are integer-rank order statistics equal to ``quantile_disc``."""
+    from torray.ops.sketch import iqr_outliers
+
+    return iqr_outliers(_read(sf_dir, "events"), "event_type",
+                        "value")
+
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted sample: 25 documents drawn with
     probability proportional to length via Efraimidis-Spirakis A-Res
@@ -2112,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _q_docs_hash_split,
         "docs_sample_per_lang": _q_docs_sample_per_lang,
         "dup_clusters": _q_dup_clusters,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
         "parts_pagerank": _q_parts_pagerank,
         "docs_top_by_lang": _q_docs_top_by_lang,
         "events_order_window": _q_events_order_window,
@@ -2187,6 +2313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_supplier_cnt": _q_parts_supplier_cnt,
         "supplier_waits": _q_supplier_waits,
         "events_minmax_norm": _q_events_minmax_norm,
+        "parts_small_orders": _q_parts_small_orders,
+        "events_iqr_outliers": _q_events_iqr_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
@@ -2330,6 +2458,25 @@ def oracle_sql() -> dict[str, str]:
             "reach(x, r) AS (SELECT u, u FROM e UNION "
             "SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.x) "
             "SELECT x AS node, MIN(r) AS component FROM reach GROUP BY x"
+        ),
+        # cluster-size histogram over the same recursive closure
+        "dup_cluster_sizes": (
+            "WITH RECURSIVE pairs AS ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            ">= 0.45), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(x, r) AS (SELECT u, u FROM e UNION "
+            "SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.x), "
+            "comp AS (SELECT x AS node, MIN(r) AS component "
+            "FROM reach GROUP BY x), "
+            "sizes AS (SELECT component, CAST(count(*) AS BIGINT) "
+            "AS cluster_size FROM comp GROUP BY component) "
+            "SELECT cluster_size, CAST(count(*) AS BIGINT) "
+            "AS n_clusters FROM sizes GROUP BY cluster_size "
+            "ORDER BY cluster_size"
         ),
         "parts_pagerank": (
             "WITH e AS ("
@@ -2648,6 +2795,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # Tukey fences: integer-only compares, quantile_disc ranks
+        "events_iqr_outliers": (
+            "WITH sv AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+            "q AS (SELECT event_type, quantile_disc(v, 0.25) AS q1, "
+            "quantile_disc(v, 0.75) AS q3 FROM sv GROUP BY event_type) "
+            "SELECT event_id, (2 * v < 2 * q1 - 3 * (q3 - q1)) OR "
+            "(2 * v > 2 * q3 + 3 * (q3 - q1)) AS is_outlier "
+            "FROM sv JOIN q USING (event_type)"
+        ),
+        # Q17 shape: the 20%-of-average gate compares INT-EXACT
+        # (qv*5*n < sq); avg_yearly = sum/100.0/7.0 mirrored
+        "parts_small_orders": (
+            "WITH q AS (SELECT l_partkey, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qv, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS pv "
+            "FROM lineitem), "
+            "s AS (SELECT l_partkey, CAST(sum(qv) AS BIGINT) AS sq, "
+            "CAST(count(*) AS BIGINT) AS n FROM q GROUP BY l_partkey) "
+            "SELECT CAST(sum(pv) AS DOUBLE) / 100.0 / 7.0 "
+            "AS avg_yearly, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM q JOIN s USING (l_partkey) WHERE qv * 5 * n < sq"
         ),
         # min-max normalize: int64 numerator/denominator, ONE
         # mirrored divide; constant groups NULL via the CASE guard

@@ -3723,3 +3723,82 @@ def test_group_minmax_normalize(ray_session):
         else:
             assert x == np.float64(row["sv"] - mn[i]) / np.float64(
                 mx[i] - mn[i])
+
+
+def test_iqr_outliers_matches_bruteforce(ray_session):
+    import math
+
+    import ray
+
+    from torray.ops.sketch import iqr_outliers
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "g": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "v": pa.array(np.round(np.concatenate(
+            [rng.normal(50, 5, n - 40), rng.normal(500, 1, 40)]), 2),
+            pa.float64())})
+    got = (iqr_outliers(ray.data.from_arrow(t).repartition(6),
+                        "g", "v").to_pandas().set_index("event_id"))
+    df = t.to_pandas()
+    sv = np.copysign(np.floor(np.abs(df["v"] * 100) + 0.5),
+                     df["v"]).astype(np.int64)
+    df = df.assign(sv=sv)
+    n_out = 0
+    for _, grp in df.groupby("g"):
+        s = np.sort(grp["sv"].to_numpy())
+        m = len(s)
+        q1 = s[math.ceil(0.25 * m) - 1]
+        q3 = s[math.ceil(0.75 * m) - 1]
+        for _, row in grp.iterrows():
+            want = (2 * row["sv"] < 2 * q1 - 3 * (q3 - q1)
+                    or 2 * row["sv"] > 2 * q3 + 3 * (q3 - q1))
+            assert got.loc[row["event_id"], "is_outlier"] == want
+            n_out += int(want)
+    assert n_out > 0  # the planted far cluster must flag
+
+
+def test_dup_cluster_sizes_query(ray_session):
+    """Histogram composition vs hand-built clusters at sf0.001."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = (entrymod._q_dup_cluster_sizes(sf).to_pandas()
+           .sort_values("cluster_size").reset_index(drop=True))
+    comp = entrymod._q_dup_clusters(sf).to_pandas()
+    want = (comp.groupby("component").size().value_counts()
+            .sort_index())
+    assert list(got["cluster_size"]) == list(want.index)
+    assert list(got["n_clusters"]) == list(want.values)
+
+
+def test_parts_small_orders_query(ray_session):
+    """Q17-shape driver query vs pandas at sf0.001."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = entrymod._q_parts_small_orders(sf).to_pandas()
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity",
+                 "l_extendedprice"]).to_pandas()
+    qv = np.copysign(np.floor(np.abs(li["l_quantity"] * 100) + 0.5),
+                     li["l_quantity"]).astype(np.int64)
+    pv = np.copysign(
+        np.floor(np.abs(li["l_extendedprice"] * 100) + 0.5),
+        li["l_extendedprice"]).astype(np.int64)
+    li = li.assign(qv=qv, pv=pv)
+    s = li.groupby("l_partkey")["qv"].transform("sum")
+    n = li.groupby("l_partkey")["qv"].transform("size")
+    keep = li["qv"] * 5 * n < s
+    assert got["n_rows"][0] == int(keep.sum())
+    assert got["avg_yearly"][0] == float(
+        li.loc[keep, "pv"].sum()) / 100.0 / 7.0

@@ -28,7 +28,7 @@ __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "exact_quantiles_cont", "exact_mad", "group_quantiles",
            "group_quantiles_cont",
            "exact_distinct_by", "group_standardize",
-           "group_minmax_normalize",
+           "group_minmax_normalize", "iqr_outliers",
            "count_min_sketch", "count_min_estimate",
            "group_quantiles_approx"]
 
@@ -1060,3 +1060,77 @@ def group_quantiles_approx(ds, group_col: str, col: str, quantiles, *,
             .map_batches(partial, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(fold, batch_format="pyarrow"))
+
+
+def iqr_outliers(ds, group_col: str, col: str, *,
+                 id_col: str = "event_id", scale: int = 100,
+                 k_halves: int = 3, num_partitions: int = 64):
+    """EXACT per-group Tukey-fence outlier flags — ``(id,
+    is_outlier)`` with the classic ``v < q1 - 1.5*IQR or
+    v > q3 + 1.5*IQR`` rule, evaluated ENTIRELY in integers: over the
+    scaled values ``sv = round(value * scale)`` the fences compare as
+    ``2*sv < 2*q1 - k*(q3 - q1)`` / ``2*sv > 2*q3 + k*(q3 - q1)``
+    (``k_halves=3`` = the 1.5 multiplier doubled), so no float ever
+    enters the decision and the SQL mirror is bit-free-identical.
+    q1/q3 use the ``ceil(p*n)``-th order statistic in pure integer
+    arithmetic — verified equal to DuckDB's ``quantile_disc``.
+
+    Scale shape: the standard partition run-scan (hash(group) ->
+    coarse partition, ONE groupby, per-partition lexsort by (group,
+    value) + integer rank picks per run — no Python call per group).
+    """
+    from torray.ops.window import _hash_col_np
+
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "__id": pa.array([], pa.int64()),
+                             "__sv": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        prod = np.asarray(v, np.float64) * scale
+        sv = np.copysign(np.floor(np.abs(prod) + 0.5),
+                         prod).astype(np.int64)
+        part = (_hash_col_np(g)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            group_col: batch.column(group_col),
+            "__id": batch.column(id_col).cast(pa.int64()),
+            "__sv": pa.array(sv, pa.int64()),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "is_outlier": pa.array([], pa.bool_())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        ids = group.column("__id").to_numpy(zero_copy_only=False)
+        sv = group.column("__sv").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sv, g))
+        g, ids, sv = g[order], ids[order], sv[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g[1:] != g[:-1])))
+        lens = np.diff(np.append(starts, len(g))).astype(np.int64)
+        # ceil(p*n)-th order statistic, integer arithmetic
+        i25 = starts + (lens + 3) // 4 - 1
+        i75 = starts + (3 * lens + 3) // 4 - 1
+        q1 = np.repeat(sv[i25], lens)
+        q3 = np.repeat(sv[i75], lens)
+        iqr = q3 - q1
+        flag = ((2 * sv < 2 * q1 - k_halves * iqr)
+                | (2 * sv > 2 * q3 + k_halves * iqr))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "is_outlier": pa.array(flag, pa.bool_()),
+        })
+
+    return (ds.select_columns([group_col, id_col, col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
