@@ -38,6 +38,24 @@ def _read(sf_dir: str, table: str):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _read_f(sf_dir: str, table: str, *, columns=None, flt=None):
+    """Projected + predicate-pushdown read: ``columns`` and ``filter``
+    reach the parquet FRAGMENT scan (dictionary/stats row-group
+    pruning plus scan-level row filtering), so at 100 TB the untouched
+    columns and non-matching row groups never leave storage — the
+    'prune at the read' contract, made explicit rather than left to
+    the optimizer."""
+    import ray
+
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    if flt is not None:
+        kwargs["filter"] = flt
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), **kwargs)
+
+
 def _rename(ds, mapping: dict[str, str]):
     def do(t: pa.Table) -> pa.Table:
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
@@ -2136,23 +2154,26 @@ def _q_orders_revenue_top(sf_dir: str):
 
     from torray.ops.bloom import bloom_semijoin
 
+    import pyarrow.dataset as pds
+
     cut = pa.scalar(datetime.datetime(1998, 1, 1))
-    cust = _read(sf_dir, "customer").map_batches(
-        lambda t: t.filter(pc.equal(t.column("c_mktsegment"),
-                                    "BUILDING")).select(["c_custkey"]),
-        batch_format="pyarrow")
-    orders = _read(sf_dir, "orders").map_batches(
-        lambda t: t.filter(pc.less(t.column("o_orderdate"), cut))
-        .select(["o_orderkey", "o_orderdate", "o_orderpriority",
-                 "o_custkey"]),
-        batch_format="pyarrow")
+    # selective predicates push into the parquet fragment scan
+    # (row-group pruning): the 4/5 non-BUILDING customers, post-cutoff
+    # orders and pre-cutoff lineitems never leave storage
+    cust = _read_f(sf_dir, "customer", columns=["c_custkey"],
+                   flt=(pds.field("c_mktsegment") == "BUILDING"))
+    orders = _read_f(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderdate",
+                              "o_orderpriority", "o_custkey"],
+                     flt=(pds.field("o_orderdate") < cut))
     orders = bloom_semijoin(orders, cust, big_key="o_custkey",
                             small_key="c_custkey")
-    li = _read(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_extendedprice", "l_discount",
-         "l_shipdate"]).map_batches(
-        lambda t: t.filter(pc.greater(t.column("l_shipdate"), cut))
-        .drop_columns(["l_shipdate"]), batch_format="pyarrow")
+    li = _read_f(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice",
+                          "l_discount", "l_shipdate"],
+                 flt=(pds.field("l_shipdate") > cut)).map_batches(
+        lambda t: t.drop_columns(["l_shipdate"]),
+        batch_format="pyarrow")
     rev = _rev_by_orderkey(li)
     joined = rev.join(orders, "inner", num_partitions=8,
                       on=("l_orderkey",), right_on=("o_orderkey",))
@@ -2181,11 +2202,14 @@ def _q_customer_returns_top(sf_dir: str):
     name -> distributed sort on the int core + limit."""
     import ray.data
 
-    li = _read(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_extendedprice", "l_discount",
-         "l_returnflag"]).map_batches(
-        lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R"))
-        .drop_columns(["l_returnflag"]), batch_format="pyarrow")
+    import pyarrow.dataset as pds
+
+    # returnflag pushes into the fragment scan — only 'R' rows and the
+    # three needed columns leave storage
+    li = _read_f(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice",
+                          "l_discount"],
+                 flt=(pds.field("l_returnflag") == "R"))
     rev = _rev_by_orderkey(li).map_batches(
         lambda t: t.rename_columns(
             ["__rev" if c == "sum(__rev)" else c
