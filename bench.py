@@ -628,6 +628,60 @@ def bench_window_xl(sf_dir: str) -> dict:
             "rows_per_s": round(4 * 10_000_000 / wall, 1)}
 
 
+
+def bench_graph_xl(sf_dir: str) -> dict:
+    """The round-4 session's ops at data scale: Markov transitions at
+    10M events x 100k users (partition run-scan + count-attach),
+    grouped EXACT count-distinct at 100k groups (the rewritten
+    two-level C++ group_by partition scan), and EXACT triangle count
+    on a ~1M-edge synthetic graph (degree-oriented wedges).  Not in
+    the default suite (TORRAY_BENCH_ONLY=graph_xl)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from torray.ops.graph import triangle_count
+    from torray.ops.sketch import exact_distinct_by
+    from torray.ops.window import transition_counts
+
+    path = _ensure_events_xl()
+    _warm_pool()
+    t0 = time.monotonic()
+    n_trans = transition_counts(ray.data.read_parquet(path)).count()
+    t1 = time.monotonic()
+    n_dist = exact_distinct_by(
+        ray.data.read_parquet(path, columns=["user_id", "value"]),
+        "user_id", "value").count()
+    t2 = time.monotonic()
+    # G(100k nodes, 1M random edges): wedge volume ~ concentrated by
+    # the degree orientation; exact count via the run-scan close
+    rng = np.random.RandomState(11)
+    m = 1_000_000
+    a = rng.randint(0, 100_000, m).astype(np.int64)
+    b = rng.randint(0, 100_000, m).astype(np.int64)
+    keep = a != b
+    u, v = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+    packed = np.unique(u.astype(np.uint64) << np.uint64(32)
+                       | v.astype(np.uint64))  # harness-side dedupe
+    edges = ray.data.from_arrow(pa.table({
+        "u": pa.array((packed >> np.uint64(32)).astype(np.int64),
+                      pa.int64()),
+        "v": pa.array((packed & np.uint64(0xFFFFFFFF)).astype(
+            np.int64), pa.int64())})).repartition(32)
+    tri = triangle_count(edges)
+    t3 = time.monotonic()
+    wall = t3 - t0
+    return {"sec": wall,
+            "transitions_sec": round(t1 - t0, 2),
+            "transition_pairs": n_trans,
+            "distinct_sec": round(t2 - t1, 2),
+            "distinct_groups": n_dist,
+            "triangle_sec": round(t3 - t2, 2),
+            "n_edges": int(tri.column("n_edges")[0].as_py()),
+            "n_triangles": int(tri.column("n_triangles")[0].as_py())}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -741,6 +795,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "rank_xl": lambda: bench_rank_xl(sf_dir),
         "text_xl": lambda: bench_text_xl(sf_dir),
         "window_xl": lambda: bench_window_xl(sf_dir),
+        "graph_xl": lambda: bench_graph_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()

@@ -289,8 +289,24 @@ def cooccurrence_edges(ds, *, group_col: str, item_col: str,
         b = t.column("id_b").to_numpy(zero_copy_only=False)
         keep = a != b
         a, b = a[keep], b[keep]
-        return pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
-                         "v": pa.array(np.maximum(a, b), pa.int64())})
+        # block-local dedupe combiner: repeated pairs never enter the
+        # global shuffle (one packed-uint64 np.unique per block)
+        packed = np.unique(
+            np.minimum(a, b).astype(np.uint64) * np.uint64(1 << 32)
+            + (np.maximum(a, b).astype(np.uint64)
+               & np.uint64(0xFFFFFFFF))) \
+            if (len(a) and a.max() < 1 << 31 and b.max() < 1 << 31) \
+            else None
+        if packed is not None:
+            return pa.table({
+                "u": pa.array((packed >> np.uint64(32)).astype(
+                    np.int64), pa.int64()),
+                "v": pa.array(
+                    (packed & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                    pa.int64())})
+        d = pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
+                      "v": pa.array(np.maximum(a, b), pa.int64())})
+        return d.group_by(["u", "v"]).aggregate([])
 
     def keys_only(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
