@@ -1852,6 +1852,29 @@ def _q_parts_small_orders(sf_dir: str):
 
 
 
+def _q_events_except_all(sf_dir: str):
+    """SQL EXCEPT ALL bag semantics (``ops.setops.except_all``): each
+    user_id emitted max(0, events_count - customer_count) times —
+    multiplicities ride the shuffle as counts, materializing only in
+    the final np.repeat."""
+    from torray.ops.setops import except_all
+
+    return except_all(_read(sf_dir, "events"),
+                      _read(sf_dir, "customer"),
+                      left_col="user_id", right_col="c_custkey")
+
+
+def _q_events_intersect_all(sf_dir: str):
+    """SQL INTERSECT ALL bag semantics
+    (``ops.setops.intersect_all``): min(count_left, count_right)
+    copies per key."""
+    from torray.ops.setops import intersect_all
+
+    return intersect_all(_read(sf_dir, "events"),
+                         _read(sf_dir, "customer"),
+                         left_col="user_id", right_col="c_custkey")
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2339,6 +2362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minmax_norm": _q_events_minmax_norm,
         "parts_small_orders": _q_parts_small_orders,
         "events_iqr_outliers": _q_events_iqr_outliers,
+        "events_except_all": _q_events_except_all,
+        "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
@@ -2819,6 +2844,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # bag-semantics set ops: multiplicities exact
+        "events_except_all": (
+            "SELECT user_id FROM events EXCEPT ALL "
+            "SELECT c_custkey FROM customer"
+        ),
+        "events_intersect_all": (
+            "SELECT user_id FROM events INTERSECT ALL "
+            "SELECT c_custkey FROM customer"
         ),
         # Tukey fences: integer-only compares, quantile_disc ranks
         "events_iqr_outliers": (

@@ -3802,3 +3802,37 @@ def test_parts_small_orders_query(ray_session):
     assert got["n_rows"][0] == int(keep.sum())
     assert got["avg_yearly"][0] == float(
         li.loc[keep, "pv"].sum()) / 100.0 / 7.0
+
+
+def test_bag_setops_match_counter(ray_session):
+    from collections import Counter
+
+    import ray
+
+    from torray.ops.setops import except_all, intersect_all
+
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 30, 2000)
+    b = rng.integers(10, 40, 1500)
+    da = ray.data.from_arrow(pa.table({"k": pa.array(a, pa.int64())})
+                             ).repartition(5)
+    db = ray.data.from_arrow(pa.table({"k": pa.array(b, pa.int64())})
+                             ).repartition(4)
+    ca, cb = Counter(a.tolist()), Counter(b.tolist())
+    got_e = Counter(except_all(da, db, left_col="k", right_col="k")
+                    .to_pandas()["k"].tolist())
+    want_e = {k: ca[k] - cb.get(k, 0) for k in ca
+              if ca[k] - cb.get(k, 0) > 0}
+    assert got_e == Counter(want_e)
+    got_i = Counter(intersect_all(da, db, left_col="k", right_col="k")
+                    .to_pandas()["k"].tolist())
+    want_i = {k: min(ca[k], cb[k]) for k in ca if k in cb}
+    assert got_i == Counter({k: v for k, v in want_i.items() if v})
+    # string keys through the fnv path
+    ds1 = ray.data.from_arrow(pa.table({"s": pa.array(
+        ["x", "x", "y", "z"])}))
+    ds2 = ray.data.from_arrow(pa.table({"s": pa.array(["x", "z",
+                                                       "z"])}))
+    got = Counter(except_all(ds1, ds2, left_col="s", right_col="s")
+                  .to_pandas()["s"].tolist())
+    assert got == Counter({"x": 1, "y": 1})

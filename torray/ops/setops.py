@@ -22,7 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["intersect_distinct", "except_distinct", "union_distinct"]
+__all__ = ["intersect_distinct", "except_distinct", "union_distinct",
+           "except_all", "intersect_all"]
 
 
 def _tagged_distinct(ds, col: str, out: str, side: int,
@@ -123,3 +124,92 @@ def union_distinct(left_ds, right_ds, *, left_col: str,
     return _setop(left_ds, right_ds, left_col=left_col,
                   right_col=right_col, out_col=out_col,
                   mode="union", num_partitions=num_partitions)
+
+
+def _tagged_counts(ds, col: str, out: str, side: int,
+                   num_partitions: int):
+    """Per-block (key, count) partials — the BAG twin of
+    :func:`_tagged_distinct` (multiplicities ride along; repeated
+    keys still never leave their block uncombined)."""
+    from torray.ops.dedup import _mix64, fnv1a64_strings
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({out: pa.array([], t.schema.field(col).type),
+                             "__n": pa.array([], pa.int64()),
+                             "__side": pa.array([], pa.int8()),
+                             "__part": pa.array([], pa.int64())})
+        g = t.select([col]).group_by(col).aggregate(
+            [([], "count_all")])
+        keys = g.column(col)
+        if pa.types.is_integer(keys.type):
+            h = _mix64(keys.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        else:
+            h = fnv1a64_strings(keys.combine_chunks() if isinstance(
+                keys, pa.ChunkedArray) else keys)
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        n = g.num_rows
+        return pa.table({out: keys,
+                         "__n": g.column("count_all").cast(pa.int64()),
+                         "__side": pa.array(
+                             np.full(n, side, np.int8), pa.int8()),
+                         "__part": pa.array(part, pa.int64())})
+
+    return ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow")
+
+
+def _bagop(left_ds, right_ds, *, left_col: str, right_col: str,
+           out_col: str | None, mode: str, num_partitions: int):
+    out = out_col or left_col
+
+    def decide(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({out: pa.array([], pa.int64())})
+        keys = group.column(out)
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        cnt = group.column("__n").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(keys.to_numpy(zero_copy_only=False),
+                             return_inverse=True)
+        order = np.lexsort((side, codes))
+        c, s, n = codes[order], side[order], cnt[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], c[1:] != c[:-1])))
+        ca = np.add.reduceat(np.where(s == 0, n, 0), starts)
+        cb = np.add.reduceat(np.where(s == 1, n, 0), starts)
+        if mode == "except_all":
+            m = np.maximum(ca - cb, 0)
+        else:  # intersect_all
+            m = np.minimum(ca, cb)
+        win = m > 0
+        take = np.repeat(order[starts[win]], m[win])
+        return pa.table({out: keys.take(pa.array(take, pa.int64()))})
+
+    tagged = (_tagged_counts(left_ds, left_col, out, 0, num_partitions)
+              .union(_tagged_counts(right_ds, right_col, out, 1,
+                                    num_partitions)))
+    return (tagged.groupby("__part")
+            .map_groups(decide, batch_format="pyarrow"))
+
+
+def except_all(left_ds, right_ds, *, left_col: str, right_col: str,
+               out_col: str | None = None, num_partitions: int = 64):
+    """SQL ``EXCEPT ALL`` (bag semantics): each key emitted
+    ``max(0, count_left - count_right)`` times.  Same combiner + one
+    narrow (key, count, side) shuffle + vectorized run-scan shape as
+    the DISTINCT set ops — multiplicities materialize only in the
+    final ``np.repeat``, never as duplicate shuffle rows."""
+    return _bagop(left_ds, right_ds, left_col=left_col,
+                  right_col=right_col, out_col=out_col,
+                  mode="except_all", num_partitions=num_partitions)
+
+
+def intersect_all(left_ds, right_ds, *, left_col: str,
+                  right_col: str, out_col: str | None = None,
+                  num_partitions: int = 64):
+    """SQL ``INTERSECT ALL`` (bag semantics): each key emitted
+    ``min(count_left, count_right)`` times — see :func:`except_all`."""
+    return _bagop(left_ds, right_ds, left_col=left_col,
+                  right_col=right_col, out_col=out_col,
+                  mode="intersect_all", num_partitions=num_partitions)
