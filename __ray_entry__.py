@@ -1875,6 +1875,18 @@ def _q_events_intersect_all(sf_dir: str):
                          left_col="user_id", right_col="c_custkey")
 
 
+def _q_lineitem_weighted_price(sf_dir: str):
+    """Quantity-weighted mean extended price per return flag
+    (``ops.moments.group_weighted_mean``): int64 cross-product sums,
+    ONE mirrored float division chain — bit-identical."""
+    from torray.ops.moments import group_weighted_mean
+
+    return group_weighted_mean(_read(sf_dir, "lineitem"),
+                               group_col="l_returnflag",
+                               value_col="l_extendedprice",
+                               weight_col="l_quantity")
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2363,6 +2375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_small_orders": _q_parts_small_orders,
         "events_iqr_outliers": _q_events_iqr_outliers,
         "events_except_all": _q_events_except_all,
+        "lineitem_weighted_price": _q_lineitem_weighted_price,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -2844,6 +2857,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # weighted mean: two exact int sums, one mirrored float chain
+        "lineitem_weighted_price": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) "
+            "* CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS DOUBLE) / CAST(sum(CAST(round(l_quantity * 100) "
+            "AS BIGINT)) AS BIGINT) / 100.0 AS wmean "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         # bag-semantics set ops: multiplicities exact
         "events_except_all": (

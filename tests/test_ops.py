@@ -3836,3 +3836,28 @@ def test_bag_setops_match_counter(ray_session):
     got = Counter(except_all(ds1, ds2, left_col="s", right_col="s")
                   .to_pandas()["s"].tolist())
     assert got == Counter({"x": 1, "y": 1})
+
+
+def test_group_weighted_mean(ray_session):
+    import ray
+
+    from torray.ops.moments import group_weighted_mean
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], n)),
+        "v": pa.array(np.round(rng.random(n) * 90, 2), pa.float64()),
+        "w": pa.array(np.round(rng.random(n) * 10, 2), pa.float64())})
+    got = (group_weighted_mean(
+        ray.data.from_arrow(t).repartition(4), group_col="g",
+        value_col="v", weight_col="w")
+        .to_pandas().set_index("g"))
+    df = t.to_pandas()
+    sv = np.floor(np.abs(df["v"] * 100) + 0.5).astype(np.int64)
+    sw = np.floor(np.abs(df["w"] * 100) + 0.5).astype(np.int64)
+    df = df.assign(sv=sv, sw=sw, wv=sv * sw)
+    for g, grp in df.groupby("g"):
+        want = (np.float64(grp["wv"].sum())
+                / np.float64(grp["sw"].sum()) / np.float64(100.0))
+        assert got.loc[g, "wmean"] == want

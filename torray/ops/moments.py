@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["group_moments", "value_histogram", "group_cov",
-           "group_linreg"]
+           "group_linreg", "group_weighted_mean"]
 
 
 def _cents(col: pa.ChunkedArray, scale: int) -> pa.ChunkedArray:
@@ -384,3 +384,63 @@ def group_linreg(ds, *, group_col: str, x_col: str, y_col: str,
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def group_weighted_mean(ds, *, group_col: str, value_col: str,
+                        weight_col: str, scale: int = 100,
+                        out_col: str = "wmean"):
+    """EXACT per-group weighted mean ``sum(w*v)/sum(w)`` over scaled
+    integers: ``wv = round(w*scale) * round(v*scale)`` accumulates in
+    int64 (both factors exact), the final value is ONE IEEE division
+    of the two exact sums — the oracle mirrors
+    ``CAST(sum(wi*vi) AS DOUBLE) / CAST(sum(wi) AS DOUBLE) / scale``
+    token for token.  Zero-total-weight groups yield NULL.
+
+    Scale shape: per-block Arrow group_by partials (one row per group
+    per block), ONE narrow groupby, division at the end — the
+    standard combiner discipline; int64 bound |w*s| * |v*s| * rows
+    per group < 2^63 (documented, same contract as group_moments).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                group_col: pa.array(
+                    [], t.schema.field(group_col).type),
+                "__wv": pa.array([], pa.int64()),
+                "__w": pa.array([], pa.int64())})
+        wv = pc.multiply(_cents(t.column(weight_col), scale),
+                         _cents(t.column(value_col), scale))
+        d = pa.table({group_col: t.column(group_col),
+                      "__wv": wv,
+                      "__w": _cents(t.column(weight_col), scale)})
+        g = pa.TableGroupBy(d, group_col).aggregate(
+            [("__wv", "sum"), ("__w", "sum")])
+        return pa.table({
+            group_col: g.column(group_col),
+            "__wv": g.column("__wv_sum").cast(pa.int64()),
+            "__w": g.column("__w_sum").cast(pa.int64())})
+
+    agg = (ds.select_columns([group_col, value_col, weight_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col).aggregate(Sum("__wv"), Sum("__w")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                group_col: pa.array(
+                    [], t.schema.field(group_col).type),
+                out_col: pa.array([], pa.float64())})
+        wv = t.column("sum(__wv)").to_numpy(zero_copy_only=False)
+        w = t.column("sum(__w)").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m = (wv.astype(np.float64) / w.astype(np.float64)
+                 / float(scale))
+        return pa.table({
+            group_col: t.column(group_col),
+            out_col: pa.array(np.where(w == 0, np.nan, m),
+                              pa.float64(), mask=(w == 0))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
