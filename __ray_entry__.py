@@ -1887,6 +1887,16 @@ def _q_lineitem_weighted_price(sf_dir: str):
                                weight_col="l_quantity")
 
 
+def _q_docs_keywords(sf_dir: str):
+    """Top-3 keywords per document ranked (tf DESC, df ASC, term) —
+    ``ops.text.doc_keywords``: tf-idf selection with an ALL-INTEGER
+    ordering (no float score in any comparison), df attached via the
+    run-scan count join, per-doc cut in hash(doc) partitions."""
+    from torray.ops.text import doc_keywords
+
+    return doc_keywords(_read(sf_dir, "documents"), k=3)
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2376,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_iqr_outliers": _q_events_iqr_outliers,
         "events_except_all": _q_events_except_all,
         "lineitem_weighted_price": _q_lineitem_weighted_price,
+        "docs_keywords": _q_docs_keywords,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -2857,6 +2868,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # per-doc keywords: all-integer (tf DESC, df ASC, term) order
+        "docs_keywords": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "tfq AS (SELECT doc_id, term, "
+            "CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2), "
+            "dfq AS (SELECT term, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM w GROUP BY 1), "
+            "r AS (SELECT doc_id, term, tf, df, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tf DESC, df ASC, term ASC) AS rank "
+            "FROM tfq JOIN dfq USING (term)) "
+            "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, "
+            "df FROM r WHERE rank <= 3 ORDER BY doc_id, rank"
         ),
         # weighted mean: two exact int sums, one mirrored float chain
         "lineitem_weighted_price": (

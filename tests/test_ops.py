@@ -3861,3 +3861,40 @@ def test_group_weighted_mean(ray_session):
         want = (np.float64(grp["wv"].sum())
                 / np.float64(grp["sw"].sum()) / np.float64(100.0))
         assert got.loc[g, "wmean"] == want
+
+
+def test_doc_keywords_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    import ray
+
+    from torray.ops.text import doc_keywords
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(8, 40)))
+            for _ in range(120)]
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = (doc_keywords(ray.data.from_arrow(t).repartition(5), k=3)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+
+    df_counts = Counter()
+    tfs = []
+    for i, d in enumerate(docs):
+        c = Counter(d.split(" "))
+        tfs.append(c)
+        for w in c:
+            df_counts[w] += 1
+    rows = []
+    for i, c in enumerate(tfs):
+        ranked = sorted(c.items(),
+                        key=lambda kv: (-kv[1], df_counts[kv[0]],
+                                        kv[0]))[:3]
+        for r, (w, tf) in enumerate(ranked, 1):
+            rows.append((i, r, w, tf, df_counts[w]))
+    assert len(got) == len(rows)
+    for (i, r, w, tf, dfv), (_, row) in zip(rows, got.iterrows()):
+        assert (row["doc_id"], row["rank"], row["term"],
+                row["tf"], row["df"]) == (i, r, w, tf, dfv)

@@ -36,6 +36,7 @@ __all__ = [
     "chunk_words",
     "bigram_lm_scores",
     "pmi_collocations",
+    "doc_keywords",
     "json_field_batch",
     "json_field",
     "inverted_index",
@@ -1636,3 +1637,123 @@ def bm25_topk(docs_ds, query_terms: list[str], *, k1: float = 1.2,
     return (per_doc.map_batches(block_topk, batch_format="pyarrow")
             .groupby("__one")
             .map_groups(final_cut, batch_format="pyarrow"))
+
+
+def doc_keywords(docs_ds, *, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3,
+                 num_partitions: int = 64):
+    """Top-k keywords PER DOCUMENT ranked by ``(tf DESC, df ASC,
+    term ASC)`` — tf-idf keyword selection with an ALL-INTEGER
+    ordering (rarer-corpus-wide breaks term-frequency ties), so the
+    ranking is bit-free exact against the SQL window mirror: no float
+    score ever enters the comparison.
+
+    Scale shape: per-block (doc, term, tf) Arrow group_by partials
+    (terms never leave their block uncombined); document frequency via
+    per-block distinct (term, doc) + one narrow groupby; df attaches
+    through the co-partitioned run-scan join (:func:`_count_attach` —
+    no driver-side vocabulary); the final cut is a hash(doc) partition
+    run-scan taking the first k of each doc run — Python once per
+    partition.  Output: ``(doc_id, rank, term, tf, df)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from torray.ops.dedup import _mix64
+
+    tf_schema = pa.schema([(id_col, pa.int64()),
+                           ("term", pa.string()),
+                           ("tf", pa.int64())])
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return tf_schema.empty_table()
+        words = pc.split_pattern(batch.column(text_col),
+                                 " ").combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            id_col: pa.array(np.repeat(ids, lens), pa.int64()),
+            "term": pc.list_flatten(words)})
+        g = pa.TableGroupBy(t, [id_col, "term"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            id_col: g.column(id_col),
+            "term": g.column("term"),
+            "tf": g.column("count_all").cast(pa.int64())}).cast(
+                tf_schema)
+
+    # (doc, term, tf) rows are already per-block distinct per doc;
+    # the docs themselves are distinct rows, so this IS the exact tf
+    tf_ds = (docs_ds.select_columns([id_col, text_col])
+             .map_batches(tf_partial, batch_format="pyarrow"))
+
+    df_schema = pa.schema([("key", pa.string()),
+                           ("__n", pa.int64())])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return df_schema.empty_table()
+        # each (doc, term) appears once per block here -> distinct
+        # doc count per term is a plain count after a cross-block
+        # (term, doc) dedupe is unnecessary: a doc's rows live in ONE
+        # block (tf_partial groups within the doc's own block)
+        g = pa.TableGroupBy(t.select(["term"]), "term").aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "key": g.column("term"),
+            "__n": g.column("count_all").cast(pa.int64())}).cast(
+                df_schema)
+
+    df_ds = (tf_ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("key").aggregate(Sum("__n")))
+
+    with_df = _count_attach(
+        tf_ds, df_ds, "term", "df",
+        [(id_col, pa.int64()), ("term", pa.string()),
+         ("tf", pa.int64())], num_partitions)
+
+    mid = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                     ("tf", pa.int64()), ("df", pa.int64()),
+                     ("__part", pa.int64())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mid.empty_table()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        part = (_mix64(ids.astype(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__part",
+                               pa.array(part, pa.int64())).cast(mid)
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("rank", pa.int64()),
+                            ("term", pa.string()),
+                            ("tf", pa.int64()), ("df", pa.int64())])
+
+    def cut_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        dfv = group.column("df").to_numpy(zero_copy_only=False)
+        terms = np.asarray(group.column("term").to_pylist())
+        order = np.lexsort((terms, dfv, -tf, ids))
+        ids_s = ids[order]
+        new_doc = np.concatenate(([True], ids_s[1:] != ids_s[:-1]))
+        doc_id_run = np.cumsum(new_doc) - 1
+        pos_in_doc = (np.arange(len(ids_s))
+                      - np.flatnonzero(new_doc)[doc_id_run])
+        keep = pos_in_doc < k
+        take = pa.array(order[keep], pa.int64())
+        out = group.take(take)
+        return pa.table({
+            id_col: out.column(id_col),
+            "rank": pa.array(pos_in_doc[keep] + 1, pa.int64()),
+            "term": out.column("term"),
+            "tf": out.column("tf"),
+            "df": out.column("df")}).cast(out_schema)
+
+    return (with_df.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(cut_partition, batch_format="pyarrow"))
