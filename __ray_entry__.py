@@ -1897,6 +1897,15 @@ def _q_docs_keywords(sf_dir: str):
     return doc_keywords(_read(sf_dir, "documents"), k=3)
 
 
+def _q_events_session_bounds(sf_dir: str):
+    """Full session table (gaps-and-islands with bounds):
+    ``ops.window.session_bounds`` — segmented-cumsum session ids +
+    reduceat bounds in one partition run-scan; all-int64 outputs."""
+    from torray.ops.window import session_bounds
+
+    return session_bounds(_read(sf_dir, "events"))
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2387,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_except_all": _q_events_except_all,
         "lineitem_weighted_price": _q_lineitem_weighted_price,
         "docs_keywords": _q_docs_keywords,
+        "events_session_bounds": _q_events_session_bounds,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -2868,6 +2878,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # session table: gaps-and-islands, all outputs exact int64
+        "events_session_bounds": (
+            "WITH g AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) "
+            "> 1800000000 THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, CAST(sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_id "
+            "FROM g) SELECT user_id, session_id, "
+            "CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, "
+            "CAST(max(epoch_us(ts)) AS BIGINT) AS end_us, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM s "
+            "GROUP BY user_id, session_id ORDER BY user_id, session_id"
         ),
         # per-doc keywords: all-integer (tf DESC, df ASC, term) order
         "docs_keywords": (

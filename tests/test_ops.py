@@ -3898,3 +3898,41 @@ def test_doc_keywords_matches_bruteforce(ray_session):
     for (i, r, w, tf, dfv), (_, row) in zip(rows, got.iterrows()):
         assert (row["doc_id"], row["rank"], row["term"],
                 row["tf"], row["df"]) == (i, r, w, tf, dfv)
+
+
+def test_session_bounds_matches_bruteforce(ray_session):
+    import ray
+
+    from torray.ops.window import session_bounds
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**10, n), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "event_type": pa.array(["x"] * n),
+        "value": pa.array(np.zeros(n), pa.float64()),
+        "props": pa.array(["{}"] * n)})
+    gap_s = 600
+    got = (session_bounds(ray.data.from_arrow(t).repartition(6),
+                          gap_s=gap_s)
+           .to_pandas().sort_values(["user_id", "session_id"])
+           .reset_index(drop=True))
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        tsv = g["ts"].astype("int64").to_numpy()
+        sid, start, last, cnt = 1, tsv[0], tsv[0], 0
+        for x in tsv:
+            if cnt and x - last > gap_s * 10**6:
+                rows.append((uid, sid, start, last, cnt))
+                sid += 1
+                start, cnt = x, 0
+            last = x
+            cnt += 1
+        rows.append((uid, sid, start, last, cnt))
+    assert len(got) == len(rows)
+    for (uid, sid, st, en, cnt), (_, r) in zip(rows, got.iterrows()):
+        assert (r["user_id"], r["session_id"], r["start_us"],
+                r["end_us"], r["n_events"]) == (uid, sid, st, en, cnt)

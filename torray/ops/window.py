@@ -24,7 +24,8 @@ import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "interval_join", "running_total", "lag_delta", "moving_agg",
-           "lead_delta", "resample", "transition_counts"]
+           "lead_delta", "resample", "transition_counts",
+           "session_bounds"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -2432,3 +2433,73 @@ def transition_counts(events_ds, *, key_col: str = "user_id",
                          "p": pa.array(n / tot, pa.float64())})
 
     return with_tot.map_batches(finish, batch_format="pyarrow")
+
+
+def session_bounds(events_ds, *, gap_s: int = 1800,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   num_partitions: int = 64):
+    """Per-key session TABLE (not just counts): ``(key, session_id,
+    start_us, end_us, n_events)`` under the inactivity-gap rule — a
+    new session starts when the gap since the previous event (by
+    (ts, id) order) exceeds ``gap_s``.  The SQL mirror is the classic
+    gaps-and-islands window chain; every output is an exact int64.
+
+    Scale shape: the :func:`sessionize` partition run-scan, extended
+    to emit one row per session: lexsort (key, ts, id), vectorized
+    break flags, per-key session ids via a segmented cumsum, then
+    min/max/count per (key, session) run with ``np.*.reduceat`` —
+    Python once per partition."""
+    from torray.ops.dedup import _mix64
+
+    npart = np.uint64(num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("__key", "__ts", "__id", "__part")})
+        k = batch.column(key_col).cast(pa.int64())
+        part = (_mix64(k.to_numpy(zero_copy_only=False)
+                       .astype(np.uint64)) % npart).astype(np.int64)
+        return pa.table({
+            "__key": k,
+            "__ts": batch.column(ts_col).cast(pa.int64()),
+            "__id": batch.column(id_col).cast(pa.int64()),
+            "__part": pa.array(part, pa.int64())})
+
+    out_cols = (key_col, "session_id", "start_us", "end_us",
+                "n_events")
+    gap_us = gap_s * 1_000_000
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in out_cols})
+        k = group.column("__key").to_numpy(zero_copy_only=False)
+        ts = group.column("__ts").to_numpy(zero_copy_only=False)
+        ei = group.column("__id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ei, ts, k))
+        ks, tss = k[order], ts[order]
+        new_key = np.concatenate(([True], ks[1:] != ks[:-1]))
+        brk = new_key | np.concatenate(
+            ([False], (tss[1:] - tss[:-1]) > gap_us))
+        # per-key session index: cumsum of breaks minus the cumsum at
+        # each key's first row (segmented reset, fully vectorized)
+        b = np.cumsum(brk)
+        key_first = np.repeat(b[new_key], np.diff(
+            np.append(np.flatnonzero(new_key), len(ks))))
+        sid = b - key_first + 1
+        sess_start = np.flatnonzero(brk)
+        sess_len = np.diff(np.append(sess_start, len(ks)))
+        return pa.table({
+            key_col: pa.array(ks[sess_start], pa.int64()),
+            "session_id": pa.array(sid[sess_start], pa.int64()),
+            "start_us": pa.array(tss[sess_start], pa.int64()),
+            "end_us": pa.array(
+                np.maximum.reduceat(tss, sess_start), pa.int64()),
+            "n_events": pa.array(sess_len, pa.int64())})
+
+    return (events_ds.select_columns([key_col, ts_col, id_col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
