@@ -1906,6 +1906,15 @@ def _q_events_session_bounds(sf_dir: str):
     return session_bounds(_read(sf_dir, "events"))
 
 
+def _q_events_robust_zscore(sf_dir: str):
+    """EXACT per-type robust z-score (median/MAD), both integer order
+    statistics — ``ops.sketch.robust_zscore``; ONE mirrored divide."""
+    from torray.ops.sketch import robust_zscore
+
+    return robust_zscore(_read(sf_dir, "events"), "event_type",
+                         "value")
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2397,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_price": _q_lineitem_weighted_price,
         "docs_keywords": _q_docs_keywords,
         "events_session_bounds": _q_events_session_bounds,
+        "events_robust_zscore": _q_events_robust_zscore,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -2878,6 +2888,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # robust z: integer median/MAD, one mirrored divide
+        "events_robust_zscore": (
+            "WITH sv AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+            "m AS (SELECT event_type, quantile_disc(v, 0.5) AS med "
+            "FROM sv GROUP BY event_type), "
+            "d AS (SELECT sv.event_id, sv.event_type, sv.v, m.med "
+            "FROM sv JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, "
+            "quantile_disc(abs(v - med), 0.5) AS mad FROM d "
+            "GROUP BY event_type) "
+            "SELECT event_id, CASE WHEN mad = 0 THEN NULL ELSE "
+            "CAST(v - med AS DOUBLE) / CAST(mad AS DOUBLE) END AS rz "
+            "FROM d JOIN md USING (event_type)"
         ),
         # session table: gaps-and-islands, all outputs exact int64
         "events_session_bounds": (

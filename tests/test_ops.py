@@ -3936,3 +3936,39 @@ def test_session_bounds_matches_bruteforce(ray_session):
     for (uid, sid, st, en, cnt), (_, r) in zip(rows, got.iterrows()):
         assert (r["user_id"], r["session_id"], r["start_us"],
                 r["end_us"], r["n_events"]) == (uid, sid, st, en, cnt)
+
+
+def test_robust_zscore_matches_bruteforce(ray_session):
+    import math
+
+    import ray
+
+    from torray.ops.sketch import robust_zscore
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "g": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(np.round(rng.normal(10, 4, n), 2),
+                      pa.float64())})
+    got = (robust_zscore(ray.data.from_arrow(t).repartition(5),
+                         "g", "v").to_pandas().set_index("event_id"))
+    df = t.to_pandas()
+    sv = np.copysign(np.floor(np.abs(df["v"] * 100) + 0.5),
+                     df["v"]).astype(np.int64)
+    df = df.assign(sv=sv)
+    for g, grp in df.groupby("g"):
+        s = np.sort(grp["sv"].to_numpy())
+        m = len(s)
+        med = s[math.ceil(0.5 * m) - 1]
+        dev = np.sort(np.abs(grp["sv"].to_numpy() - med))
+        mad = dev[math.ceil(0.5 * m) - 1]
+        for _, row in grp.iterrows():
+            want = (np.float64(row["sv"] - med) / np.float64(mad)
+                    if mad else None)
+            gotv = got.loc[row["event_id"], "rz"]
+            if want is None:
+                assert np.isnan(gotv)
+            else:
+                assert gotv == want

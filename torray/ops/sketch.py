@@ -28,7 +28,7 @@ __all__ = ["hll_registers", "hll_estimate", "approx_distinct",
            "exact_quantiles_cont", "exact_mad", "group_quantiles",
            "group_quantiles_cont",
            "exact_distinct_by", "group_standardize",
-           "group_minmax_normalize", "iqr_outliers",
+           "group_minmax_normalize", "iqr_outliers", "robust_zscore",
            "count_min_sketch", "count_min_estimate",
            "group_quantiles_approx"]
 
@@ -1128,6 +1128,84 @@ def iqr_outliers(ds, group_col: str, col: str, *,
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "is_outlier": pa.array(flag, pa.bool_()),
+        })
+
+    return (ds.select_columns([group_col, id_col, col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def robust_zscore(ds, group_col: str, col: str, *,
+                  id_col: str = "event_id", scale: int = 100,
+                  num_partitions: int = 64):
+    """EXACT per-group robust z-score ``(sv - median) / MAD`` over the
+    scaled integers ``sv = round(value * scale)``: the median and the
+    MAD (median absolute deviation) are both INTEGER order statistics
+    (the ``ceil(p*n)`` rule, equal to SQL ``quantile_disc``), so the
+    output is ONE IEEE divide of two exact ints — bit-identical to the
+    mirror.  Zero-MAD groups yield NULL (the oracle's CASE guard).
+    The robust twin of :func:`group_standardize` — outliers cannot
+    poison the location/scale estimates.
+
+    Scale shape: one hash(group) partition run-scan; the median comes
+    from a (group, value) lexsort + integer rank pick per run, the MAD
+    from a SECOND vectorized lexsort of the absolute deviations keyed
+    by the same runs — two in-partition sorts, zero extra shuffles,
+    Python once per partition."""
+    from torray.ops.window import _hash_col_np
+
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "__id": pa.array([], pa.int64()),
+                             "__sv": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        prod = np.asarray(v, np.float64) * scale
+        sv = np.copysign(np.floor(np.abs(prod) + 0.5),
+                         prod).astype(np.int64)
+        part = (_hash_col_np(g)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            group_col: batch.column(group_col),
+            "__id": batch.column(id_col).cast(pa.int64()),
+            "__sv": pa.array(sv, pa.int64()),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "rz": pa.array([], pa.float64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        ids = group.column("__id").to_numpy(zero_copy_only=False)
+        sv = group.column("__sv").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sv, g))
+        g, ids, sv = g[order], ids[order], sv[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g[1:] != g[:-1])))
+        lens = np.diff(np.append(starts, len(g))).astype(np.int64)
+        run = np.repeat(np.arange(len(starts)), lens)
+        med_idx = starts + (lens + 1) // 2 - 1  # ceil(n/2)-th
+        med_row = sv[med_idx][run]
+        dev = np.abs(sv - med_row)
+        # second keyed sort: deviations within the same runs
+        dorder = np.lexsort((dev, run))
+        dev_s = dev[dorder]
+        mad_row = dev_s[med_idx][run]  # same rank rule, same runs
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rz = ((sv - med_row).astype(np.float64)
+                  / mad_row.astype(np.float64))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "rz": pa.array(np.where(mad_row == 0, np.nan, rz),
+                           pa.float64(), mask=(mad_row == 0)),
         })
 
     return (ds.select_columns([group_col, id_col, col])
