@@ -1915,6 +1915,197 @@ def _q_events_robust_zscore(sf_dir: str):
                          "value")
 
 
+def _q_orders_priority_waits(sf_dir: str):
+    """TPC-H Q4 shape: order count per priority where EXISTS a
+    lineitem shipped >30 days after the order date.  The order date
+    attaches to lineitem via the int-key run-scan join, late orderkeys
+    dedupe per block, and the EXISTS becomes a broadcast-Bloom EXACT
+    semi-join of orders — counts are exact ints."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.bloom import bloom_semijoin
+    from torray.ops.graph import _attach_int_value
+
+    def odate(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("o_orderkey"),
+            "val": pc.cast(t.column("o_orderdate"), pa.int64())})
+
+    odates = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderdate"]).map_batches(
+        odate, batch_format="pyarrow")
+
+    def li_narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "__sd": pc.cast(t.column("l_shipdate"), pa.int64())})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_shipdate"]).map_batches(
+        li_narrow, batch_format="pyarrow")
+    with_od = _attach_int_value(li, odates, "l_orderkey", "__od",
+                                ("l_orderkey", "__sd"))
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        sd = t.column("__sd").to_numpy(zero_copy_only=False)
+        od = t.column("__od").to_numpy(zero_copy_only=False)
+        late = t.filter(pa.array(sd > od + 30 * 86_400_000_000))
+        return (late.select(["l_orderkey"])
+                .group_by("l_orderkey").aggregate([]))
+
+    late = with_od.map_batches(late_keys, batch_format="pyarrow")
+    waiting = bloom_semijoin(
+        _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority"]),
+        late, big_key="o_orderkey", small_key="l_orderkey")
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "__n": pa.array([], pa.int64())})
+        g = pa.TableGroupBy(t.select(["o_orderpriority"]),
+                            "o_orderpriority").aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "__n": g.column("count_all").cast(pa.int64())})
+
+    agg = (waiting.map_batches(cnt_partial, batch_format="pyarrow")
+           .groupby("o_orderpriority").aggregate(Sum("__n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "order_count": pa.array([], pa.int64())})
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "order_count": t.column("sum(__n)").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_nation_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the full 6-table chain: per-nation revenue
+    from lineitems where the customer and supplier share a nation in
+    the chosen region, orders in a date window.  Plan: region/nation/
+    supplier fold to ONE broadcast dict each (true dimensions);
+    orders prune at the READ (date predicate into the fragment scan)
+    and pick up c_nationkey via the int-key run-scan attach against
+    customer; lineitem attaches the order's customer-nation the same
+    way (orderkey-hashed, +1-offset so nationkey 0 survives the
+    missing-key 0 sentinel), then one vectorized per-batch filter
+    (supplier-nation == customer-nation ∈ region) and the exact int64
+    revenue combiner + ONE narrow groupby.  revenue = rev_e4/10000.0
+    mirrored."""
+    import datetime
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pds
+
+    from torray.ops.graph import _attach_int_value
+    from torray.ops.moments import _cents
+
+    lo = pa.scalar(datetime.datetime(1995, 1, 1))
+    hi = pa.scalar(datetime.datetime(1999, 1, 1))
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    rkey = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")
+    ).column("r_regionkey").to_pylist()
+    nk = nation.filter(
+        pc.is_in(nation.column("n_regionkey"),
+                 value_set=pa.array(rkey, pa.int32())))
+    nation_names = dict(zip(nk.column("n_nationkey").to_pylist(),
+                            nk.column("n_name").to_pylist()))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_nation = dict(zip(supp.column("s_suppkey").to_pylist(),
+                           supp.column("s_nationkey").to_pylist()))
+    names_ref = ray.put(nation_names)
+    supp_ref = ray.put(supp_nation)
+
+    def cust_vals(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("c_custkey"),
+            "val": pc.add(t.column("c_nationkey").cast(pa.int64()),
+                          1)})
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"]).map_batches(
+        cust_vals, batch_format="pyarrow")
+    orders = _read_f(sf_dir, "orders",
+                     columns=["o_orderkey", "o_custkey"],
+                     flt=((pds.field("o_orderdate") >= lo)
+                          & (pds.field("o_orderdate") < hi)))
+    with_cn = _attach_int_value(orders, cust, "o_custkey", "__cn1",
+                                ("o_orderkey", "o_custkey"))
+
+    def order_vals(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("o_orderkey"),
+                         "val": t.column("__cn1")})
+
+    ovals = with_cn.map_batches(order_vals, batch_format="pyarrow")
+
+    def li_narrow(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice"), 100),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _cents(t.column("l_discount"), 100)))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "__rev": rev})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice",
+         "l_discount"]).map_batches(li_narrow, batch_format="pyarrow")
+    with_ocn = _attach_int_value(li, ovals, "l_orderkey", "__cn1",
+                                 ("l_orderkey", "l_suppkey", "__rev"))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "__rev": pa.array([], pa.int64())})
+        names = ray.get(names_ref)
+        smap = ray.get(supp_ref)
+        cn = t.column("__cn1").to_numpy(zero_copy_only=False) - 1
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        # supplier-nation lookup: suppliers are a broadcast dimension
+        sn = np.asarray([smap.get(int(x), -2) for x in sk], np.int64)
+        keep = (cn >= 0) & (sn == cn) \
+            & np.isin(sn, np.asarray(list(names), np.int64))
+        if not keep.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "__rev": pa.array([], pa.int64())})
+        kept = t.filter(pa.array(keep))
+        nm = pa.array([names[int(x)] for x in sn[keep]], pa.string())
+        g = pa.TableGroupBy(
+            pa.table({"n_name": nm, "__rev": kept.column("__rev")}),
+            "n_name").aggregate([("__rev", "sum")])
+        return pa.table({
+            "n_name": g.column("n_name"),
+            "__rev": g.column("__rev_sum").cast(pa.int64())})
+
+    agg = (with_ocn.map_batches(rev_partial, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("__rev")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64())})
+        r = t.column("sum(__rev)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "revenue": pa.array(r.astype(np.float64) / 10000.0,
+                                pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2407,6 +2598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keywords": _q_docs_keywords,
         "events_session_bounds": _q_events_session_bounds,
         "events_robust_zscore": _q_events_robust_zscore,
+        "orders_priority_waits": _q_orders_priority_waits,
+        "nation_revenue": _q_nation_revenue,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -2888,6 +3081,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # Q5 shape: 6-table chain, int-core revenue, ONE division
+        "nation_revenue": (
+            "WITH core AS (SELECT l_suppkey, l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) "
+            "AS rev FROM lineitem) "
+            "SELECT n_name, CAST(sum(rev) AS DOUBLE) / 10000.0 "
+            "AS revenue FROM core "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+            "AND o_orderdate >= DATE '1995-01-01' "
+            "AND o_orderdate < DATE '1999-01-01' "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        # Q4 shape: EXISTS late-lineitem semi-join, exact counts
+        "orders_priority_waits": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "
+            "AS order_count FROM orders WHERE EXISTS ("
+            "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         # robust z: integer median/MAD, one mirrored divide
         "events_robust_zscore": (

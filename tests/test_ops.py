@@ -3972,3 +3972,28 @@ def test_robust_zscore_matches_bruteforce(ray_session):
                 assert np.isnan(gotv)
             else:
                 assert gotv == want
+
+
+def test_q4_q5_shapes_at_sf0001(ray_session):
+    """Q4/Q5-shape driver queries vs DuckDB at sf0.001."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for tb in ["region", "nation", "customer", "supplier", "orders",
+               "lineitem"]:
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{tb}.parquet')")
+    for name in ["orders_priority_waits", "nation_revenue"]:
+        got = (entrymod.queries()[name](sf).to_pandas())
+        want = con.execute(entrymod.oracle_sql()[name]).fetchdf()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert g.astype(str).equals(w.astype(str)), name
+        assert len(g) > 0, name
