@@ -2106,6 +2106,105 @@ def _q_nation_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_orders_monthly(sf_dir: str):
+    """Calendar-bucketed revenue trend: per MONTH (true calendar
+    truncation — Arrow ``floor_temporal`` emits the same epoch as SQL
+    ``date_trunc``, verified) order count + exact cents total; one
+    per-block Arrow partial per month, ONE narrow groupby."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.moments import _cents
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"month_us": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int64())})
+        m = pc.cast(pc.floor_temporal(t.column("o_orderdate"),
+                                      unit="month"), pa.int64())
+        d = pa.table({"month_us": m,
+                      "__s": _cents(t.column("o_totalprice"), 100)})
+        g = pa.TableGroupBy(d, "month_us").aggregate(
+            [([], "count_all"), ("__s", "sum")])
+        return pa.table({
+            "month_us": g.column("month_us"),
+            "__n": g.column("count_all").cast(pa.int64()),
+            "__s": g.column("__s_sum").cast(pa.int64())})
+
+    agg = (_read_f(sf_dir, "orders",
+                   columns=["o_orderdate", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("month_us").aggregate(Sum("__n"), Sum("__s")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"month_us": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.float64())})
+        s = t.column("sum(__s)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "month_us": t.column("month_us").cast(pa.int64()),
+            "n_orders": t.column("sum(__n)").cast(pa.int64()),
+            "total": pa.array(s.astype(np.float64) / 100.0,
+                              pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_parts_promo_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under DISJUNCTIVE brand/size/quantity
+    predicates — part prefilters to the three brands and broadcasts
+    (Arrow C++ join per batch), the compound OR mask evaluates
+    vectorized per batch over the joined columns, and the exact int64
+    revenue core folds with one bounded partial per block."""
+    from torray.ops.join import broadcast_join
+    from torray.ops.moments import _cents
+
+    part = _read(sf_dir, "part").map_batches(
+        lambda t: t.filter(pc.is_in(
+            t.column("p_brand"),
+            value_set=pa.array(["Brand#3", "Brand#14", "Brand#20"])))
+        .select(["p_partkey", "p_brand", "p_size"]),
+        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, part, on="l_partkey",
+                            right_on="p_partkey", how="inner")
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__rev": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        qv = _cents(t.column("l_quantity"), 100).to_numpy(
+            zero_copy_only=False)
+        brand = np.asarray(t.column("p_brand").to_pylist())
+        size = t.column("p_size").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (((brand == "Brand#3") & (size <= 20)
+                 & (qv >= 100) & (qv <= 2000))
+                | ((brand == "Brand#14") & (size <= 35)
+                   & (qv >= 1000) & (qv <= 3000))
+                | ((brand == "Brand#20") & (size <= 50)
+                   & (qv >= 2000) & (qv <= 4000)))
+        kept = t.filter(pa.array(keep))
+        rev = pc.multiply(
+            _cents(kept.column("l_extendedprice"), 100),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _cents(kept.column("l_discount"), 100)))
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"__rev": pa.array([int(s)], pa.int64()),
+                         "__n": pa.array([kept.num_rows],
+                                         pa.int64())})
+
+    parts = joined.map_batches(rev_partial,
+                               batch_format="pyarrow").take_all()
+    rev = sum(r["__rev"] for r in parts)
+    n = sum(r["__n"] for r in parts)
+    return pa.table({
+        "revenue": pa.array([float(rev) / 10000.0], pa.float64()),
+        "n_rows": pa.array([int(n)], pa.int64())})
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2600,6 +2699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_zscore": _q_events_robust_zscore,
         "orders_priority_waits": _q_orders_priority_waits,
         "nation_revenue": _q_nation_revenue,
+        "orders_monthly": _q_orders_monthly,
+        "parts_promo_revenue": _q_parts_promo_revenue,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -3081,6 +3182,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # monthly trend: calendar truncation parity verified
+        "orders_monthly": (
+            "SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) "
+            "AS BIGINT) AS month_us, CAST(count(*) AS BIGINT) "
+            "AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) "
+            "AS BIGINT)) AS DOUBLE) / 100.0 AS total "
+            "FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        # Q19 shape: disjunctive predicates, int-core revenue
+        "parts_promo_revenue": (
+            "WITH j AS (SELECT p_brand, p_size, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qv, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) "
+            "AS rev FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand IN ('Brand#3', 'Brand#14', 'Brand#20')) "
+            "SELECT CAST(coalesce(sum(rev), 0) AS DOUBLE) / 10000.0 "
+            "AS revenue, CAST(count(*) AS BIGINT) AS n_rows FROM j "
+            "WHERE (p_brand = 'Brand#3' AND p_size <= 20 "
+            "AND qv BETWEEN 100 AND 2000) "
+            "OR (p_brand = 'Brand#14' AND p_size <= 35 "
+            "AND qv BETWEEN 1000 AND 3000) "
+            "OR (p_brand = 'Brand#20' AND p_size <= 50 "
+            "AND qv BETWEEN 2000 AND 4000)"
         ),
         # Q5 shape: 6-table chain, int-core revenue, ONE division
         "nation_revenue": (
