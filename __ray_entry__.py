@@ -2205,6 +2205,138 @@ def _q_parts_promo_revenue(sf_dir: str):
         "n_rows": pa.array([int(n)], pa.int64())})
 
 
+def _q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: yearly trade volume between two nations (either
+    direction).  Same attach plan as the Q5 chain — customer nation
+    rides orders onto lineitem via two int-key run-scan joins,
+    supplier/nation fold to broadcast dicts, the year comes from the
+    vectorized Arrow ``year`` kernel, and the exact int64 revenue
+    pre-combines per (pair, year) per block before ONE narrow
+    groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.graph import _attach_int_value
+    from torray.ops.moments import _cents
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    name_of = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+    pair = {k for k, v in name_of.items()
+            if v in ("NATION_19", "NATION_3")}
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_nation = dict(zip(supp.column("s_suppkey").to_pylist(),
+                           supp.column("s_nationkey").to_pylist()))
+    names_ref = ray.put(name_of)
+    supp_ref = ray.put(supp_nation)
+    pair_ref = ray.put(pair)
+
+    def cust_vals(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("c_custkey"),
+            "val": pc.add(t.column("c_nationkey").cast(pa.int64()),
+                          1)})
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"]).map_batches(
+        cust_vals, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"])
+    with_cn = _attach_int_value(
+        orders.map_batches(
+            lambda t: pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "__od": pc.cast(t.column("o_orderdate"), pa.int64())}),
+            batch_format="pyarrow"),
+        cust, "o_custkey", "__cn1", ("o_orderkey", "o_custkey",
+                                     "__od"))
+
+    def order_vals(t: pa.Table) -> pa.Table:
+        # pack (cust_nation+1, year) into one int64 value
+        cn = t.column("__cn1").to_numpy(zero_copy_only=False)
+        yr = pc.year(pc.cast(t.column("__od"), pa.timestamp("us"))
+                     ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": t.column("o_orderkey"),
+            "val": pa.array(cn * 10_000 + yr, pa.int64())})
+
+    ovals = with_cn.map_batches(order_vals, batch_format="pyarrow")
+
+    def li_narrow(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice"), 100),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _cents(t.column("l_discount"), 100)))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "__rev": rev})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice",
+         "l_discount"]).map_batches(li_narrow, batch_format="pyarrow")
+    with_pk = _attach_int_value(li, ovals, "l_orderkey", "__pk",
+                                ("l_orderkey", "l_suppkey", "__rev"))
+
+    def vol_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                          "cust_nation": pa.array([], pa.string()),
+                          "yr": pa.array([], pa.int64()),
+                          "__rev": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        names = ray.get(names_ref)
+        smap = ray.get(supp_ref)
+        pr = ray.get(pair_ref)
+        pk = t.column("__pk").to_numpy(zero_copy_only=False)
+        cn = pk // 10_000 - 1
+        yr = pk % 10_000
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sn = np.asarray([smap.get(int(x), -2) for x in sk], np.int64)
+        prl = np.asarray(sorted(pr), np.int64)
+        keep = (np.isin(sn, prl) & np.isin(cn, prl) & (sn != cn)
+                & (pk > 0))
+        if not keep.any():
+            return empty
+        kept = t.filter(pa.array(keep))
+        g = pa.TableGroupBy(pa.table({
+            "supp_nation": pa.array(
+                [names[int(x)] for x in sn[keep]], pa.string()),
+            "cust_nation": pa.array(
+                [names[int(x)] for x in cn[keep]], pa.string()),
+            "yr": pa.array(yr[keep], pa.int64()),
+            "__rev": kept.column("__rev")}),
+            ["supp_nation", "cust_nation", "yr"]).aggregate(
+            [("__rev", "sum")])
+        return pa.table({
+            "supp_nation": g.column("supp_nation"),
+            "cust_nation": g.column("cust_nation"),
+            "yr": g.column("yr"),
+            "__rev": g.column("__rev_sum").cast(pa.int64())})
+
+    agg = (with_pk.map_batches(vol_partial, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "yr"])
+           .aggregate(Sum("__rev")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "yr": pa.array([], pa.int64()),
+                "volume": pa.array([], pa.float64())})
+        r = t.column("sum(__rev)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "supp_nation": t.column("supp_nation"),
+            "cust_nation": t.column("cust_nation"),
+            "yr": t.column("yr").cast(pa.int64()),
+            "volume": pa.array(r.astype(np.float64) / 10000.0,
+                               pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2701,6 +2833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": _q_nation_revenue,
         "orders_monthly": _q_orders_monthly,
         "parts_promo_revenue": _q_parts_promo_revenue,
+        "nation_trade_volume": _q_nation_trade_volume,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -3182,6 +3315,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # Q7 shape: bi-nation yearly volume, int core, one division
+        "nation_trade_volume": (
+            "WITH core AS (SELECT l_suppkey, l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) "
+            "AS rev FROM lineitem) "
+            "SELECT n1.n_name AS supp_nation, n2.n_name "
+            "AS cust_nation, CAST(year(o_orderdate) AS BIGINT) AS yr, "
+            "CAST(sum(rev) AS DOUBLE) / 10000.0 AS volume "
+            "FROM core JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation n1 ON n1.n_nationkey = s_nationkey "
+            "JOIN nation n2 ON n2.n_nationkey = c_nationkey "
+            "WHERE ((n1.n_name = 'NATION_19' AND n2.n_name = "
+            "'NATION_3') OR (n1.n_name = 'NATION_3' AND n2.n_name = "
+            "'NATION_19')) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
         ),
         # monthly trend: calendar truncation parity verified
         "orders_monthly": (

@@ -4020,3 +4020,27 @@ def test_monthly_and_promo_at_sf0001(ray_session):
         w = want[cols].sort_values(cols).reset_index(drop=True)
         assert g.astype(str).equals(w.astype(str)), name
         assert len(g) > 0, name
+
+
+def test_nation_trade_volume_at_sf0001(ray_session):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for tb in ["nation", "customer", "supplier", "orders",
+               "lineitem"]:
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{tb}.parquet')")
+    got = entrymod.queries()["nation_trade_volume"](sf).to_pandas()
+    want = con.execute(
+        entrymod.oracle_sql()["nation_trade_volume"]).fetchdf()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.astype(str).equals(w.astype(str))
+    assert len(g) > 0
