@@ -2337,6 +2337,40 @@ def _q_nation_trade_volume(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_user_ltv_rank(sf_dir: str):
+    """Two-level composition: per-user lifetime value (exact int64
+    cents via block combiners + one narrow groupby) then a GLOBAL
+    percent_rank over the user totals (``ops.rank.global_rank`` —
+    bucketed, no global sort); the float is the mirrored explicit
+    ``(rank-1)/(n-1)`` expression."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.moments import _cents
+    from torray.ops.rank import global_rank
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int64())})
+        d = pa.table({"user_id": t.column("user_id"),
+                      "__s": _cents(t.column("value"), 100)})
+        g = pa.TableGroupBy(d, "user_id").aggregate([("__s", "sum")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "__s": g.column("__s_sum").cast(pa.int64())})
+
+    totals = (_read_f(sf_dir, "events", columns=["user_id", "value"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id").aggregate(Sum("__s"))
+              .map_batches(
+                  lambda t: pa.table({
+                      "user_id": t.column("user_id"),
+                      "tot": t.column("sum(__s)").cast(pa.int64())}),
+                  batch_format="pyarrow"))
+    return global_rank(totals, value_col="tot", id_col="user_id",
+                       method="percent_rank", num_buckets=8)
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2834,6 +2868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly": _q_orders_monthly,
         "parts_promo_revenue": _q_parts_promo_revenue,
         "nation_trade_volume": _q_nation_trade_volume,
+        "user_ltv_rank": _q_user_ltv_rank,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -3315,6 +3350,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # two-level: exact user totals -> global percent_rank
+        "user_ltv_rank": (
+            "WITH u AS (SELECT user_id, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS tot FROM events GROUP BY user_id) "
+            "SELECT user_id, CAST(rank() OVER (ORDER BY tot) - 1 "
+            "AS DOUBLE) / (count(*) OVER () - 1) AS pct FROM u"
         ),
         # Q7 shape: bi-nation yearly volume, int core, one division
         "nation_trade_volume": (

@@ -4044,3 +4044,24 @@ def test_nation_trade_volume_at_sf0001(ray_session):
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert g.astype(str).equals(w.astype(str))
     assert len(g) > 0
+
+
+def test_user_ltv_rank_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = (entrymod._q_user_ltv_rank(sf).to_pandas()
+           .set_index("user_id"))
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "value"]).to_pandas()
+    cents = np.copysign(np.floor(np.abs(ev["value"] * 100) + 0.5),
+                        ev["value"]).astype(np.int64)
+    tot = ev.assign(c=cents).groupby("user_id")["c"].sum()
+    n = len(tot)
+    ranks = tot.rank(method="min")
+    for uid, r in ranks.items():
+        want = np.float64(r - 1) / np.float64(n - 1)
+        assert got.loc[uid, "pct"] == want
