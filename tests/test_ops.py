@@ -4065,3 +4065,74 @@ def test_user_ltv_rank_query(ray_session):
     for uid, r in ranks.items():
         want = np.float64(r - 1) / np.float64(n - 1)
         assert got.loc[uid, "pct"] == want
+
+
+def test_new_ops_partition_invariance(ray_session):
+    """Block boundaries must never change results: run each new op on
+    1 block and on 13 skewed blocks and compare exactly."""
+    import ray
+
+    from torray.ops.graph import triangle_count
+    from torray.ops.setops import except_all
+    from torray.ops.sketch import (group_minmax_normalize,
+                                   iqr_outliers, robust_zscore)
+    from torray.ops.window import session_bounds, transition_counts
+
+    rng = np.random.default_rng(47)
+    n = 2500
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**10, n),
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "value": pa.array(np.round(rng.random(n) * 30, 2),
+                          pa.float64()),
+        "props": pa.array(["{}"] * n)})
+
+    def canon(ds, cols):
+        df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+        if isinstance(df, pa.Table):
+            df = df.to_pandas()
+        return (df[sorted(df.columns)].sort_values(sorted(df.columns))
+                .reset_index(drop=True).astype(str))
+
+    ops = [
+        lambda d: session_bounds(d, gap_s=900),
+        lambda d: transition_counts(d),
+        lambda d: robust_zscore(d, "event_type", "value"),
+        lambda d: iqr_outliers(d, "event_type", "value"),
+        lambda d: group_minmax_normalize(d, "event_type", "value"),
+    ]
+    one = ray.data.from_arrow(ev)
+    many = ray.data.from_arrow(ev).repartition(13)
+    for op in ops:
+        a = canon(op(one), None)
+        b = canon(op(many), None)
+        assert a.equals(b)
+
+    edges = pa.table({
+        "u": pa.array(rng.integers(0, 40, 300), pa.int64()),
+        "v": pa.array(rng.integers(40, 80, 300), pa.int64())})
+    # triangle over a deduped bipartite-ish list (no triangles
+    # possible across the cut, so add intra-side edges)
+    e2 = pa.table({"u": pa.array(rng.integers(0, 60, 300), pa.int64()),
+                   "v": pa.array(rng.integers(0, 60, 300),
+                                 pa.int64())})
+    uu = np.minimum(e2.column("u").to_numpy(), e2.column("v").to_numpy())
+    vv = np.maximum(e2.column("u").to_numpy(), e2.column("v").to_numpy())
+    keep = uu != vv
+    packed = np.unique(uu[keep].astype(np.uint64) << np.uint64(32)
+                       | vv[keep].astype(np.uint64))
+    et = pa.table({
+        "u": pa.array((packed >> np.uint64(32)).astype(np.int64)),
+        "v": pa.array((packed & np.uint64(0xFFFFFFFF)).astype(
+            np.int64))})
+    t1 = triangle_count(ray.data.from_arrow(et))
+    t2 = triangle_count(ray.data.from_arrow(et).repartition(9))
+    assert t1.to_pydict() == t2.to_pydict()
+
+    da = ray.data.from_arrow(ev.select(["user_id"]))
+    got1 = except_all(da, da.repartition(3), left_col="user_id",
+                      right_col="user_id").to_pandas()
+    assert len(got1) == 0  # X EXCEPT ALL X is empty
