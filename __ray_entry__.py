@@ -2371,6 +2371,77 @@ def _q_user_ltv_rank(sf_dir: str):
                        method="percent_rank", num_buckets=8)
 
 
+def _q_lineitem_priority_split(sf_dir: str):
+    """TPC-H Q12 shape: per linestatus, how many lineitems belong to
+    high-priority (URGENT/HIGH) vs other orders.  The order priority
+    encodes to a small int and attaches to lineitem via the int-key
+    run-scan join; the CASE split is one vectorized per-block partial
+    (two int64 counters per linestatus per block), ONE narrow
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.graph import _attach_int_value
+
+    def ovals(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t.column("o_orderpriority"),
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "node": t.column("o_orderkey"),
+            # 2 = high, 1 = low (0 stays the missing-key sentinel)
+            "val": pc.add(pc.cast(hi, pa.int64()), 1)})
+
+    odv = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"]).map_batches(
+        ovals, batch_format="pyarrow")
+
+    def li_narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "__ls": pc.cast(pc.equal(t.column("l_linestatus"), "O"),
+                            pa.int64())})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linestatus"]).map_batches(
+        li_narrow, batch_format="pyarrow")
+    with_p = _attach_int_value(li, odv, "l_orderkey", "__pr",
+                               ("l_orderkey", "__ls"))
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__ls": pa.array([], pa.int64()),
+                             "__hi": pa.array([], pa.int64()),
+                             "__lo": pa.array([], pa.int64())})
+        ls = t.column("__ls").to_numpy(zero_copy_only=False)
+        pr = t.column("__pr").to_numpy(zero_copy_only=False)
+        out_ls, out_hi, out_lo = [], [], []
+        for v in (0, 1):
+            m = ls == v
+            out_ls.append(v)
+            out_hi.append(int((pr[m] == 2).sum()))
+            out_lo.append(int((pr[m] == 1).sum()))
+        return pa.table({"__ls": pa.array(out_ls, pa.int64()),
+                         "__hi": pa.array(out_hi, pa.int64()),
+                         "__lo": pa.array(out_lo, pa.int64())})
+
+    agg = (with_p.map_batches(split_partial, batch_format="pyarrow")
+           .groupby("__ls").aggregate(Sum("__hi"), Sum("__lo")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "l_linestatus": pa.array([], pa.string()),
+                "high_line_count": pa.array([], pa.int64()),
+                "low_line_count": pa.array([], pa.int64())})
+        ls = t.column("__ls").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_linestatus": pa.array(
+                np.where(ls == 1, "O", "F"), pa.string()),
+            "high_line_count": t.column("sum(__hi)").cast(pa.int64()),
+            "low_line_count": t.column("sum(__lo)").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2869,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_promo_revenue": _q_parts_promo_revenue,
         "nation_trade_volume": _q_nation_trade_volume,
         "user_ltv_rank": _q_user_ltv_rank,
+        "lineitem_priority_split": _q_lineitem_priority_split,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -3350,6 +3422,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # Q12 shape: CASE split counts after the priority attach
+        "lineitem_priority_split": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority NOT IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS low_line_count FROM lineitem "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "GROUP BY l_linestatus ORDER BY l_linestatus"
         ),
         # two-level: exact user totals -> global percent_rank
         "user_ltv_rank": (

@@ -4136,3 +4136,25 @@ def test_new_ops_partition_invariance(ray_session):
     got1 = except_all(da, da.repartition(3), left_col="user_id",
                       right_col="user_id").to_pandas()
     assert len(got1) == 0  # X EXCEPT ALL X is empty
+
+
+def test_lineitem_priority_split_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = (entrymod._q_lineitem_priority_split(sf).to_pandas()
+           .set_index("l_linestatus"))
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_orderkey",
+                                "l_linestatus"]).to_pandas()
+    od = pq.read_table(f"{sf}/orders.parquet",
+                       columns=["o_orderkey",
+                                "o_orderpriority"]).to_pandas()
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    m["hi"] = m["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    for ls, g in m.groupby("l_linestatus"):
+        assert got.loc[ls, "high_line_count"] == int(g["hi"].sum())
+        assert got.loc[ls, "low_line_count"] == int((~g["hi"]).sum())
