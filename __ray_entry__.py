@@ -2442,6 +2442,16 @@ def _q_lineitem_priority_split(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_dau7(sf_dir: str):
+    """Rolling 7-day distinct active users per event day
+    (``ops.window.trailing_window_distinct``): vectorized 7x bucket
+    replication deduped per block, broadcast day-set gate, exact
+    distinct via the partition-scan count-distinct."""
+    from torray.ops.window import trailing_window_distinct
+
+    return trailing_window_distinct(_read(sf_dir, "events"))
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2941,6 +2951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": _q_nation_trade_volume,
         "user_ltv_rank": _q_user_ltv_rank,
         "lineitem_priority_split": _q_lineitem_priority_split,
+        "events_dau7": _q_events_dau7,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -3422,6 +3433,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # rolling 7-day DAU: exact distinct over trailing windows
+        "events_dau7": (
+            "WITH e AS (SELECT CAST(epoch_us(date_trunc('day', ts)) "
+            "AS BIGINT) AS day, user_id FROM events), "
+            "days AS (SELECT DISTINCT day FROM e) "
+            "SELECT d.day AS day_us, "
+            "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_distinct "
+            "FROM days d JOIN e ON e.day "
+            "BETWEEN d.day - 518400000000 AND d.day "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # Q12 shape: CASE split counts after the priority attach
         "lineitem_priority_split": (

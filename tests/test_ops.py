@@ -4158,3 +4158,33 @@ def test_lineitem_priority_split_query(ray_session):
     for ls, g in m.groupby("l_linestatus"):
         assert got.loc[ls, "high_line_count"] == int(g["hi"].sum())
         assert got.loc[ls, "low_line_count"] == int((~g["hi"]).sum())
+
+
+def test_trailing_window_distinct_bruteforce(ray_session):
+    import ray
+
+    from torray.ops.window import trailing_window_distinct
+
+    rng = np.random.default_rng(53)
+    n = 2500
+    day_us = 86_400_000_000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 40 * day_us, n),
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "event_type": pa.array(["x"] * n),
+        "value": pa.array(np.zeros(n), pa.float64()),
+        "props": pa.array(["{}"] * n)})
+    got = (trailing_window_distinct(
+        ray.data.from_arrow(t).repartition(6), window_days=7)
+        .to_pandas().sort_values("day_us").reset_index(drop=True))
+    df = t.to_pandas()
+    df["day"] = (df["ts"].astype("int64") // day_us) * day_us
+    days = sorted(df["day"].unique())
+    want = []
+    for d in days:
+        m = (df["day"] >= d - 6 * day_us) & (df["day"] <= d)
+        want.append((d, df.loc[m, "user_id"].nunique()))
+    assert list(got["day_us"]) == [w[0] for w in want]
+    assert list(got["n_distinct"]) == [w[1] for w in want]

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "interval_join", "running_total", "lag_delta", "moving_agg",
            "lead_delta", "resample", "transition_counts",
-           "session_bounds"]
+           "session_bounds", "trailing_window_distinct"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -2503,3 +2503,75 @@ def session_bounds(events_ds, *, gap_s: int = 1800,
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def trailing_window_distinct(events_ds, *, ts_col: str = "ts",
+                             key_col: str = "user_id",
+                             window_days: int = 7,
+                             num_partitions: int = 64):
+    """Rolling DAU-style metric: for every day that has at least one
+    event, the count of DISTINCT keys over the trailing
+    ``window_days`` days (day d counts events in [d-6, d] for the
+    7-day window).  All outputs exact int64.
+
+    Scale shape: overlapping windows cannot pre-combine distincts, so
+    each event row replicates into ``window_days`` (day-bucket, key)
+    int64 rows — vectorized ``np.repeat`` + modular offsets, the
+    standard hopping-window replication — deduped per block before
+    the shuffle; buckets for days with no events of their own are
+    dropped against a broadcast day set (bounded: one entry per
+    calendar day in the data); the distinct count itself is
+    :func:`torray.ops.sketch.exact_distinct_by`'s partition scan.
+    Cost is ``window_days`` x the input in narrow int rows — the
+    exact-answer floor for sliding distinct; use the HLL variant when
+    ~1.6% error is acceptable.
+    """
+    import ray
+
+    from torray.ops.sketch import exact_distinct_by
+
+    day_us = 86_400_000_000
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t.column(ts_col), unit="day"),
+                    pa.int64())
+        return pa.table({"day": pc.unique(d.combine_chunks())})
+
+    days = set()
+    for row in (events_ds.select_columns([ts_col])
+                .map_batches(day_partial, batch_format="pyarrow")
+                .take_all()):
+        days.add(int(row["day"]))
+    days_ref = ray.put(days)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64())})
+        d = pc.cast(pc.floor_temporal(t.column(ts_col), unit="day"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        k = t.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(d)
+        bucket = (np.repeat(d, window_days)
+                  + np.tile(np.arange(window_days, dtype=np.int64)
+                            * day_us, n))
+        keys = np.repeat(k, window_days)
+        actual = ray.get(days_ref)
+        keep = np.isin(bucket,
+                       np.fromiter(actual, np.int64, len(actual)))
+        out = pa.table({"day": pa.array(bucket[keep], pa.int64()),
+                        key_col: pa.array(keys[keep], pa.int64())})
+        # block-local dedupe: repeated (day, key) never shuffle
+        return out.group_by(["day", key_col]).aggregate([])
+
+    buckets = (events_ds.select_columns([ts_col, key_col])
+               .map_batches(replicate, batch_format="pyarrow"))
+    out = exact_distinct_by(buckets, "day", key_col,
+                            out_col="n_distinct",
+                            num_partitions=num_partitions)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["day_us", "n_distinct"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
