@@ -2452,6 +2452,53 @@ def _q_events_dau7(sf_dir: str):
     return trailing_window_distinct(_read(sf_dir, "events"))
 
 
+def _q_orders_size_hist(sf_dir: str):
+    """Order-size distribution (how many orders have k lineitems):
+    per-block per-order partial counts, ONE narrow int64 groupby to
+    exact per-order sizes, then per-block size histograms + one tiny
+    groupby — the two-level distribution-profiling staple."""
+    from ray.data.aggregate import Sum
+
+    def per_order_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        g = pa.TableGroupBy(t.select(["l_orderkey"]),
+                            "l_orderkey").aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey"),
+            "__n": g.column("count_all").cast(pa.int64())})
+
+    sizes = (_read_f(sf_dir, "lineitem", columns=["l_orderkey"])
+             .map_batches(per_order_partial, batch_format="pyarrow")
+             .groupby("l_orderkey").aggregate(Sum("__n")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_lines": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        g = pa.TableGroupBy(pa.table({
+            "n_lines": t.column("sum(__n)").cast(pa.int64())}),
+            "n_lines").aggregate([([], "count_all")])
+        return pa.table({
+            "n_lines": g.column("n_lines"),
+            "__n": g.column("count_all").cast(pa.int64())})
+
+    agg = (sizes.map_batches(hist_partial, batch_format="pyarrow")
+           .groupby("n_lines").aggregate(Sum("__n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_lines": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        return pa.table({
+            "n_lines": t.column("n_lines").cast(pa.int64()),
+            "n_orders": t.column("sum(__n)").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -2952,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ltv_rank": _q_user_ltv_rank,
         "lineitem_priority_split": _q_lineitem_priority_split,
         "events_dau7": _q_events_dau7,
+        "orders_size_hist": _q_orders_size_hist,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -3433,6 +3481,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # order-size distribution: two-level exact counts
+        "orders_size_hist": (
+            "WITH s AS (SELECT l_orderkey, "
+            "CAST(count(*) AS BIGINT) AS n_lines FROM lineitem "
+            "GROUP BY l_orderkey) "
+            "SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM s GROUP BY n_lines ORDER BY n_lines"
         ),
         # rolling 7-day DAU: exact distinct over trailing windows
         "events_dau7": (

@@ -4188,3 +4188,20 @@ def test_trailing_window_distinct_bruteforce(ray_session):
         want.append((d, df.loc[m, "user_id"].nunique()))
     assert list(got["day_us"]) == [w[0] for w in want]
     assert list(got["n_distinct"]) == [w[1] for w in want]
+
+
+def test_orders_size_hist_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = (entrymod._q_orders_size_hist(sf).to_pandas()
+           .sort_values("n_lines").reset_index(drop=True))
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    want = (li.groupby("l_orderkey").size().value_counts()
+            .sort_index())
+    assert list(got["n_lines"]) == list(want.index)
+    assert list(got["n_orders"]) == list(want.values)
