@@ -2499,6 +2499,17 @@ def _q_orders_size_hist(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_supplier_balance_stats(sf_dir: str):
+    """Per-nation supplier balance moments — the existing
+    ``ops.moments.group_moments`` op pointed at a second table/column
+    pair (the generic-surface check: no events-specific assumptions)."""
+    from torray.ops.moments import group_moments
+
+    return group_moments(_read(sf_dir, "supplier"),
+                         group_col="s_nationkey",
+                         value_col="s_acctbal")
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -3000,6 +3011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_priority_split": _q_lineitem_priority_split,
         "events_dau7": _q_events_dau7,
         "orders_size_hist": _q_orders_size_hist,
+        "supplier_balance_stats": _q_supplier_balance_stats,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -3481,6 +3493,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # group_moments on a second table/column (generic surface)
+        "supplier_balance_stats": (
+            "WITH s AS (SELECT s_nationkey, count(*) AS n, "
+            "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_scaled, "
+            "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT) "
+            "* CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS sumsq_scaled FROM supplier GROUP BY s_nationkey) "
+            "SELECT s_nationkey, n, sum_scaled, sumsq_scaled, "
+            "(CAST(sum_scaled AS DOUBLE) / n) / 100.0 AS mean, "
+            "(CAST(sumsq_scaled AS DOUBLE) - CAST(sum_scaled "
+            "AS DOUBLE) * CAST(sum_scaled AS DOUBLE) / n) / n "
+            "/ 10000.0 AS var_pop, "
+            "sqrt((CAST(sumsq_scaled AS DOUBLE) - CAST(sum_scaled "
+            "AS DOUBLE) * CAST(sum_scaled AS DOUBLE) / n) / n "
+            "/ 10000.0) AS stddev_pop FROM s"
         ),
         # order-size distribution: two-level exact counts
         "orders_size_hist": (
