@@ -2510,6 +2510,22 @@ def _q_supplier_balance_stats(sf_dir: str):
                          value_col="s_acctbal")
 
 
+def _q_events_gap_quantiles(sf_dir: str):
+    """Operator composition across families: per-user LAG gaps
+    (``ops.window.lag_delta`` run-scan) feed the shuffle-free exact
+    quantile selection (``ops.sketch.exact_quantiles``) — the
+    inter-event-gap distribution, quantile_disc-exact."""
+    from torray.ops.sketch import exact_quantiles
+    from torray.ops.window import lag_delta
+
+    gaps = lag_delta(_read(sf_dir, "events"))
+    qs = [0.5, 0.9, 0.99]
+    got = exact_quantiles(gaps, "gap_us", qs)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "gap_us": pa.array([got[q] for q in qs], pa.float64())})
+
+
 def _q_events_iqr_outliers(sf_dir: str):
     """EXACT per-type Tukey-fence outlier flags
     (``ops.sketch.iqr_outliers``): integer-only fence compare
@@ -3012,6 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau7": _q_events_dau7,
         "orders_size_hist": _q_orders_size_hist,
         "supplier_balance_stats": _q_supplier_balance_stats,
+        "events_gap_quantiles": _q_events_gap_quantiles,
         "events_intersect_all": _q_events_intersect_all,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_para_dedup_join": _q_docs_para_dedup_join,
@@ -3493,6 +3510,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(lead(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "- epoch_us(ts) AS BIGINT) AS gap_us FROM events"
+        ),
+        # cross-family composition: LAG gaps -> exact quantiles
+        "events_gap_quantiles": (
+            "WITH g AS (SELECT CAST(epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) AS gap_us FROM events) "
+            "SELECT 0.5 AS q, CAST(quantile_disc(gap_us, 0.5) "
+            "AS DOUBLE) AS gap_us FROM g UNION ALL "
+            "SELECT 0.9, CAST(quantile_disc(gap_us, 0.9) AS DOUBLE) "
+            "FROM g UNION ALL SELECT 0.99, "
+            "CAST(quantile_disc(gap_us, 0.99) AS DOUBLE) FROM g"
         ),
         # group_moments on a second table/column (generic surface)
         "supplier_balance_stats": (
