@@ -1270,6 +1270,39 @@ def _q_events_ntile(sf_dir: str):
                        num_buckets=32)
 
 
+def _q_events_rank_in_type(sf_dir: str):
+    """Per-group RANK() (PARTITION BY event_type ORDER BY value) via
+    the partition run-scan ``ops.rank.group_rank`` — no per-group
+    Python calls, no splitter passes (ranks reset at group bounds)."""
+    from torray.ops.rank import group_rank
+
+    return group_rank(_read(sf_dir, "events"), group_col="event_type",
+                      value_col="value", id_col="event_id",
+                      method="rank")
+
+
+def _q_events_pctrank_in_type(sf_dir: str):
+    """Per-group PERCENT_RANK(): the explicit ``(rank-1)/(n_group-1)``
+    float64 division mirrored by the oracle, 0.0 for singleton
+    groups."""
+    from torray.ops.rank import group_rank
+
+    return group_rank(_read(sf_dir, "events"), group_col="event_type",
+                      value_col="value", id_col="event_id",
+                      method="percent_rank")
+
+
+def _q_events_ntile_in_type(sf_dir: str):
+    """Per-group NTILE(5) over (value, event_id) — equal-frequency
+    value bucketing within each event type (quantile discretization
+    for per-category quality gates), pure integer math."""
+    from torray.ops.rank import group_rank
+
+    return group_rank(_read(sf_dir, "events"), group_col="event_type",
+                      value_col="value", id_col="event_id",
+                      method="ntile", ntile_k=5)
+
+
 def _q_events_users_union(sf_dir: str):
     """Distributed SQL UNION (distinct): all user/customer keys seen
     in either table (``ops.setops.union_distinct``)."""
@@ -2979,6 +3012,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dense_rank": _q_events_dense_rank,
         "events_percent_rank": _q_events_percent_rank,
         "events_ntile": _q_events_ntile,
+        "events_rank_in_type": _q_events_rank_in_type,
+        "events_pctrank_in_type": _q_events_pctrank_in_type,
+        "events_ntile_in_type": _q_events_ntile_in_type,
         "events_users_union": _q_events_users_union,
         "lineitem_covariance": _q_lineitem_covariance,
         "lineitem_regression": _q_lineitem_regression,
@@ -3945,6 +3981,25 @@ def oracle_sql() -> dict[str, str]:
         "events_ntile": (
             "SELECT event_id, CAST(ntile(16) OVER ("
             "ORDER BY value, event_id) AS BIGINT) AS tile FROM events"
+        ),
+        # per-group window ranks (ops.rank.group_rank partition
+        # run-scan); percent_rank mirrors the explicit
+        # (rank-1)/(n_group-1) float64 tree for a bitwise hash match
+        "events_rank_in_type": (
+            "SELECT event_id, CAST(rank() OVER ("
+            "PARTITION BY event_type ORDER BY value) AS BIGINT) "
+            "AS rnk FROM events WHERE value IS NOT NULL"
+        ),
+        "events_pctrank_in_type": (
+            "SELECT event_id, CAST(rank() OVER ("
+            "PARTITION BY event_type ORDER BY value) - 1 AS DOUBLE) "
+            "/ greatest(count(*) OVER (PARTITION BY event_type) - 1, "
+            "1) AS pct FROM events WHERE value IS NOT NULL"
+        ),
+        "events_ntile_in_type": (
+            "SELECT event_id, CAST(ntile(5) OVER ("
+            "PARTITION BY event_type ORDER BY value, event_id) "
+            "AS BIGINT) AS tile FROM events WHERE value IS NOT NULL"
         ),
         "events_users_union": (
             "SELECT user_id FROM events "

@@ -4205,3 +4205,73 @@ def test_orders_size_hist_query(ray_session):
             .sort_index())
     assert list(got["n_lines"]) == list(want.index)
     assert list(got["n_orders"]) == list(want.values)
+
+
+def test_group_rank_all_methods_vs_pandas(ray_session):
+    import ray
+
+    from torray.ops.rank import group_rank
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    grp = rng.choice(list("abcde"), n).astype(object)
+    # heavy in-group ties plus one singleton group for the
+    # percent_rank n==1 edge
+    v = rng.choice([1.0, 2.0, 2.0, 3.5, 9.0], n)
+    grp[0], v[0] = "zsolo", 4.2
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    df = None
+    import pandas as pd
+    df = pd.DataFrame({"g": grp, "value": v, "event_id": ids})
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(grp), "value": pa.array(v, pa.float64()),
+        "event_id": pa.array(ids, pa.int64())})).repartition(9)
+
+    def run(method, **kw):
+        out = group_rank(ds, group_col="g", value_col="value",
+                         id_col="event_id", method=method,
+                         num_partitions=5, **kw).to_pandas()
+        return out.set_index("event_id")[out.columns[1]]
+
+    got = run("rank")
+    want = df.groupby("g")["value"].rank(method="min").astype(int)
+    want.index = df["event_id"]
+    assert got.sort_index().equals(want.sort_index())
+
+    got = run("dense_rank")
+    want = df.groupby("g")["value"].rank(method="dense").astype(int)
+    want.index = df["event_id"]
+    assert got.sort_index().equals(want.sort_index())
+
+    got = run("row_number").sort_index()
+    srt = df.sort_values(["g", "value", "event_id"])
+    rn = srt.groupby("g").cumcount() + 1
+    rn.index = srt["event_id"]
+    assert got.equals(rn.sort_index().astype(np.int64))
+
+    got = run("percent_rank").sort_index()
+    nn = df.groupby("g")["value"].transform("size")
+    mr = df.groupby("g")["value"].rank(method="min")
+    want = ((mr - 1) / np.maximum(nn - 1, 1))
+    want.index = df["event_id"]
+    assert np.allclose(got, want.sort_index(), rtol=0, atol=0)
+    # singleton group gets exactly 0.0
+    solo_id = df.loc[df["g"] == "zsolo", "event_id"].iloc[0]
+    assert got[solo_id] == 0.0
+
+    got = run("cume_dist").sort_index()
+    want = df.groupby("g")["value"].rank(method="max") / nn
+    want.index = df["event_id"]
+    assert np.allclose(got, want.sort_index(), rtol=0, atol=0)
+
+    got = run("ntile", ntile_k=7).sort_index()
+    # tiles are contiguous in (value, id) order; sizes differ by <= 1
+    # and the larger tiles come first
+    for g in np.unique(grp):
+        sub = df[df["g"] == g].sort_values(["value", "event_id"])
+        tiles = got[sub["event_id"]].to_numpy()
+        assert np.all(np.diff(tiles) >= 0)
+        sizes = np.bincount(tiles)[1:]
+        assert sizes.max() - sizes.min() <= 1
+        assert np.all(np.diff(sizes) <= 0)

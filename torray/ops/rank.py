@@ -22,7 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["group_topk", "topk_table", "top_frequent", "global_rank"]
+__all__ = ["group_topk", "topk_table", "top_frequent", "global_rank",
+           "group_rank"]
 
 
 def topk_table(t: pa.Table, group_col: str, score_col: str, k: int,
@@ -294,3 +295,130 @@ def global_rank(ds, *, value_col: str, id_col: str,
 
     return (tagged.groupby("__b")
             .map_groups(rank_bucket, batch_format="pyarrow"))
+
+
+def group_rank(ds, *, group_col: str, value_col: str, id_col: str,
+               method: str = "rank", descending: bool = False,
+               ntile_k: int | None = None, num_partitions: int = 64):
+    """EXACT per-group window rank: the ``PARTITION BY group`` family
+    of :func:`global_rank` —
+
+    - ``'rank'`` — ``rank() OVER (PARTITION BY g ORDER BY v)``
+    - ``'row_number'`` — ties broken by ascending ``id_col``
+    - ``'dense_rank'``
+    - ``'percent_rank'`` — ``(rank - 1) / (n_group - 1)``, 0.0 for
+      singleton groups, one float64 division mirrored by the oracle
+    - ``'cume_dist'`` — (group rows <= v) / n_group
+    - ``'ntile'`` — first ``n % k`` tiles get the extra row, pure
+      integer math
+
+    Returns ``(id_col, rnk|pct|cd|tile)``.
+
+    Scale shape: the partition RUN-SCAN (see
+    :func:`torray.ops.window.sessionize`) — groups hash into
+    ``num_partitions`` coarse partitions, ONE ``groupby`` on the
+    partition id, then one lexsort + segmented numpy rank per
+    partition.  Never a Python call per group, and unlike
+    ``global_rank`` no splitter/prefix passes are needed: ranks reset
+    at every group boundary, so each partition is self-contained.
+    The shuffle carries only ``(group, value, id)`` narrow rows.
+
+    Partitioning assumption: one GROUP must fit in a task (the same
+    contract as ``group_quantiles``); hot groups want the salted
+    composition upstream.  Null/NaN values are dropped (document the
+    oracle with ``WHERE v IS NOT NULL``; SQL window functions would
+    otherwise rank NULL rows too)."""
+    from torray.ops.window import _ds_field_type, _hash_col_np
+
+    if method not in ("rank", "row_number", "dense_rank",
+                      "percent_rank", "ntile", "cume_dist"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "ntile" and not (ntile_k and ntile_k > 0):
+        raise ValueError("method='ntile' needs ntile_k > 0")
+    out_name, out_type = {
+        "percent_rank": ("pct", pa.float64()),
+        "cume_dist": ("cd", pa.float64()),
+        "ntile": ("tile", pa.int64()),
+    }.get(method, ("rnk", pa.int64()))
+    id_type = _ds_field_type(ds, id_col)
+    grp_type = _ds_field_type(ds, group_col)
+    narrow = ds.select_columns([group_col, value_col, id_col])
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], grp_type),
+                value_col: pa.array([], pa.float64()),
+                id_col: pa.array([], id_type),
+                "__part": pa.array([], pa.int64())})
+        v = pc.cast(t.column(value_col), pa.float64())
+        keep = pc.and_kleene(v.combine_chunks().is_valid(),
+                             pc.invert(pc.is_nan(v)))
+        t = t.filter(keep)
+        v = pc.cast(t.column(value_col), pa.float64())
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(g) % np.uint64(num_partitions)).astype(
+            np.int64)
+        return pa.table({group_col: t.column(group_col),
+                         value_col: v,
+                         id_col: t.column(id_col),
+                         "__part": pa.array(part, pa.int64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             out_name: pa.array([], out_type)})
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(g, return_inverse=True)
+        skey = -v if descending else v
+        order = np.lexsort((ids, skey, codes))
+        c, vs = codes[order], skey[order]
+        n = len(c)
+        new_grp = np.concatenate(([True], c[1:] != c[:-1]))
+        gstarts = np.flatnonzero(new_grp)
+        glens = np.diff(np.append(gstarts, n))
+        run_start = np.repeat(gstarts, glens)
+        run_len = np.repeat(glens, glens)
+        r = np.arange(n, dtype=np.int64) - run_start  # 0-based in grp
+
+        if method == "row_number":
+            out = r + 1
+        elif method == "ntile":
+            k = int(ntile_k)
+            q, rem = run_len // k, run_len % k
+            cut = (q + 1) * rem
+            out = np.where(r < cut, r // np.maximum(q + 1, 1) + 1,
+                           rem + (r - cut) // np.maximum(q, 1) + 1)
+        else:
+            new_tie = new_grp | np.concatenate(([True],
+                                                vs[1:] != vs[:-1]))
+            tstarts = np.flatnonzero(new_tie)
+            tlens = np.diff(np.append(tstarts, n))
+            tie_start = np.repeat(tstarts, tlens)
+            if method == "dense_rank":
+                out = (np.cumsum(new_tie, dtype=np.int64)
+                       - np.repeat(np.cumsum(new_tie, dtype=np.int64)
+                                   [gstarts], glens) + 1)
+            elif method == "cume_dist":
+                tie_end = np.repeat(tstarts + tlens, tlens)
+                out = ((tie_end - run_start).astype(np.float64)
+                       / run_len)
+            else:  # rank / percent_rank
+                out = tie_start - run_start + 1
+                if method == "percent_rank":
+                    out = np.where(
+                        run_len > 1,
+                        (out - 1).astype(np.float64)
+                        / np.maximum(run_len - 1, 1),
+                        0.0)
+        return pa.table({
+            id_col: pc.take(group.column(id_col),
+                            pa.array(order, pa.int64())),
+            out_name: pa.array(out, out_type),
+        })
+
+    return (narrow.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
