@@ -1303,6 +1303,18 @@ def _q_events_ntile_in_type(sf_dir: str):
                       method="ntile", ntile_k=5)
 
 
+def _q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt of three lineitem measures to long form
+    (``ops.rollup.unpivot``) — the inverse reshape of pivot_sum, a
+    stateless zero-shuffle map."""
+    from torray.ops.rollup import unpivot
+
+    return unpivot(_read(sf_dir, "lineitem"),
+                   id_cols=["l_orderkey", "l_linenumber"],
+                   value_cols=["l_quantity", "l_extendedprice",
+                               "l_discount"])
+
+
 def _q_events_users_union(sf_dir: str):
     """Distributed SQL UNION (distinct): all user/customer keys seen
     in either table (``ops.setops.union_distinct``)."""
@@ -3013,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": _q_events_percent_rank,
         "events_ntile": _q_events_ntile,
         "events_rank_in_type": _q_events_rank_in_type,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         "events_pctrank_in_type": _q_events_pctrank_in_type,
         "events_ntile_in_type": _q_events_ntile_in_type,
         "events_users_union": _q_events_users_union,
@@ -3985,6 +3998,15 @@ def oracle_sql() -> dict[str, str]:
         # per-group window ranks (ops.rank.group_rank partition
         # run-scan); percent_rank mirrors the explicit
         # (rank-1)/(n_group-1) float64 tree for a bitwise hash match
+        "lineitem_unpivot": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,"
+            " CAST(l_quantity AS DOUBLE) AS val FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_extendedprice', CAST(l_extendedprice AS DOUBLE) "
+            "FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem"
+        ),
         "events_rank_in_type": (
             "SELECT event_id, CAST(rank() OVER ("
             "PARTITION BY event_type ORDER BY value) AS BIGINT) "

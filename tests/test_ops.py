@@ -4275,3 +4275,23 @@ def test_group_rank_all_methods_vs_pandas(ray_session):
         sizes = np.bincount(tiles)[1:]
         assert sizes.max() - sizes.min() <= 1
         assert np.all(np.diff(sizes) <= 0)
+
+
+def test_unpivot_roundtrip(ray_session):
+    import ray
+
+    from torray.ops.rollup import unpivot
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array([1.5, None, 3.0], pa.float64()),
+        "b": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = unpivot(ray.data.from_arrow(t).repartition(2),
+                  id_cols=["id"], value_cols=["a", "b"]).to_pandas()
+    assert len(out) == 6
+    assert set(out["metric"]) == {"a", "b"}
+    a = out[out["metric"] == "a"].set_index("id")["val"]
+    assert a[1] == 1.5 and np.isnan(a[2]) and a[3] == 3.0
+    b = out[out["metric"] == "b"].set_index("id")["val"]
+    assert list(b[[1, 2, 3]]) == [10.0, 20.0, 30.0]

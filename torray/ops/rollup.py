@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts", "pivot_sum", "group_share"]
+__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts", "pivot_sum", "group_share", "unpivot"]
 
 
 def grouping_sets(ds, keys: list[str], value_col: str,
@@ -284,3 +284,33 @@ def group_share(ds, *, key_col: str = "event_type",
             .map_batches(partial, batch_format="pyarrow")
             .groupby("__one")
             .map_groups(fold, batch_format="pyarrow"))
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            name_col: str = "metric", value_col: str = "val"):
+    """UNPIVOT / melt: widen-to-long reshape — each input row emits
+    one ``(id_cols..., name_col, value_col)`` row per entry of
+    ``value_cols`` (the inverse of :func:`pivot_sum`; SQL equivalent
+    is the ``UNION ALL`` of one SELECT per measure, or ``UNPIVOT``).
+
+    Scale shape: a stateless ``map_batches`` — zero shuffle, output
+    exactly ``len(value_cols)``x the input rows.  Per batch the
+    reshape is ``len(value_cols)`` column slices concatenated (Arrow
+    table concat, no per-row Python); measures cast to float64, the
+    one common NUMERIC type (mirror the oracle with
+    ``CAST(... AS DOUBLE)``).  NULL measures are kept (SQL UNION ALL
+    keeps them too)."""
+    narrow = ds.select_columns(list(id_cols) + list(value_cols))
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            cols = {c: t.column(c) for c in id_cols}
+            cols[name_col] = pa.array([vc] * t.num_rows, pa.string())
+            cols[value_col] = pc.cast(t.column(vc), pa.float64())
+            parts.append(pa.table(cols))
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+    return narrow.map_batches(melt, batch_format="pyarrow")
