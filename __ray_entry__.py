@@ -1303,6 +1303,17 @@ def _q_events_ntile_in_type(sf_dir: str):
                       method="ntile", ntile_k=5)
 
 
+def _q_parts_name_ed1(sf_dir: str):
+    """Exact edit-distance<=1 string-similarity self-join over part
+    names (``ops.dedup.edit_distance_pairs``): SymSpell deletion-
+    neighborhood keys — text never enters the key shuffle — then a
+    vectorized prefix+suffix distance-1 verify on candidate pairs."""
+    from torray.ops.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(_read(sf_dir, "part"),
+                               id_col="p_partkey", text_col="p_name")
+
+
 def _q_lineitem_unpivot(sf_dir: str):
     """UNPIVOT / melt of three lineitem measures to long form
     (``ops.rollup.unpivot``) — the inverse reshape of pivot_sum, a
@@ -3026,6 +3037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": _q_events_ntile,
         "events_rank_in_type": _q_events_rank_in_type,
         "lineitem_unpivot": _q_lineitem_unpivot,
+        "parts_name_ed1": _q_parts_name_ed1,
         "events_pctrank_in_type": _q_events_pctrank_in_type,
         "events_ntile_in_type": _q_events_ntile_in_type,
         "events_users_union": _q_events_users_union,
@@ -3998,6 +4010,15 @@ def oracle_sql() -> dict[str, str]:
         # per-group window ranks (ops.rank.group_rank partition
         # run-scan); percent_rank mirrors the explicit
         # (rank-1)/(n_group-1) float64 tree for a bitwise hash match
+        # exact <=1-edit pairs; the oracle's quadratic levenshtein
+        # cross join is feasible at test sf only — the Ray op's whole
+        # point is replacing it with the linear deletion-key shuffle
+        "parts_name_ed1": (
+            "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+            "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+            "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
+            "WHERE levenshtein(a.p_name, b.p_name) <= 1"
+        ),
         "lineitem_unpivot": (
             "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,"
             " CAST(l_quantity AS DOUBLE) AS val FROM lineitem "

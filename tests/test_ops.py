@@ -4295,3 +4295,83 @@ def test_unpivot_roundtrip(ray_session):
     assert a[1] == 1.5 and np.isnan(a[2]) and a[3] == 3.0
     b = out[out["metric"] == "b"].set_index("id")["val"]
     assert list(b[[1, 2, 3]]) == [10.0, 20.0, 30.0]
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_deletion_keys_complete_and_ed1_check_exact():
+    import itertools
+
+    from torray.ops.dedup import (deletion_neighborhood_keys,
+                                  edit_distance_le1)
+
+    rng = np.random.default_rng(3)
+    words = ["".join(rng.choice(list("abcd"), rng.integers(0, 7)))
+             for _ in range(200)]
+    words += ["widget", "widgets", "wodget", "", "x", "xx"]
+    arr = pa.array(words, pa.string())
+
+    keys, rows = deletion_neighborhood_keys(arr)
+    keysets = [set() for _ in words]
+    for k, r in zip(keys.tolist(), rows.tolist()):
+        keysets[r].add(k)
+    # completeness: every true ed<=1 pair shares >= 1 key
+    for i, j in itertools.combinations(range(len(words)), 2):
+        if _lev(words[i], words[j]) <= 1:
+            assert keysets[i] & keysets[j], (words[i], words[j])
+
+    # exactness of the vectorized distance-1 verdict on ALL pairs
+    ii, jj = np.triu_indices(len(words), 1)
+    d = edit_distance_le1(pa.array([words[i] for i in ii]),
+                          pa.array([words[j] for j in jj]))
+    for k in range(len(ii)):
+        true = _lev(words[ii[k]], words[jj[k]])
+        want = 0 if true == 0 else (1 if true == 1 else -1)
+        assert d[k] == want, (words[ii[k]], words[jj[k]], true, d[k])
+
+
+def test_edit_distance_pairs_vs_bruteforce(ray_session):
+    import itertools
+
+    import ray
+
+    from torray.ops.dedup import edit_distance_pairs
+
+    rng = np.random.default_rng(9)
+    words = ["".join(rng.choice(list("abc"), rng.integers(1, 6)))
+             for _ in range(120)]
+    ids = np.arange(len(words), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "name": pa.array(words, pa.string())})).repartition(5)
+    out = edit_distance_pairs(ds, id_col="id", text_col="name",
+                              num_partitions=4).to_pandas()
+    got = {(a, b): d for a, b, d in
+           zip(out["id_a"], out["id_b"], out["dist"])}
+    want = {}
+    for i, j in itertools.combinations(range(len(words)), 2):
+        d = _lev(words[i], words[j])
+        if d <= 1:
+            want[(i, j)] = d
+    assert got == want
+
+    # long strings violate the short-string contract loudly
+    import pytest as _pt
+
+    big = ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "name": pa.array(["y" * 999], pa.string())}))
+    with _pt.raises(Exception):
+        edit_distance_pairs(big, id_col="id", text_col="name",
+                            max_len=256).materialize()

@@ -43,6 +43,9 @@ __all__ = [
     "salted_bucket_pairs",
     "pair_counts",
     "shared_passage_pairs",
+    "deletion_neighborhood_keys",
+    "edit_distance_le1",
+    "edit_distance_pairs",
 ]
 
 _WORD_RE = re.compile(r"\S+")
@@ -1039,3 +1042,265 @@ def shared_passage_pairs(docs_ds, *, n: int = 20, min_shared: int = 1,
         return t.select(["id_a", "id_b", "n_shared"])
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance <= 1 similarity join (SymSpell deletion neighborhood)
+# ---------------------------------------------------------------------------
+
+_ED_B = np.uint64(1099511628211)  # FNV prime; odd -> invertible mod 2^64
+_ED_BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _string_buffers(col):
+    """(lengths, starts, data) numpy views of an Arrow string/binary
+    array — zero-copy except the null fixup (nulls read as empty)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not (pa.types.is_binary(col.type)
+            or pa.types.is_large_binary(col.type)):
+        col = col.cast(pa.string())
+    col = col.cast(pa.large_binary())
+    n = len(col)
+    buffers = col.buffers()
+    offsets = np.frombuffer(buffers[1], np.int64, count=n + 1,
+                            offset=col.offset * 8)
+    data = (np.frombuffer(buffers[2], np.uint8)
+            if buffers[2] is not None else np.empty(0, np.uint8))
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    if col.null_count:
+        null = col.is_null().to_numpy(zero_copy_only=False)
+        lengths = np.where(null, 0, lengths)
+    return lengths, offsets[:-1].astype(np.int64), data
+
+
+def deletion_neighborhood_keys(col, *, max_len: int = 256):
+    """uint64 bucket keys of the SymSpell distance-1 deletion
+    neighborhood of every string in an Arrow array: the string's own
+    polynomial hash plus the hash of each single-character deletion —
+    ``L+1`` keys per string of length L, all computed VECTORIZED from
+    two cumulative passes (no per-string Python, no variant strings
+    ever materialized).
+
+    Two strings within edit distance 1 always share >= 1 key (equal;
+    deletion: the shorter IS a variant of the longer; substitution:
+    deleting the differing position of each yields the same string).
+    Hash equality is 64-bit-polynomial equality, so collisions can
+    only ADD candidates — every pair is exact-verified downstream.
+
+    Math: with base B (odd, so B^-1 exists mod 2^64) and per-string
+    byte prefix sums ``T(i) = sum_{q<i} c_q * B^-q``, the standard
+    polynomial hash of the string minus position i is
+    ``B^(L-2) * T(i) + B^(L-1) * (T(L) - T(i+1))`` — independent of i
+    in the first factor, so every deletion key costs O(1) after ONE
+    cumsum over the batch's bytes.  Returns ``(keys, key_row)`` where
+    ``key_row[k]`` is the source row index of ``keys[k]``."""
+    lengths, starts, data = _string_buffers(col)
+    n = len(lengths)
+    if n == 0:
+        e = np.empty(0, np.uint64)
+        return e, np.empty(0, np.int64)
+    maxlen = int(lengths.max()) if n else 0
+    if maxlen > max_len:
+        raise ValueError(
+            f"edit-distance keys are for SHORT strings (titles, names,"
+            f" queries): got length {maxlen} > max_len={max_len}")
+    total = int(lengths.sum())
+    with np.errstate(over="ignore"):
+        powb = np.multiply.accumulate(
+            np.concatenate(([np.uint64(1)],
+                            np.full(max(maxlen, 1), _ED_B, np.uint64))))
+        powbinv = np.multiply.accumulate(
+            np.concatenate(([np.uint64(1)],
+                            np.full(max(maxlen, 1), _ED_BINV,
+                                    np.uint64))))
+        # pow_sh[j] = B^(j-1): exponent -1 appears for L == 1 (the
+        # deletion variant is the empty string; its key folds to 0)
+        pow_sh = np.concatenate(([_ED_BINV], powb[:-1]))
+
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        flat_start = np.concatenate(
+            ([0], np.cumsum(lengths))).astype(np.int64)
+        local = np.arange(total, dtype=np.int64) - flat_start[row_of]
+        c = data[starts[row_of] + local].astype(np.uint64)
+        w = c * powbinv[local]
+        cw = np.concatenate(([np.uint64(0)], np.cumsum(w)))
+        tall = cw[flat_start[1:]] - cw[flat_start[:-1]]
+
+        self_keys = np.where(
+            lengths > 0, powb[np.maximum(lengths - 1, 0)] * tall,
+            np.uint64(0))
+        lr = lengths[row_of]
+        tpre = cw[flat_start[row_of] + local] - cw[flat_start[row_of]]
+        tpre1 = (cw[flat_start[row_of] + local + 1]
+                 - cw[flat_start[row_of]])
+        del_keys = (pow_sh[lr - 1] * tpre
+                    + powb[lr - 1] * (tall[row_of] - tpre1))
+    keys = np.concatenate([self_keys, del_keys])
+    key_row = np.concatenate([np.arange(n, dtype=np.int64), row_of])
+    return _mix64(keys), key_row
+
+
+def _pad_matrices(col, width: int):
+    """(forward, reversed) int16 char matrices of an Arrow string
+    array, padded with 256 (never equal to a real byte), plus
+    lengths — the substrate of the vectorized distance-1 check."""
+    lengths, starts, data = _string_buffers(col)
+    n = len(lengths)
+    mat = np.full((n, max(width, 1)), 256, np.int16)
+    rmat = np.full((n, max(width, 1)), 256, np.int16)
+    total = int(lengths.sum())
+    if total:
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        flat_start = np.concatenate(([0], np.cumsum(lengths)))
+        local = np.arange(total, dtype=np.int64) - flat_start[row_of]
+        byte = data[starts[row_of] + local]
+        mat[row_of, local] = byte
+        rmat[row_of, lengths[row_of] - 1 - local] = byte
+    return mat, rmat, lengths
+
+
+def edit_distance_le1(col_a, col_b) -> np.ndarray:
+    """Vectorized exact pairwise edit distance capped at 1 for two
+    equal-length Arrow string arrays: int8 per pair — 0 (equal),
+    1 (distance exactly 1), -1 (distance > 1).  No DP table: distance
+    <= 1 is decidable from common-prefix + common-suffix lengths
+    (one mismatch scan on the forward matrices, one on the reversed),
+    all rows simultaneously."""
+    la_tmp, _, _ = _string_buffers(col_a)
+    lb_tmp, _, _ = _string_buffers(col_b)
+    width = int(max(la_tmp.max(initial=0), lb_tmp.max(initial=0), 1))
+    ma, ra, la = _pad_matrices(col_a, width)
+    mb, rb, lb = _pad_matrices(col_b, width)
+    m = ma != mb
+    any_m = m.any(axis=1)
+    p = np.where(any_m, m.argmax(axis=1), width)
+    mr = ra != rb
+    any_r = mr.any(axis=1)
+    s = np.where(any_r, mr.argmax(axis=1), width)
+    minl = np.minimum(la, lb)
+    p = np.minimum(p, minl)
+    s = np.minimum(s, minl)
+    diff = np.abs(la - lb)
+    eq = (diff == 0) & ~any_m
+    one = ((diff == 0) & any_m & (p + s >= la - 1)) | \
+          ((diff == 1) & (p + s >= minl))
+    return np.where(eq, 0, np.where(one, 1, -1)).astype(np.int8)
+
+
+def edit_distance_pairs(ds, *, id_col: str, text_col: str,
+                        max_len: int = 256, num_partitions: int = 64,
+                        max_bucket: int | None = None):
+    """EXACT edit-distance <= 1 string-similarity SELF-JOIN:
+    ``(id_a < id_b, dist)`` for every pair of rows whose ``text_col``
+    values are equal (dist 0) or one edit apart (dist 1) — typo/
+    near-miss clustering of titles, product names, queries, hostnames.
+
+    Scale shape (the SymSpell split of the O(n^2) join):
+
+    1. :func:`deletion_neighborhood_keys` per batch — ``L+1`` int64
+       keys per string, fully vectorized; TEXT NEVER ENTERS THE KEY
+       SHUFFLE, only (key, id) int64 rows.
+    2. :func:`salted_bucket_pairs` emits candidate pairs per key
+       bucket (run-scan, no Python call per bucket);
+       :func:`pair_counts` collapses the ~L duplicate sightings of
+       each true pair to one row.
+    3. Verify joins fetch ONLY candidate texts (broadcast-id
+       prefilter, the :func:`minhash_lsh_dedup` pattern) and
+       :func:`edit_distance_le1` rejects hash-collision noise with an
+       exact vectorized check — no DP, one mismatch scan forward +
+       one reversed.
+
+    Exactness contract: ``max_bucket=None`` (default) emits ALL
+    bucket pairs — a clique of k identical strings costs O(k^2) pairs,
+    inherent to the exact answer (run :func:`exact_dedup` first on
+    dirty corpora, or pass ``max_bucket`` to cap with the documented
+    recall trade-off).  Strings longer than ``max_len`` raise: the
+    deletion neighborhood is a short-string design (reference point:
+    SymSpell; Norvig's spelling-corrector neighborhood)."""
+    import ray as _ray
+    import ray.data
+
+    # Dataset.join spawns one aggregator actor per partition; more
+    # partitions than cluster CPUs wedges the pool (observed on a
+    # 4-CPU test cluster) — cap like ops.join.skew_join does.
+    cluster_cpus = int(_ray.cluster_resources().get("CPU", 0)
+                       or num_partitions)
+    join_partitions = max(2, min(num_partitions, cluster_cpus))
+
+    narrow = ds.select_columns([id_col, text_col])
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        keys, key_row = deletion_neighborhood_keys(
+            t.column(text_col), max_len=max_len)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "del_key": pa.array(keys.view(np.int64), pa.int64()),
+            id_col: pa.array(ids[key_row], pa.int64()),
+        })
+
+    candidates = pair_counts(
+        salted_bucket_pairs(
+            narrow.map_batches(emit_keys, batch_format="pyarrow"),
+            "del_key", id_col, max_bucket=max_bucket,
+            num_partitions=num_partitions),
+        num_partitions=num_partitions,
+    ).map_batches(lambda t: t.select(["id_a", "id_b"]),
+                  batch_format="pyarrow").materialize()
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+    n_cand = candidates.count()
+    if n_cand == 0:
+        return ray.data.from_arrow(empty)
+
+    verify_ds = narrow
+    if n_cand <= _PREFILTER_MAX_PAIRS:
+        cand_tbl = pa.concat_tables(
+            [t for t in _ray.get(candidates.to_arrow_refs())
+             if t.num_rows])
+        candidates = ray.data.from_arrow(cand_tbl)
+        cand_ids = np.unique(np.concatenate([
+            cand_tbl.column("id_a").to_numpy(zero_copy_only=False),
+            cand_tbl.column("id_b").to_numpy(zero_copy_only=False)]))
+        ids_ref = _ray.put(cand_ids)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            mask = np.isin(
+                t.column(id_col).to_numpy(zero_copy_only=False),
+                _ray.get(ids_ref))
+            return t.filter(pa.array(mask))
+
+        verify_ds = verify_ds.map_batches(
+            prefilter, batch_format="pyarrow").materialize()
+    else:
+        candidates = candidates.repartition(
+            num_partitions).materialize()
+
+    def side(id_name: str, text_name: str):
+        return verify_ds.map_batches(
+            lambda t, i=id_name, x=text_name: pa.table(
+                {i: t.column(id_col), x: t.column(text_col)}),
+            batch_format="pyarrow")
+
+    joined = candidates.join(side("id_a", "__text_a"), "inner",
+                             num_partitions=join_partitions,
+                             on=("id_a",))
+    joined = joined.join(side("id_b", "__text_b"), "inner",
+                         num_partitions=join_partitions,
+                         on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        d = edit_distance_le1(batch.column("__text_a"),
+                              batch.column("__text_b"))
+        keep = d >= 0
+        return pa.table({
+            "id_a": batch.column("id_a").filter(pa.array(keep)),
+            "id_b": batch.column("id_b").filter(pa.array(keep)),
+            "dist": pa.array(d[keep].astype(np.int64), pa.int64()),
+        })
+
+    return joined.map_batches(verify, batch_format="pyarrow")
