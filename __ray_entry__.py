@@ -319,6 +319,20 @@ def _q_dup_clusters(sf_dir: str):
     return connected_components(pairs, num_partitions=2)
 
 
+def _q_dup_canonical(sf_dir: str):
+    """Canonical-doc selection per duplicate cluster
+    (``pipelines.canonical_docs``): components over exact cosine dup
+    pairs, keeper = highest-quality member (n_chars DESC, doc_id) —
+    the curation upgrade over min-id dedup."""
+    from torray.ops.similarity import embedding_cosine_dedup
+    from torray.pipelines import canonical_docs
+
+    pairs = embedding_cosine_dedup(_read(sf_dir, "embeddings"),
+                                   threshold=0.45)
+    return canonical_docs(_read(sf_dir, "documents"), pairs,
+                          num_partitions=2)
+
+
 def _q_dup_cluster_sizes(sf_dir: str):
     """Duplicate-cluster size histogram — the corpus-health number a
     curation run reports ("how much boilerplate, how big are the
@@ -2991,6 +3005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _q_docs_hash_split,
         "docs_sample_per_lang": _q_docs_sample_per_lang,
         "dup_clusters": _q_dup_clusters,
+        "dup_canonical": _q_dup_canonical,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "parts_pagerank": _q_parts_pagerank,
         "docs_top_by_lang": _q_docs_top_by_lang,
@@ -3234,6 +3249,27 @@ def oracle_sql() -> dict[str, str]:
             "reach(x, r) AS (SELECT u, u FROM e UNION "
             "SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.x) "
             "SELECT x AS node, MIN(r) AS component FROM reach GROUP BY x"
+        ),
+        # canonical keeper per cluster: same recursive closure, then
+        # best-quality member (n_chars DESC, doc_id) labels the rest
+        "dup_canonical": (
+            "WITH RECURSIVE pairs AS ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            ">= 0.45), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(x, r) AS (SELECT u, u FROM e UNION "
+            "SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.x), "
+            "comp AS (SELECT x AS node, MIN(r) AS component "
+            "FROM reach GROUP BY x), "
+            "k AS (SELECT component, d.doc_id AS keeper, "
+            "row_number() OVER (PARTITION BY component "
+            "ORDER BY d.n_chars DESC, d.doc_id) AS rn "
+            "FROM comp JOIN documents d ON d.doc_id = comp.node) "
+            "SELECT comp.node, k.keeper FROM comp "
+            "JOIN k ON k.component = comp.component AND k.rn = 1"
         ),
         # cluster-size histogram over the same recursive closure
         "dup_cluster_sizes": (

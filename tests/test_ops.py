@@ -4375,3 +4375,21 @@ def test_edit_distance_pairs_vs_bruteforce(ray_session):
     with _pt.raises(Exception):
         edit_distance_pairs(big, id_col="id", text_col="name",
                             max_len=256).materialize()
+
+
+def test_canonical_docs_picks_best_quality(ray_session):
+    import ray
+
+    from torray.pipelines import canonical_docs
+
+    # two clusters: {1,2,3} (3 has best quality), {10,11} (tie on
+    # quality -> lower id 10 wins); 99 is a singleton (absent)
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 10], pa.int64()),
+        "id_b": pa.array([2, 3, 11], pa.int64())}))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11, 99], pa.int64()),
+        "n_chars": pa.array([5, 7, 9, 4, 4, 100], pa.int64())}))
+    out = canonical_docs(docs, pairs, num_partitions=2).to_pandas()
+    got = dict(zip(out["node"], out["keeper"]))
+    assert got == {1: 3, 2: 3, 3: 3, 10: 10, 11: 10}

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["curate_documents", "corpus_from_crawl"]
+__all__ = ["curate_documents", "corpus_from_crawl", "canonical_docs"]
 
 
 def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
@@ -166,3 +166,69 @@ def corpus_from_crawl(pages_ds, seen_ds, *, url_col: str = "url",
         lambda t: t.select(["doc_id", "url", "lang_pred", "quality",
                             "split"]),
         batch_format="pyarrow")
+
+
+def canonical_docs(docs_ds, pairs_ds, *, id_col: str = "doc_id",
+                   quality_col: str = "n_chars",
+                   num_partitions: int = 4):
+    """Canonical-representative selection for duplicate clusters: given
+    near-dup PAIRS, label each clustered doc with the cluster's KEEPER
+    — the member with the highest ``quality_col`` (ties -> lowest id).
+    The curation upgrade over min-id dedup: when a page exists in five
+    mutilated copies, keep the most complete one, not the one with the
+    smallest id.
+
+    Returns ``(node, keeper)`` covering exactly the docs that appear
+    in >= 1 pair (singletons are trivially their own keepers and never
+    enter a shuffle).
+
+    Shape: :func:`torray.ops.graph.connected_components` (int64-only
+    label propagation) -> one inner join against the docs table to
+    attach quality (the components side is bounded by CLUSTERED docs,
+    not the corpus) -> :func:`torray.ops.orderagg.group_argmax` picks
+    each cluster's keeper (block-local partial, losers never leave
+    their block) -> one narrow (component -> keeper) join back onto
+    the labels."""
+    import ray
+
+    from torray.ops.graph import connected_components
+    from torray.ops.orderagg import group_argmax
+
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 0)
+                       or num_partitions)
+    join_parts = max(2, min(num_partitions, cluster_cpus))
+
+    comp = connected_components(
+        pairs_ds, num_partitions=num_partitions).materialize()
+
+    def qual_side(t: pa.Table) -> pa.Table:
+        q = pc.cast(t.column(quality_col), pa.int64())
+        return pa.table({"node": pc.cast(t.column(id_col), pa.int64()),
+                         "__q": q,
+                         # same-direction tiebreak: max(-id) == min(id)
+                         "__negid": pc.negate_checked(
+                             pc.cast(t.column(id_col), pa.int64()))})
+
+    quality = docs_ds.select_columns([id_col, quality_col]).map_batches(
+        qual_side, batch_format="pyarrow")
+    labeled = comp.join(quality, "inner", num_partitions=join_parts,
+                        on=("node",))
+
+    keepers = group_argmax(labeled, group_col="component",
+                           order_cols=["__q", "__negid"], mode="max",
+                           num_partitions=num_partitions)
+
+    def to_keeper(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"component": pa.array([], pa.int64()),
+                             "keeper": pa.array([], pa.int64())})
+        return pa.table({
+            "component": t.column("component"),
+            "keeper": pc.negate_checked(t.column("__negid")),
+        })
+
+    out = comp.join(keepers.map_batches(to_keeper,
+                                        batch_format="pyarrow"),
+                    "inner", num_partitions=join_parts,
+                    on=("component",))
+    return out.select_columns(["node", "keeper"])
