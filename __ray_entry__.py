@@ -333,6 +333,35 @@ def _q_dup_canonical(sf_dir: str):
                           num_partitions=2)
 
 
+def _q_docs_incremental(sf_dir: str):
+    """Incremental (cross-corpus) exact dedup: new-batch docs
+    (sources src0-src4) whose text does NOT already exist in the
+    reference corpus (every other source) — the "only index what the
+    last crawl didn't have" curation step.  ``ops.bloom.bloom_antijoin``
+    keyed on the TEXT: probe-fail rows stream out shuffle-free; only
+    Bloom survivors (true dups + ~0.6% fp) enter the exact verify
+    join, so reference-corpus text never leaves its blocks."""
+    from torray.ops.bloom import bloom_antijoin
+
+    new_set = pa.array(["src0", "src1", "src2", "src3", "src4"])
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "source"])
+
+    def split_new(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("source"), value_set=new_set))
+
+    def split_ref(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t.column("source"),
+                                  value_set=new_set))
+        return t.filter(keep).select(["text"])
+
+    new = docs.map_batches(split_new, batch_format="pyarrow")
+    ref = docs.map_batches(split_ref, batch_format="pyarrow")
+    out = bloom_antijoin(new, ref, big_key="text", small_key="text",
+                         num_partitions=2)
+    return out.select_columns(["doc_id", "source"])
+
+
 def _q_dup_cluster_sizes(sf_dir: str):
     """Duplicate-cluster size histogram — the corpus-health number a
     curation run reports ("how much boilerplate, how big are the
@@ -3006,6 +3035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_per_lang": _q_docs_sample_per_lang,
         "dup_clusters": _q_dup_clusters,
         "dup_canonical": _q_dup_canonical,
+        "docs_incremental": _q_docs_incremental,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "parts_pagerank": _q_parts_pagerank,
         "docs_top_by_lang": _q_docs_top_by_lang,
@@ -3249,6 +3279,15 @@ def oracle_sql() -> dict[str, str]:
             "reach(x, r) AS (SELECT u, u FROM e UNION "
             "SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.x) "
             "SELECT x AS node, MIN(r) AS component FROM reach GROUP BY x"
+        ),
+        # incremental cross-corpus exact dedup (NOT EXISTS on text)
+        "docs_incremental": (
+            "SELECT a.doc_id, a.source FROM documents a "
+            "WHERE a.source IN ('src0','src1','src2','src3','src4') "
+            "AND NOT EXISTS (SELECT 1 FROM documents b "
+            "WHERE b.source NOT IN "
+            "('src0','src1','src2','src3','src4') "
+            "AND b.text = a.text)"
         ),
         # canonical keeper per cluster: same recursive closure, then
         # best-quality member (n_chars DESC, doc_id) labels the rest

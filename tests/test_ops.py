@@ -4393,3 +4393,22 @@ def test_canonical_docs_picks_best_quality(ray_session):
     out = canonical_docs(docs, pairs, num_partitions=2).to_pandas()
     got = dict(zip(out["node"], out["keeper"]))
     assert got == {1: 3, 2: 3, 3: 3, 10: 10, 11: 10}
+
+
+def test_bloom_antijoin_disjoint_inputs(ray_session):
+    # fully-disjoint corpora: zero probe hits must short-circuit, not
+    # feed the verify join all-empty schemaless blocks
+    import ray
+
+    from torray.ops.bloom import bloom_antijoin, bloom_semijoin
+
+    big = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c"]),
+        "v": pa.array([1, 2, 3], pa.int64())})).repartition(3)
+    small = ray.data.from_arrow(pa.table({"k": pa.array(["x", "y"])}))
+    out = bloom_antijoin(big, small, big_key="k",
+                         small_key="k").to_pandas()
+    assert sorted(out["k"]) == ["a", "b", "c"]
+    semi = bloom_semijoin(big, small, big_key="k",
+                          small_key="k").to_pandas()
+    assert len(semi) == 0

@@ -119,6 +119,12 @@ def bloom_semijoin(big_ds, small_ds, *, big_key: str, small_key: str,
     survivors = big_ds.map_batches(probe, batch_format="pyarrow")
     if not exact:
         return survivors
+    # Bounded by matches + fp_rate x big; materialize so a zero-hit
+    # probe (fully disjoint inputs) short-circuits instead of feeding
+    # the hash join all-empty schemaless blocks (it rejects those).
+    survivors = survivors.materialize()
+    if survivors.count() == 0:
+        return survivors
 
     def distinct_keys(t: pa.Table) -> pa.Table:
         g = t.select([small_key]).group_by(small_key).aggregate([])
@@ -174,8 +180,15 @@ def bloom_antijoin(big_ds, small_ds, *, big_key: str, small_key: str,
     out_cols = big_ds.schema().names
     definite = big_ds.map_batches(
         lambda t: split(t, False), batch_format="pyarrow")
+    # The probe-hit stream is bounded by matches + fp_rate x big, so
+    # materializing it is cheap at any input size — and necessary:
+    # when NO row probes positive (fully disjoint corpora) every
+    # block is a schemaless 0-row block the hash join rejects.
     maybe = big_ds.map_batches(
-        lambda t: split(t, True), batch_format="pyarrow")
+        lambda t: split(t, True), batch_format="pyarrow").materialize()
+    if maybe.count() == 0:
+        return definite.map_batches(
+            lambda t: t.select(out_cols), batch_format="pyarrow")
 
     def distinct_keys(t: pa.Table) -> pa.Table:
         g = t.select([small_key]).group_by(small_key).aggregate([])
