@@ -508,6 +508,69 @@ def _ensure_docs_xlvocab(n_docs: int = 200_000,
     return out
 
 
+def _ensure_names_xl(n: int = 1_000_000) -> str:
+    """Deterministic short-string table cached in /tmp: product-name
+    shaped values with planted typo structure — every 10th row is a
+    one-edit mutation of its predecessor, plus heavy exact-duplicate
+    cliques (the two regimes an edit-distance join must survive)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(_CACHE, f"namesxl2-{n}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(_CACHE, exist_ok=True)
+    adjs = ["cold", "small", "large", "blue", "red", "green", "warm",
+            "dark", "light", "heavy", "soft", "hard", "fast", "slow"]
+    nouns = ["widget", "bolt", "rod", "gear", "plate", "valve",
+             "wheel", "spring", "pin", "clip"]
+    names = []
+    for i in range(n):
+        # hash-coded 5-letter suffix: single-substitution neighbours
+        # are rare, so true pairs ~= the planted mutations (a digit
+        # suffix would make every one-digit-apart code a true pair
+        # and the answer itself quadratic-ish: measured 16.7M pairs)
+        code = (i // 10) * 2654435761 % 11881376  # 26^5
+        suf = "".join(chr(97 + (code // 26 ** p) % 26)
+                      for p in range(5))
+        base = f"{adjs[i % 14]} {nouns[(i // 14) % 10]} {suf}"
+        if i % 10 == 9 and names:
+            prev = names[-1]
+            k = i % len(prev)
+            base = prev[:k] + "x" + prev[k + 1:]  # one substitution
+        names.append(base)
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "name": pa.array(names, pa.string()),
+    })
+    pq.write_table(tbl, out, row_group_size=1 << 16)
+    return out
+
+
+def bench_ed1_xl(sf_dir: str) -> dict:
+    """Exact edit-distance<=1 self-join at 1M short strings: the
+    SymSpell deletion-key shuffle (~17M int64 key rows, text never in
+    the key exchange) + vectorized verify.  Not in the default suite
+    (TORRAY_BENCH_ONLY=ed1_xl)."""
+    import ray
+
+    from torray.ops.dedup import edit_distance_pairs
+
+    path = _ensure_names_xl()
+    _warm_pool()
+    t0 = time.monotonic()
+    # exact-dup cliques are huge by construction (every base name
+    # repeats ~70x): cap buckets like a curation run would after
+    # exact_dedup; the planted typo pairs survive the cap's star
+    n = edit_distance_pairs(
+        ray.data.read_parquet(path), id_col="id", text_col="name",
+        max_bucket=128).count()
+    wall = time.monotonic() - t0
+    return {"sec": wall, "pairs": n,
+            "strings_per_s": round(1_000_000 / wall, 1)}
+
+
 def bench_tfidf_xl(sf_dir: str) -> dict:
     """tf-idf over a ~5.6M-term vocabulary: auto mode must pick the
     JOIN plan (the vocabulary never folds on the driver).  Not in the
@@ -792,6 +855,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "analytics": lambda: bench_analytics(sf_dir),
         "analytics_xl": lambda: bench_analytics_xl(sf_dir),
         "tfidf_xl": lambda: bench_tfidf_xl(sf_dir),
+        "ed1_xl": lambda: bench_ed1_xl(sf_dir),
         "rank_xl": lambda: bench_rank_xl(sf_dir),
         "text_xl": lambda: bench_text_xl(sf_dir),
         "window_xl": lambda: bench_window_xl(sf_dir),
