@@ -1346,6 +1346,17 @@ def _q_events_ntile_in_type(sf_dir: str):
                       method="ntile", ntile_k=5)
 
 
+def _q_emb_unnest(sf_dir: str):
+    """UNNEST WITH ORDINALITY of the embedding list column
+    (``ops.rollup.explode_list``) — one zero-shuffle flatten; the
+    first-class version of the inline explode several ops use."""
+    from torray.ops.rollup import explode_list
+
+    return explode_list(_read(sf_dir, "embeddings"), id_col="vec_id",
+                        list_col="embedding",
+                        value_type=pa.float64())
+
+
 def _q_parts_name_ed1(sf_dir: str):
     """Exact edit-distance<=1 string-similarity self-join over part
     names (``ops.dedup.edit_distance_pairs``): SymSpell deletion-
@@ -3083,6 +3094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_in_type": _q_events_rank_in_type,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "parts_name_ed1": _q_parts_name_ed1,
+        "emb_unnest": _q_emb_unnest,
         "events_pctrank_in_type": _q_events_pctrank_in_type,
         "events_ntile_in_type": _q_events_ntile_in_type,
         "events_users_union": _q_events_users_union,
@@ -4085,6 +4097,12 @@ def oracle_sql() -> dict[str, str]:
         # per-group window ranks (ops.rank.group_rank partition
         # run-scan); percent_rank mirrors the explicit
         # (rank-1)/(n_group-1) float64 tree for a bitwise hash match
+        "emb_unnest": (
+            "SELECT vec_id, "
+            "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
+            "AS pos, CAST(unnest(embedding) AS DOUBLE) AS val "
+            "FROM embeddings"
+        ),
         # exact <=1-edit pairs; the oracle's quadratic levenshtein
         # cross join is feasible at test sf only — the Ray op's whole
         # point is replacing it with the linear deletion-key shuffle

@@ -4412,3 +4412,19 @@ def test_bloom_antijoin_disjoint_inputs(ray_session):
     semi = bloom_semijoin(big, small, big_key="k",
                           small_key="k").to_pandas()
     assert len(semi) == 0
+
+
+def test_explode_list_nulls_and_empties(ray_session):
+    import ray
+
+    from torray.ops.rollup import explode_list
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "xs": pa.array([[1.0, 2.0], None, [], [7.5]],
+                       pa.list_(pa.float64())),
+    })
+    out = explode_list(ray.data.from_arrow(t).repartition(2),
+                       id_col="id", list_col="xs").to_pandas()
+    rows = sorted(map(tuple, out.itertuples(index=False)))
+    assert rows == [(1, 0, 1.0), (1, 1, 2.0), (4, 0, 7.5)]

@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts", "pivot_sum", "group_share", "unpivot"]
+__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts", "pivot_sum", "group_share", "unpivot", "explode_list"]
 
 
 def grouping_sets(ds, keys: list[str], value_col: str,
@@ -314,3 +314,43 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(parts)
 
     return narrow.map_batches(melt, batch_format="pyarrow")
+
+
+def explode_list(ds, *, id_col: str, list_col: str,
+                 pos_col: str = "pos", value_col: str = "val",
+                 value_type: "pa.DataType | None" = None):
+    """UNNEST WITH ORDINALITY: explode a list column to one
+    ``(id, pos, val)`` row per element (``pos`` 0-based).  The third
+    member of the reshape family (:func:`pivot_sum` /
+    :func:`unpivot`), and the substrate trick several ops here use
+    inline (embedding centroids, bigram explode) exposed as a
+    first-class operator.
+
+    Scale shape: stateless ``map_batches``, zero shuffle.  Per batch
+    the values come out with ONE ``flatten()`` (zero-copy view of the
+    list child array); ids/positions are ``np.repeat`` / offset
+    arithmetic.  NULL and empty lists emit no rows (SQL ``unnest``
+    semantics)."""
+    narrow = ds.select_columns([id_col, list_col])
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals = col.flatten()  # valid slots only, concatenated
+        if value_type is not None:
+            vals = vals.cast(value_type)
+        total = int(lens.sum())
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.arange(total, dtype=np.int64) - starts[row_of]
+        return pa.table({
+            id_col: pc.take(t.column(id_col),
+                            pa.array(row_of, pa.int64())),
+            pos_col: pa.array(pos, pa.int64()),
+            value_col: vals,
+        })
+
+    return narrow.map_batches(explode, batch_format="pyarrow")
