@@ -1346,6 +1346,56 @@ def _q_events_ntile_in_type(sf_dir: str):
                       method="ntile", ntile_k=5)
 
 
+def _q_events_asof_tolerance(sf_dir: str):
+    """As-of join with a MATCH TOLERANCE: the practical
+    variant — a stale match is no match (8400 days here: the span
+    that actually splits the TPC-H-dated orders vs modern events —
+    ~55% of matches survive, so both branches of the gate are
+    exercised).  Pure composition: the right
+    ts rides along as a value column, then one stateless map NULLs
+    matches older than the window (as-of picks the LATEST right row,
+    so latest-within-tolerance == latest-overall-if-within)."""
+    import ray.data
+
+    from torray.ops.window import asof_join
+
+    tol_us = 8400 * 86400 * 1_000_000
+    orders = _read(sf_dir, "orders")
+    dedup = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        ray.data.aggregate.Max("o_orderkey"))
+    dedup = _rename(dedup, {"max(o_orderkey)": "o_orderkey"})
+
+    def carry_ts(t: pa.Table) -> pa.Table:
+        # normalize to us explicitly: the groupby upstream re-types
+        # the timestamp to seconds, and a silent unit mismatch with
+        # the left ts would gate everything out
+        return t.append_column(
+            "__match_ts", t.column("o_orderdate")
+            .cast(pa.timestamp("us")).cast(pa.int64()))
+
+    joined = asof_join(
+        _read(sf_dir, "events"),
+        dedup.map_batches(carry_ts, batch_format="pyarrow"),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "__match_ts"],
+        num_partitions=4)
+
+    def gate(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        gap = pc.subtract(ts, t.column("__match_ts"))
+        ok = pc.and_kleene(t.column("__match_ts").combine_chunks()
+                           .is_valid(),
+                           pc.less_equal(gap, tol_us))
+        keyed = pc.if_else(pc.fill_null(ok, False),
+                           t.column("o_orderkey"),
+                           pa.nulls(t.num_rows, pa.int64()))
+        return pa.table({"event_id": t.column("event_id"),
+                         "o_orderkey": keyed})
+
+    return joined.map_batches(gate, batch_format="pyarrow")
+
+
 def _q_emb_unnest(sf_dir: str):
     """UNNEST WITH ORDINALITY of the embedding list column
     (``ops.rollup.explode_list``) — one zero-shuffle flatten; the
@@ -3095,6 +3145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": _q_lineitem_unpivot,
         "parts_name_ed1": _q_parts_name_ed1,
         "emb_unnest": _q_emb_unnest,
+        "events_asof_tolerance": _q_events_asof_tolerance,
         "events_pctrank_in_type": _q_events_pctrank_in_type,
         "events_ntile_in_type": _q_events_ntile_in_type,
         "events_users_union": _q_events_users_union,
@@ -4097,6 +4148,16 @@ def oracle_sql() -> dict[str, str]:
         # per-group window ranks (ops.rank.group_rank partition
         # run-scan); percent_rank mirrors the explicit
         # (rank-1)/(n_group-1) float64 tree for a bitwise hash match
+        # as-of with tolerance: latest match, NULLed when stale
+        "events_asof_tolerance": (
+            "SELECT e.event_id, CASE WHEN o.o_orderdate IS NOT NULL "
+            "AND e.ts - o.o_orderdate <= INTERVAL 8400 DAY "
+            "THEN o.o_orderkey END AS o_orderkey FROM events e "
+            "ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders "
+            "GROUP BY 1, 2) o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
         "emb_unnest": (
             "SELECT vec_id, "
             "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
