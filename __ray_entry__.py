@@ -3072,6 +3072,229 @@ def _q_customer_returns_top(sf_dir: str):
     return top.map_batches(finish, batch_format="pyarrow")
 
 
+# ---- round-4 session-3 additions -------------------------------------
+
+
+def _q_parts_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances over the symmetrized
+    part<->supplier graph derived from lineitem (node ids: part*2,
+    supplier*2+1 — same graph as ``parts_pagerank``), seeds = parts
+    1..10, bounded at 4 hops.  ``ops.graph.bfs_hops`` frontier rounds;
+    SQL oracle is the bounded-depth recursive CTE with MIN(d)."""
+    from torray.ops.graph import bfs_hops
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        def flat(a):
+            return (a.combine_chunks()
+                    if isinstance(a, pa.ChunkedArray) else a)
+
+        p = flat(pc.multiply(t.column("l_partkey"), 2))
+        s = flat(pc.add(pc.multiply(
+            flat(t.column("l_suppkey")).cast(pa.int64()), 2), 1))
+        return pa.table({"src": pa.concat_arrays([p, s]),
+                         "dst": pa.concat_arrays([s, p])})
+
+    edges = (li.map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow"))
+    seeds = [2 * k for k in range(1, 11)]
+    return bfs_hops(edges, seeds, max_hops=4)
+
+
+def _q_docs_pattern_hits(sf_dir: str):
+    """Literal phrase-blocklist join: (doc_id, pattern) pairs where the
+    document text contains the pattern.  ``ops.text.pattern_hits`` —
+    per-pattern vectorized Arrow substring scans, text never leaves
+    its block; SQL oracle is JOIN (VALUES ...) ON contains()."""
+    from torray.ops.text import pattern_hits
+
+    return pattern_hits(
+        _read(sf_dir, "documents"),
+        ["fast key order", "batch batch batch", "sort merge",
+         "slow query", "window window"])
+
+
+def _q_supplier_top_revenue(sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) whose 3-month revenue equals the
+    global maximum (scalar-subquery MAX gate).  Exact int64 cents
+    partials per block -> ONE narrow per-supplier groupby; the MAX is
+    a driver scalar over the supplier-bounded aggregate (never the
+    fact table); winners broadcast into the supplier dimension scan.
+    total_revenue = rs/10000.0 mirrored on both engines."""
+    import datetime
+
+    from ray.data.aggregate import Sum
+
+    from torray.ops.join import broadcast_join
+    from torray.ops.moments import _cents
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+        f = t.filter(m)
+        ep = _cents(f.column("l_extendedprice"), 100)
+        dc = _cents(f.column("l_discount"), 100)
+        rs = pc.multiply(ep, pc.subtract(pa.scalar(100, pa.int64()), dc))
+        part = pa.table({"l_suppkey": f.column("l_suppkey"), "rs": rs})
+        return part.group_by(["l_suppkey"]).aggregate([("rs", "sum")])
+
+    per_supp = (_read_f(sf_dir, "lineitem",
+                        columns=["l_suppkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("l_suppkey").aggregate(Sum("rs_sum")))
+    per_supp = _rename(per_supp, {"sum(rs_sum)": "rs"}).materialize()
+    mx = per_supp.max("rs")
+    winners = per_supp.map_batches(
+        lambda t, _m=mx: t.filter(pc.equal(t.column("rs"), _m)),
+        batch_format="pyarrow")
+    out = broadcast_join(
+        _read_f(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        winners, on="s_suppkey", right_on="l_suppkey", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rs = t.column("rs").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_suppkey": t.column("s_suppkey"),
+            "s_name": t.column("s_name"),
+            "total_revenue": pa.array(rs / 10000.0, pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_orders_big_qty(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    150, with their customer.  Exact int64 centiquantity partials ->
+    per-order groupby -> HAVING gate; the surviving order set is small
+    by construction, so it broadcasts into the orders scan and the
+    (still smaller) match set broadcasts into the customer scan — the
+    fact table is never on the build side of any join."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.join import broadcast_join
+    from torray.ops.moments import _cents
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "qc": _cents(t.column("l_quantity"), 100)})
+        return part.group_by(["l_orderkey"]).aggregate([("qc", "sum")])
+
+    survivors = (_read_f(sf_dir, "lineitem",
+                         columns=["l_orderkey", "l_quantity"])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .groupby("l_orderkey").aggregate(Sum("qc_sum")))
+    survivors = _rename(survivors, {"sum(qc_sum)": "qc"}).map_batches(
+        lambda t: t.filter(pc.greater(t.column("qc"), 15000)),
+        batch_format="pyarrow")
+    with_orders = broadcast_join(
+        _read_f(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        survivors, on="o_orderkey", right_on="l_orderkey", how="inner")
+    out = broadcast_join(
+        _read_f(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        with_orders, on="c_custkey", right_on="o_custkey", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        qc = t.column("qc").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_totalprice": t.column("o_totalprice"),
+            "sum_qty": pa.array(qc / 100.0, pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_parts_dominant_supplier(sf_dir: str):
+    """TPC-H Q20 spirit (no partsupp table in this schema): suppliers
+    shipping >20% of a part's total shipped quantity.  Exact int64
+    centiquantity partials -> ONE (part, supplier) groupby; part
+    totals then attach inside hash(partkey) partitions with a lexsort
+    + segmented-sum run-scan (Python once per PARTITION, never per
+    part), and the 5*q > t gate stays all-integer.  share = ONE
+    mirrored float64 divide."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.dedup import _mix64
+    from torray.ops.moments import _cents
+
+    npart = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = pa.table({"l_partkey": t.column("l_partkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "qc": _cents(t.column("l_quantity"), 100)})
+        return part.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("qc", "sum")])
+
+    ps = (_read_f(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_quantity"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["l_partkey", "l_suppkey"]).aggregate(Sum("qc_sum")))
+    ps = _rename(ps, {"sum(qc_sum)": "q"})
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array(_mix64(k) % npart, pa.int64()))
+
+    def scan_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "l_partkey": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
+                "qty": pa.array([], pa.float64()),
+                "share": pa.array([], pa.float64())})
+        k = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = g.column("l_suppkey").to_numpy(zero_copy_only=False)
+        q = g.column("q").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        k, s, q = k[order], s[order], q[order]
+        starts = np.concatenate(([True], k[1:] != k[:-1]))
+        seg = np.cumsum(starts) - 1
+        tot = np.add.reduceat(q, np.nonzero(starts)[0])[seg]
+        keep = 5 * q > tot
+        return pa.table({
+            "l_partkey": pa.array(k[keep], pa.int64()),
+            "l_suppkey": pa.array(s[keep], pa.int64()),
+            "qty": pa.array(q[keep] / 100.0, pa.float64()),
+            "share": pa.array(
+                (1.0 * q[keep]) / tot[keep], pa.float64())})
+
+    return (ps.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def _q_users_final_state(sf_dir: str):
+    """Changelog compaction (CDC upsert merge): each user's LAST event
+    wins (ts, event_id tiebreak) and a trailing 'error' event is a
+    tombstone that drops the user from the compacted state — the
+    snapshot-maintenance shape of the crawl's recrawl store.
+    ``ops.orderagg.group_argmax`` per-block best-row combiner + one
+    hash(key) shuffle; the tombstone gate is a vectorized filter."""
+    from torray.ops.orderagg import group_argmax
+
+    ev = _read_f(sf_dir, "events",
+                 columns=["user_id", "ts", "event_id", "event_type",
+                          "value"])
+    last = group_argmax(ev, group_col="user_id",
+                        order_cols=["ts", "event_id"],
+                        keep_cols=["event_type", "value"])
+    return last.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("event_type"),
+                                        "error")),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3210,6 +3433,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_hourly_users": _q_events_hourly_users,
         "events_cohorts": _q_events_cohorts,
+        "parts_bfs_hops": _q_parts_bfs_hops,
+        "docs_pattern_hits": _q_docs_pattern_hits,
+        "supplier_top_revenue": _q_supplier_top_revenue,
+        "orders_big_qty": _q_orders_big_qty,
+        "parts_dominant_supplier": _q_parts_dominant_supplier,
+        "users_final_state": _q_users_final_state,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -4716,5 +4945,75 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum_cents AS DOUBLE) / "
             "CAST((SELECT sum(sum_cents) FROM s) AS DOUBLE) AS share "
             "FROM s"
+        ),
+        # bounded-depth multi-source BFS == the frontier rounds of
+        # ops.graph.bfs_hops (seeds = parts 1..10, node ids part*2)
+        "parts_bfs_hops": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst "
+            "FROM lineitem UNION "
+            "SELECT l_suppkey*2+1, l_partkey*2 FROM lineitem), "
+            "hops(node, d) AS ("
+            "SELECT * FROM (VALUES (2,0),(4,0),(6,0),(8,0),(10,0),"
+            "(12,0),(14,0),(16,0),(18,0),(20,0)) s(node, d) "
+            "UNION "
+            "SELECT e.dst, h.d+1 FROM hops h "
+            "JOIN edges e ON e.src = h.node WHERE h.d < 4) "
+            "SELECT CAST(node AS BIGINT) AS node, "
+            "CAST(MIN(d) AS BIGINT) AS hops FROM hops GROUP BY node"
+        ),
+        "docs_pattern_hits": (
+            "SELECT d.doc_id, p.pattern FROM documents d "
+            "JOIN (VALUES ('fast key order'),('batch batch batch'),"
+            "('sort merge'),('slow query'),('window window')) "
+            "p(pattern) ON contains(d.text, p.pattern)"
+        ),
+        # TPC-H Q15 shape: scalar-subquery MAX gate over 3-month
+        # supplier revenue (int-cents core, ONE mirrored division)
+        "supplier_top_revenue": (
+            "WITH r AS (SELECT l_suppkey, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS rs "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s.s_name, r.rs/10000.0 AS "
+            "total_revenue FROM r JOIN supplier s "
+            "ON s.s_suppkey = r.l_suppkey "
+            "WHERE r.rs = (SELECT MAX(rs) FROM r)"
+        ),
+        # TPC-H Q18 shape: HAVING SUM(qty) gate, then two dimension
+        # joins (int-centiquantity core)
+        "orders_big_qty": (
+            "WITH q AS (SELECT l_orderkey, "
+            "SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) qc "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) "
+            "> 15000) "
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey, "
+            "o.o_totalprice, q.qc/100.0 AS sum_qty "
+            "FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey"
+        ),
+        # TPC-H Q20 spirit: suppliers shipping >20% of a part's
+        # total quantity (all-integer gate, mirrored float share)
+        "parts_dominant_supplier": (
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) q "
+            "FROM lineitem GROUP BY 1,2), "
+            "pt AS (SELECT l_partkey, SUM(q) t FROM ps GROUP BY 1) "
+            "SELECT ps.l_partkey, ps.l_suppkey, ps.q/100.0 AS qty, "
+            "(1.0*ps.q)/pt.t AS share "
+            "FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey "
+            "WHERE 5*ps.q > pt.t"
+        ),
+        # CDC compaction: last event per user wins, trailing 'error'
+        # is a tombstone
+        "users_final_state": (
+            "SELECT user_id, ts, event_id, event_type, value FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1 AND event_type <> 'error'"
         ),
     }

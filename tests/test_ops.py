@@ -4428,3 +4428,61 @@ def test_explode_list_nulls_and_empties(ray_session):
                        id_col="id", list_col="xs").to_pandas()
     rows = sorted(map(tuple, out.itertuples(index=False)))
     assert rows == [(1, 0, 1.0), (1, 1, 2.0), (4, 0, 7.5)]
+
+
+def test_bfs_hops_vs_numpy(ray_session):
+    import collections
+
+    import ray.data
+
+    from torray.ops.graph import bfs_hops
+
+    rng = np.random.RandomState(7)
+    n_nodes, n_edges = 120, 300
+    src = rng.randint(0, n_nodes, n_edges)
+    dst = rng.randint(0, n_nodes, n_edges)
+    seeds = [0, 1, 2]
+    max_hops = 3
+
+    adj = collections.defaultdict(list)
+    for a, b in zip(src, dst):
+        adj[int(a)].append(int(b))
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    got = bfs_hops(edges, seeds, max_hops=max_hops).to_pandas()
+    got_d = dict(zip(got["node"], got["hops"]))
+    assert got_d == dist
+
+    # empty seeds -> empty result (Ray drops empty-table schema on
+    # to_pandas; row count is the contract here)
+    empty = bfs_hops(edges, [], max_hops=2).to_pandas()
+    assert len(empty) == 0
+
+
+def test_pattern_hits_vs_python(ray_session):
+    import ray.data
+
+    from torray.ops.text import pattern_hits
+
+    texts = ["alpha beta gamma", "beta delta", "no match here",
+             "gamma alpha beta gamma"]
+    pats = ["beta gamma", "delta", "zeta"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = pattern_hits(ds, pats).to_pandas()
+    expect = {(i, p) for i, t in enumerate(texts) for p in pats
+              if p in t}
+    assert set(zip(got["doc_id"], got["pattern"])) == expect

@@ -524,3 +524,183 @@ def triangle_count(edges_ds, *, num_partitions: int = 64) -> pa.Table:
     n_tri = parts.sum("__n") or 0
     return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
                      "n_triangles": pa.array([int(n_tri)], pa.int64())})
+
+
+def bfs_hops(edges_ds, seeds, *, src: str = "src", dst: str = "dst",
+             max_hops: int = 4, num_partitions: int = 4):
+    """Multi-source BFS hop distance over a directed (src, dst) edge
+    list: every node reachable from any seed within ``max_hops`` hops
+    gets the MINIMUM hop count (seeds are 0).  Output ``(node, hops)``
+    int64 rows — exactly the bounded-depth recursive-CTE semantics
+    (``WITH RECURSIVE ... WHERE d < max_hops`` then ``MIN(d)``), so a
+    SQL engine can replay it for the correctness gate.
+
+    Frontier-based: each round joins the edges against only the nodes
+    DISCOVERED LAST ROUND (never the whole distance table), offers
+    ``d+1`` to their out-neighbors, and folds offers into the distance
+    table with a per-block partial min + one grouped min — the
+    per-round shuffle is (int64 node, int64 d) rows bounded by the
+    frontier's out-degree sum.  Rounds stop early when a frontier
+    empties.  At 10^10 edges one round costs what one pagerank
+    iteration costs; distance/frontier tables are id-only.
+
+    The reference engine's closest analogue is crawl-depth tracking
+    (the implicit BFS-by-round of TorSpider.py:562-618's max_depth
+    loop); this is the offline twin over an extracted link graph.
+    ``seeds`` is a Python int list (broadcast in the task closure) or
+    a Dataset with a ``node`` column (folded on the driver — seed sets
+    are small by contract).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    if isinstance(seeds, (list, tuple, np.ndarray)):
+        seed_t = pa.table({"node": pa.array(
+            sorted({int(s) for s in seeds}), pa.int64())})
+    else:
+        refs = [t for t in ray.get(seeds.to_arrow_refs()) if t.num_rows]
+        seed_t = (pa.concat_tables(refs).select(["node"])
+                  .group_by(["node"]).aggregate([])
+                  if refs else _empty_int64_table(("node",)))
+    if seed_t.num_rows == 0:
+        return ray.data.from_arrow(_empty_int64_table(("node", "hops")))
+
+    cpus = int(ray.cluster_resources().get("CPU", 0) or num_partitions)
+    num_partitions = max(2, min(num_partitions, cpus))
+
+    def edges_narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column(src).combine_chunks().cast(pa.int64()),
+            "dst": t.column(dst).combine_chunks().cast(pa.int64())})
+
+    edges = edges_ds.map_batches(edges_narrow,
+                                 batch_format="pyarrow").materialize()
+
+    def min_d(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("node", "d"))
+        k = t.column("node").to_numpy(zero_copy_only=False)
+        v = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        cut = np.concatenate(([True], k[1:] != k[:-1]))
+        return pa.table({
+            "node": pa.array(k[cut], pa.int64()),
+            "d": pa.array(np.minimum.reduceat(v, np.nonzero(cut)[0]),
+                          pa.int64())})
+
+    dist = ray.data.from_arrow(seed_t.append_column(
+        "d", pa.array(np.zeros(seed_t.num_rows, np.int64),
+                      pa.int64()))).materialize()
+    frontier = dist
+    for r in range(1, max_hops + 1):
+        offers = edges.join(frontier, "inner",
+                            num_partitions=num_partitions,
+                            on=("src",), right_on=("node",))
+        offers = offers.map_batches(
+            lambda t, _r=r: pa.table({
+                "node": t.column("dst").combine_chunks(),
+                "d": pa.array(np.full(t.num_rows, _r, np.int64),
+                              pa.int64())}),
+            batch_format="pyarrow")
+        dist = (dist.union(offers)
+                .map_batches(min_d, batch_format="pyarrow")
+                .groupby("node").aggregate(Min("d")))
+        dist = _rename(dist, {"min(d)": "d"}).materialize()
+        # The repartition folds away the schemaless 0-row blocks the
+        # filter can emit — the hash join rejects them (same
+        # workaround as the dedup candidate paths).
+        frontier = (dist.map_batches(
+            lambda t, _r=r: t.filter(
+                pa.compute.equal(t.column("d"), _r)),
+            batch_format="pyarrow")
+            .repartition(num_partitions).materialize())
+        if frontier.count() == 0:
+            break
+    return _rename(dist, {"d": "hops"})
+
+
+def kcore(edges_ds, *, k: int, src: str = "src", dst: str = "dst",
+          max_iters: int = 64, num_partitions: int = 4):
+    """Nodes of the k-core of an undirected graph: the maximal
+    subgraph where every node keeps degree >= k — the standard
+    "dense part of the link graph" cut (spam farms and boilerplate
+    rings survive aggressive coring; the periphery doesn't).
+
+    Iterative peeling: compute degrees (per-block sorted-run count
+    combiner -> one grouped sum), drop nodes under ``k``, drop their
+    incident edges (two int64 semi-joins, src then dst), repeat until
+    no node falls.  Convergence is monotone (node set only shrinks)
+    and each round's shuffle carries (int64, int64) edge rows of the
+    SURVIVING subgraph only.  Returns ``(node,)`` int64 rows.
+
+    Worst case (a long path peeled one node per round) needs O(n)
+    rounds; web-ish graphs cascade in a handful.  ``max_iters`` caps
+    the loop; the loop breaks early at the fixpoint.  Rows-only op
+    (peeling has no closed SQL form) — pytest checks it against a
+    sequential numpy peel.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cpus = int(ray.cluster_resources().get("CPU", 0) or num_partitions)
+    num_partitions = max(2, min(num_partitions, cpus))
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column(src).combine_chunks().cast(pa.int64())
+        b = t.column(dst).combine_chunks().cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("src", "dst"))
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    edges = (edges_ds.map_batches(symmetrize, batch_format="pyarrow")
+             .map_batches(dedupe, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(ray.data.aggregate.Count())
+             .map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow").materialize())
+
+    def count_per_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("node", "deg"))
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        s = np.sort(s)
+        cut = np.concatenate(([True], s[1:] != s[:-1]))
+        starts = np.nonzero(cut)[0]
+        return pa.table({
+            "node": pa.array(s[cut], pa.int64()),
+            "deg": pa.array(np.diff(np.append(starts, len(s))),
+                            pa.int64())})
+
+    for _ in range(max_iters):
+        deg = (edges.map_batches(count_per_src, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("deg")))
+        deg = _rename(deg, {"sum(deg)": "deg"}).materialize()
+        n_bad = deg.map_batches(
+            lambda t: t.filter(pa.compute.less(t.column("deg"), k)),
+            batch_format="pyarrow").count()
+        # repartition: fold away schemaless 0-row filter blocks before
+        # the hash joins below (they reject missing-schema blocks)
+        good = (deg.map_batches(
+            lambda t: t.filter(
+                pa.compute.greater_equal(t.column("deg"), k))
+            .select(["node"]),
+            batch_format="pyarrow")
+            .repartition(num_partitions).materialize())
+        if n_bad == 0:
+            return good
+        if good.count() == 0:
+            return ray.data.from_arrow(_empty_int64_table(("node",)))
+        for key in ("src", "dst"):
+            edges = edges.join(good, "inner",
+                               num_partitions=num_partitions,
+                               on=(key,), right_on=("node",))
+        edges = edges.map_batches(
+            lambda t: t.select(["src", "dst"]),
+            batch_format="pyarrow").materialize()
+    return good

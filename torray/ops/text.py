@@ -41,6 +41,7 @@ __all__ = [
     "json_field",
     "inverted_index",
     "bm25_topk",
+    "pattern_hits",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1757,3 +1758,49 @@ def doc_keywords(docs_ds, *, id_col: str = "doc_id",
     return (with_df.map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(cut_partition, batch_format="pyarrow"))
+
+
+def pattern_hits(ds, patterns, *, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Literal multi-pattern substring join: one ``(id, pattern)`` row
+    per (document, pattern) where the document text CONTAINS the
+    pattern — the phrase-blocklist / decontamination-by-literal shape
+    (SQL: ``JOIN patterns p ON contains(text, p.pattern)``).
+
+    The pattern list rides the task closure (small by contract) and
+    each batch runs ONE vectorized ``pc.match_substring`` pass per
+    pattern (Arrow C++ SIMD scan, no Python rows), so the cost is
+    O(k) passes over each block and only (id, pattern) pairs ever
+    leave it — text never shuffles.  Right-sized for blocklists up to
+    a few thousand phrases; beyond that use
+    :func:`torray.ops.decontam.decontaminate` (hashed n-gram set:
+    one pass regardless of set size, but gram-granular rather than
+    exact-substring).
+    """
+    from torray.ops.window import _ds_field_type
+
+    plist = sorted({str(p) for p in patterns})
+    id_type = _ds_field_type(ds, id_col)
+
+    def hits(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        ids = t.column(id_col)
+        out_ids: list = []
+        out_pats: list = []
+        for p in plist:
+            sel = ids.filter(pc.match_substring(txt, p))
+            if len(sel):
+                out_ids.append(sel.combine_chunks())
+                out_pats.append(pa.repeat(pa.scalar(p, pa.string()),
+                                          len(sel)))
+        if not out_ids:
+            return pa.table({id_col: pa.array([], id_type),
+                             "pattern": pa.array([], pa.string())})
+        return pa.table({
+            id_col: pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_ids]),
+            "pattern": pa.concat_arrays(out_pats)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        hits, batch_format="pyarrow")
