@@ -3295,6 +3295,101 @@ def _q_users_final_state(sf_dir: str):
         batch_format="pyarrow")
 
 
+
+
+def _q_events_ewma(sf_dir: str):
+    """Per-user exponential decay score (EWMA, alpha=0.3) over event
+    values ordered by (ts, event_id) — ``ops.window.ewma``'s affine
+    Hillis-Steele scan (log2(n) vectorized passes per partition, no
+    Python per key).  Rows-only: the scan re-associates float adds, so
+    no SQL engine reproduces it bit-for-bit; pytest checks it against
+    the sequential recurrence to 1e-9."""
+    from torray.ops.window import ewma
+
+    return ewma(_read_f(sf_dir, "events",
+                        columns=["user_id", "ts", "event_id", "value"]),
+                alpha=0.3)
+
+
+def _q_knn_pq_top10(sf_dir: str):
+    """Product-quantization ANN, the compressed-store scale path:
+    train codebooks on a bounded sample, encode the corpus to m=4
+    uint8 codes, ADC-shortlist 50 per query over the codes, exact
+    rerank of the shortlist against the original vectors.  Rows-only
+    (approximate by construction); recall-tested in pytest."""
+    import pyarrow.parquet as _pq
+
+    from torray.ops.similarity import (pq_encode, pq_knn_rerank,
+                                       pq_train)
+
+    emb = _read(sf_dir, "embeddings")
+    queries = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"]).column("embedding")[:5].to_pylist()
+    import numpy as _np
+
+    qv = _np.asarray(queries, dtype=_np.float64)
+    books = pq_train(emb, m=4, train_sample=2048, seed=23)
+    codes = pq_encode(emb, books).materialize()
+    return pq_knn_rerank(emb, codes, books, qv, k=10, shortlist=50)
+
+
+def _q_crawl_page_kcore(sf_dir: str):
+    """k-core (k=3) of the crawled PAGE link graph: the densely
+    interlinked core that survives iterative peeling — boilerplate
+    rings / nav clusters in a real crawl.  URLs hash to stable int64
+    node ids with the vectorized FNV fold; ``ops.graph.kcore`` peels;
+    the surviving (small) core broadcasts back against the id->url
+    map to return readable URLs.  Rows-only (peeling has no closed
+    SQL form); the peel itself is numpy-diff-tested in pytest."""
+    from torray.ops.dedup import fnv1a64_strings
+    from torray.ops.graph import kcore
+    from torray.ops.join import broadcast_join
+    from torray.ops.rollup import explode_list
+
+    crawler = _crawl("q", num_pages=800, num_hosts=30, seeds=3,
+                     budget=6, max_rounds=8, fresh=False)
+    sr = crawler.scan_results()
+    pairs = explode_list(sr, id_col="url", list_col="new_urls",
+                         value_col="dst_url")
+
+    def h64(col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.array(
+            (fnv1a64_strings(col) >> np.uint64(1)).astype(np.int64),
+            pa.int64())
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": h64(t.column("url")),
+                         "dst": h64(t.column("dst_url"))})
+
+    core = kcore(pairs.map_batches(to_edges, batch_format="pyarrow"),
+                 k=3)
+
+    def url_nodes(t: pa.Table) -> pa.Table:
+        u = t.column("url")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        d = t.column("dst_url")
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        all_u = pa.concat_arrays([u, d])
+        tbl = pa.table({"node": h64(all_u), "url": all_u})
+        return tbl.group_by(["node"]).aggregate([("url", "min")])
+
+    id_map = pairs.map_batches(url_nodes, batch_format="pyarrow")
+    out = broadcast_join(id_map, core, on="node", right_on="node",
+                         how="inner")
+    # url_nodes dedups per BLOCK only; one tiny core-bounded groupby
+    # makes the (node, url) rows globally distinct
+    out = (_rename(out, {"url_min": "url"})
+           .groupby(["node", "url"]).count()
+           .map_batches(lambda t: t.select(["node", "url"]),
+                        batch_format="pyarrow"))
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3471,6 +3566,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_domains": _q_crawl_domains,
         "crawl_counts": _q_crawl_counts,
         "crawl_seen": _q_crawl_seen,
+        "events_ewma": _q_events_ewma,
+        "knn_pq_top10": _q_knn_pq_top10,
+        "crawl_page_kcore": _q_crawl_page_kcore,
     }
 
 

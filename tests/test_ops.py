@@ -4486,3 +4486,126 @@ def test_pattern_hits_vs_python(ray_session):
     expect = {(i, p) for i, t in enumerate(texts) for p in pats
               if p in t}
     assert set(zip(got["doc_id"], got["pattern"])) == expect
+
+
+def test_ewma_vs_sequential_recurrence(ray_session):
+    import ray.data
+
+    from torray.ops.window import ewma
+
+    rng = np.random.RandomState(11)
+    n, n_keys, a = 3000, 7, 0.25
+    keys = rng.randint(0, n_keys, n)
+    ts = rng.randint(0, 10_000, n).astype("datetime64[us]")
+    vals = np.round(rng.normal(10, 4, n), 2)
+    ids = np.arange(n)
+
+    # sequential per-row reference (adjust=False recurrence)
+    ref = {}
+    for key in range(n_keys):
+        mask = keys == key
+        order = np.lexsort((ids[mask], ts[mask].astype(np.int64)))
+        sub_v = vals[mask][order]
+        sub_i = ids[mask][order]
+        y = 0.0
+        for j, (i, v) in enumerate(zip(sub_i, sub_v)):
+            y = v if j == 0 else a * v + (1 - a) * y
+            ref[int(i)] = y
+
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(keys, pa.int64()),
+        "ts": pa.array(ts),
+        "event_id": pa.array(ids, pa.int64()),
+        "value": pa.array(vals, pa.float64())}))
+    got = ewma(ds, alpha=a).to_pandas()
+    assert len(got) == n
+    got_d = dict(zip(got["event_id"], got["ewma"]))
+    ref_v = np.array([ref[i] for i in sorted(ref)])
+    got_v = np.array([got_d[i] for i in sorted(ref)])
+    # the scan re-associates float adds — equal to 1e-9 rel, not ULP
+    np.testing.assert_allclose(got_v, ref_v, rtol=1e-9, atol=1e-12)
+
+
+def test_pq_knn_recall_vs_bruteforce(ray_session):
+    import ray.data
+
+    from torray.ops.similarity import (knn_bruteforce, pq_encode,
+                                       pq_knn, pq_train)
+
+    rng = np.random.RandomState(5)
+    n, d, k = 2000, 32, 10
+    # clustered corpus: PQ recall is meaningful, not random
+    centers = rng.normal(size=(20, d))
+    mat = (centers[rng.randint(0, 20, n)]
+           + 0.3 * rng.normal(size=(n, d)))
+    queries = centers[:5] + 0.1 * rng.normal(size=(5, d))
+
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(mat.astype(np.float32)),
+                              pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+
+    books = pq_train(ds, m=8, train_sample=1500, seed=3)
+    codes = pq_encode(ds, books).materialize()
+    # round-trip schema: m uint8 codes per vector
+    first = codes.take_batch(1, batch_format="pyarrow")
+    assert first["code"].type == pa.list_(pa.uint8(), 8)
+
+    exact = knn_bruteforce(ds, queries, k=k).to_pandas()
+    # raw ADC ranking is tie-limited inside tight clusters; the
+    # production contract is shortlist recall — the true top-k must
+    # live in the ADC top-100 shortlist
+    short = pq_knn(codes, books, queries, k=100).to_pandas()
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact.query_idx == q].vec_id)
+        s = set(short[short.query_idx == q].vec_id)
+        recalls.append(len(e & s) / k)
+    assert np.mean(recalls) >= 0.9, recalls
+
+    # shortlist + exact rerank recovers the true top-k
+    from torray.ops.similarity import pq_knn_rerank
+
+    rr = pq_knn_rerank(ds, codes, books, queries, k=k,
+                       shortlist=100).to_pandas()
+    rr_recalls = []
+    for q in range(5):
+        e = set(exact[exact.query_idx == q].vec_id)
+        p = set(rr[rr.query_idx == q].vec_id)
+        rr_recalls.append(len(e & p) / k)
+    assert np.mean(rr_recalls) >= 0.9, rr_recalls
+
+
+def test_kcore_vs_numpy_peel(ray_session):
+    import ray.data
+
+    from torray.ops.graph import kcore
+
+    rng = np.random.RandomState(13)
+    n_nodes, n_edges, k = 60, 220, 4
+    src = rng.randint(0, n_nodes, n_edges)
+    dst = rng.randint(0, n_nodes, n_edges)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+
+    # numpy peel on the deduped undirected graph
+    e = np.unique(np.stack([np.concatenate([src, dst]),
+                            np.concatenate([dst, src])], 1), axis=0)
+    alive = set(np.unique(e))
+    while True:
+        deg = {}
+        for a, b in e:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+        bad = {v for v in alive if deg.get(v, 0) < k}
+        if not bad:
+            break
+        alive -= bad
+    expect = {v for v in alive if deg.get(v, 0) >= k}
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    got = kcore(edges, k=k).to_pandas()
+    assert set(got["node"]) == expect

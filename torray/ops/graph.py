@@ -651,6 +651,8 @@ def kcore(edges_ds, *, k: int, src: str = "src", dst: str = "dst",
     def symmetrize(t: pa.Table) -> pa.Table:
         a = t.column(src).combine_chunks().cast(pa.int64())
         b = t.column(dst).combine_chunks().cast(pa.int64())
+        keep = pa.compute.not_equal(a, b)  # self-loops never peel
+        a, b = a.filter(keep), b.filter(keep)
         return pa.table({"src": pa.concat_arrays([a, b]),
                          "dst": pa.concat_arrays([b, a])})
 

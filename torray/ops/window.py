@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "interval_join", "running_total", "lag_delta", "moving_agg",
            "lead_delta", "resample", "transition_counts",
-           "session_bounds", "trailing_window_distinct"]
+           "session_bounds", "trailing_window_distinct", "ewma"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -2575,3 +2575,81 @@ def trailing_window_distinct(events_ds, *, ts_col: str = "ts",
         return t.rename_columns(["day_us", "n_distinct"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+         id_col: str = "event_id", value_col: str = "value",
+         alpha: float = 0.3, out_col: str = "ewma",
+         num_partitions: int = 64):
+    """Per-key exponentially weighted moving average ordered by
+    ``(ts, id)`` — the streaming decay score SQL window frames cannot
+    express (``y_i = alpha*x_i + (1-alpha)*y_{i-1}``, ``y_0 = x_0``,
+    pandas ``ewm(alpha, adjust=False)`` semantics).  Returns
+    ``(id, ewma)`` rows.
+
+    The recurrence is a first-order AFFINE scan, and affine maps
+    compose associatively: ``(a2,b2)∘(a1,b1) = (a1*a2, a2*b1+b2)``.
+    So instead of a Python loop per key (the per-key ``map_groups``
+    pathology) each hash(key) partition runs ONE vectorized
+    Hillis-Steele scan over its lexsorted rows — log2(n) numpy passes,
+    no Python per row or per key.  Segment boundaries need no special
+    case: a segment-start row carries ``a=0``, which kills any carry
+    from the previous key algebraically.
+
+    Scale notes: the same associativity means a HOT key could be
+    salt-split by time range and stitched with per-segment (A, B)
+    fixups, exactly the :func:`running_total` salted shape — not
+    wired here because EWMA's decay term ``(1-alpha)^len`` underflows
+    to 0 beyond ~1e4 rows, so distant-past segments contribute
+    nothing representable; the scan truncates identically.  Float
+    note: the scan re-associates additions, so results can differ
+    from the sequential recurrence in the last ULPs (rows-only op;
+    the pytest reference checks to 1e-9 relative).
+    """
+    from torray.ops.dedup import _mix64
+
+    cols = [key_col, ts_col, id_col, value_col]
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha!r}")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            "k": pa.array(k.astype(np.int64), pa.int64()),
+            "t": batch.column(ts_col).combine_chunks().cast(pa.int64()),
+            "i": batch.column(id_col).combine_chunks().cast(pa.int64()),
+            "v": pc.cast(batch.column(value_col), pa.float64()),
+            "__part": pa.array(part, pa.int64())})
+
+    def scan_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.float64())})
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        i = g.column("i").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, i, v = k[order], i[order], v[order]
+        n = len(k)
+        starts = np.concatenate(([True], k[1:] != k[:-1]))
+        # y_i = A_i * y_{i-1} + B_i ; segment starts pin y to x.
+        A = np.where(starts, 0.0, 1.0 - a)
+        B = np.where(starts, v, a * v)
+        off = 1
+        while off < n:
+            # compose element i with the scan result ending at i-off
+            A2 = A[off:] * A[:-off]
+            B2 = B[off:] + A[off:] * B[:-off]
+            A[off:], B[off:] = A2, B2
+            off *= 2
+        return pa.table({id_col: pa.array(i, pa.int64()),
+                         out_col: pa.array(B, pa.float64())})
+
+    return (ds.select_columns(cols)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
