@@ -3390,6 +3390,364 @@ def _q_crawl_page_kcore(sf_dir: str):
     return out
 
 
+
+
+def _q_lineitem_q6(sf_dir: str):
+    """TPC-H Q6: the classic filtered-aggregate scan, all predicates
+    pushed into the parquet FRAGMENT scan so non-matching row groups
+    never leave storage.  revenue = exact int64 cents x centidiscount
+    partials, ONE mirrored /1000000.0 at the end."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Sum
+
+    from torray.ops.moments import _cents
+
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    flt = ((pds.field("l_shipdate") >= lo)
+           & (pds.field("l_shipdate") < hi)
+           & (pds.field("l_discount") >= 0.02)
+           & (pds.field("l_discount") <= 0.04)
+           & (pds.field("l_quantity") < 24.0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ep = _cents(t.column("l_extendedprice"), 100)
+        dc = _cents(t.column("l_discount"), 100)
+        s = pc.sum(pc.multiply(ep, dc))
+        return pa.table({"rs": pa.array(
+            [s.as_py() if s.as_py() is not None else 0], pa.int64())})
+
+    total = (_read_f(sf_dir, "lineitem",
+                     columns=["l_extendedprice", "l_discount"],
+                     flt=flt)
+             .map_batches(partial, batch_format="pyarrow")
+             .sum("rs"))
+    return pa.table({"revenue": pa.array([(total or 0) / 1000000.0],
+                                         pa.float64())})
+
+
+def _q_parts_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (lineitem stands in for partsupp): for each
+    small part (p_size < 10), the EUROPE supplier(s) offering its
+    minimum price.  Dimensions (region -> nation -> supplier; the
+    part size filter) fold to broadcast id sets on the driver —
+    true dimension tables; the fact table only ever streams through
+    one (part, supplier) MIN groupby with per-block Arrow partials.
+    The per-part best attaches inside hash(partkey) partitions with
+    a lexsort + segmented-min run-scan; the equality gate is
+    all-integer and cost = ONE mirrored /100.0."""
+    from ray.data.aggregate import Min
+
+    from torray.ops.dedup import _mix64
+    from torray.ops.moments import _cents
+
+    npart = 64
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = region.filter(
+        pc.equal(region.column("r_name"), "EUROPE")
+    ).column("r_regionkey").to_pylist()
+    nk = nation.filter(
+        pc.is_in(nation.column("n_regionkey"),
+                 value_set=pa.array(rkey, pa.int32())))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    eu = supp.filter(
+        pc.is_in(supp.column("s_nationkey"),
+                 value_set=nk.column("n_nationkey"))
+    ).column("s_suppkey").combine_chunks()
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size"])
+    small = part.filter(
+        pc.less(part.column("p_size"), 10)
+    ).column("p_partkey").combine_chunks()
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_in(t.column("l_suppkey"), value_set=eu),
+                    pc.is_in(t.column("l_partkey"), value_set=small))
+        f = t.filter(m)
+        pt = pa.table({"l_partkey": f.column("l_partkey"),
+                       "l_suppkey": f.column("l_suppkey"),
+                       "minc": _cents(f.column("l_extendedprice"),
+                                      100)})
+        return pt.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("minc", "min")])
+
+    ps = (_read_f(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey",
+                           "l_extendedprice"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["l_partkey", "l_suppkey"])
+          .aggregate(Min("minc_min")))
+    ps = _rename(ps, {"min(minc_min)": "minc"})
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array(_mix64(key) % npart, pa.int64()))
+
+    def scan_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "l_partkey": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
+                "cost": pa.array([], pa.float64())})
+        key = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = g.column("l_suppkey").to_numpy(zero_copy_only=False)
+        c = g.column("minc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, key))
+        key, s, c = key[order], s[order], c[order]
+        starts = np.concatenate(([True], key[1:] != key[:-1]))
+        seg = np.cumsum(starts) - 1
+        best = np.minimum.reduceat(c, np.nonzero(starts)[0])[seg]
+        keep = c == best
+        return pa.table({
+            "l_partkey": pa.array(key[keep], pa.int64()),
+            "l_suppkey": pa.array(s[keep], pa.int64()),
+            "cost": pa.array(c[keep] / 100.0, pa.float64())})
+
+    return (ps.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def _q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_3's supplier share of ASIA-customer
+    order volume by year.  The Q5 pipeline skeleton (dimensions fold
+    to broadcast dicts, order year attaches to lineitem via the
+    co-partitioned int-key run-scan, exact int64 volume partials);
+    the share is the conditional-sum ratio with ONE mirrored float64
+    divide over exact ints."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.graph import _attach_int_value
+    from torray.ops.moments import _cents
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")
+    ).column("r_regionkey").to_pylist()
+    asia_nk = set(nation.filter(
+        pc.is_in(nation.column("n_regionkey"),
+                 value_set=pa.array(rkey, pa.int32()))
+    ).column("n_nationkey").to_pylist())
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    asia_cust = pa.compute.is_in(
+        cust.column("c_nationkey"),
+        value_set=pa.array(sorted(asia_nk), pa.int32()))
+    asia_cust_keys = cust.filter(asia_cust).column(
+        "c_custkey").combine_chunks()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    target_supp = pa.array(sorted(
+        sk for sk, nk2 in zip(supp.column("s_suppkey").to_pylist(),
+                              supp.column("s_nationkey").to_pylist())
+        if nmap[nk2] == "NATION_3"), pa.int64())
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t.column("o_custkey"),
+                              value_set=asia_cust_keys))
+        yr = pc.year(f.column("o_orderdate"))
+        return pa.table({"node": f.column("o_orderkey"),
+                         "val": pc.cast(yr, pa.int64())})
+
+    oyears = _read_f(sf_dir, "orders",
+                     columns=["o_orderkey", "o_custkey",
+                              "o_orderdate"]).map_batches(
+        orders_f, batch_format="pyarrow")
+
+    li = _read_f(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey",
+                          "l_extendedprice", "l_discount"])
+    li = _attach_int_value(li, oyears, "l_orderkey", "__yr",
+                           ("l_orderkey", "l_suppkey",
+                            "l_extendedprice", "l_discount"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t.column("__yr"), 0))
+        ep = _cents(f.column("l_extendedprice"), 100)
+        dc = _cents(f.column("l_discount"), 100)
+        vol = pc.multiply(ep, pc.subtract(pa.scalar(100, pa.int64()),
+                                          dc))
+        is_t = pc.is_in(f.column("l_suppkey"),
+                        value_set=target_supp)
+        num = pc.if_else(is_t, vol, pa.scalar(0, pa.int64()))
+        pt = pa.table({"o_year": f.column("__yr"), "num": num,
+                       "den": vol})
+        return pt.group_by(["o_year"]).aggregate(
+            [("num", "sum"), ("den", "sum")])
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_year").aggregate(Sum("num_sum"),
+                                        Sum("den_sum")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        num = t.column("sum(num_sum)").to_numpy(zero_copy_only=False)
+        den = t.column("sum(den_sum)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_year": t.column("o_year"),
+            "mkt_share": pa.array((1.0 * num) / den, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape: supplier-nation profit by ship year over parts
+    whose name matches a pattern.  Part + supplier are dimensions
+    (broadcast partkey set / suppkey->nation dict); lineitem streams
+    through one vectorized filter + exact int64 amount partials and
+    ONE (nation, year) groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.moments import _cents
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    match = part.filter(pc.match_substring(part.column("p_name"), "a"))
+    match_keys = match.column("p_partkey").combine_chunks()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sn = {sk: nmap[nk2] for sk, nk2 in
+          zip(supp.column("s_suppkey").to_pylist(),
+              supp.column("s_nationkey").to_pylist())}
+    sn_ref = ray.put(sn)
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t.column("l_partkey"),
+                              value_set=match_keys))
+        ep = _cents(f.column("l_extendedprice"), 100)
+        dc = _cents(f.column("l_discount"), 100)
+        amount = pc.multiply(ep, pc.subtract(
+            pa.scalar(100, pa.int64()), dc))
+        smap = ray.get(sn_ref)
+        sk = f.column("l_suppkey").to_numpy(zero_copy_only=False)
+        names = np.array([smap[int(x)] for x in sk], dtype=object)
+        yr = pc.cast(pc.year(f.column("l_shipdate")), pa.int64())
+        pt = pa.table({"n_name": pa.array(names, pa.string()),
+                       "o_year": yr, "amt": amount})
+        return pt.group_by(["n_name", "o_year"]).aggregate(
+            [("amt", "sum")])
+
+    agg = (_read_f(sf_dir, "lineitem",
+                   columns=["l_partkey", "l_suppkey", "l_shipdate",
+                            "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["n_name", "o_year"]).aggregate(Sum("amt_sum")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("sum(amt_sum)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "o_year": t.column("o_year"),
+            "sum_profit": pa.array(s / 10000.0, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_events_pct_change(sf_dir: str):
+    """Per-user percent change of event value vs the previous event
+    (LAG) — ``ops.window.lag_values`` run-scan; prev is a pure
+    passthrough so ``(value - prev) / prev`` is ONE mirrored float64
+    expression tree on both engines.  First event per user (prev
+    NULL) is excluded on both sides."""
+    from torray.ops.window import lag_values
+
+    lv = lag_values(_read_f(sf_dir, "events",
+                            columns=["user_id", "ts", "event_id",
+                                     "value"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_valid(t.column("prev")))
+        v = f.column("value").to_numpy(zero_copy_only=False)
+        p = f.column("prev").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": f.column("event_id"),
+            "pct_change": pa.array((v - p) / p, pa.float64())})
+
+    return lv.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_users_conversion_lag(sf_dir: str):
+    """Funnel conversion latency: per user, microseconds from first
+    'signup' to first 'purchase' (users who purchased at or after
+    signing up).  Per-block (user, type) MIN partials -> ONE
+    hash(user) partition run-scan pairs the two mins — no join, all
+    int64."""
+    from ray.data.aggregate import Min
+
+    from torray.ops.dedup import _mix64
+
+    npart = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["signup", "purchase"]))
+        f = t.filter(m)
+        pt = pa.table({
+            "user_id": f.column("user_id"),
+            "is_purchase": pc.cast(
+                pc.equal(f.column("event_type"), "purchase"),
+                pa.int64()),
+            "t": pc.cast(f.column("ts"), pa.int64())})
+        return pt.group_by(["user_id", "is_purchase"]).aggregate(
+            [("t", "min")])
+
+    mins = (_read_f(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["user_id", "is_purchase"])
+            .aggregate(Min("t_min")))
+    mins = _rename(mins, {"min(t_min)": "t0"})
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array(_mix64(u) % npart, pa.int64()))
+
+    def scan_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "signup_ts": pa.array([], pa.timestamp("us")),
+                "purchase_ts": pa.array([], pa.timestamp("us")),
+                "gap_us": pa.array([], pa.int64())})
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ip = g.column("is_purchase").to_numpy(zero_copy_only=False)
+        t0 = g.column("t0").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ip, u))
+        u, ip, t0 = u[order], ip[order], t0[order]
+        # rows sorted (user, is_purchase): a user with both rows has
+        # signup (0) then purchase (1) adjacent
+        both = (u[:-1] == u[1:]) & (ip[:-1] == 0) & (ip[1:] == 1)
+        idx = np.nonzero(both)[0]
+        s_ts, p_ts = t0[idx], t0[idx + 1]
+        keep = p_ts >= s_ts
+        return pa.table({
+            "user_id": pa.array(u[idx][keep], pa.int64()),
+            "signup_ts": pa.array(s_ts[keep]).cast(
+                pa.timestamp("us")),
+            "purchase_ts": pa.array(p_ts[keep]).cast(
+                pa.timestamp("us")),
+            "gap_us": pa.array(p_ts[keep] - s_ts[keep], pa.int64())})
+
+    return (mins.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3534,6 +3892,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_big_qty": _q_orders_big_qty,
         "parts_dominant_supplier": _q_parts_dominant_supplier,
         "users_final_state": _q_users_final_state,
+        "lineitem_q6": _q_lineitem_q6,
+        "parts_min_cost_supplier": _q_parts_min_cost_supplier,
+        "nation_market_share": _q_nation_market_share,
+        "nation_profit": _q_nation_profit,
+        "events_pct_change": _q_events_pct_change,
+        "users_conversion_lag": _q_users_conversion_lag,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -5105,6 +5469,85 @@ def oracle_sql() -> dict[str, str]:
             "(1.0*ps.q)/pt.t AS share "
             "FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey "
             "WHERE 5*ps.q > pt.t"
+        ),
+        # TPC-H Q6: filtered-aggregate scan, int-cents core
+        "lineitem_q6": (
+            "SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "CAST(ROUND(l_discount*100) AS BIGINT))/1000000.0 AS "
+            "revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.02 AND l_discount <= 0.04 "
+            "AND l_quantity < 24"
+        ),
+        # TPC-H Q2 shape: min-cost EUROPE supplier per small part
+        "parts_min_cost_supplier": (
+            "WITH eu AS (SELECT s_suppkey FROM supplier s "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "WHERE r.r_name = 'EUROPE'), "
+            "small AS (SELECT p_partkey FROM part WHERE p_size < 10), "
+            "ps AS (SELECT l_partkey, l_suppkey, "
+            "MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) minc "
+            "FROM lineitem "
+            "JOIN eu ON eu.s_suppkey = l_suppkey "
+            "JOIN small ON small.p_partkey = l_partkey "
+            "GROUP BY 1, 2), "
+            "best AS (SELECT l_partkey, MIN(minc) b FROM ps "
+            "GROUP BY 1) "
+            "SELECT ps.l_partkey, ps.l_suppkey, ps.minc/100.0 AS "
+            "cost FROM ps JOIN best ON best.l_partkey = ps.l_partkey "
+            "AND ps.minc = best.b"
+        ),
+        # TPC-H Q8 shape: NATION_3 share of ASIA order volume by year
+        "nation_market_share": (
+            "WITH det AS (SELECT EXTRACT(year FROM o.o_orderdate) "
+            "yr, CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l.l_discount*100) AS BIGINT)) vol, "
+            "n2.n_name sn "
+            "FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n1 ON n1.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = n1.n_regionkey "
+            "AND r.r_name = 'ASIA' "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n2 ON n2.n_nationkey = s.s_nationkey) "
+            "SELECT CAST(yr AS BIGINT) AS o_year, "
+            "(1.0*SUM(CASE WHEN sn = 'NATION_3' THEN vol ELSE 0 "
+            "END))/SUM(vol) AS mkt_share FROM det GROUP BY yr"
+        ),
+        # TPC-H Q9 shape: supplier-nation profit by ship year
+        "nation_profit": (
+            "SELECT sn AS n_name, CAST(yr AS BIGINT) AS o_year, "
+            "SUM(amt)/10000.0 AS sum_profit FROM ("
+            "SELECT n.n_name sn, EXTRACT(year FROM l.l_shipdate) yr, "
+            "CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l.l_discount*100) AS BIGINT)) amt "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "AND p.p_name LIKE '%a%' "
+            "JOIN supplier sp ON sp.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = sp.s_nationkey) "
+            "GROUP BY 1, 2"
+        ),
+        # LAG(value) pct change — prev is a passthrough, the ratio is
+        # one mirrored float64 expression tree
+        "events_pct_change": (
+            "SELECT event_id, (value - prev)/prev AS pct_change "
+            "FROM (SELECT event_id, value, LAG(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) prev "
+            "FROM events) WHERE prev IS NOT NULL"
+        ),
+        # funnel conversion latency: first signup -> first purchase
+        "users_conversion_lag": (
+            "SELECT s.user_id, s.t0 AS signup_ts, p.t1 AS "
+            "purchase_ts, epoch_us(p.t1) - epoch_us(s.t0) AS gap_us "
+            "FROM (SELECT user_id, MIN(ts) t0 FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1) s "
+            "JOIN (SELECT user_id, MIN(ts) t1 FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1) p "
+            "ON p.user_id = s.user_id WHERE p.t1 >= s.t0"
         ),
         # CDC compaction: last event per user wins, trailing 'error'
         # is a tombstone

@@ -4609,3 +4609,28 @@ def test_kcore_vs_numpy_peel(ray_session):
         "dst": pa.array(dst, pa.int64())}))
     got = kcore(edges, k=k).to_pandas()
     assert set(got["node"]) == expect
+
+
+def test_lag_values_vs_pandas_shift(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from torray.ops.window import lag_values
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 9, n),
+        "ts": rng.randint(0, 50_000, n).astype("datetime64[us]"),
+        "event_id": np.arange(n),
+        "value": np.round(rng.normal(5, 2, n), 2)})
+    for off in (1, 2):
+        ref = (df.sort_values(["user_id", "ts", "event_id"])
+               .groupby("user_id")["value"].shift(off))
+        ref = ref.reindex(df.index)
+        got = lag_values(ray.data.from_pandas(df),
+                         offset=off).to_pandas()
+        got = got.set_index("event_id").reindex(df["event_id"])
+        ref_v = df.assign(prev=ref).set_index("event_id")["prev"]
+        a, b = got["prev"].to_numpy(), ref_v.to_numpy()
+        assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all()

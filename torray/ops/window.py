@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "interval_join", "running_total", "lag_delta", "moving_agg",
            "lead_delta", "resample", "transition_counts",
-           "session_bounds", "trailing_window_distinct", "ewma"]
+           "session_bounds", "trailing_window_distinct", "ewma",
+           "lag_values"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -2650,6 +2651,69 @@ def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                          out_col: pa.array(B, pa.float64())})
 
     return (ds.select_columns(cols)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def lag_values(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", value_col: str = "value",
+               out_col: str = "prev", offset: int = 1,
+               num_partitions: int = 64):
+    """Per-key LAG(value, offset) by ``(ts, id)`` order — the previous
+    VALUE (any numeric column), where :func:`lag_delta` /
+    :func:`lead_delta` carry timestamps.  Returns ``(id, value,
+    out_col)`` — value a pure passthrough — with NULL for the first
+    ``offset`` rows of each key, exactly SQL
+    ``LAG(value, offset) OVER (PARTITION BY key ORDER BY ts, id)``.
+
+    The value column is a pure PASSTHROUGH (no arithmetic), so
+    downstream mirrored expressions — pct-change, diffs — stay
+    bit-identical to a SQL engine reading the same parquet.  Same
+    partition run-scan shape as :func:`running_total`: hash(key)
+    coarse partitions, one lexsort + one vectorized shift per
+    partition, Python once per PARTITION."""
+    from torray.ops.dedup import _mix64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            "k": pa.array(k.astype(np.int64), pa.int64()),
+            "t": batch.column(ts_col).combine_chunks().cast(pa.int64()),
+            "i": batch.column(id_col).combine_chunks().cast(pa.int64()),
+            "v": pc.cast(batch.column(value_col), pa.float64()),
+            "__part": pa.array(part, pa.int64())})
+
+    def scan_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             value_col: pa.array([], pa.float64()),
+                             out_col: pa.array([], pa.float64())})
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        i = g.column("i").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, i, v = k[order], i[order], v[order]
+        prev = np.empty_like(v)
+        prev[offset:] = v[:-offset] if offset else v
+        prev[:offset] = np.nan
+        # a row whose key differs from the row `offset` back starts a
+        # new key segment -> NULL
+        valid = np.ones(len(k), bool)
+        valid[:offset] = False
+        if offset:
+            valid[offset:] = k[offset:] == k[:-offset]
+        return pa.table({
+            id_col: pa.array(i, pa.int64()),
+            value_col: pa.array(v, pa.float64()),
+            out_col: pa.array(
+                np.where(valid, prev, np.nan), pa.float64(),
+                mask=~valid)})
+
+    return (ds.select_columns([key_col, ts_col, id_col, value_col])
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
