@@ -745,6 +745,102 @@ def bench_graph_xl(sf_dir: str) -> dict:
             "n_triangles": int(tri.column("n_triangles")[0].as_py())}
 
 
+def _ensure_vecs_xl(n: int = 1_000_000, d: int = 64) -> str:
+    """1M x 64d float32 synthetic clustered embeddings, cached."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/torray-bench/vecs-{n}-{d}.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.RandomState(29)
+    centers = rng.normal(size=(256, d)).astype(np.float32)
+    out = []
+    chunk = 100_000
+    for i in range(0, n, chunk):
+        m = min(chunk, n - i)
+        mat = (centers[rng.randint(0, 256, m)]
+               + 0.25 * rng.normal(size=(m, d)).astype(np.float32))
+        out.append(pa.table({
+            "vec_id": pa.array(np.arange(i, i + m), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), d).cast(
+                pa.list_(pa.float32()))}))
+    pq.write_table(pa.concat_tables(out), path)
+    return path
+
+
+def bench_pq_xl(sf_dir: str) -> dict:
+    """Product quantization at 1M x 64d: train+encode throughput (the
+    one-time compression pass over the corpus) and ADC shortlist
+    search over the codes vs exact brute force on the floats — the
+    16x-compression scale path's actual economics.  Not in the
+    default suite (TORRAY_BENCH_ONLY=pq_xl)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from torray.ops.similarity import (knn_bruteforce, pq_encode,
+                                       pq_knn, pq_train)
+
+    path = _ensure_vecs_xl()
+    _warm_pool()
+    emb = ray.data.read_parquet(path)
+    queries = np.asarray(
+        pq.read_table(path, columns=["embedding"])
+        .column("embedding")[:8].to_pylist(), dtype=np.float64)
+    t0 = time.monotonic()
+    books = pq_train(emb, m=8, train_sample=4096, seed=29)
+    codes = pq_encode(emb, books).materialize()
+    t1 = time.monotonic()
+    n_short = pq_knn(codes, books, queries, k=100).count()
+    t2 = time.monotonic()
+    n_exact = knn_bruteforce(emb, queries, k=100).count()
+    t3 = time.monotonic()
+    return {"sec": t3 - t0,
+            "encode_sec": round(t1 - t0, 2),
+            "adc_search_sec": round(t2 - t1, 2),
+            "bruteforce_sec": round(t3 - t2, 2),
+            "rows": 1_000_000,
+            "shortlist_rows": n_short,
+            "exact_rows": n_exact}
+
+
+def bench_bfs_xl(sf_dir: str) -> dict:
+    """Frontier BFS + k-core peeling on a 1M-edge / 100k-node random
+    graph — the iterative-graph family beyond CC/PageRank/triangles.
+    Not in the default suite (TORRAY_BENCH_ONLY=bfs_xl)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from torray.ops.graph import bfs_hops, kcore
+
+    rng = np.random.RandomState(17)
+    m = 1_000_000
+    a = rng.randint(0, 100_000, m).astype(np.int64)
+    b = rng.randint(0, 100_000, m).astype(np.int64)
+    keep = a != b
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a[keep], pa.int64()),
+        "dst": pa.array(b[keep], pa.int64())})).repartition(32)
+    _warm_pool()
+    t0 = time.monotonic()
+    n_reach = bfs_hops(edges, [0, 1, 2, 3], max_hops=4).count()
+    t1 = time.monotonic()
+    n_core = kcore(edges, k=10).count()
+    t2 = time.monotonic()
+    return {"sec": t2 - t0,
+            "bfs_sec": round(t1 - t0, 2),
+            "bfs_reached": n_reach,
+            "kcore_sec": round(t2 - t1, 2),
+            "kcore_nodes": n_core}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -860,6 +956,8 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "text_xl": lambda: bench_text_xl(sf_dir),
         "window_xl": lambda: bench_window_xl(sf_dir),
         "graph_xl": lambda: bench_graph_xl(sf_dir),
+        "pq_xl": lambda: bench_pq_xl(sf_dir),
+        "bfs_xl": lambda: bench_bfs_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()
