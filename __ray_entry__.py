@@ -3748,6 +3748,82 @@ def _q_users_conversion_lag(sf_dir: str):
             .map_groups(scan_partition, batch_format="pyarrow"))
 
 
+
+
+def _q_events_anomalies(sf_dir: str):
+    """Trailing-window anomaly gate: events whose value sits more than
+    3 frame-local standard deviations from the mean of their user's
+    last 20 events — ``ops.window.moving_zscore`` (exact int64 frame
+    sum/sumsq; z is ONE mirrored float expression over three exact
+    integers, so the |z|>3 cut is bit-identical on both engines)."""
+    from torray.ops.window import moving_zscore
+
+    z = moving_zscore(_read_f(sf_dir, "events",
+                              columns=["user_id", "ts", "event_id",
+                                       "value"]), frame=20)
+
+    def gate(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(pc.is_valid(t.column("z")),
+                             pc.greater(pc.abs(t.column("z")), 3.0)))
+        return f
+
+    return z.map_batches(gate, batch_format="pyarrow")
+
+
+def _q_events_version_diff(sf_dir: str):
+    """Versioned-table diff (pipeline regression-test primitive):
+    version B of the events table drops 'error' rows, doubles the
+    value of 'click' rows, and appends re-keyed copies of 'signup'
+    rows; ``ops.setops.table_diff`` classifies every event_id as
+    added / removed / changed with one hash(key) shuffle of narrow
+    rows and an adjacent-pair vectorized compare per partition."""
+    from torray.ops.setops import table_diff
+
+    a = _read_f(sf_dir, "events",
+                columns=["event_id", "event_type", "value"])
+
+    def derive_b(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column("event_type"), "error"))
+        is_click = pc.equal(f.column("event_type"), "click")
+        val = pc.if_else(is_click,
+                         pc.multiply(f.column("value"), 2.0),
+                         f.column("value"))
+        base = pa.table({"event_id": f.column("event_id"),
+                         "value": val})
+        s = t.filter(pc.equal(t.column("event_type"), "signup"))
+        extra = pa.table({
+            "event_id": pc.add(s.column("event_id"),
+                               pa.scalar(1_000_000_000, pa.int64())),
+            "value": s.column("value")})
+        return pa.concat_tables([base, extra])
+
+    b = _read_f(sf_dir, "events",
+                columns=["event_id", "event_type", "value"]
+                ).map_batches(derive_b, batch_format="pyarrow")
+    a_narrow = a.map_batches(
+        lambda t: t.select(["event_id", "value"]),
+        batch_format="pyarrow")
+    return table_diff(a_narrow, b, key_col="event_id",
+                      compare_cols=["value"])
+
+
+def _q_lineitem_corr_matrix(sf_dir: str):
+    """One-pass pairwise Pearson correlations over the four lineitem
+    numeric measures — ``ops.profile.profile_correlations``.
+    Per-column integer scales (corr is scale-invariant; rounding is
+    part of the metric, mirrored in the oracle): quantity/discount/
+    tax in centi-units, extendedprice in DOLLARS — price cents
+    squared would overflow int64 sums past sf~0.01."""
+    from torray.ops.profile import profile_correlations
+
+    return profile_correlations(
+        _read_f(sf_dir, "lineitem",
+                columns=["l_quantity", "l_extendedprice",
+                         "l_discount", "l_tax"]),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        scales=[100, 1, 100, 100])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3898,6 +3974,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_profit": _q_nation_profit,
         "events_pct_change": _q_events_pct_change,
         "users_conversion_lag": _q_users_conversion_lag,
+        "events_anomalies": _q_events_anomalies,
+        "events_version_diff": _q_events_version_diff,
+        "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -5548,6 +5627,75 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT user_id, MIN(ts) t1 FROM events "
             "WHERE event_type = 'purchase' GROUP BY 1) p "
             "ON p.user_id = s.user_id WHERE p.t1 >= s.t0"
+        ),
+        # trailing-window z-score anomaly gate (int frame sums; z is
+        # one mirrored float expression, so the |z|>3 cut is exact)
+        "events_anomalies": (
+            "WITH s AS (SELECT event_id, user_id, ts, "
+            "CAST(ROUND(value*100) AS BIGINT) vc FROM events), "
+            "w AS (SELECT event_id, vc, SUM(vc) OVER win fsum, "
+            "SUM(vc*vc) OVER win fsq, COUNT(*) OVER win cnt FROM s "
+            "WINDOW win AS (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) "
+            "SELECT event_id, z FROM ("
+            "SELECT event_id, CAST(vc*cnt - fsum AS DOUBLE)/"
+            "sqrt(CAST(cnt*fsq - fsum*fsum AS DOUBLE)) z FROM w "
+            "WHERE cnt >= 2 AND cnt*fsq - fsum*fsum > 0) "
+            "WHERE abs(z) > 3"
+        ),
+        # versioned-table diff: added / removed / changed by key
+        "events_version_diff": (
+            "WITH a AS (SELECT event_id, value FROM events), "
+            "b AS (SELECT event_id, CASE WHEN event_type = 'click' "
+            "THEN value*2.0 ELSE value END AS value FROM events "
+            "WHERE event_type <> 'error' "
+            "UNION ALL SELECT event_id + 1000000000, value "
+            "FROM events WHERE event_type = 'signup') "
+            "SELECT COALESCE(a.event_id, b.event_id) AS event_id, "
+            "CASE WHEN a.event_id IS NULL THEN 'added' "
+            "WHEN b.event_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS status "
+            "FROM a FULL OUTER JOIN b ON b.event_id = a.event_id "
+            "WHERE a.event_id IS NULL OR b.event_id IS NULL "
+            "OR a.value IS DISTINCT FROM b.value"
+        ),
+        # one-pass pairwise Pearson matrix from exact integer sums
+        # (per-column scales mirrored; corr is scale-invariant)
+        "lineitem_corr_matrix": (
+            "WITH s AS (SELECT "
+            "CAST(ROUND(l_quantity*100) AS BIGINT) c0, "
+            "CAST(ROUND(l_extendedprice) AS BIGINT) c1, "
+            "CAST(ROUND(l_discount*100) AS BIGINT) c2, "
+            "CAST(ROUND(l_tax*100) AS BIGINT) c3 FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS "
+            "NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT "
+            "NULL), "
+            "sums AS (SELECT COUNT(*) n, "
+            "SUM(c0) s0, SUM(c1) s1, SUM(c2) s2, SUM(c3) s3, "
+            "SUM(c0*c0) q0, SUM(c1*c1) q1, SUM(c2*c2) q2, "
+            "SUM(c3*c3) q3, SUM(c0*c1) p01, SUM(c0*c2) p02, "
+            "SUM(c0*c3) p03, SUM(c1*c2) p12, SUM(c1*c3) p13, "
+            "SUM(c2*c3) p23 FROM s) "
+            "SELECT col_a, col_b, n, "
+            "(CAST(n AS DOUBLE)*CAST(pxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))/"
+            "sqrt((CAST(n AS DOUBLE)*CAST(qx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * "
+            "(CAST(n AS DOUBLE)*CAST(qy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS "
+            "corr FROM ("
+            "SELECT 'l_quantity' col_a, 'l_extendedprice' col_b, n, "
+            "p01 pxy, s0 sx, s1 sy, q0 qx, q1 qy FROM sums "
+            "UNION ALL SELECT 'l_quantity', 'l_discount', n, p02, "
+            "s0, s2, q0, q2 FROM sums "
+            "UNION ALL SELECT 'l_quantity', 'l_tax', n, p03, s0, "
+            "s3, q0, q3 FROM sums "
+            "UNION ALL SELECT 'l_extendedprice', 'l_discount', n, "
+            "p12, s1, s2, q1, q2 FROM sums "
+            "UNION ALL SELECT 'l_extendedprice', 'l_tax', n, p13, "
+            "s1, s3, q1, q3 FROM sums "
+            "UNION ALL SELECT 'l_discount', 'l_tax', n, p23, s2, "
+            "s3, q2, q3 FROM sums)"
         ),
         # CDC compaction: last event per user wins, trailing 'error'
         # is a tombstone

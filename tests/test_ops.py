@@ -4634,3 +4634,87 @@ def test_lag_values_vs_pandas_shift(ray_session):
         ref_v = df.assign(prev=ref).set_index("event_id")["prev"]
         a, b = got["prev"].to_numpy(), ref_v.to_numpy()
         assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all()
+
+
+def test_moving_zscore_vs_pandas_rolling(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from torray.ops.window import moving_zscore
+
+    rng = np.random.RandomState(21)
+    n, w = 1500, 10
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 5, n),
+        "ts": rng.randint(0, 40_000, n).astype("datetime64[us]"),
+        "event_id": np.arange(n),
+        "value": np.round(rng.normal(20, 6, n), 2)})
+    got = moving_zscore(ray.data.from_pandas(df),
+                        frame=w).to_pandas()
+    got = got.set_index("event_id")["z"]
+
+    sdf = df.sort_values(["user_id", "ts", "event_id"])
+    vc = np.round(sdf["value"] * 100).astype(np.int64)
+    ref = {}
+    for uid, grp in vc.groupby(sdf["user_id"]):
+        arr = grp.to_numpy()
+        ids = sdf.loc[grp.index, "event_id"].to_numpy()
+        for i in range(len(arr)):
+            lo = max(0, i - w + 1)
+            fr = arr[lo:i + 1].astype(np.int64)
+            cnt = len(fr)
+            fsum, fsq = fr.sum(), (fr * fr).sum()
+            den = cnt * fsq - fsum * fsum
+            if cnt >= 2 and den > 0:
+                ref[ids[i]] = (arr[i] * cnt - fsum) / np.sqrt(
+                    float(den))
+    for eid, z in ref.items():
+        assert got[eid] == z  # bit-identical: same expression tree
+    assert got.drop(index=list(ref)).isna().all()
+
+
+def test_table_diff_planted(ray_session):
+    import ray.data
+
+    from torray.ops.setops import table_diff
+
+    a = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "value": pa.array([1.0, 2.0, None, 4.0, float("nan")],
+                          pa.float64())})
+    b = pa.table({
+        "event_id": pa.array([2, 3, 4, 5, 6], pa.int64()),
+        # 2 changed, 3 NULL==NULL unchanged, 4 unchanged,
+        # 5 NaN==NaN unchanged, 6 added, 1 removed
+        "value": pa.array([20.0, None, 4.0, float("nan"), 6.0],
+                          pa.float64())})
+    got = table_diff(ray.data.from_arrow(a), ray.data.from_arrow(b),
+                     key_col="event_id",
+                     compare_cols=["value"]).to_pandas()
+    d = dict(zip(got["event_id"], got["status"]))
+    assert d == {1: "removed", 2: "changed", 6: "added"}
+
+
+def test_profile_correlations_vs_numpy(ray_session):
+    import ray.data
+
+    from torray.ops.profile import profile_correlations
+
+    rng = np.random.RandomState(8)
+    n = 5000
+    x = np.round(rng.normal(50, 10, n), 2)
+    y = np.round(x * 0.5 + rng.normal(0, 5, n), 2)
+    z = np.round(rng.uniform(0, 1, n), 2)
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(x), "y": pa.array(y), "z": pa.array(z)}))
+    got = profile_correlations(ds, ["x", "y", "z"],
+                               scales=[100, 100, 100]).to_pandas()
+    got = got.set_index(["col_a", "col_b"])["corr"]
+    xi = np.round(x * 100).astype(np.int64)
+    yi = np.round(y * 100).astype(np.int64)
+    zi = np.round(z * 100).astype(np.int64)
+    for (ca, cb), (u, v) in {("x", "y"): (xi, yi),
+                             ("x", "z"): (xi, zi),
+                             ("y", "z"): (yi, zi)}.items():
+        ref = np.corrcoef(u, v)[0, 1]
+        assert abs(got[(ca, cb)] - ref) < 1e-9

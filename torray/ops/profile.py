@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "profile_correlations"]
 
 
 _OUT_SCHEMA = pa.schema([
@@ -169,3 +169,115 @@ def profile_table(ds, columns: list[str] | None = None) -> pa.Table:
             v = None if r is None else r.get(key)
             rows[out].append(v)
     return pa.table(rows).cast(_OUT_SCHEMA)
+
+
+def profile_correlations(ds, cols: list[str], *,
+                         scales: "list[int] | int" = 1,
+                         num_partitions: int = 4):
+    """One-pass pairwise Pearson correlation matrix over numeric
+    columns — the multi-column profiling companion to
+    :func:`profile_table`.  Returns one row per unordered pair
+    ``(col_a, col_b, n, corr)`` (a < b by column order).
+
+    Exactness contract (the :func:`torray.ops.moments.group_cov`
+    recipe, widened to all pairs in ONE streaming pass): column i
+    rounds to ``scales[i]``-scaled int64s per block (per-column scales
+    — corr is invariant to linear scaling, so each column picks the
+    finest scale its magnitude allows without overflowing), every per-pair partial
+    (n, sx, sy, sxy, sxx, syy) accumulates exactly in int64, the tiny
+    pairs x blocks partial table folds in one bounded aggregate, and
+
+        corr = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))
+
+    runs in float64 with ONE cast per exact integer sum (the cross
+    products overflow int64 at ~1e7 rows), term-for-term mirrored in
+    SQL — identical in any engine computing the same integer sums
+    (and equal to both population and sample r; the n / n-1 factors
+    cancel).
+    Overflow bound per pair: ``n * max(|x|*sx) * max(|y|*sy) < 2^63``
+    — pick each scale accordingly (dollars, not cents, for 10^5-dollar
+    prices at 10^9 rows); the calling query records the choices.
+    Rows with a NULL/NaN in ANY profiled column are dropped (SQL
+    corr() pairwise-complete differs — this op is listwise, mirrored
+    by a WHERE clause in the oracle)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    from torray.ops.moments import _cents
+
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    col_scales = ([int(scales)] * len(cols)
+                  if isinstance(scales, (int, float)) else
+                  [int(x) for x in scales])
+    if len(col_scales) != len(cols):
+        raise ValueError("scales must match cols")
+
+    def partial(t: pa.Table) -> pa.Table:
+        mats = []
+        ok = np.ones(t.num_rows, bool)
+        for c in cols:
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            ok &= ~np.isnan(v)
+            mats.append(v)
+        scaled = []
+        for v, sc in zip(mats, col_scales):
+            prod = v[ok] * sc
+            scaled.append(np.copysign(np.floor(np.abs(prod) + 0.5),
+                                      prod).astype(np.int64))
+        rows = {"pair": [], "n": [], "sx": [], "sy": [], "sxy": [],
+                "sxx": [], "syy": []}
+        n = int(ok.sum())
+        for pidx, (i, j) in enumerate(pairs):
+            x, y = scaled[i], scaled[j]
+            rows["pair"].append(pidx)
+            rows["n"].append(n)
+            rows["sx"].append(int(x.sum()))
+            rows["sy"].append(int(y.sum()))
+            rows["sxy"].append(int((x * y).sum()))
+            rows["sxx"].append(int((x * x).sum()))
+            rows["syy"].append(int((y * y).sum()))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    agg = (ds.select_columns(cols)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("pair").aggregate(
+               Sum("n"), Sum("sx"), Sum("sy"), Sum("sxy"),
+               Sum("sxx"), Sum("syy")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t.column("pair").to_numpy(zero_copy_only=False)
+        n = t.column("sum(n)").to_numpy(zero_copy_only=False)
+        sx = t.column("sum(sx)").to_numpy(zero_copy_only=False)
+        sy = t.column("sum(sy)").to_numpy(zero_copy_only=False)
+        sxy = t.column("sum(sxy)").to_numpy(zero_copy_only=False)
+        sxx = t.column("sum(sxx)").to_numpy(zero_copy_only=False)
+        syy = t.column("sum(syy)").to_numpy(zero_copy_only=False)
+        # products of the exact sums overflow int64 (n*sumsq ~ 1e20 at
+        # 1e7 rows) — the FINAL expression runs in float64 with one
+        # cast per exact integer sum, term-for-term mirrored in SQL
+        fn, fsx, fsy = (n.astype(np.float64), sx.astype(np.float64),
+                        sy.astype(np.float64))
+        fsxy, fsxx, fsyy = (sxy.astype(np.float64),
+                            sxx.astype(np.float64),
+                            syy.astype(np.float64))
+        num = fn * fsxy - fsx * fsy
+        den = np.sqrt((fn * fsxx - fsx * fsx)
+                      * (fn * fsyy - fsy * fsy))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = num / den
+        valid = den > 0
+        return pa.table({
+            "col_a": pa.array([cols[pairs[int(x)][0]] for x in p],
+                              pa.string()),
+            "col_b": pa.array([cols[pairs[int(x)][1]] for x in p],
+                              pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "corr": pa.array(np.where(valid, corr, np.nan),
+                             pa.float64(), mask=~valid)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

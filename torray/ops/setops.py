@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["intersect_distinct", "except_distinct", "union_distinct",
-           "except_all", "intersect_all"]
+           "except_all", "intersect_all", "table_diff"]
 
 
 def _tagged_distinct(ds, col: str, out: str, side: int,
@@ -213,3 +213,91 @@ def intersect_all(left_ds, right_ds, *, left_col: str,
     return _bagop(left_ds, right_ds, left_col=left_col,
                   right_col=right_col, out_col=out_col,
                   mode="intersect_all", num_partitions=num_partitions)
+
+
+def table_diff(ds_a, ds_b, *, key_col: str,
+               compare_cols: list[str],
+               num_partitions: int = 64):
+    """Versioned-table diff: classify every key as ``'added'`` (in B
+    only), ``'removed'`` (in A only) or ``'changed'`` (in both, any
+    compared column differs — NULL-safe, SQL ``IS DISTINCT FROM``
+    semantics; float NaN == NaN) — the pipeline regression-test /
+    snapshot-drift primitive.  Unchanged keys emit nothing.  Returns
+    ``(key_col, status)`` rows.
+
+    Contract: ``key_col`` is unique within each side (a versioned
+    table).  Scale shape: both sides stream through a narrow
+    projection (key, side, compared cols), ONE hash(key) coarse
+    shuffle co-locates each key's <= 2 rows, and one lexsort +
+    adjacent-pair vectorized compare per PARTITION decides every key
+    at once.  Only keys and compared columns ever shuffle.
+    """
+    import pyarrow.compute as pc
+
+    from torray.ops.dedup import _mix64
+
+    def side(ds, tag_val: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(key_col).to_numpy(zero_copy_only=False)
+            part = (_mix64(k.astype(np.int64))
+                    % np.uint64(num_partitions)).astype(np.int64)
+            out = {key_col: t.column(key_col)}
+            for c in compare_cols:
+                out[c] = t.column(c)
+            out["__side"] = pa.array(
+                np.full(t.num_rows, tag_val, np.int64), pa.int64())
+            out["__part"] = pa.array(part, pa.int64())
+            return pa.table(out)
+
+        return ds.select_columns([key_col] + compare_cols).map_batches(
+            f, batch_format="pyarrow")
+
+    empty = pa.table({key_col: pa.array([], pa.int64()),
+                      "status": pa.array([], pa.string())})
+
+    def scan_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        s = g.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        k, s = k[order], s[order]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        last = np.concatenate((k[1:] != k[:-1], [True]))
+        single = first & last
+        out_k = [k[single & (s == 1)], k[single & (s == 0)]]
+        out_s = [np.full(int((single & (s == 1)).sum()), "added",
+                         object),
+                 np.full(int((single & (s == 0)).sum()), "removed",
+                         object)]
+        # paired keys: row i is the A row, i+1 the B row
+        pair_a = np.flatnonzero(first & ~last)
+        if len(pair_a):
+            changed = np.zeros(len(pair_a), bool)
+            gt = g.take(pa.array(order, pa.int64()))
+            for c in compare_cols:
+                col = gt.column(c)
+                a_vals = col.take(pa.array(pair_a, pa.int64()))
+                b_vals = col.take(pa.array(pair_a + 1, pa.int64()))
+                neq = pc.not_equal(a_vals, b_vals)
+                # IS DISTINCT FROM: NULL==NULL, NaN==NaN
+                a_null = pc.is_null(a_vals, nan_is_null=True)
+                b_null = pc.is_null(b_vals, nan_is_null=True)
+                neq = pc.or_kleene(
+                    pc.and_(pc.fill_null(neq, False),
+                            pc.and_(pc.invert(a_null),
+                                    pc.invert(b_null))),
+                    pc.xor(a_null, b_null))
+                changed |= neq.to_numpy(zero_copy_only=False)
+            out_k.append(k[pair_a][changed])
+            out_s.append(np.full(int(changed.sum()), "changed",
+                                 object))
+        kk = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
+        ss = (np.concatenate(out_s) if out_s
+              else np.empty(0, object))
+        return pa.table({key_col: pa.array(kk, pa.int64()),
+                         "status": pa.array(ss, pa.string())})
+
+    both = side(ds_a, 0).union(side(ds_b, 1))
+    return (both.groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))

@@ -26,7 +26,7 @@ __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "interval_join", "running_total", "lag_delta", "moving_agg",
            "lead_delta", "resample", "transition_counts",
            "session_bounds", "trailing_window_distinct", "ewma",
-           "lag_values"]
+           "lag_values", "moving_zscore"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -2714,6 +2714,85 @@ def lag_values(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                 mask=~valid)})
 
     return (ds.select_columns([key_col, ts_col, id_col, value_col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def moving_zscore(events_ds, *, key_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  value_col: str = "value", frame: int = 20,
+                  scale: int = 100, num_partitions: int = 64):
+    """Per-key trailing-window z-score — the streaming anomaly signal:
+    how many frame-local standard deviations the current value sits
+    from the frame mean (``ROWS BETWEEN frame-1 PRECEDING AND CURRENT
+    ROW``).  Returns ``(id, z)``; rows with fewer than 2 frame rows or
+    zero frame variance are NULL.
+
+    Exactness contract: frame sum and sum-of-squares are exact int64
+    in ``round(v*scale)`` units (two segmented cumsums, same run-scan
+    as :func:`moving_agg`), and
+
+        z = (v*cnt - sum) / sqrt(cnt*sumsq - sum^2)
+
+    is ONE mirrored float expression over three exact integers — the
+    algebraic collapse of (v - mean)/std that never divides early, so
+    any SQL engine replays it bit-identically.  Overflow bound:
+    ``cnt*sumsq`` needs ``frame * (v*scale)^2 * frame < 2^63`` —
+    centi-scaled values to ~3e7 at frame 20."""
+    from torray.ops.dedup import _mix64
+
+    cols = [key_col, ts_col, id_col, value_col]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_mix64(k.astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        out = {c: batch.column(c) for c in cols}
+        out["__part"] = pa.array(part, pa.int64())
+        return pa.table(out)
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "z": pa.array([], pa.float64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        prod = np.asarray(v, np.float64) * scale
+        scaled = np.copysign(np.floor(np.abs(prod) + 0.5),
+                             prod).astype(np.int64)
+        order = np.lexsort((ids, ts, k))
+        k, ids, scaled = k[order], ids[order], scaled[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], k[1:] != k[:-1])))
+        cum = _segmented_cumsum(scaled, starts)
+        cumsq = _segmented_cumsum(scaled * scaled, starts)
+        seg_lens = np.diff(np.append(starts, len(k)))
+        pos = np.arange(len(k), dtype=np.int64) - np.repeat(starts,
+                                                            seg_lens)
+        sub_idx = np.maximum(np.arange(len(k), dtype=np.int64) - frame,
+                             0)
+        in_frame = pos >= frame
+        fsum = cum - np.where(in_frame, cum[sub_idx], 0)
+        fsq = cumsq - np.where(in_frame, cumsq[sub_idx], 0)
+        cnt = np.minimum(pos + 1, frame)
+        num = scaled * cnt - fsum
+        den = cnt * fsq - fsum * fsum
+        valid = (cnt >= 2) & (den > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = num.astype(np.float64) / np.sqrt(
+                den.astype(np.float64))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "z": pa.array(np.where(valid, z, np.nan), pa.float64(),
+                          mask=~valid)})
+
+    return (events_ds.select_columns(cols)
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
