@@ -3824,6 +3824,34 @@ def _q_lineitem_corr_matrix(sf_dir: str):
         scales=[100, 1, 100, 100])
 
 
+
+
+def _q_docs_mix(sf_dir: str):
+    """Training-corpus mixing: per-source deterministic sampling rates
+    (src0 90%, src1 50%, src2 25%, everything else 10%) —
+    ``ops.sampling.mix_sources`` md5-threshold filter, zero shuffle,
+    reproducible row-for-row in SQL."""
+    from torray.ops.sampling import mix_sources
+
+    mixed = mix_sources(
+        _read_f(sf_dir, "documents", columns=["doc_id", "source"]),
+        source_col="source", id_col="doc_id",
+        fractions={"src0": 0.9, "src1": 0.5, "src2": 0.25},
+        default_frac=0.1, salt="mix1")
+    return mixed
+
+
+def _q_docs_model_scores(sf_dir: str):
+    """Batched model inference over the corpus: the
+    ``TextQualityModel`` ACTOR POOL (weights built once per actor in
+    __init__, one matvec+sigmoid per batch) — the stateful-stage shape
+    a real quality/toxicity classifier plugs into.  Rows-only
+    (model-scoring op); determinism + actor-reuse tested in pytest."""
+    from torray.ops.text import model_score_documents
+
+    return model_score_documents(_read(sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3977,6 +4005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomalies": _q_events_anomalies,
         "events_version_diff": _q_events_version_diff,
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
+        "docs_mix": _q_docs_mix,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -4009,6 +4038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_domains": _q_crawl_domains,
         "crawl_counts": _q_crawl_counts,
         "crawl_seen": _q_crawl_seen,
+        "docs_model_scores": _q_docs_model_scores,
         "events_ewma": _q_events_ewma,
         "knn_pq_top10": _q_knn_pq_top10,
         "crawl_page_kcore": _q_crawl_page_kcore,
@@ -5696,6 +5726,14 @@ def oracle_sql() -> dict[str, str]:
             "s1, s3, q1, q3 FROM sums "
             "UNION ALL SELECT 'l_discount', 'l_tax', n, p23, s2, "
             "s3, q2, q3 FROM sums)"
+        ),
+        # per-source md5-threshold corpus mixing
+        "docs_mix": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < "
+            "CASE source WHEN 'src0' THEN 'e6666666' "
+            "WHEN 'src1' THEN '80000000' WHEN 'src2' THEN '40000000' "
+            "ELSE '19999999' END"
         ),
         # CDC compaction: last event per user wins, trailing 'error'
         # is a tombstone

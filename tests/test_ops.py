@@ -4718,3 +4718,48 @@ def test_profile_correlations_vs_numpy(ray_session):
                              ("y", "z"): (yi, zi)}.items():
         ref = np.corrcoef(u, v)[0, 1]
         assert abs(got[(ca, cb)] - ref) < 1e-9
+
+
+def test_mix_sources_rates_and_determinism(ray_session):
+    import ray.data
+
+    from torray.ops.sampling import mix_sources
+
+    n = 4000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % 2}" for i in range(n)],
+                           pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    frac = {"s0": 0.8, "s1": 0.2}
+    a = mix_sources(ds, source_col="source", id_col="doc_id",
+                    fractions=frac, salt="t").to_pandas()
+    b = mix_sources(ds, source_col="source", id_col="doc_id",
+                    fractions=frac, salt="t").to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # deterministic
+    rates = a.groupby("source").size() / (n / 2)
+    assert abs(rates["s0"] - 0.8) < 0.05 and abs(rates["s1"] - 0.2) < 0.05
+    # frac >= 1.0 keeps everything (threshold guard)
+    full = mix_sources(ds, source_col="source", id_col="doc_id",
+                       fractions={"s0": 1.0, "s1": 1.0}).to_pandas()
+    assert len(full) == n
+
+
+def test_text_quality_model_actor_stage(ray_session):
+    import ray.data
+
+    from torray.ops.text import TextQualityModel, model_score_documents
+
+    texts = ["the quick brown fox jumps over the lazy dog" * 3,
+             "AAAA!!!! ???? ....", "plain words here", ""]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = model_score_documents(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # deterministic: direct single-process call matches the actor pool
+    direct = TextQualityModel()(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).to_pandas()
+    assert np.allclose(got["model_score"], direct["model_score"])
+    assert ((got["model_score"] > 0) & (got["model_score"] < 1)).all()

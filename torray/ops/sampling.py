@@ -19,7 +19,7 @@ import pyarrow as pa
 
 __all__ = ["hash_split", "sample_per_group", "filter_by_quantile",
            "sample_global_k", "stratified_split", "weighted_sample_k",
-           "winsorize"]
+           "winsorize", "mix_sources"]
 
 
 def _hash_prefix(value, salt: str) -> str:
@@ -330,3 +330,39 @@ def winsorize(ds, col: str, *, lo_q: float = 0.01, hi_q: float = 0.99,
         return t.append_column(target, v)
 
     return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def mix_sources(ds, *, source_col: str, id_col: str,
+                fractions: dict[str, float],
+                default_frac: float = 0.0, salt: str = ""):
+    """Training-data mixing: keep each row with its SOURCE's target
+    sampling rate — the corpus-mixture step of LLM data curation
+    ("webtext at 30%, code at 100%, forums at 10%").  A row survives
+    iff the first 8 hex chars of ``md5(id || salt)`` fall below its
+    source's threshold — deterministic per id (re-runs and incremental
+    builds sample identically), independent across salts, and exactly
+    reproducible in SQL for the oracle.  Sources absent from
+    ``fractions`` get ``default_frac``.
+
+    Scale shape: stateless vectorized filter per batch, zero shuffle;
+    the per-source rates ride the task closure.  The md5 is the same
+    chunked digest loop as :func:`hash_split` — id counts per batch,
+    not corpus-bounded."""
+    def _thr(f: float) -> str:
+        # frac >= 1.0 would format to 9 hex chars and break the
+        # 8-char lexicographic compare; 'zzzzzzzz' > any hex string
+        return ("zzzzzzzz" if f >= 1.0
+                else format(int(f * 0x100000000), "08x"))
+
+    thresholds = {s: _thr(f) for s, f in fractions.items()}
+    default_thr = _thr(default_frac)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        mask = [(_hash_prefix(v, salt)
+                 < thresholds.get(s, default_thr))
+                for v, s in zip(ids, srcs)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

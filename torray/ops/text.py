@@ -42,6 +42,8 @@ __all__ = [
     "inverted_index",
     "bm25_topk",
     "pattern_hits",
+    "TextQualityModel",
+    "model_score_documents",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1804,3 +1806,57 @@ def pattern_hits(ds, patterns, *, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         hits, batch_format="pyarrow")
+
+
+class TextQualityModel:
+    """Actor-pool MODEL-INFERENCE stage for text: score every document
+    with a (deterministic, numpy-only) logistic quality model over the
+    :func:`quality_batch` feature vector — the shape a real classifier
+    (fastText quality filter, learned toxicity head) plugs into.
+
+    Stateful-stage contract: the "model" (weight vector) is built ONCE
+    per actor in ``__init__`` (where a real pipeline would load
+    weights from disk); ``__call__`` is fully batched — one feature
+    pass + one matvec + one sigmoid per block, no Python rows.  Use as
+    ``ds.map_batches(TextQualityModel, concurrency=N, batch_size=B,
+    batch_format="pyarrow")``.  Swap ``_load_weights`` for a real
+    model load; the Ray-side plumbing (actor pool, batch size, output
+    schema) is what this class pins down and tests."""
+
+    FEATURES = ("n_chars", "mean_word_len", "punct_ratio",
+                "stopword_ratio", "upper_ratio", "quality")
+
+    def __init__(self, seed: int = 41, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.w, self.b = self._load_weights(seed)
+
+    @staticmethod
+    def _load_weights(seed: int):
+        rng = np.random.RandomState(seed)
+        return rng.normal(scale=0.5, size=6), -0.1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = quality_batch(batch, self.text_col)
+        mat = np.stack([feats.column(c).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+            for c in self.FEATURES], axis=1)
+        # normalize the unbounded columns so the logistic is not
+        # saturated by raw char counts
+        mat[:, 0] = np.log1p(mat[:, 0])
+        mat[:, 1] = np.log1p(mat[:, 1])
+        logits = mat @ self.w + self.b
+        score = 1.0 / (1.0 + np.exp(-logits))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "model_score": pa.array(score, pa.float64())})
+
+
+def model_score_documents(docs_ds, *, concurrency: int = 2,
+                          batch_size: int = 256):
+    """Run :class:`TextQualityModel` as an actor pool over the corpus
+    (weights load once per actor; scoring is one matvec per batch)."""
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        TextQualityModel, concurrency=concurrency,
+        batch_size=batch_size, batch_format="pyarrow")
