@@ -435,3 +435,30 @@ def test_corpus_from_crawl_end_to_end(ray_session, web, tmp_path):
     texts = [table[u] for u in out["url"]]
     assert len(texts) == len(set(texts))
     assert set(out["split"]) <= {"train", "test"}
+
+
+def test_query_cli(ray_session, tmp_path, capsys):
+    """`python -m torray query` lists the driver-contract pipelines
+    and runs one to parquet — the user-facing entry to every
+    SURVEY-§2 operator without writing code."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from torray.__main__ import main
+
+    rc = main(["query", "--list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "docs_by_lang\tsql-checked" in out
+    assert "crawl_bfs\trows-only" in out
+
+    dest = str(tmp_path / "out.parquet")
+    rc = main(["query", "events_by_type",
+               "--sf-dir", "/root/testdata/sf0.001", "--out", dest])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 5
+    assert pq.read_table(dest).num_rows == 5
+
+    assert main(["query", "no_such_query"]) == 2

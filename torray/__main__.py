@@ -6,6 +6,8 @@
     python -m torray scan --pages PAGES.parquet --out DIR
     python -m torray synth --out DIR --pages 10000 --hosts 200 [--seed 42]
     python -m torray stats --workdir DIR
+    python -m torray query --list
+    python -m torray query NAME --sf-dir DIR [--out OUT.parquet] [--limit N]
 
 Environment overrides (TORRAY_BUDGET, TORRAY_MAX_ROUNDS, TORRAY_NODE,
 TORRAY_NUM_SHARDS, TORRAY_NUM_BUCKETS, TORRAY_RESPECT_ROBOTS) apply on
@@ -73,6 +75,18 @@ def main(argv: list[str] | None = None) -> int:
     p_synth.add_argument("--hosts", type=int, required=True)
     p_synth.add_argument("--seed", type=int, default=42)
 
+    p_query = sub.add_parser(
+        "query", parents=[common],
+        help="run any driver-contract pipeline over a tables dir")
+    p_query.add_argument("name", nargs="?", default=None)
+    p_query.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_query.add_argument("--out", default=None,
+                         help="write the result as parquet here "
+                              "instead of printing a preview")
+    p_query.add_argument("--limit", type=int, default=20)
+    p_query.add_argument("--list", action="store_true",
+                         help="list available pipelines")
+
     p_stats = sub.add_parser("stats", parents=[common])
     p_stats.add_argument("--workdir", required=True)
     p_stats.add_argument("--pages", required=True)
@@ -131,6 +145,57 @@ def main(argv: list[str] | None = None) -> int:
         write_synth_web(args.out, args.pages, args.hosts, seed=args.seed)
         print(json.dumps({"out": args.out, "pages": args.pages,
                           "hosts": args.hosts}))
+    elif args.cmd == "query":
+        import importlib.util
+
+        import torray as _torray
+
+        root = os.path.dirname(os.path.dirname(
+            os.path.abspath(_torray.__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", os.path.join(root, "__ray_entry__.py"))
+        entry_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry_mod)
+        qs = entry_mod.queries()
+        sql = entry_mod.oracle_sql()
+        if args.list or not args.name:
+            for name in sorted(qs):
+                tag = "sql-checked" if name in sql else "rows-only"
+                print(f"{name}\t{tag}")
+            import ray
+
+            ray.shutdown()
+            return 0
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; "
+                  f"use --list", file=sys.stderr)
+            return 2
+        res = qs[args.name](args.sf_dir)
+        import pandas as pd
+        import pyarrow as pa_
+
+        import ray
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            if args.out:
+                res.write_parquet(args.out)
+                print(json.dumps({"rows": res.count(),
+                                  "out": args.out}))
+            else:
+                df = res.limit(args.limit).to_pandas()
+                print(df.to_string())
+        else:
+            tbl = (res if isinstance(res, pa_.Table)
+                   else pa_.Table.from_pandas(res))
+            if args.out:
+                import pyarrow.parquet as pq_
+
+                pq_.write_table(tbl, args.out)
+                print(json.dumps({"rows": tbl.num_rows,
+                                  "out": args.out}))
+            else:
+                print(tbl.to_pandas().head(args.limit).to_string())
     elif args.cmd == "stats":
         from torray.crawl import CrawlConfig, Crawler
         from torray.stats import stats_report

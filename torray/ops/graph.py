@@ -621,6 +621,16 @@ def bfs_hops(edges_ds, seeds, *, src: str = "src", dst: str = "dst",
     return _rename(dist, {"d": "hops"})
 
 
+def _in_sorted(vals: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Vectorized membership test against a SORTED int64 array —
+    searchsorted + equality check, O(n log m), no Python rows."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), bool)
+    idx = np.searchsorted(sorted_arr, vals)
+    idx = np.minimum(idx, len(sorted_arr) - 1)
+    return sorted_arr[idx] == vals
+
+
 def kcore(edges_ds, *, k: int, src: str = "src", dst: str = "dst",
           max_iters: int = 64, num_partitions: int = 4):
     """Nodes of the k-core of an undirected graph: the maximal
@@ -630,8 +640,11 @@ def kcore(edges_ds, *, k: int, src: str = "src", dst: str = "dst",
 
     Iterative peeling: compute degrees (per-block sorted-run count
     combiner -> one grouped sum), drop nodes under ``k``, drop their
-    incident edges (two int64 semi-joins, src then dst), repeat until
-    no node falls.  Convergence is monotone (node set only shrinks)
+    incident edges, repeat until no node falls.  The falling set is
+    broadcast-peeled (ray.put once + a sorted-searchsorted isin per
+    batch — map-only, no shuffle) while it fits the broadcast cap;
+    an adversarially-huge first-round fall set falls back to two
+    distributed semi-joins against the survivors.  Convergence is monotone (node set only shrinks)
     and each round's shuffle carries (int64, int64) edge rows of the
     SURVIVING subgraph only.  Returns ``(node,)`` int64 rows.
 
@@ -679,15 +692,16 @@ def kcore(edges_ds, *, k: int, src: str = "src", dst: str = "dst",
             "deg": pa.array(np.diff(np.append(starts, len(s))),
                             pa.int64())})
 
+    broadcast_limit = 5_000_000
     for _ in range(max_iters):
         deg = (edges.map_batches(count_per_src, batch_format="pyarrow")
                .groupby("node").aggregate(Sum("deg")))
         deg = _rename(deg, {"sum(deg)": "deg"}).materialize()
-        n_bad = deg.map_batches(
-            lambda t: t.filter(pa.compute.less(t.column("deg"), k)),
-            batch_format="pyarrow").count()
-        # repartition: fold away schemaless 0-row filter blocks before
-        # the hash joins below (they reject missing-schema blocks)
+        bad_ds = deg.map_batches(
+            lambda t: t.filter(pa.compute.less(t.column("deg"), k))
+            .select(["node"]),
+            batch_format="pyarrow").materialize()
+        n_bad = bad_ds.count()
         good = (deg.map_batches(
             lambda t: t.filter(
                 pa.compute.greater_equal(t.column("deg"), k))
@@ -698,11 +712,35 @@ def kcore(edges_ds, *, k: int, src: str = "src", dst: str = "dst",
             return good
         if good.count() == 0:
             return ray.data.from_arrow(_empty_int64_table(("node",)))
-        for key in ("src", "dst"):
-            edges = edges.join(good, "inner",
-                               num_partitions=num_partitions,
-                               on=(key,), right_on=("node",))
-        edges = edges.map_batches(
-            lambda t: t.select(["src", "dst"]),
-            batch_format="pyarrow").materialize()
+        if n_bad <= broadcast_limit:
+            # The falling set is usually tiny after round 1: broadcast
+            # it once and peel with a vectorized isin per batch — two
+            # map-only passes instead of two all-to-all hash joins.
+            bad_tbl = pa.concat_tables(
+                [t for t in ray.get(bad_ds.to_arrow_refs())
+                 if t.num_rows])
+            bad_ref = ray.put(np.sort(
+                bad_tbl.column("node").to_numpy(
+                    zero_copy_only=False)))
+
+            def drop_bad(t: pa.Table, _ref=bad_ref) -> pa.Table:
+                bad = ray.get(_ref)
+                s_ = t.column("src").to_numpy(zero_copy_only=False)
+                d_ = t.column("dst").to_numpy(zero_copy_only=False)
+                keep = (~_in_sorted(s_, bad)) & (~_in_sorted(d_, bad))
+                return t.filter(pa.array(keep))
+
+            edges = edges.map_batches(
+                drop_bad, batch_format="pyarrow").materialize()
+        else:
+            # adversarially-huge fall set (first round of a sparse
+            # graph): stay fully distributed with two semi-joins
+            # against the survivors
+            for key in ("src", "dst"):
+                edges = edges.join(good, "inner",
+                                   num_partitions=num_partitions,
+                                   on=(key,), right_on=("node",))
+            edges = edges.map_batches(
+                lambda t: t.select(["src", "dst"]),
+                batch_format="pyarrow").materialize()
     return good
