@@ -3852,6 +3852,40 @@ def _q_docs_model_scores(sf_dir: str):
     return model_score_documents(_read(sf_dir, "documents"))
 
 
+def _q_docs_dup_windows(sf_dir: str):
+    """Exact duplicate-substring DETECTION (Lee et al. 2021
+    ExactSubstr semantics): per document, how many of its 60-char
+    windows occur >= 2 times anywhere in the corpus
+    (``ops.spans.duplicate_window_counts``: one vectorized
+    rolling-hash pass per block, block-local combine, ONE
+    groupby(hash) over int64 triplets, broadcast membership probe).
+    The SQL oracle enumerates real ``substr()`` windows, so the
+    hash-green check also re-verifies rolling-hash fidelity
+    corpus-wide."""
+    from torray.ops.spans import duplicate_window_counts
+
+    return duplicate_window_counts(
+        _read_f(sf_dir, "documents", columns=["doc_id", "text"]),
+        width=60)
+
+
+def _q_docs_span_removal(sf_dir: str):
+    """Exact duplicate-span REMOVAL accounting: excise every
+    non-first occurrence of every duplicated 60-char window,
+    overlaps merged into maximal spans
+    (``ops.spans.remove_duplicate_spans``); emits
+    (doc_id, n_removed, n_spans) for EVERY document.  'First' is
+    the global (doc_id, pos) minimum — deterministic and
+    partition-invariant; the rewritten text itself is diff-tested
+    against a pure-substring reference in pytest."""
+    from torray.ops.spans import remove_duplicate_spans
+
+    out = remove_duplicate_spans(
+        _read_f(sf_dir, "documents", columns=["doc_id", "text"]),
+        width=60)
+    return out.select_columns(["doc_id", "n_removed", "n_spans"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4042,6 +4076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": _q_events_ewma,
         "knn_pq_top10": _q_knn_pq_top10,
         "crawl_page_kcore": _q_crawl_page_kcore,
+        "docs_dup_windows": _q_docs_dup_windows,
+        "docs_span_removal": _q_docs_span_removal,
     }
 
 
@@ -5742,5 +5778,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
             "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        # exact duplicate-substring detection: real substr() windows,
+        # so the hash-green also certifies rolling-hash fidelity
+        "docs_dup_windows": (
+            "WITH nums AS (SELECT CAST(i AS INT) AS i "
+            "FROM generate_series(1, 1000) t(i)), "
+            "w AS (SELECT doc_id, substr(text, i, 60) AS win "
+            "FROM documents JOIN nums ON i <= length(text) - 59), "
+            "dup AS (SELECT win FROM w GROUP BY win "
+            "HAVING count(*) >= 2) "
+            "SELECT w.doc_id, count(*) AS n_dup "
+            "FROM w JOIN dup USING (win) GROUP BY w.doc_id"
+        ),
+        # duplicate-span removal accounting: winner = global min
+        # (doc_id << 32 | pos0); covered positions deduped, spans =
+        # maximal runs (LAG adjacency)
+        "docs_span_removal": (
+            "WITH nums AS (SELECT CAST(i AS INT) AS i "
+            "FROM generate_series(1, 1000) t(i)), "
+            "w AS (SELECT doc_id, i, substr(text, i, 60) AS win "
+            "FROM documents JOIN nums ON i <= length(text) - 59), "
+            "agg AS (SELECT win, min(doc_id * 4294967296 + (i - 1)) "
+            "AS wmin FROM w GROUP BY win HAVING count(*) >= 2), "
+            "exc AS (SELECT w.doc_id, w.i FROM w JOIN agg USING (win) "
+            "WHERE w.doc_id * 4294967296 + (w.i - 1) <> agg.wmin), "
+            "cov AS (SELECT DISTINCT doc_id, i + j AS p FROM exc "
+            "JOIN (SELECT CAST(j AS INT) AS j "
+            "FROM generate_series(0, 59) s(j)) ON TRUE), "
+            "marks AS (SELECT doc_id, p, CASE WHEN lag(p) OVER "
+            "(PARTITION BY doc_id ORDER BY p) = p - 1 THEN 0 ELSE 1 "
+            "END AS is_start FROM cov) "
+            "SELECT d.doc_id, COALESCE(m.n_removed, 0) AS n_removed, "
+            "COALESCE(m.n_spans, 0) AS n_spans FROM documents d "
+            "LEFT JOIN (SELECT doc_id, count(*) AS n_removed, "
+            "CAST(sum(is_start) AS BIGINT) AS n_spans FROM marks "
+            "GROUP BY doc_id) m USING (doc_id)"
         ),
     }
