@@ -3886,6 +3886,21 @@ def _q_docs_span_removal(sf_dir: str):
     return out.select_columns(["doc_id", "n_removed", "n_spans"])
 
 
+def _q_docs_gopher(sf_dir: str):
+    """Gopher-rules quality filter (Rae et al. 2021 public recipe):
+    per-document integer signals (word count, non-whitespace chars,
+    stop-list hits) and a keep verdict from INTEGER-EXACT rule
+    compares — mean-word-length bounds are cross-multiplied
+    (``word_chars*10 >= 38*n_words``) so no float boundary exists
+    between the Ray kernel and the SQL oracle.  One zero-shuffle
+    vectorized ``map_batches`` stage (``ops.text.
+    gopher_rules_filter``)."""
+    from torray.ops.text import gopher_rules_filter
+
+    return gopher_rules_filter(
+        _read_f(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4078,6 +4093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_page_kcore": _q_crawl_page_kcore,
         "docs_dup_windows": _q_docs_dup_windows,
         "docs_span_removal": _q_docs_span_removal,
+        "docs_gopher": _q_docs_gopher,
     }
 
 
@@ -5814,5 +5830,28 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT doc_id, count(*) AS n_removed, "
             "CAST(sum(is_start) AS BIGINT) AS n_spans FROM marks "
             "GROUP BY doc_id) m USING (doc_id)"
+        ),
+        # Gopher quality rules, integer-exact keep verdict (mean word
+        # length bounds cross-multiplied; word_chars = non-whitespace
+        # chars = total length of \S+ tokens)
+        "docs_gopher": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_words, "
+            "CAST(length(text) - length(regexp_replace(text, '\\S', "
+            "'', 'g')) AS BIGINT) AS word_chars, "
+            "CAST(len(list_filter(regexp_extract_all(lower(text), "
+            "'[a-z'']+'), w -> w IN ('the','be','to','of','and',"
+            "'that','have','with'))) AS BIGINT) AS n_stop, "
+            "(len(regexp_extract_all(text, '\\S+')) BETWEEN 20 AND "
+            "100000 AND (length(text) - length(regexp_replace(text, "
+            "'\\S', '', 'g'))) * 10 >= 38 * len(regexp_extract_all("
+            "text, '\\S+')) AND (length(text) - length("
+            "regexp_replace(text, '\\S', '', 'g'))) * 10 <= 100 * "
+            "len(regexp_extract_all(text, '\\S+')) AND "
+            "len(list_filter(regexp_extract_all(lower(text), "
+            "'[a-z'']+'), w -> w IN ('the','be','to','of','and',"
+            "'that','have','with'))) >= 2) AS kept "
+            "FROM documents"
         ),
     }

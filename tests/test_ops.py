@@ -4763,3 +4763,44 @@ def test_text_quality_model_actor_stage(ray_session):
         "text": pa.array(texts, pa.string())})).to_pandas()
     assert np.allclose(got["model_score"], direct["model_score"])
     assert ((got["model_score"] > 0) & (got["model_score"] < 1)).all()
+
+
+def test_gopher_rules_filter_matches_reference(ray_session):
+    import ray.data
+    import re as _re
+
+    from torray.ops.text import gopher_rules_filter
+
+    texts = [
+        # long enough, sane word length, stopwords present -> kept
+        "the sturdy engine with reliable brakes and that spare wheel "
+        "turned smoothly over gravel roads " * 3,
+        # too short (< 20 words)
+        "the quick brown fox with that",
+        # no stopwords at all
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        # mean word length too long (>10)
+        "abcdefghijklmnop qrstuvwxyzabcdef " * 15 + "the of and that",
+        "",                                        # empty
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    got = gopher_rules_filter(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    for i, t in enumerate(texts):
+        words = _re.findall(r"\S+", t)
+        nw = len(words)
+        wc = sum(len(w) for w in words)
+        ns = sum(1 for w in _re.findall(r"[a-z']+", t.lower())
+                 if w in stop)
+        kept = (20 <= nw <= 100_000 and wc * 10 >= 38 * nw
+                and wc * 10 <= 100 * nw and ns >= 2)
+        row = got.iloc[i]
+        assert (row.n_words, row.word_chars, row.n_stop, row.kept) == \
+            (nw, wc, ns, kept), (i, t[:40])
+    assert bool(got.kept[0]) is True
+    assert not got.kept[1:].any()

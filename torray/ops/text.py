@@ -44,6 +44,8 @@ __all__ = [
     "pattern_hits",
     "TextQualityModel",
     "model_score_documents",
+    "gopher_rules_batch",
+    "gopher_rules_filter",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -169,6 +171,72 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def quality_scores(docs_ds):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         quality_batch, batch_format="pyarrow")
+
+
+# Gopher rules (Rae et al. 2021, "Scaling Language Models" — their
+# public quality-filter recipe) use this fixed 8-word English
+# stop-list for the "contains stop words" rule.
+_GOPHER_STOPWORDS = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with"))
+_LOWER_WORD_RE = re.compile(r"[a-z']+")
+
+
+def gopher_rules_batch(batch: pa.Table, text_col: str = "text", *,
+                       min_words: int = 20, max_words: int = 100_000,
+                       min_mwl_x10: int = 38, max_mwl_x10: int = 100,
+                       min_stopwords: int = 2) -> pa.Table:
+    """Gopher-style quality rules, INTEGER-EXACT so the keep decision
+    is bit-identical to the SQL oracle:
+
+    - word count (``\\S+`` tokens) in ``[min_words, max_words]``;
+    - mean word length in ``[min_mwl_x10/10, max_mwl_x10/10]``,
+      compared cross-multiplied (``word_chars*10 >= 38*n_words``) so
+      no float boundary exists;
+    - at least ``min_stopwords`` occurrences of the fixed Gopher
+      8-word stop-list (words = ``[a-z']+`` over the lowercased
+      text).
+
+    ``word_chars`` (total characters inside ``\\S+`` tokens) is
+    computed without materializing tokens: it equals non-whitespace
+    character count, one vectorized RE2 kernel over the column.
+    Emits every document with its integer signals and the ``kept``
+    verdict (filter downstream with ``kept`` to drop)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    n_words = pc.count_substring_regex(filled, r"\S+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    word_chars = (
+        pc.utf8_length(filled).to_numpy(zero_copy_only=False)
+        - pc.count_substring_regex(filled, r"\s").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+    texts = filled.to_pylist()
+    n_stop = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        if t:
+            n_stop[i] = sum(
+                1 for w in _LOWER_WORD_RE.findall(t.lower())
+                if w in _GOPHER_STOPWORDS)
+    kept = ((n_words >= min_words) & (n_words <= max_words)
+            & (word_chars * 10 >= min_mwl_x10 * n_words)
+            & (word_chars * 10 <= max_mwl_x10 * n_words)
+            & (n_stop >= min_stopwords))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(n_words),
+        "word_chars": pa.array(word_chars),
+        "n_stop": pa.array(n_stop),
+        "kept": pa.array(kept),
+    })
+
+
+def gopher_rules_filter(docs_ds, *, text_col: str = "text", **rules):
+    """Per-document Gopher quality-rule signals + keep verdict.
+    Zero shuffle: one vectorized/regex-scan ``map_batches`` stage."""
+    return docs_ds.select_columns(["doc_id", text_col]).map_batches(
+        lambda t: gopher_rules_batch(t, text_col, **rules),
+        batch_format="pyarrow")
 
 
 _FP_BASE = 1000003
