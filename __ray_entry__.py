@@ -3901,6 +3901,21 @@ def _q_docs_gopher(sf_dir: str):
         _read_f(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_customer_order_dist(sf_dir: str):
+    """TPC-H Q13 shape: how many customers placed exactly k orders,
+    INCLUDING the zero-order customers a plain inner join would lose
+    (``ops.rollup.count_histogram``: per-block unique-count partials,
+    one groupby(custkey) sum, co-partitioned run-scan attach with 0
+    for missing keys, counts-sized final histogram)."""
+    from torray.ops.rollup import count_histogram
+
+    return count_histogram(
+        _read_f(sf_dir, "customer", columns=["c_custkey"]),
+        _read_f(sf_dir, "orders", columns=["o_custkey"]),
+        dim_key="c_custkey", fact_key="o_custkey",
+        count_name="n_orders", hist_name="n_custs")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4094,6 +4109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_windows": _q_docs_dup_windows,
         "docs_span_removal": _q_docs_span_removal,
         "docs_gopher": _q_docs_gopher,
+        "customer_order_dist": _q_customer_order_dist,
     }
 
 
@@ -5853,5 +5869,13 @@ def oracle_sql() -> dict[str, str]:
             "'[a-z'']+'), w -> w IN ('the','be','to','of','and',"
             "'that','have','with'))) >= 2) AS kept "
             "FROM documents"
+        ),
+        # TPC-H Q13 shape: customer distribution by order count,
+        # zero-order customers included via the LEFT JOIN
+        "customer_order_dist": (
+            "SELECT n_orders, count(*) AS n_custs FROM ("
+            "SELECT c_custkey, count(o_custkey) AS n_orders "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) GROUP BY n_orders"
         ),
     }

@@ -4804,3 +4804,26 @@ def test_gopher_rules_filter_matches_reference(ray_session):
             (nw, wc, ns, kept), (i, t[:40])
     assert bool(got.kept[0]) is True
     assert not got.kept[1:].any()
+
+
+def test_count_histogram_includes_zero_count_keys(ray_session):
+    import ray.data
+
+    from torray.ops.rollup import count_histogram
+
+    rng = np.random.default_rng(3)
+    dim = pa.table({"k": pa.array(np.arange(50), pa.int64())})
+    # keys 0..39 get a skewed number of fact rows; 40..49 get none
+    fk = rng.integers(0, 40, size=500)
+    fact = pa.table({"fk": pa.array(fk, pa.int64())})
+    got = count_histogram(
+        ray.data.from_arrow(dim).repartition(4),
+        ray.data.from_arrow(fact).repartition(7),
+        dim_key="k", fact_key="fk",
+        count_name="n", hist_name="cnt").to_pandas()
+    import collections
+    per_key = collections.Counter(fk.tolist())
+    ref = collections.Counter(per_key.get(k, 0) for k in range(50))
+    assert dict(zip(got.n, got.cnt)) == dict(ref)
+    assert int(got.loc[got.n == 0, "cnt"].iloc[0]) == 10
+    assert int(got.cnt.sum()) == 50

@@ -21,7 +21,68 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts", "pivot_sum", "group_share", "unpivot", "explode_list"]
+__all__ = ["grouping_sets", "rollup", "cube", "pivot_counts", "pivot_sum", "group_share", "unpivot", "explode_list", "count_histogram"]
+
+
+def count_histogram(dim_ds, fact_ds, *, dim_key: str, fact_key: str,
+                    count_name: str = "n_rows",
+                    hist_name: str = "n_keys",
+                    num_partitions: int = 64):
+    """TPC-H Q13 shape: the distribution of dimension keys by their
+    fact-row count, INCLUDING keys with zero fact rows (the LEFT JOIN
+    that makes Q13 interesting) -> ``(count_name, hist_name)``.
+
+    Scale shape: per-block ``np.unique`` count partials over the fact
+    key (narrow int64 (key, n) rows enter the only raw-data shuffle),
+    ONE groupby(key) sum, then the co-partitioned run-scan attach from
+    ``ops.graph`` pairs every dimension key with its count (missing
+    keys attach 0 — counts are >= 1 so 0 is a free sentinel).  The
+    final histogram re-aggregates counts-sized data.  No broadcast of
+    either side; both shuffles carry int64 pairs only."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from torray.ops.graph import _attach_int_value, _empty_int64_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("node", "val"))
+        k = t.column(fact_key).to_numpy(zero_copy_only=False)
+        uk, c = np.unique(k, return_counts=True)
+        return pa.table({"node": pa.array(uk.astype(np.int64)),
+                         "val": pa.array(c.astype(np.int64))})
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("node", "val"))
+        return pa.table({"node": t.column("node"),
+                         "val": t.column("sum(val)")})
+
+    counts = (fact_ds.select_columns([fact_key])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("val"))
+              .map_batches(rename, batch_format="pyarrow"))
+    attached = _attach_int_value(
+        dim_ds.select_columns([dim_key]), counts, dim_key, count_name,
+        (dim_key,), num_partitions=num_partitions)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("node", "val"))
+        k = t.column(count_name).to_numpy(zero_copy_only=False)
+        uk, c = np.unique(k, return_counts=True)
+        return pa.table({"node": pa.array(uk.astype(np.int64)),
+                         "val": pa.array(c.astype(np.int64))})
+
+    def hist_rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table((count_name, hist_name))
+        return pa.table({count_name: t.column("node"),
+                         hist_name: t.column("sum(val)")})
+
+    return (attached.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("val"))
+            .map_batches(hist_rename, batch_format="pyarrow"))
 
 
 def grouping_sets(ds, keys: list[str], value_col: str,
