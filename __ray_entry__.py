@@ -3916,6 +3916,71 @@ def _q_customer_order_dist(sf_dir: str):
         count_name="n_orders", hist_name="n_custs")
 
 
+def _q_parts_value_concentration(sf_dir: str):
+    """TPC-H Q11 shape: per-part exact revenue, keeping parts whose
+    revenue exceeds 1.1x the average per-part revenue (the
+    HAVING-vs-global-scalar that defines Q11).  Per-block Arrow
+    group_by partials -> ONE groupby(l_partkey) sum (the only
+    raw-data shuffle); the global (total, n_parts) scalar folds from
+    the parts-sized result via a bounded one-row-per-block partial;
+    the HAVING compare is INT-EXACT cross-multiplied
+    (``rev * n_parts * 10 > 11 * total`` — no float-average
+    boundary); ``value = rev_e4 / 10000.0`` is the one mirrored
+    float op.  int64 headroom: rev_e4 * np * 10 stays < 2^63 through
+    ~1e5x this test scale; past that, pre-divide the scale."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.moments import _cents
+
+    li = _read_f(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_extendedprice",
+                          "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice"), 100),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _cents(t.column("l_discount"), 100)))
+        g = pa.table({"k": t.column("l_partkey").cast(pa.int64()),
+                      "r": rev}).group_by("k").aggregate(
+                          [("r", "sum")])
+        return pa.table({"l_partkey": g.column("k"),
+                         "rev": g.column("r_sum")})
+
+    per_part = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_partkey").aggregate(Sum("rev"))
+                ).materialize()          # parts-sized, read twice
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        s = pc.sum(t.column("sum(rev)")).as_py() or 0
+        return pa.table({"np": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([int(s)], pa.int64())})
+
+    rows = per_part.map_batches(
+        tot_partial, batch_format="pyarrow").take_all()
+    n_parts = sum(r["np"] for r in rows)
+    total = sum(r["s"] for r in rows)
+
+    def having(t: pa.Table) -> pa.Table:
+        rev = t.column("sum(rev)")
+        keep = pc.greater(
+            pc.multiply(pc.multiply(rev, pa.scalar(n_parts,
+                                                   pa.int64())),
+                        pa.scalar(10, pa.int64())),
+            pa.scalar(11 * total, pa.int64()))
+        kept = t.filter(keep)
+        return pa.table({
+            "l_partkey": kept.column("l_partkey"),
+            "value": pc.divide(
+                pc.cast(kept.column("sum(rev)"), pa.float64()),
+                pa.scalar(10000.0))})
+
+    return per_part.map_batches(having, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4110,6 +4175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_span_removal": _q_docs_span_removal,
         "docs_gopher": _q_docs_gopher,
         "customer_order_dist": _q_customer_order_dist,
+        "parts_value_concentration": _q_parts_value_concentration,
     }
 
 
@@ -5877,5 +5943,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, count(o_custkey) AS n_orders "
             "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
             "GROUP BY c_custkey) GROUP BY n_orders"
+        ),
+        # TPC-H Q11 shape: HAVING vs global scalar, int-exact
+        # cross-multiplied (rev * n_parts * 10 > 11 * total)
+        "parts_value_concentration": (
+            "WITH pr AS (SELECT l_partkey, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount*100) AS BIGINT))) "
+            "AS rev_e4 FROM lineitem GROUP BY l_partkey), "
+            "tot AS (SELECT sum(rev_e4) AS t, count(*) AS np FROM pr) "
+            "SELECT l_partkey, CAST(rev_e4 AS DOUBLE) / 10000.0 "
+            "AS value FROM pr, tot WHERE pr.rev_e4 * np * 10 > "
+            "11 * tot.t"
         ),
     }
