@@ -3981,6 +3981,19 @@ def _q_parts_value_concentration(sf_dir: str):
     return per_part.map_batches(having, batch_format="pyarrow")
 
 
+def _q_events_gini(sf_dir: str):
+    """EXACT per-group Gini concentration index of event values
+    (``ops.moments.group_gini``): the integer core (n, S=sum v,
+    W=sum i*v over the ascending sort) is tie-invariant and
+    deterministic; gini is ONE mirrored float expression.  One
+    hash(group) shuffle + per-partition lexsort/reduceat run-scan —
+    Python once per partition."""
+    from torray.ops.moments import group_gini
+
+    return group_gini(_read_f(sf_dir, "events",
+                              columns=["event_type", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4176,6 +4189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher": _q_docs_gopher,
         "customer_order_dist": _q_customer_order_dist,
         "parts_value_concentration": _q_parts_value_concentration,
+        "events_gini": _q_events_gini,
     }
 
 
@@ -5955,5 +5969,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_partkey, CAST(rev_e4 AS DOUBLE) / 10000.0 "
             "AS value FROM pr, tot WHERE pr.rev_e4 * np * 10 > "
             "11 * tot.t"
+        ),
+        # exact per-group Gini: tie-invariant integer core
+        # (n, sum v, sum i*v ascending), one mirrored float expr
+        "events_gini": (
+            "WITH r AS (SELECT event_type, "
+            "CAST(round(value*100) AS BIGINT) AS v FROM events), "
+            "s AS (SELECT event_type, v, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY v) AS i FROM r) "
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(v) AS BIGINT) AS sum_scaled, "
+            "CAST(sum(i*v) AS BIGINT) AS w_scaled, "
+            "(2.0 * CAST(sum(i*v) AS DOUBLE) - (count(*) + 1.0) * "
+            "CAST(sum(v) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) * "
+            "CAST(sum(v) AS DOUBLE)) AS gini "
+            "FROM s GROUP BY event_type"
         ),
     }

@@ -920,6 +920,42 @@ def bench_events(sf_dir: str) -> dict:
     return {"sec": wall, **res}
 
 
+def bench_spans_xl(sf_dir: str) -> dict:
+    """Exact duplicate-substring spans at 20x documents volume (100k
+    docs, ~3M chars at sf0.1): detection shuffles one int64 triplet
+    per character-window (the inherent cost of every-position
+    exactness), removal streams the corpus against the broadcast
+    duplicated-window table.  The XL corpus interleaves marker words
+    every 7 words, so 60-char duplicated windows are rare across
+    copies — the dup table stays bounded while the detection scan
+    still touches every window.  Not in the default suite
+    (TORRAY_BENCH_ONLY=spans_xl)."""
+    import ray
+
+    from torray.ops.spans import (duplicate_window_counts,
+                                  remove_duplicate_spans)
+
+    path = _ensure_docs_xl(sf_dir)
+    _warm_pool()
+    t0 = time.monotonic()
+    n_flagged = duplicate_window_counts(
+        ray.data.read_parquet(path), width=60, concurrency=8).count()
+    t1 = time.monotonic()
+    rem = remove_duplicate_spans(
+        ray.data.read_parquet(path), width=60, concurrency=8)
+    agg = rem.map_batches(
+        lambda t: t.select(["n_removed"]),
+        batch_format="pyarrow").sum("n_removed")
+    t2 = time.monotonic()
+    n_chars = 20 * 150_000      # corpus chars (sf0.1 docs x 20)
+    return {"sec": t2 - t0,
+            "detect_sec": round(t1 - t0, 2),
+            "docs_flagged": n_flagged,
+            "remove_sec": round(t2 - t1, 2),
+            "chars_removed": int(agg or 0),
+            "chars_per_s": round(2 * n_chars / (t2 - t0), 1)}
+
+
 _ALL_QUERIES = ("crawl_bfs", "crawl_fat", "scan_dedup", "docs_dedup",
                 "docs_curation", "docs_hygiene", "knn", "lineitem",
                 "events", "analytics")
@@ -958,6 +994,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "graph_xl": lambda: bench_graph_xl(sf_dir),
         "pq_xl": lambda: bench_pq_xl(sf_dir),
         "bfs_xl": lambda: bench_bfs_xl(sf_dir),
+        "spans_xl": lambda: bench_spans_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()

@@ -4827,3 +4827,42 @@ def test_count_histogram_includes_zero_count_keys(ray_session):
     assert dict(zip(got.n, got.cnt)) == dict(ref)
     assert int(got.loc[got.n == 0, "cnt"].iloc[0]) == 10
     assert int(got.cnt.sum()) == 50
+
+
+def test_group_gini_matches_reference(ray_session):
+    import ray.data
+
+    from torray.ops.moments import group_gini
+
+    rng = np.random.default_rng(11)
+    keys = ["a"] * 200 + ["b"] * 150 + ["z"] * 3 + ["e"] * 2
+    vals = np.concatenate([
+        rng.exponential(10.0, 200),          # skewed -> higher gini
+        np.full(150, 4.0),                   # all equal -> gini ~ 0
+        np.array([1.25, 1.25, 2.5]),         # ties
+        np.array([0.0, 0.0]),                # zero-sum -> NULL
+    ])
+    t = pa.table({"event_type": pa.array(keys),
+                  "value": pa.array(vals, pa.float64())})
+    got = group_gini(
+        ray.data.from_arrow(t).repartition(6),
+        group_col="event_type", value_col="value").to_pandas() \
+        .set_index("event_type").sort_index()
+
+    for k in ("a", "b", "z", "e"):
+        v = vals[np.array(keys) == k]
+        sv = np.copysign(np.floor(np.abs(v * 100) + 0.5), v).astype(
+            np.int64)
+        sv.sort()
+        n, S = len(sv), sv.sum()
+        W = (np.arange(1, n + 1) * sv).sum()
+        row = got.loc[k]
+        assert (row.n, row.sum_scaled, row.w_scaled) == (n, S, W), k
+        if n * S == 0:
+            assert np.isnan(row.gini) or row.gini is None
+        else:
+            exact = (2.0 * float(W) - (n + 1.0) * float(S)) \
+                / (float(n) * float(S))
+            assert row.gini == exact, k
+    assert got.loc["a", "gini"] > 0.3           # skewed
+    assert got.loc["b", "gini"] == 0.0          # equal values
