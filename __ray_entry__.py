@@ -3994,6 +3994,22 @@ def _q_events_gini(sf_dir: str):
                               columns=["event_type", "value"]))
 
 
+def _q_lineitem_weighted_median(sf_dir: str):
+    """EXACT quantity-weighted median price per return flag
+    (``ops.moments.group_weighted_median``): lower weighted median
+    over scaled integers — tie-order invariant, so the Ray run-scan
+    and the SQL running-sum formulation agree exactly; one
+    hash(group) shuffle, lexsort + segmented cumsum per partition."""
+    from torray.ops.moments import group_weighted_median
+
+    return group_weighted_median(
+        _read_f(sf_dir, "lineitem",
+                columns=["l_returnflag", "l_extendedprice",
+                         "l_quantity"]),
+        group_col="l_returnflag", value_col="l_extendedprice",
+        weight_col="l_quantity")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4190,6 +4206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_dist": _q_customer_order_dist,
         "parts_value_concentration": _q_parts_value_concentration,
         "events_gini": _q_events_gini,
+        "lineitem_weighted_median": _q_lineitem_weighted_median,
     }
 
 
@@ -5984,5 +6001,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(v) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) * "
             "CAST(sum(v) AS DOUBLE)) AS gini "
             "FROM s GROUP BY event_type"
+        ),
+        # exact lower weighted median: first value whose cumulative
+        # weight reaches half the total (tie-order invariant)
+        "lineitem_weighted_median": (
+            "WITH r AS (SELECT l_returnflag AS g, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) AS v, "
+            "CAST(round(l_quantity*100) AS BIGINT) AS w "
+            "FROM lineitem), "
+            "c AS (SELECT g, v, w, sum(w) OVER (PARTITION BY g "
+            "ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw, "
+            "sum(w) OVER (PARTITION BY g) AS tw FROM r) "
+            "SELECT g AS l_returnflag, count(*) AS n, "
+            "CAST(min(tw) AS BIGINT) AS total_w_scaled, "
+            "CAST(min(v) FILTER (2*cw >= tw) AS DOUBLE) / 100.0 "
+            "AS wmedian FROM c GROUP BY g"
         ),
     }

@@ -4866,3 +4866,39 @@ def test_group_gini_matches_reference(ray_session):
             assert row.gini == exact, k
     assert got.loc["a", "gini"] > 0.3           # skewed
     assert got.loc["b", "gini"] == 0.0          # equal values
+
+
+def test_group_weighted_median_matches_reference(ray_session):
+    import ray.data
+
+    from torray.ops.moments import group_weighted_median
+
+    rng = np.random.default_rng(5)
+    keys = ["x"] * 301 + ["y"] * 100 + ["one"]
+    vals = np.concatenate([rng.uniform(0, 100, 301).round(2),
+                           np.repeat([1.0, 2.0, 3.0, 4.0], 25),
+                           [7.77]])
+    wts = np.concatenate([rng.uniform(0, 10, 301).round(2),
+                          np.repeat([1.0, 1.0, 1.0, 97.0], 25),
+                          [5.0]])
+    t = pa.table({"g": pa.array(keys), "v": pa.array(vals),
+                  "w": pa.array(wts)})
+    got = group_weighted_median(
+        ray.data.from_arrow(t).repartition(5), group_col="g",
+        value_col="v", weight_col="w").to_pandas() \
+        .set_index("g").sort_index()
+
+    for k in ("x", "y", "one"):
+        m = np.array(keys) == k
+        sv = np.round(vals[m] * 100).astype(np.int64)
+        sw = np.round(wts[m] * 100).astype(np.int64)
+        o = np.argsort(sv, kind="stable")
+        sv, sw = sv[o], sw[o]
+        cw, tw = np.cumsum(sw), sw.sum()
+        ref = sv[np.flatnonzero(2 * cw >= tw)[0]] / 100.0
+        row = got.loc[k]
+        assert row.wmedian == ref, k
+        assert (row.n, row.total_w_scaled) == (m.sum(), tw), k
+    # weight mass concentrated on value 4.0 pulls the median there
+    assert got.loc["y", "wmedian"] == 4.0
+    assert got.loc["one", "wmedian"] == 7.77

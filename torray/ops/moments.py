@@ -32,7 +32,92 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["group_moments", "value_histogram", "group_cov",
-           "group_linreg", "group_weighted_mean", "group_gini"]
+           "group_linreg", "group_weighted_mean", "group_gini",
+           "group_weighted_median"]
+
+
+def group_weighted_median(ds, *, group_col: str, value_col: str,
+                          weight_col: str, value_scale: int = 100,
+                          weight_scale: int = 100,
+                          num_partitions: int = 64):
+    """EXACT per-group lower weighted median: the smallest scaled
+    value ``v`` whose cumulative scaled weight reaches half the
+    group's total (``2*cumw >= totw``).  TIE-ORDER INVARIANT: a value
+    qualifies iff the cumulative weight through ALL its ties reaches
+    half, so the answer does not depend on intra-tie order — which is
+    what lets the SQL oracle's ``min(v) FILTER (2*cumw >= totw)``
+    over an arbitrary-tie-order running sum match exactly.  Output
+    ``(group, n, total_w_scaled, wmedian)`` with ``wmedian`` the ONE
+    mirrored ``v / value_scale`` float op.
+
+    Scale shape: hash(group) coarse partitions, ONE shuffle, lexsort
+    + segmented cumsum/reduceat per partition — Python once per
+    partition, never per group."""
+    from torray.ops.window import _hash_col_np
+
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "__sv": pa.array([], pa.int64()),
+                             "__sw": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+
+        def _scaled(name, scale):
+            x = np.asarray(batch.column(name).to_numpy(
+                zero_copy_only=False), np.float64) * scale
+            return np.copysign(np.floor(np.abs(x) + 0.5),
+                               x).astype(np.int64)
+
+        part = (_hash_col_np(g)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            group_col: batch.column(group_col),
+            "__sv": pa.array(_scaled(value_col, value_scale)),
+            "__sw": pa.array(_scaled(weight_col, weight_scale)),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    empty = pa.table({group_col: pa.array([], gtype),
+                      "n": pa.array([], pa.int64()),
+                      "total_w_scaled": pa.array([], pa.int64()),
+                      "wmedian": pa.array([], pa.float64())})
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        sv = group.column("__sv").to_numpy(zero_copy_only=False)
+        sw = group.column("__sw").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sv, g))
+        g, sv, sw = g[order], sv[order], sw[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], g[1:] != g[:-1])))
+        lens = np.diff(np.append(starts, len(g))).astype(np.int64)
+        run = np.repeat(np.arange(len(starts)), lens)
+        cum = np.cumsum(sw)
+        offs = np.concatenate(([0], cum[starts[1:] - 1]))
+        cumw = cum - offs[run]
+        totw = np.add.reduceat(sw, starts)
+        qual = 2 * cumw >= totw[run]
+        pos = np.where(qual, np.arange(len(g), dtype=np.int64),
+                       np.iinfo(np.int64).max)
+        med_idx = np.minimum.reduceat(pos, starts)
+        return pa.table({
+            group_col: pa.array(g[starts]),
+            "n": pa.array(lens),
+            "total_w_scaled": pa.array(totw.astype(np.int64)),
+            "wmedian": pa.array(
+                sv[med_idx].astype(np.float64) / value_scale,
+                pa.float64()),
+        })
+
+    return (ds.select_columns([group_col, value_col, weight_col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
 
 
 def group_gini(ds, *, group_col: str = "event_type",
