@@ -4010,6 +4010,27 @@ def _q_lineitem_weighted_median(sf_dir: str):
         weight_col="l_quantity")
 
 
+def _q_docs_chunks(sf_dir: str):
+    """Sliding-window training-sequence chunking: every document into
+    40-token windows advancing by 30 (10-token overlap) — the
+    context-window prep pass before packing
+    (torray/ops/chunking.chunk_documents; zero-shuffle explode)."""
+    from torray.ops.chunking import chunk_documents
+
+    return chunk_documents(_read(sf_dir, "documents"),
+                           window=40, stride=30)
+
+
+def _q_docs_bpe_pairs(sf_dir: str):
+    """Top-50 adjacent byte pairs across the corpus (the statistic the
+    first BPE tokenizer-training merge is chosen from) —
+    torray/ops/chunking.bpe_pair_counts; per-block bincount combiner,
+    shuffle bounded at 65,536 rows per block."""
+    from torray.ops.chunking import bpe_pair_counts
+
+    return bpe_pair_counts(_read(sf_dir, "documents"), k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4207,6 +4228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_value_concentration": _q_parts_value_concentration,
         "events_gini": _q_events_gini,
         "lineitem_weighted_median": _q_lineitem_weighted_median,
+        "docs_chunks": _q_docs_chunks,
+        "docs_bpe_pairs": _q_docs_bpe_pairs,
     }
 
 
@@ -6016,5 +6039,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(tw) AS BIGINT) AS total_w_scaled, "
             "CAST(min(v) FILTER (2*cw >= tw) AS DOUBLE) / 100.0 "
             "AS wmedian FROM c GROUP BY g"
+        ),
+        "docs_chunks": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"list_filter(string_split_regex(text, '\s+'), "
+            r"t -> t <> '') AS ts FROM documents), "
+            "c AS (SELECT doc_id, unnest(range(0, len(ts), 30)) AS g, "
+            "ts FROM toks WHERE len(ts) > 0) "
+            "SELECT doc_id, g // 30 AS chunk_id, "
+            "len(list_slice(ts, g+1, least(g+40, len(ts)))) "
+            "AS n_tokens, "
+            "array_to_string(list_slice(ts, g+1, "
+            "least(g+40, len(ts))), ' ') AS chunk FROM c"
+        ),
+        "docs_bpe_pairs": (
+            "WITH p AS (SELECT unnest(range(1, length(text))) AS g, "
+            "text FROM documents) "
+            "SELECT substr(text, g, 2) AS pair, count(*) AS n "
+            "FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50"
         ),
     }

@@ -4902,3 +4902,61 @@ def test_group_weighted_median_matches_reference(ray_session):
     # weight mass concentrated on value 4.0 pulls the median there
     assert got.loc["y", "wmedian"] == 4.0
     assert got.loc["one", "wmedian"] == 7.77
+
+
+def test_chunk_documents_matches_python(ray_session):
+    """Sliding-window token chunking vs a per-doc Python reference
+    (same tokens = non-empty '\\s+' splits; starts 0, S, 2S, ... < n;
+    chunk = min(window, n-start) tokens joined by one space), on a
+    fixture with empty docs, whitespace edges, and exact-boundary
+    lengths; result must be partition-invariant."""
+    import ray
+    from torray.ops.chunking import chunk_documents
+
+    texts = ["a bb  ccc dd e", "", "  x ", "t1 t2 t3 t4",
+             "w1 w2 w3", "only", "\tp  q\nr s t u v  "]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+
+    def ref_rows(window, stride):
+        rows = []
+        for i, s in enumerate(texts):
+            toks = [w for w in __import__("re").split(r"\s+", s) if w]
+            for start in range(0, len(toks), stride):
+                piece = toks[start:start + window]
+                rows.append((i, start // stride, len(piece),
+                             " ".join(piece)))
+        return sorted(rows)
+
+    for window, stride, parts in ((3, 2, 4), (2, 2, 1), (5, 1, 7)):
+        got = chunk_documents(
+            ray.data.from_arrow(t).repartition(parts),
+            window=window, stride=stride).to_pandas()
+        got_rows = sorted(map(tuple, got.itertuples(index=False)))
+        assert got_rows == ref_rows(window, stride), (window, stride)
+
+
+def test_bpe_pair_counts_matches_python(ray_session):
+    """Corpus byte-pair counts vs collections.Counter ground truth:
+    exact counts, no pair spans a document boundary, ties broken by
+    ascending pair, partition-invariant."""
+    import ray
+    from collections import Counter
+    from torray.ops.chunking import bpe_pair_counts
+
+    rng = np.random.default_rng(11)
+    alphabet = "abcde "
+    texts = ["".join(rng.choice(list(alphabet), rng.integers(0, 40)))
+             for _ in range(200)] + ["", "z", "zz"]
+    ref = Counter()
+    for s in texts:
+        for i in range(len(s) - 1):
+            ref[s[i:i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    t = pa.table({"text": pa.array(texts)})
+    for parts in (1, 7):
+        got = bpe_pair_counts(
+            ray.data.from_arrow(t).repartition(parts),
+            k=10).to_pandas()
+        assert list(map(tuple, got.itertuples(index=False))) == want, parts
