@@ -4031,6 +4031,39 @@ def _q_docs_bpe_pairs(sf_dir: str):
     return bpe_pair_counts(_read(sf_dir, "documents"), k=50)
 
 
+def _q_docs_word_freqs(sf_dir: str):
+    """Corpus word-frequency table (the bounded dictionary BPE trains
+    over) — torray/ops/chunking.word_frequencies; distinct-(word, n)
+    combiner per block, raw text never shuffles."""
+    from torray.ops.chunking import word_frequencies
+
+    return word_frequencies(_read(sf_dir, "documents"))
+
+
+def _q_docs_bpe_train(sf_dir: str):
+    """20 BPE merges trained on the corpus (Sennrich recipe, no
+    end-of-word marker; ties -> lexicographically smallest pair) —
+    torray/ops/chunking.bpe_train.  Rows-only: the iterative merge
+    loop has no SQL twin; merge order + counts are hand-verified in
+    tests/test_ops.py::test_bpe_train_matches_hand_computed_merges."""
+    from torray.ops.chunking import bpe_train
+
+    return bpe_train(_read(sf_dir, "documents"), n_merges=20)
+
+
+def _q_docs_bpe_encode(sf_dir: str):
+    """Tokenizer fertility report: train 20 merges, then encode every
+    document with the GPT-2 lowest-rank-first rule (actor pool, merge
+    table broadcast once per actor, per-actor word cache) ->
+    (doc_id, n_words, n_bpe_tokens).  Rows-only; segmentation
+    consistency is test-verified."""
+    from torray.ops.chunking import bpe_encode, bpe_train
+
+    docs = _read(sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=20)
+    return bpe_encode(docs, merges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4230,6 +4263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median": _q_lineitem_weighted_median,
         "docs_chunks": _q_docs_chunks,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
+        "docs_word_freqs": _q_docs_word_freqs,
+        # rows-only (iterative tokenizer training: no SQL twin)
+        "docs_bpe_train": _q_docs_bpe_train,
+        "docs_bpe_encode": _q_docs_bpe_encode,
     }
 
 
@@ -6057,5 +6094,10 @@ def oracle_sql() -> dict[str, str]:
             "text FROM documents) "
             "SELECT substr(text, g, 2) AS pair, count(*) AS n "
             "FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50"
+        ),
+        "docs_word_freqs": (
+            r"SELECT w AS word, count(*) AS n FROM ("
+            r"SELECT unnest(list_filter(string_split_regex(text, "
+            r"'\s+'), t -> t <> '')) AS w FROM documents) GROUP BY w"
         ),
     }

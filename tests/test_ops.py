@@ -4960,3 +4960,77 @@ def test_bpe_pair_counts_matches_python(ray_session):
             ray.data.from_arrow(t).repartition(parts),
             k=10).to_pandas()
         assert list(map(tuple, got.itertuples(index=False))) == want, parts
+
+
+def test_bpe_train_matches_hand_computed_merges(ray_session):
+    """Sennrich-style BPE training (no end-of-word marker) on the
+    classic low/lower/newest/widest corpus: merge order and weighted
+    pair counts are hand-computed (ties -> lexicographically smallest
+    pair), and must be partition-invariant."""
+    import ray
+    from torray.ops.chunking import bpe_train
+
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+             + ["widest"] * 3)
+    # shuffle words into 4 docs to exercise the distributed word count
+    docs = [" ".join(texts[i::4]) for i in range(4)]
+    t = pa.table({"text": pa.array(docs)})
+    want = [(0, "e", "s", 9), (1, "es", "t", 9), (2, "l", "o", 7),
+            (3, "lo", "w", 7), (4, "e", "w", 6)]
+    for parts in (1, 3):
+        merges = bpe_train(ray.data.from_arrow(t).repartition(parts),
+                           n_merges=5)
+        got = list(zip(merges.column("rank").to_pylist(),
+                       merges.column("left").to_pylist(),
+                       merges.column("right").to_pylist(),
+                       merges.column("pair_count").to_pylist()))
+        assert got == want, parts
+    # early stop: min_pair_count above every remaining pair
+    merges = bpe_train(ray.data.from_arrow(t), n_merges=50,
+                       min_pair_count=8)
+    assert merges.num_rows == 2  # only the two count-9 merges
+
+
+def test_bpe_encode_reproduces_training_segmentation(ray_session):
+    """GPT-2-rule encoding (lowest-rank pair first) must reproduce the
+    training segmentation for training words and segment unseen words
+    consistently; n_bpe_tokens <= n_chars per word."""
+    import ray
+    from torray.ops.chunking import bpe_encode, bpe_train
+
+    corpus = pa.table({"text": pa.array(
+        ["low low low low low lower lower",
+         "newest newest newest newest newest newest",
+         "widest widest widest"])})
+    merges = bpe_train(ray.data.from_arrow(corpus), n_merges=5)
+
+    # 'newest' -> n,ew,est (3 tokens); 'lowest' (unseen) -> low,est (2)
+    probe = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array(["newest", "lowest",
+                                        "low lower newest widest"])})
+    got = bpe_encode(ray.data.from_arrow(probe), merges) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0].n_bpe_tokens == 3
+    assert got.loc[1].n_bpe_tokens == 2
+    # low=1 (low), lower=3 (low,e,r), newest=3, widest=3 (w,i,d,est)... 
+    # widest: w,i,d,e,s,t -> es -> est -> w,i,d,est = 4 tokens
+    assert got.loc[2].n_words == 4
+    assert got.loc[2].n_bpe_tokens == 1 + 3 + 3 + 4
+
+
+def test_word_frequencies_gates(ray_session):
+    """min_count and max_words bound the vocabulary exactly (top-N by
+    count desc, word asc)."""
+    import ray
+    from torray.ops.chunking import word_frequencies
+
+    t = pa.table({"text": pa.array(["a a a b b c", "b d  ", "a"])})
+    ds = ray.data.from_arrow(t).repartition(2)
+    full = word_frequencies(ds).to_pandas() \
+        .sort_values("word").reset_index(drop=True)
+    assert list(map(tuple, full.itertuples(index=False))) == [
+        ("a", 4), ("b", 3), ("c", 1), ("d", 1)]
+    gated = word_frequencies(ds, min_count=2).to_pandas()
+    assert sorted(gated.word) == ["a", "b"]
+    top = word_frequencies(ds, max_words=3).to_pandas()
+    assert sorted(top.word) == ["a", "b", "c"]  # tie c<d
