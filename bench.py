@@ -841,6 +841,41 @@ def bench_bfs_xl(sf_dir: str) -> dict:
             "kcore_nodes": n_core}
 
 
+def bench_tok_xl(sf_dir: str) -> dict:
+    """Tokenizer-family ops at 20x documents volume (100k docs,
+    ~10M whitespace tokens): sliding-window chunking (zero-shuffle
+    explode), corpus byte-pair counts (65,536-slot bincount combiner),
+    BPE training (distributed word count + driver merge loop over the
+    bounded dictionary), and cached actor-pool encoding.  Not in the
+    default suite (TORRAY_BENCH_ONLY=tok_xl)."""
+    import ray
+
+    from torray.ops.chunking import (bpe_encode, bpe_pair_counts,
+                                     bpe_train, chunk_documents)
+
+    path = _ensure_docs_xl(sf_dir)
+    _warm_pool()
+    t0 = time.monotonic()
+    n_chunks = chunk_documents(ray.data.read_parquet(path),
+                               window=64, stride=48).count()
+    t1 = time.monotonic()
+    n_pairs = bpe_pair_counts(ray.data.read_parquet(path),
+                              k=100).count()
+    t2 = time.monotonic()
+    merges = bpe_train(ray.data.read_parquet(path), n_merges=50)
+    t3 = time.monotonic()
+    n_enc = bpe_encode(ray.data.read_parquet(path), merges,
+                       concurrency=(4, 16)).count()
+    t4 = time.monotonic()
+    wall = t4 - t0
+    return {"sec": wall,
+            "chunk_sec": round(t1 - t0, 2), "chunks": n_chunks,
+            "pair_count_sec": round(t2 - t1, 2), "pairs": n_pairs,
+            "train_sec": round(t3 - t2, 2), "merges": merges.num_rows,
+            "encode_sec": round(t4 - t3, 2), "encoded_docs": n_enc,
+            "docs_per_s": round(3 * 100_000 / (t4 - t0 - (t3 - t2)), 1)}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -995,6 +1030,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "pq_xl": lambda: bench_pq_xl(sf_dir),
         "bfs_xl": lambda: bench_bfs_xl(sf_dir),
         "spans_xl": lambda: bench_spans_xl(sf_dir),
+        "tok_xl": lambda: bench_tok_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()
