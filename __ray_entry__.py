@@ -532,6 +532,31 @@ def _q_media_image_features(sf_dir: str):
                                   batch_size=16)
 
 
+def _q_media_video_frames(sf_dir: str):
+    """REAL video frame sampling (PPMV synthetic container, numpy-only
+    frame decode) through the actor-pool stage: 4 uniformly spaced
+    frames per video, one feature row per sampled frame."""
+    import ray
+
+    from torray.ops.multimodal import (encode_ppmv,
+                                       media_table_from_payloads,
+                                       sample_video_frames)
+
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_pylist()[:50]
+    payloads = []
+    for i in ids:
+        rng = np.random.RandomState(int(i) % (2**31))
+        n_frames = 2 + int(i) % 9
+        payloads.append(encode_ppmv(
+            [rng.randint(0, 256, size=(12, 16, 3)).astype(np.uint8)
+             for _ in range(n_frames)]))
+    media = ray.data.from_arrow(media_table_from_payloads(
+        payloads, media_type="video", mime="video/x-ppmv"))
+    return sample_video_frames(media, n_frames=4, concurrency=2,
+                               batch_size=8)
+
+
 def _q_docs_hash_split(sf_dir: str):
     """Deterministic hash train/test split (reproducible across any
     partitioning), counted per split."""
@@ -4237,6 +4262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "media_features": _q_media_features,
         "media_image_features": _q_media_image_features,
+        "media_video_frames": _q_media_video_frames,
         "docs_inverted_index": _q_docs_inverted_index,
         "docs_bm25_top10": _q_docs_bm25_top10,
         "events_resample": _q_events_resample,

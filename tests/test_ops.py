@@ -5034,3 +5034,45 @@ def test_word_frequencies_gates(ray_session):
     assert sorted(gated.word) == ["a", "b"]
     top = word_frequencies(ds, max_words=3).to_pandas()
     assert sorted(top.word) == ["a", "b", "c"]  # tie c<d
+
+
+def test_video_frame_sampler_real_decode(ray_session):
+    """Frame sampling over the PPMV synthetic container: uniformly
+    spaced frame indices, per-frame features identical to decoding the
+    same frame directly, corrupt payloads emit zero rows with a stable
+    schema, absent-codec slots raise NotImplementedError."""
+    import ray
+    from torray.ops.multimodal import (VideoFrameSampler, _decode_ppm,
+                                       _thumbnail_features, encode_ppm,
+                                       encode_ppmv,
+                                       media_table_from_payloads,
+                                       sample_video_frames)
+
+    rng = np.random.RandomState(7)
+    vids = []
+    for n_frames in (1, 5, 12):
+        vids.append([rng.randint(0, 256, size=(8, 10, 3)).astype(np.uint8)
+                     for _ in range(n_frames)])
+    payloads = [encode_ppmv(v) for v in vids] + [b"notavideo"]
+    media = ray.data.from_arrow(media_table_from_payloads(
+        payloads, media_type="video", mime="video/x-ppmv"))
+    got = sample_video_frames(media, n_frames=4).to_pandas() \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+    # video 0: 1 frame -> [0]; video 1: 5 frames -> round(linspace(0,4,4))
+    # = [0,1,3,4]; video 2: 12 frames -> round(linspace(0,11,4)) = [0,4,7,11]
+    want_idx = {0: [0], 1: [0, 1, 3, 4], 2: [0, 4, 7, 11]}
+    for mid, idxs in want_idx.items():
+        rows = got[got.media_id == mid]
+        assert list(rows.frame_idx) == idxs, mid
+        assert (rows.total_frames == len(vids[mid])).all()
+        for _, r in rows.iterrows():
+            gray, w, h = _decode_ppm(encode_ppm(vids[mid][r.frame_idx]))
+            ref = _thumbnail_features(gray, 64)
+            assert np.allclose(np.array(r.features), ref), (mid, r.frame_idx)
+            assert (r.width, r.height) == (10, 8)
+    assert 3 not in set(got.media_id)  # corrupt payload: zero rows
+    assert len(got) == 1 + 4 + 4
+
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(codec="mp4")
