@@ -5076,3 +5076,29 @@ def test_video_frame_sampler_real_decode(ray_session):
 
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(codec="mp4")
+
+
+def test_tokenizer_ops_empty_input(ray_session):
+    """Zero-row corpora short-circuit with stable schemas across the
+    whole tokenizer family."""
+    import ray
+    from torray.ops.chunking import (bpe_encode, bpe_pair_counts,
+                                     bpe_train, chunk_documents,
+                                     word_frequencies)
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    ch = chunk_documents(empty, window=4, stride=2)
+    assert ch.count() == 0
+    assert bpe_pair_counts(empty, k=5).count() == 0
+    assert word_frequencies(empty).count() == 0
+    merges = bpe_train(empty, n_merges=5)
+    assert merges.num_rows == 0
+    assert bpe_encode(empty, merges).count() == 0
+    # whitespace-only corpus behaves like empty
+    ws = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["  \n\t "])}))
+    assert chunk_documents(ws, window=4, stride=2).count() == 0
+    assert bpe_train(ws, n_merges=3).num_rows == 0
