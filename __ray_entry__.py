@@ -4089,6 +4089,53 @@ def _q_docs_bpe_encode(sf_dir: str):
     return bpe_encode(docs, merges)
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC source/sink roundtrip over Common-Crawl-style pages: frame
+    the documents table as deterministic WARC segments (one per block,
+    content-hash-named, resumable), read them back through the
+    per-file parser, and report (url, warc_ts, page_bytes).  SQL-
+    checked — the oracle recomputes the same derivation straight from
+    the parquet, so every byte of the framing + parsing path is on the
+    hash.  Engine mapping of the reference's MySQL pages capture
+    (/root/reference/TorSpider.py DB loop)."""
+    import hashlib
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from torray.warc import read_warc, write_warc
+
+    base_us = 1577836800 * 10**6  # 2020-01-01T00:00:00Z
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        url = pc.binary_join_element_wise(
+            "http://docs.example/", pc.cast(did, pa.string()), "")
+        html = pc.binary_join_element_wise(
+            "<html><body>", b.column("text"), "</body></html>", "")
+        ts = pc.add(pc.multiply(did, 10**6), base_us).cast(
+            pa.timestamp("us"))
+        return pa.table({"url": url, "warc_ts": ts,
+                         "html": html.cast(pa.large_binary())})
+
+    pages = _read(sf_dir, "documents").map_batches(
+        to_pages, batch_format="pyarrow")
+    out_dir = os.path.join(
+        "/tmp/torray_warc",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    manifest = write_warc(pages, out_dir)
+    paths = sorted(m["path"] for m in manifest)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b.column("url"),
+            "warc_ts": b.column("warc_ts"),
+            "page_bytes": pc.binary_length(b.column("html")).cast(
+                pa.int64()),
+        })
+
+    return read_warc(paths).map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4243,6 +4290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_version_diff": _q_events_version_diff,
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "docs_mix": _q_docs_mix,
+        "warc_roundtrip": _q_warc_roundtrip,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -5985,6 +6033,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE source WHEN 'src0' THEN 'e6666666' "
             "WHEN 'src1' THEN '80000000' WHEN 'src2' THEN '40000000' "
             "ELSE '19999999' END"
+        ),
+        # WARC sink->source roundtrip: oracle recomputes the page
+        # derivation straight from parquet; equality certifies the
+        # framing + parsing path byte-for-byte (page_bytes is the
+        # utf-8 octet length of the html block)
+        "warc_roundtrip": (
+            "SELECT 'http://docs.example/' || CAST(doc_id AS VARCHAR) "
+            "AS url, "
+            "TIMESTAMP '2020-01-01 00:00:00' + to_seconds(doc_id) "
+            "AS warc_ts, "
+            "CAST(octet_length(encode('<html><body>' || text || "
+            "'</body></html>')) AS BIGINT) AS page_bytes FROM documents"
         ),
         # CDC compaction: last event per user wins, trailing 'error'
         # is a tombstone
