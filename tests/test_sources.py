@@ -167,3 +167,34 @@ def test_warc_skips_non_response_records():
     back = parse_warc_bytes(data + req)
     assert back.num_rows == 3
     assert "ignored" not in " ".join(back.column("url").to_pylist())
+
+
+def test_orc_matches_parquet(ray_session, tmp_path, events_exports):
+    import ray
+    from pyarrow import orc
+
+    from torray.sources import read_orc
+
+    src = pq.read_table(events_exports["parquet"])
+    # two shards to exercise the per-file fan-out
+    orc.write_table(src.slice(0, src.num_rows // 2),
+                    str(tmp_path / "a.orc"))
+    orc.write_table(src.slice(src.num_rows // 2),
+                    str(tmp_path / "b.orc"))
+
+    got = _canon(read_orc(str(tmp_path)).to_pandas())
+    want = _canon(ray.data.read_parquet(
+        events_exports["parquet"]).to_pandas())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in want.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b, rtol=0, atol=0, equal_nan=True), c
+        else:
+            assert (a == b).all(), c
+
+    pruned = read_orc(str(tmp_path), columns=["event_id", "value"])
+    df = pruned.to_pandas()
+    assert list(df.columns) == ["event_id", "value"]
+    assert len(df) == len(want)

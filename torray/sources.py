@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["read_csv", "read_jsonl", "normalize_to_schema"]
+__all__ = ["read_csv", "read_jsonl", "read_orc", "normalize_to_schema"]
 
 
 def normalize_to_schema(ds, schema: pa.Schema):
@@ -72,6 +72,47 @@ def read_csv(paths, *, schema: pa.Schema, columns=None, **kwargs):
             pacsv.ConvertOptions(include_columns=list(columns)))
     ds = ray.data.read_csv(paths, **kwargs)
     return normalize_to_schema(ds, schema)
+
+
+def read_orc(paths, *, schema: pa.Schema | None = None, columns=None):
+    """ORC source (Ray 2.49 ships no native reader; pyarrow.orc does
+    the decode).  The FILE is the parallel unit — one read task per
+    file via ``read_binary_files``, decoded worker-side with stripe-
+    level column projection (``columns`` never deserializes the other
+    columns, same contract as the Parquet path).  ORC carries its own
+    types, so ``schema`` is optional and applied only as the usual
+    drift guard."""
+    import ray.data
+
+    if isinstance(paths, str):
+        import os as _os
+
+        if _os.path.isdir(paths):
+            paths = sorted(
+                _os.path.join(paths, f) for f in _os.listdir(paths)
+                if f.endswith(".orc"))
+        else:
+            paths = [paths]
+    cols = list(columns) if columns is not None else None
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import io
+
+        from pyarrow import orc
+
+        tables = []
+        for blob in batch.column("bytes"):
+            f = orc.ORCFile(io.BytesIO(blob.as_py()))
+            tables.append(f.read(columns=cols))
+        return pa.concat_tables(tables)
+
+    ds = ray.data.read_binary_files(paths).map_batches(
+        decode, batch_format="pyarrow")
+    if schema is not None:
+        if cols is not None:
+            schema = pa.schema([schema.field(c) for c in cols])
+        ds = normalize_to_schema(ds, schema)
+    return ds
 
 
 def read_jsonl(paths, *, schema: pa.Schema, columns=None, **kwargs):
