@@ -4962,6 +4962,18 @@ def test_bpe_pair_counts_matches_python(ray_session):
         assert list(map(tuple, got.itertuples(index=False))) == want, parts
 
 
+def test_bpe_pair_counts_trailing_empty_doc(ray_session):
+    """A block whose LAST document is empty puts a doc boundary one
+    past the final pair slot — regression for the out-of-bounds mask."""
+    import ray
+    from torray.ops.chunking import bpe_pair_counts
+
+    t = pa.table({"text": pa.array(["abab", "", None, "ba", ""])})
+    got = bpe_pair_counts(ray.data.from_arrow(t), k=3).to_pandas()
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        ("ab", 2), ("ba", 2)]
+
+
 def test_bpe_train_matches_hand_computed_merges(ray_session):
     """Sennrich-style BPE training (no end-of-word marker) on the
     classic low/lower/newest/widest corpus: merge order and weighted

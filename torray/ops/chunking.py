@@ -156,9 +156,11 @@ def bpe_pair_counts(docs_ds, k: int = 50, *, text_col: str = "text"):
             return empty
         pairs = (a[:-1].astype(np.uint16) << np.uint16(8)) | a[1:]
         valid = np.ones(a.size - 1, np.bool_)
-        # a pair starting at (doc boundary - 1) spans two documents
+        # a pair starting at (doc boundary - 1) spans two documents;
+        # an EMPTY trailing document puts its boundary at a.size-1,
+        # past the last pair slot — clip both ends
         bounds = (off[1:-1] - off[0]) - 1
-        valid[bounds[bounds >= 0]] = False
+        valid[bounds[(bounds >= 0) & (bounds < valid.size)]] = False
         counts = np.bincount(pairs[valid], minlength=65536)
         nz = np.flatnonzero(counts)
         return pa.table({"p": pa.array(nz.astype(np.int32), pa.int32()),
