@@ -4089,6 +4089,20 @@ def _q_docs_bpe_encode(sf_dir: str):
     return bpe_encode(docs, merges)
 
 
+def _q_orders_union_by_name(sf_dir: str):
+    """Schema-evolution UNION ALL BY NAME: two projections of orders
+    with different column sets align by name, null-filling what each
+    side lacks — the read path for a lake written across schema
+    versions.  Zero-shuffle per-batch projection + Ray union."""
+    from torray.ops.setops import union_by_name
+
+    a = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+    b = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderdate"])
+    return union_by_name(a, b)
+
+
 def _q_warc_roundtrip(sf_dir: str):
     """WARC source/sink roundtrip over Common-Crawl-style pages: frame
     the documents table as deterministic WARC segments (one per block,
@@ -4291,6 +4305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "docs_mix": _q_docs_mix,
         "warc_roundtrip": _q_warc_roundtrip,
+        "orders_union_by_name": _q_orders_union_by_name,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -6045,6 +6060,13 @@ def oracle_sql() -> dict[str, str]:
             "AS warc_ts, "
             "CAST(octet_length(encode('<html><body>' || text || "
             "'</body></html>')) AS BIGINT) AS page_bytes FROM documents"
+        ),
+        # schema-evolution union: DuckDB's own UNION ALL BY NAME is
+        # the oracle, null-filling exactly like the engine op
+        "orders_union_by_name": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "UNION ALL BY NAME "
+            "SELECT o_orderkey, o_orderdate FROM orders"
         ),
         # CDC compaction: last event per user wins, trailing 'error'
         # is a tombstone

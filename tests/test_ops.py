@@ -4673,6 +4673,41 @@ def test_moving_zscore_vs_pandas_rolling(ray_session):
     assert got.drop(index=list(ref)).isna().all()
 
 
+def test_union_by_name(ray_session):
+    """Schema-evolution union: columns align by name, missing ones
+    null-fill, type conflicts hard-error under strict_types."""
+    import ray.data
+
+    from torray.ops.setops import union_by_name
+
+    a = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "x": pa.array([1.5, 2.5], pa.float64())}))
+    b = ray.data.from_arrow(pa.table({
+        "y": pa.array(["p", "q", "r"], pa.string()),
+        "k": pa.array([3, 4, 5], pa.int64())}))
+    c = ray.data.from_arrow(pa.table({
+        "k": pa.array([6], pa.int64())}))
+    df = union_by_name(a, b, c).to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    assert list(df.columns) == ["k", "x", "y"]
+    assert df["k"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert df["x"].notna().tolist() == [True, True] + [False] * 4
+    assert df["y"].fillna("").tolist() == ["", "", "p", "q", "r", ""]
+
+    # single dataset passes through; type conflict raises
+    assert union_by_name(a).count() == 2
+    bad = ray.data.from_arrow(pa.table({
+        "k": pa.array(["oops"], pa.string())}))
+    with pytest.raises(TypeError, match="conflicting"):
+        union_by_name(a, bad)
+    # non-strict: casts to first-seen type
+    loose = ray.data.from_arrow(pa.table({
+        "k": pa.array([7], pa.int32())}))
+    df2 = union_by_name(a, loose, strict_types=False).to_pandas()
+    assert sorted(df2["k"].tolist()) == [1, 2, 7]
+
+
 def test_table_diff_planted(ray_session):
     import ray.data
 

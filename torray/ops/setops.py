@@ -23,7 +23,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["intersect_distinct", "except_distinct", "union_distinct",
-           "except_all", "intersect_all", "table_diff"]
+           "except_all", "intersect_all", "table_diff",
+           "union_by_name"]
 
 
 def _tagged_distinct(ds, col: str, out: str, side: int,
@@ -301,3 +302,50 @@ def table_diff(ds_a, ds_b, *, key_col: str,
     both = side(ds_a, 0).union(side(ds_b, 1))
     return (both.groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def union_by_name(*datasets, strict_types: bool = True):
+    """Schema-evolution ``UNION ALL BY NAME``: concatenate Datasets
+    whose schemas differ by column SET, aligning columns by name and
+    null-filling the ones a side lacks (the standard way to read a
+    100 TB lake whose shards were written across schema versions).
+
+    A column present on several sides with CONFLICTING types is a hard
+    error under ``strict_types`` (silent coercion is a data bug);
+    ``strict_types=False`` casts to the first-seen type instead.
+
+    Scale shape: pure per-batch projection (add null columns + reorder)
+    on each side, then Ray's ``union`` — zero shuffle, zero
+    materialization; the null columns cost O(1) per batch (Arrow null
+    arrays are lazily allocated bitmaps)."""
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    fields: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        for f in ds.schema().base_schema:
+            have = fields.get(f.name)
+            if have is None:
+                fields[f.name] = f.type
+            elif have != f.type and strict_types:
+                raise TypeError(
+                    f"union_by_name: column {f.name!r} has conflicting "
+                    f"types {have} vs {f.type}")
+    names = list(fields)
+
+    def align(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for name in names:
+            if name in batch.column_names:
+                col = batch.column(name)
+                if col.type != fields[name]:
+                    col = col.cast(fields[name])
+            else:
+                col = pa.nulls(n, fields[name])
+            cols.append(col)
+        return pa.table(dict(zip(names, cols)))
+
+    aligned = [ds.map_batches(align, batch_format="pyarrow")
+               for ds in datasets]
+    out = aligned[0]
+    return out.union(*aligned[1:]) if len(aligned) > 1 else out
