@@ -207,8 +207,10 @@ def _q_orders_by_segment(sf_dir: str):
 
     orders = _read(sf_dir, "orders")
     customer = _read(sf_dir, "customer")
-    joined = orders.join(customer, "inner", num_partitions=4,
-                         on=("o_custkey",), right_on=("c_custkey",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(orders, customer, "inner", 4,
+                       on=("o_custkey",), right_on=("c_custkey",))
     ds = joined.groupby("c_mktsegment").aggregate(
         ray.data.aggregate.Count(),
         ray.data.aggregate.Min("o_orderkey"),
@@ -223,26 +225,45 @@ def _q_supplier_nation(sf_dir: str):
 
     supplier = _read(sf_dir, "supplier")
     nation = _read(sf_dir, "nation")
-    joined = supplier.join(nation, "inner", num_partitions=2,
-                           on=("s_nationkey",), right_on=("n_nationkey",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(supplier, nation, "inner", 2,
+                       on=("s_nationkey",), right_on=("n_nationkey",))
     ds = joined.groupby("n_name").aggregate(
         ray.data.aggregate.Count(), ray.data.aggregate.Max("s_acctbal"))
     return _rename(ds, {"count()": "n_suppliers",
                         "max(s_acctbal)": "max_acctbal"})
 
 
+def _query_vec(sf_dir: str):
+    """First embedding vector (vec_id 0) as the demo query matrix, or
+    None when the corpus is empty (empty corpus -> empty result)."""
+    first = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    rows = (first.filter(pa.compute.equal(first.column("vec_id"), 0))
+            .column("embedding").to_pylist())
+    if not rows:
+        return None
+    return np.asarray(rows[0], dtype=np.float64)[None, :]
+
+
+def _empty_vec_ids():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"vec_id": pa.array([], pa.int64())}))
+
+
 def _q_knn_top10(sf_dir: str):
     from torray.ops.similarity import knn_bruteforce
 
-    emb = _read(sf_dir, "embeddings")
-    first = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"])
-    q = np.asarray(
-        first.filter(pa.compute.equal(first.column("vec_id"), 0))
-        .column("embedding").to_pylist()[0], dtype=np.float64)
-    res = knn_bruteforce(emb, q[None, :], k=10)
+    q = _query_vec(sf_dir)
+    if q is None:
+        return _empty_vec_ids()
+    res = knn_bruteforce(_read(sf_dir, "embeddings"), q, k=10)
     return res.map_batches(lambda t: t.select(["vec_id"]),
                            batch_format="pyarrow")
+
 
 
 def _q_embedding_dup_pairs(sf_dir: str):
@@ -300,12 +321,10 @@ def _q_ngram_jaccard_prefix(sf_dir: str):
 def _q_knn_lsh(sf_dir: str):
     from torray.ops.similarity import lsh_knn
 
-    first = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"])
-    q = np.asarray(
-        first.filter(pa.compute.equal(first.column("vec_id"), 0))
-        .column("embedding").to_pylist()[0], dtype=np.float64)
-    return lsh_knn(_read(sf_dir, "embeddings"), q[None, :], k=10, bits=6)
+    q = _query_vec(sf_dir)
+    if q is None:
+        return _empty_vec_ids()
+    return lsh_knn(_read(sf_dir, "embeddings"), q, k=10, bits=6)
 
 
 def _q_dup_clusters(sf_dir: str):
@@ -489,7 +508,9 @@ def _q_crawl_host_rank(sf_dir: str):
                 .groupby("node").aggregate(
                     __import__("ray").data.aggregate.Min("host")))
     name_map = _rename(name_map, {"min(host)": "host"})
-    out = ranks.join(name_map, "inner", num_partitions=2, on=("node",))
+    from torray.ops.join import safe_join
+
+    out = safe_join(ranks, name_map, "inner", 2, on=("node",))
     return out.map_batches(lambda t: t.select(["host", "rank_e9"]),
                            batch_format="pyarrow")
 
@@ -898,8 +919,10 @@ def _q_orders_events_full_outer(sf_dir: str):
     ev = (_read(sf_dir, "events").groupby("user_id")
           .aggregate(ray.data.aggregate.Count()))
     ev = _rename(ev, {"count()": "n_events"})
-    joined = orders.join(ev, "full_outer", num_partitions=4,
-                         on=("o_custkey",), right_on=("user_id",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(orders, ev, "full_outer", 4,
+                       on=("o_custkey",), right_on=("user_id",))
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -987,7 +1010,9 @@ def _q_customer_event_counts(sf_dir: str):
 
     cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
     ev = _read(sf_dir, "events").select_columns(["user_id", "event_id"])
-    joined = cust.join(ev, "left_outer", num_partitions=4,
+    from torray.ops.join import safe_join
+
+    joined = safe_join(cust, ev, "left_outer", 4,
                        on=("c_custkey",), right_on=("user_id",))
     agg = joined.groupby("c_custkey").aggregate(
         ray.data.aggregate.Count("event_id", ignore_nulls=True))
@@ -1177,12 +1202,10 @@ def _q_events_hopping(sf_dir: str):
 def _q_knn_ivf(sf_dir: str):
     from torray.ops.similarity import ivf_knn
 
-    first = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"])
-    q = np.asarray(
-        first.filter(pa.compute.equal(first.column("vec_id"), 0))
-        .column("embedding").to_pylist()[0], dtype=np.float64)
-    return ivf_knn(_read(sf_dir, "embeddings"), q[None, :], k=10,
+    q = _query_vec(sf_dir)
+    if q is None:
+        return _empty_vec_ids()
+    return ivf_knn(_read(sf_dir, "embeddings"), q, k=10,
                    n_clusters=8, nprobe=3)
 
 
@@ -3034,8 +3057,10 @@ def _q_orders_revenue_top(sf_dir: str):
         lambda t: t.drop_columns(["l_shipdate"]),
         batch_format="pyarrow")
     rev = _rev_by_orderkey(li)
-    joined = rev.join(orders, "inner", num_partitions=8,
-                      on=("l_orderkey",), right_on=("o_orderkey",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(rev, orders, "inner", 8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
     top = joined.sort(["sum(__rev)", "l_orderkey"],
                       descending=[True, False]).limit(10)
 
@@ -3075,14 +3100,16 @@ def _q_customer_returns_top(sf_dir: str):
              for c in t.column_names]), batch_format="pyarrow")
     orders = _read(sf_dir, "orders").select_columns(
         ["o_orderkey", "o_custkey"])
-    per_order = rev.join(orders, "inner", num_partitions=8,
-                         on=("l_orderkey",), right_on=("o_orderkey",))
+    from torray.ops.join import safe_join
+
+    per_order = safe_join(rev, orders, "inner", 8,
+                          on=("l_orderkey",), right_on=("o_orderkey",))
     per_cust = (per_order.groupby("o_custkey")
                 .aggregate(ray.data.aggregate.Sum("__rev")))
     cust = _read(sf_dir, "customer").select_columns(
         ["c_custkey", "c_name"])
-    named = per_cust.join(cust, "inner", num_partitions=8,
-                          on=("o_custkey",), right_on=("c_custkey",))
+    named = safe_join(per_cust, cust, "inner", 8,
+                       on=("o_custkey",), right_on=("c_custkey",))
     top = named.sort(["sum(__rev)", "o_custkey"],
                      descending=[True, False]).limit(20)
 
@@ -3351,6 +3378,8 @@ def _q_knn_pq_top10(sf_dir: str):
     queries = _pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["embedding"]).column("embedding")[:5].to_pylist()
+    if not queries:
+        return _empty_vec_ids()
     import numpy as _np
 
     qv = _np.asarray(queries, dtype=_np.float64)
@@ -3573,10 +3602,13 @@ def _q_nation_market_share(sf_dir: str):
                          columns=["s_suppkey", "s_nationkey"])
     nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
                     nation.column("n_name").to_pylist()))
+    # .get: a supplier with a dangling nationkey FK (possible on
+    # partial/filtered extracts) simply isn't NATION_3 — the SQL
+    # oracle's inner join drops it the same way
     target_supp = pa.array(sorted(
         sk for sk, nk2 in zip(supp.column("s_suppkey").to_pylist(),
                               supp.column("s_nationkey").to_pylist())
-        if nmap[nk2] == "NATION_3"), pa.int64())
+        if nmap.get(nk2) == "NATION_3"), pa.int64())
 
     def orders_f(t: pa.Table) -> pa.Table:
         f = t.filter(pc.is_in(t.column("o_custkey"),
@@ -3645,10 +3677,18 @@ def _q_nation_profit(sf_dir: str):
                     nation.column("n_name").to_pylist()))
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                          columns=["s_suppkey", "s_nationkey"])
-    sn = {sk: nmap[nk2] for sk, nk2 in
-          zip(supp.column("s_suppkey").to_pylist(),
-              supp.column("s_nationkey").to_pylist())}
-    sn_ref = ray.put(sn)
+    # suppkey -> nation name as a SORTED (keys, names) array pair so
+    # the per-batch attach is one searchsorted, not a per-row dict
+    # lookup; dangling FKs (supplier missing, or supplier's nation
+    # missing) drop the row exactly like the oracle's inner joins
+    _sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    _sn = np.array([nmap.get(int(nk2)) for nk2 in
+                    supp.column("s_nationkey").to_numpy(
+                        zero_copy_only=False)], dtype=object)
+    _order = np.argsort(_sk, kind="stable")
+    _sk, _sn = _sk[_order].astype(np.int64), _sn[_order]
+    _known = np.array([n is not None for n in _sn], dtype=bool)
+    sn_ref = ray.put((_sk, _sn, _known))
 
     def partial(t: pa.Table) -> pa.Table:
         f = t.filter(pc.is_in(t.column("l_partkey"),
@@ -3657,12 +3697,20 @@ def _q_nation_profit(sf_dir: str):
         dc = _cents(f.column("l_discount"), 100)
         amount = pc.multiply(ep, pc.subtract(
             pa.scalar(100, pa.int64()), dc))
-        smap = ray.get(sn_ref)
-        sk = f.column("l_suppkey").to_numpy(zero_copy_only=False)
-        names = np.array([smap[int(x)] for x in sk], dtype=object)
+        keys, names, known = ray.get(sn_ref)
+        if len(keys) == 0:  # no suppliers at all: inner join is empty
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "o_year": pa.array([], pa.int64()),
+                             "amt_sum": pa.array([], pa.int64())})
+        sk = f.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, sk)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = (pos < len(keys)) & (keys[pos_c] == sk) & known[pos_c]
         yr = pc.cast(pc.year(f.column("l_shipdate")), pa.int64())
-        pt = pa.table({"n_name": pa.array(names, pa.string()),
-                       "o_year": yr, "amt": amount})
+        pt = pa.table({"n_name": pa.array(names[pos_c], pa.string()),
+                       "o_year": yr, "amt": amount}).filter(
+                           pa.array(hit))
         return pt.group_by(["n_name", "o_year"]).aggregate(
             [("amt", "sum")])
 

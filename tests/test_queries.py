@@ -68,7 +68,12 @@ def _compare(df_a: pd.DataFrame, df_b: pd.DataFrame, name: str):
                                rtol=0, atol=1e-9, equal_nan=True), \
                 (name, col)
         else:
-            assert (va == vb).all(), (name, col)
+            # NaT/None never compare equal to themselves: a null on
+            # both sides (e.g. union_by_name's null-filled columns,
+            # as-of's gated matches) is a MATCH, not a diff
+            both_null = pd.isna(pd.Series(va)).to_numpy() & \
+                pd.isna(pd.Series(vb)).to_numpy()
+            assert ((va == vb) | both_null).all(), (name, col)
 
 
 def test_sql_checked_queries_match_duckdb(ray_session, contract, duck):

@@ -21,3 +21,9 @@ Public modules:
 """
 
 __version__ = "0.1.0"
+
+# Ray 2.49 hash-shuffle joins crash when a side's first block is empty
+# (schema never reaches zero-row partitions); see torray/_rayfix.py.
+from torray import _rayfix as _rayfix  # noqa: E402
+
+_rayfix.apply()

@@ -900,8 +900,10 @@ class Crawler:
 
             hash_ds = hash_ds.groupby("url").map_groups(
                 latest, batch_format="pyarrow")
-            joined = seen_ds.join(hash_ds, "left_outer",
-                                  num_partitions=cfg.num_shards, on=("url",))
+            from torray.ops.join import safe_join
+
+            joined = safe_join(seen_ds, hash_ds, "left_outer",
+                               cfg.num_shards, on=("url",))
         else:
             joined = seen_ds.map_batches(
                 lambda t: t.append_column("hash", pa.nulls(t.num_rows, pa.string())),

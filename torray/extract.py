@@ -167,8 +167,10 @@ def scan_frontier_join(frontier_ds, pages_ds, *, scan_date: str,
 
     pages = pages_ds.select_columns(["url", "html"]).map_batches(
         mark_present, batch_format="pyarrow")
-    joined = frontier_ds.join(pages, "left_outer",
-                              num_partitions=num_partitions, on=("url",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(frontier_ds, pages, "left_outer",
+                       num_partitions, on=("url",))
     return joined.map_batches(
         lambda b: scan_batch(b, scan_date=scan_date, node=node),
         batch_format="pyarrow",

@@ -138,8 +138,10 @@ def bloom_semijoin(big_ds, small_ds, *, big_key: str, small_key: str,
     # hash join rejects; the repartition+materialize folds them away
     # (same workaround as ops.dedup's candidate path).
     keys = keys.repartition(2).materialize()
-    joined = survivors.join(keys, "inner", num_partitions=num_partitions,
-                            on=(big_key,), right_on=("__sj_key",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(survivors, keys, "inner", num_partitions,
+                       on=(big_key,), right_on=("__sj_key",))
     drop = [c for c in ("__sj_key",)]
     return joined.map_batches(
         lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
@@ -177,7 +179,8 @@ def bloom_antijoin(big_ds, small_ds, *, big_key: str, small_key: str,
                            m_bits, n_hashes)
         return batch.filter(pa.array(mask if want_hit else ~mask))
 
-    out_cols = big_ds.schema().names
+    _sch = big_ds.schema()
+    out_cols = list(_sch.names) if _sch is not None else []
     definite = big_ds.map_batches(
         lambda t: split(t, False), batch_format="pyarrow")
     # The probe-hit stream is bounded by matches + fp_rate x big, so
@@ -202,9 +205,10 @@ def bloom_antijoin(big_ds, small_ds, *, big_key: str, small_key: str,
                 lambda t: t.slice(0, 1), batch_format="pyarrow"))
     # Same schemaless-empty-block join workaround as bloom_semijoin.
     keys = keys.repartition(2).materialize()
-    joined = maybe.join(keys, "left_outer",
-                        num_partitions=num_partitions,
-                        on=(big_key,), right_on=("__aj_key",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(maybe, keys, "left_outer", num_partitions,
+                       on=(big_key,), right_on=("__aj_key",))
 
     def unmatched(t: pa.Table) -> pa.Table:
         return t.filter(pa.compute.is_null(

@@ -563,12 +563,14 @@ def minhash_lsh_dedup(docs_ds, *, num_perm: int = 128, bands: int = 32,
                                 text_name: t.column(text_col)}),
             batch_format="pyarrow")
 
-    joined = candidates.join(
-        side(verify_ds, "id_a", "__text_a"), "inner",
-        num_partitions=num_partitions, on=("id_a",))
-    joined = joined.join(
-        side(verify_ds, "id_b", "__text_b"), "inner",
-        num_partitions=num_partitions, on=("id_b",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(
+        candidates, side(verify_ds, "id_a", "__text_a"), "inner",
+        num_partitions, on=("id_a",))
+    joined = safe_join(
+        joined, side(verify_ds, "id_b", "__text_b"), "inner",
+        num_partitions, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -954,10 +956,12 @@ def prefix_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
     side_b = docs_narrow.map_batches(
         lambda t: gram_lists(t, "id_b", "__gb"),
         batch_format="pyarrow")
-    joined = candidates.join(side_a, "inner",
-                             num_partitions=join_parts, on=("id_a",))
-    joined = joined.join(side_b, "inner",
-                         num_partitions=join_parts, on=("id_b",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(candidates, side_a, "inner",
+                       join_parts, on=("id_a",))
+    joined = safe_join(joined, side_b, "inner",
+                       join_parts, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),
@@ -1284,12 +1288,12 @@ def edit_distance_pairs(ds, *, id_col: str, text_col: str,
                 {i: t.column(id_col), x: t.column(text_col)}),
             batch_format="pyarrow")
 
-    joined = candidates.join(side("id_a", "__text_a"), "inner",
-                             num_partitions=join_partitions,
-                             on=("id_a",))
-    joined = joined.join(side("id_b", "__text_b"), "inner",
-                         num_partitions=join_partitions,
-                         on=("id_b",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(candidates, side("id_a", "__text_a"), "inner",
+                       join_partitions, on=("id_a",))
+    joined = safe_join(joined, side("id_b", "__text_b"), "inner",
+                       join_partitions, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -29,6 +29,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from torray.ops.join import safe_join
+
 
 def _empty_int64_table(cols: tuple[str, ...]) -> pa.Table:
     return pa.table({c: pa.array([], pa.int64()) for c in cols})
@@ -117,8 +119,8 @@ def connected_components(pairs_ds, *, id_a: str = "id_a",
     for _ in range(max_iters):
         # Propagate: every edge (src, dst) offers label(src) to dst,
         # then a grouped min folds offers with the current labels.
-        prop = edges.join(labels, "inner", num_partitions=num_partitions,
-                          on=("src",), right_on=("node",))
+        prop = safe_join(edges, labels, "inner", num_partitions,
+                         on=("src",), right_on=("node",))
         prop = prop.map_batches(
             lambda t: pa.table({"src": t.column("dst"),
                                 "lab": t.column("label")}),
@@ -136,9 +138,9 @@ def connected_components(pairs_ds, *, id_a: str = "id_a",
             lambda t: pa.table({"sn": t.column("node"),
                                 "newlab": t.column("label")}),
             batch_format="pyarrow")
-        jumped = labels.join(as_target, "inner",
-                             num_partitions=num_partitions,
-                             on=("label",), right_on=("sn",))
+        jumped = safe_join(labels, as_target, "inner",
+                           num_partitions,
+                           on=("label",), right_on=("sn",))
         labels = jumped.map_batches(
             lambda t: pa.table({"node": t.column("node"),
                                 "label": t.column("newlab")}),
@@ -217,9 +219,9 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 3,
         })
 
     for _ in range(iters):
-        with_deg = ranks.join(deg, "left_outer",
-                              num_partitions=num_partitions,
-                              on=("node",), right_on=("src",))
+        with_deg = safe_join(ranks, deg, "left_outer",
+                             num_partitions,
+                             on=("node",), right_on=("src",))
         with_deg = with_deg.materialize()
         # Mass on dangling nodes (no out-edges) redistributes uniformly.
         dangling = with_deg.map_batches(
@@ -231,16 +233,16 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 3,
             lambda t: t.filter(pa.compute.is_valid(t.column("deg")))
             .select(["node", "rank", "deg"]),
             batch_format="pyarrow")
-        contrib = edges.join(
-            non_dangling, "inner",
-            num_partitions=num_partitions, on=("src",), right_on=("node",))
+        contrib = safe_join(
+            edges, non_dangling, "inner",
+            num_partitions, on=("src",), right_on=("node",))
         in_sum = (contrib.map_batches(combine_contrib,
                                       batch_format="pyarrow")
                   .groupby("node").aggregate(Sum("contrib")))
         in_sum = _rename(in_sum, {"sum(contrib)": "contrib"})
         base = (1.0 - damping) / n + damping * dangling / n
-        joined = nodes.join(in_sum, "left_outer",
-                            num_partitions=num_partitions, on=("node",))
+        joined = safe_join(nodes, in_sum, "left_outer",
+                           num_partitions, on=("node",))
         ranks = joined.map_batches(
             lambda t, base=base: pa.table({
                 "node": t.column("node"),
@@ -595,9 +597,9 @@ def bfs_hops(edges_ds, seeds, *, src: str = "src", dst: str = "dst",
                       pa.int64()))).materialize()
     frontier = dist
     for r in range(1, max_hops + 1):
-        offers = edges.join(frontier, "inner",
-                            num_partitions=num_partitions,
-                            on=("src",), right_on=("node",))
+        offers = safe_join(edges, frontier, "inner",
+                           num_partitions,
+                           on=("src",), right_on=("node",))
         offers = offers.map_batches(
             lambda t, _r=r: pa.table({
                 "node": t.column("dst").combine_chunks(),
@@ -737,9 +739,9 @@ def kcore(edges_ds, *, k: int, src: str = "src", dst: str = "dst",
             # graph): stay fully distributed with two semi-joins
             # against the survivors
             for key in ("src", "dst"):
-                edges = edges.join(good, "inner",
-                                   num_partitions=num_partitions,
-                                   on=(key,), right_on=("node",))
+                edges = safe_join(edges, good, "inner",
+                                  num_partitions,
+                                  on=(key,), right_on=("node",))
             edges = edges.map_batches(
                 lambda t: t.select(["src", "dst"]),
                 batch_format="pyarrow").materialize()

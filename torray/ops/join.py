@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["broadcast_join", "skew_join"]
+__all__ = ["broadcast_join", "skew_join", "safe_join"]
 
 
 def broadcast_join(big_ds, small_ds, *, on, right_on=None,
@@ -50,8 +50,24 @@ def broadcast_join(big_ds, small_ds, *, on, right_on=None,
 
     small_tables = [t for t in ray.get(small_ds.to_arrow_refs())
                     if t.num_rows]
-    small = (pa.concat_tables(small_tables) if small_tables
-             else small_ds.schema().base_schema.empty_table())
+    if small_tables:
+        small = pa.concat_tables(small_tables)
+    else:
+        sch = getattr(small_ds.schema(), "base_schema", None)
+        if not isinstance(sch, pa.Schema):
+            # empty DERIVED small side: Ray reports no schema at all.
+            # Degrade to keys-only (typed from the LEFT keys, which
+            # must be comparable anyway): inner -> zero rows, left
+            # outer -> left rows with no extra columns.
+            from torray.ops.window import _ds_field_type
+
+            lk = [on] if isinstance(on, str) else list(on)
+            rk = lk if right_on is None else (
+                [right_on] if isinstance(right_on, str)
+                else list(right_on))
+            sch = pa.schema([(r, _ds_field_type(big_ds, l))
+                             for l, r in zip(lk, rk)])
+        small = sch.empty_table()
     if small.num_rows > small_cap_rows:
         raise ValueError(
             f"small side has {small.num_rows} rows > cap "
@@ -113,13 +129,14 @@ def skew_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
         ht = ht.filter(pc.greater_equal(ht.column("n"), hot_threshold))
         hot_vals = ht.column(on).combine_chunks()
     else:
+        from torray.ops.window import _ds_field_type
+
         hot_vals = pa.chunked_array(
-            [pa.array([], left_ds.schema().base_schema.field(on).type)])
+            [pa.array([], _ds_field_type(left_ds, on))])
 
     if len(hot_vals) == 0:
-        return left_ds.join(right_ds, "inner",
-                            num_partitions=num_partitions,
-                            on=(on,), right_on=(rkey,))
+        return safe_join(left_ds, right_ds, "inner", num_partitions,
+                         on=(on,), right_on=(rkey,))
 
     hot_ref = ray.put(hot_vals)
 
@@ -143,7 +160,97 @@ def skew_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
     hot_joined = broadcast_join(left_hot, right_hot, on=on,
                                 right_on=rkey, how="inner",
                                 small_cap_rows=small_cap_rows)
-    cold_joined = left_cold.join(right_cold, "inner",
-                                 num_partitions=num_partitions,
-                                 on=(on,), right_on=(rkey,))
+    cold_joined = safe_join(left_cold, right_cold, "inner",
+                            num_partitions, on=(on,), right_on=(rkey,))
     return hot_joined.union(cold_joined)
+
+
+_ARROW_VERB = {"inner": "inner", "left_outer": "left outer",
+               "right_outer": "right outer", "full_outer": "full outer",
+               "left_semi": "left semi", "left_anti": "left anti"}
+
+
+def safe_join(left_ds, right_ds, join_type: str,
+              num_partitions: int | None = None, *, on,
+              right_on=None, left_suffix: str | None = None,
+              right_suffix: str | None = None, **kw):
+    """``Dataset.join`` with the zero-block guard.
+
+    Ray 2.49's hash-shuffle join crashes (acero ``ArrowInvalid: No
+    match ... for key field reference``) whenever one side produces
+    ZERO blocks — the aggregator builds a schemaless empty partition
+    and the Arrow join can't resolve the key column.  A side is
+    zero-block exactly when (a) its plan reports ``schema() is None``
+    or (b) a filter/transform eliminated every row.  (a) is free to
+    check; (b) costs one ``limit(1)`` probe per side — streaming
+    early-exit, so on real data it touches one block, and on the
+    engine's join inputs (which are materialized anyway, for this same
+    Ray bug) it is metadata-only.
+
+    When a side IS empty, the join result is computed driver-side on
+    typed zero-row tables with pyarrow's own ``Table.join`` — the same
+    call Ray's aggregator makes, so names/suffixes/types match the
+    distributed path exactly.  A schemaless empty side contributes its
+    key columns (typed from the other side) only; its value columns
+    are unknowable, which only affects zero-row output.
+    """
+    import ray.data
+
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = (lkeys if right_on is None else
+             ([right_on] if isinstance(right_on, str) else list(right_on)))
+
+    def probe(ds, keys, other_ds, other_keys):
+        sch = getattr(ds.schema(), "base_schema", None)
+        # a 0-field schema is Ray's other spelling of "no schema"
+        # (derived datasets whose every block is a schemaless empty)
+        if not isinstance(sch, pa.Schema) or len(sch) == 0:
+            osch = getattr(other_ds.schema(), "base_schema", None)
+            fields = ([(k, osch.field(ok).type)
+                       for k, ok in zip(keys, other_keys)]
+                      if isinstance(osch, pa.Schema)
+                      and all(ok in osch.names for ok in other_keys)
+                      else [(k, pa.int64()) for k in keys])
+            return pa.schema(fields), True
+        return sch, ds.limit(1).count() == 0
+
+    lsch, lempty = probe(left_ds, lkeys, right_ds, rkeys)
+    rsch, rempty = probe(right_ds, rkeys, left_ds, lkeys)
+    if lempty or rempty:
+        lt, rt = lsch.empty_table(), rsch.empty_table()
+        verb = _ARROW_VERB[join_type]
+        # rows can only survive from a NON-empty side under outer/anti
+        # semantics; pad that side per batch by joining it against the
+        # typed empty other side — the exact acero call the distributed
+        # path makes, so names/suffixes/coalescing match, and it is
+        # row-independent (the empty side contributes no matches)
+        left_live = (not lempty) and join_type in (
+            "left_outer", "full_outer", "left_anti")
+        right_live = (not rempty) and join_type in (
+            "right_outer", "full_outer")
+        if left_live:
+            return left_ds.map_batches(
+                lambda t: (lt if t.num_rows == 0 else t)
+                .join(rt, keys=lkeys, right_keys=rkeys,
+                      join_type=verb, left_suffix=left_suffix,
+                      right_suffix=right_suffix),
+                batch_format="pyarrow")
+        if right_live:
+            return right_ds.map_batches(
+                lambda t: lt.join(rt if t.num_rows == 0 else t,
+                                  keys=lkeys, right_keys=rkeys,
+                                  join_type=verb, left_suffix=left_suffix,
+                                  right_suffix=right_suffix),
+                batch_format="pyarrow")
+        out = lt.join(rt, keys=lkeys, right_keys=rkeys, join_type=verb,
+                      left_suffix=left_suffix, right_suffix=right_suffix)
+        return ray.data.from_arrow(out)
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(
+            2, int(ray.cluster_resources().get("CPU", 4)))
+    return left_ds.join(right_ds, join_type, num_partitions,
+                        on=tuple(lkeys), right_on=tuple(rkeys),
+                        left_suffix=left_suffix,
+                        right_suffix=right_suffix, **kw)

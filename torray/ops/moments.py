@@ -55,7 +55,9 @@ def group_weighted_median(ds, *, group_col: str, value_col: str,
     partition, never per group."""
     from torray.ops.window import _hash_col_np
 
-    gtype = ds.schema().base_schema.field(group_col).type
+    from torray.ops.window import _ds_field_type
+
+    gtype = _ds_field_type(ds, group_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -141,7 +143,9 @@ def group_gini(ds, *, group_col: str = "event_type",
     past that raise ``scale`` down or sub-aggregate."""
     from torray.ops.window import _hash_col_np
 
-    gtype = ds.schema().base_schema.field(group_col).type
+    from torray.ops.window import _ds_field_type
+
+    gtype = _ds_field_type(ds, group_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -72,7 +72,8 @@ def profile_table(ds, columns: list[str] | None = None) -> pa.Table:
     from ray.data.aggregate import Max, Min, Sum
 
     if columns is None:
-        columns = list(ds.schema().names)
+        _sch = ds.schema()
+        columns = list(_sch.names) if _sch is not None else []
     ds = ds.select_columns(list(columns))
 
     stats_schema = pa.schema([

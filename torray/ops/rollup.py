@@ -104,8 +104,13 @@ def grouping_sets(ds, keys: list[str], value_col: str,
         if not set(s) <= set(keys):
             raise ValueError(f"grouping set {s!r} is not a subset of "
                              f"keys {keys!r}")
-    key_types = {f.name: f.type for f in ds.schema().base_schema
-                 if f.name in keys}
+    _sch = ds.schema()
+    _base = getattr(_sch, "base_schema", None)
+    # a derived zero-block dataset has no schema: type the empty
+    # result's keys int64 (nothing will ever be read from them)
+    key_types = ({f.name: f.type for f in _base if f.name in keys}
+                 if isinstance(_base, pa.Schema)
+                 else {k: pa.int64() for k in keys})
 
     def _shape(t: pa.Table, present: list[str]) -> pa.Table:
         n = t.num_rows
@@ -145,11 +150,15 @@ def grouping_sets(ds, keys: list[str], value_col: str,
                     batch_format="pyarrow"))
         else:
             total = finest.aggregate(Sum("__sum"), Sum("__n"))
+            # SQL semantics for the () grouping set over zero rows:
+            # exactly one row, SUM NULL, COUNT 0
+            gsum, gn = total["sum(__sum)"], total["sum(__n)"]
             levels.append(ray.data.from_arrow(pa.table({
                 **{k: pa.nulls(1, key_types[k]) for k in keys},
-                sum_name: pa.array([int(total["sum(__sum)"])],
-                                   pa.int64()),
-                count_name: pa.array([int(total["sum(__n)"])],
+                sum_name: (pa.array([int(gsum)], pa.int64())
+                           if gsum is not None
+                           else pa.nulls(1, pa.int64())),
+                count_name: pa.array([int(gn) if gn is not None else 0],
                                      pa.int64()),
             })))
 

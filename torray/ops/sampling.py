@@ -196,7 +196,9 @@ def stratified_split(ds, *, group_col: str, id_col: str,
             f"to 100, got {fractions}")
     cum = np.cumsum(pcts)  # cut points; last is 100 -> rank < n always
 
-    id_type = ds.schema().base_schema.field(id_col).type
+    from torray.ops.window import _ds_field_type
+
+    id_type = _ds_field_type(ds, id_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

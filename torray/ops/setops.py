@@ -322,7 +322,10 @@ def union_by_name(*datasets, strict_types: bool = True):
         raise ValueError("union_by_name needs at least one dataset")
     fields: dict[str, pa.DataType] = {}
     for ds in datasets:
-        for f in ds.schema().base_schema:
+        sch = getattr(ds.schema(), "base_schema", None)
+        if not isinstance(sch, pa.Schema):
+            continue  # zero-block derived side: no columns AND no rows
+        for f in sch:
             have = fields.get(f.name)
             if have is None:
                 fields[f.name] = f.type
@@ -331,6 +334,8 @@ def union_by_name(*datasets, strict_types: bool = True):
                     f"union_by_name: column {f.name!r} has conflicting "
                     f"types {have} vs {f.type}")
     names = list(fields)
+    if not names:  # every side is a schemaless zero-block dataset
+        return datasets[0]
 
     def align(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -40,6 +40,13 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    if col not in batch.column_names:
+        # schemaless zero-row block (Ray emits those for empty
+        # upstream partitions): no vectors, not an error
+        if batch.num_rows == 0:
+            return np.empty((0, 0), np.float64)
+        raise KeyError(f"column {col!r} missing from batch "
+                       f"({batch.column_names})")
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -254,10 +261,12 @@ def _train_centroids(emb_ds, n_clusters: int, train_sample: int,
     ``train_sample`` rows only — never the corpus)."""
     import ray
 
-    sample_tbl = pa.concat_tables(
-        [t for t in ray.get(
-            emb_ds.select_columns([vec_col]).limit(train_sample)
-            .to_arrow_refs()) if t.num_rows])
+    parts = [t for t in ray.get(
+        emb_ds.select_columns([vec_col]).limit(train_sample)
+        .to_arrow_refs()) if t.num_rows]
+    if not parts:  # empty corpus: no centroids, assignment is a no-op
+        return np.empty((0, 0), np.float64)
+    sample_tbl = pa.concat_tables(parts)
     sample = _normalize(_batch_matrix(sample_tbl, vec_col))
     rng = np.random.RandomState(seed)
     n_clusters = min(n_clusters, len(sample))
@@ -611,10 +620,12 @@ def embedding_cosine_dedup_lsh(emb_ds, threshold: float = 0.98,
 
         return verify_src.map_batches(enc, batch_format="pyarrow")
 
-    joined = candidates.join(side("id_a", "__vec_a"), "inner",
-                             num_partitions=num_partitions, on=("id_a",))
-    joined = joined.join(side("id_b", "__vec_b"), "inner",
-                         num_partitions=num_partitions, on=("id_b",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(candidates, side("id_a", "__vec_a"), "inner",
+                       num_partitions, on=("id_a",))
+    joined = safe_join(joined, side("id_b", "__vec_b"), "inner",
+                       num_partitions, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -523,7 +523,9 @@ def group_quantiles(ds, group_col: str, col: str, quantiles,
     from torray.ops.window import _hash_col_np
 
     qs = np.asarray([float(q) for q in quantiles], np.float64)
-    gtype = ds.schema().base_schema.field(group_col).type
+    from torray.ops.window import _ds_field_type
+
+    gtype = _ds_field_type(ds, group_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -600,7 +602,9 @@ def group_quantiles_cont(ds, group_col: str, col: str, quantiles,
     from torray.ops.window import _hash_col_np
 
     qs = np.asarray([float(q) for q in quantiles], np.float64)
-    gtype = ds.schema().base_schema.field(group_col).type
+    from torray.ops.window import _ds_field_type
+
+    gtype = _ds_field_type(ds, group_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -753,7 +757,9 @@ def group_standardize(ds, group_col: str, col: str, *,
     accordingly (documented contract, not guessed at)."""
     from torray.ops.window import _hash_col_np
 
-    gtype = ds.schema().base_schema.field(group_col).type
+    from torray.ops.window import _ds_field_type
+
+    gtype = _ds_field_type(ds, group_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -829,7 +835,9 @@ def group_minmax_normalize(ds, group_col: str, col: str, *,
     """
     from torray.ops.window import _hash_col_np
 
-    gtype = ds.schema().base_schema.field(group_col).type
+    from torray.ops.window import _ds_field_type
+
+    gtype = _ds_field_type(ds, group_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -969,7 +977,9 @@ def group_quantiles_approx(ds, group_col: str, col: str, quantiles, *,
     from torray.ops.window import _hash_col_np
 
     qs = np.asarray([float(q) for q in quantiles], np.float64)
-    gtype = ds.schema().base_schema.field(group_col).type
+    from torray.ops.window import _ds_field_type
+
+    gtype = _ds_field_type(ds, group_col)
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.column(group_col).to_numpy(zero_copy_only=False)
@@ -1081,7 +1091,9 @@ def iqr_outliers(ds, group_col: str, col: str, *,
     """
     from torray.ops.window import _hash_col_np
 
-    gtype = ds.schema().base_schema.field(group_col).type
+    from torray.ops.window import _ds_field_type
+
+    gtype = _ds_field_type(ds, group_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1155,7 +1167,9 @@ def robust_zscore(ds, group_col: str, col: str, *,
     Python once per partition."""
     from torray.ops.window import _hash_col_np
 
-    gtype = ds.schema().base_schema.field(group_col).type
+    from torray.ops.window import _ds_field_type
+
+    gtype = _ds_field_type(ds, group_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -381,10 +381,14 @@ def term_doc_frequency(docs_ds, text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        # keep only docs with >=1 term: np.unique([]) is a FLOAT64
+        # empty array, and a block of all-wordless docs (whitespace-
+        # only text exists at web scale) would concatenate to float64
+        # and fail the string cast
         per_doc = [
-            np.unique(_WORD_RE.findall(t.lower())) if t else
-            np.empty(0, dtype=object)
-            for t in batch.column(text_col).to_pylist()
+            u for t in batch.column(text_col).to_pylist() if t
+            for u in (np.unique(_WORD_RE.findall(t.lower())),)
+            if u.size
         ]
         if not per_doc:
             return pa.table({"term": pa.array([], pa.string()),
@@ -773,7 +777,9 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id",
 
     bad_ds = counts.map_batches(over_threshold,
                                 batch_format="pyarrow")
-    id_type = ds.schema().base_schema.field(id_col).type
+    from torray.ops.window import _ds_field_type
+
+    id_type = _ds_field_type(ds, id_col)
     if mode == "auto":
         bad_ds = bad_ds.materialize()
         mode = "broadcast" if bad_ds.count() <= bad_cap else "join"
@@ -1009,7 +1015,9 @@ def chunk_words(ds, *, id_col: str = "doc_id", text_col: str = "text",
     if w <= 0:
         raise ValueError("words_per_chunk must be positive")
 
-    id_type = ds.schema().base_schema.field(id_col).type
+    from torray.ops.window import _ds_field_type
+
+    id_type = _ds_field_type(ds, id_col)
 
     def rechunk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1643,14 +1651,23 @@ def bm25_topk(docs_ds, query_terms: list[str], *, k1: float = 1.2,
             .map_batches(tf_partial, batch_format="pyarrow")
             .materialize())
 
+    empty_final = pa.table({
+        "rank": pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        "hit_terms": pa.array([], pa.int64()),
+        "total_tf": pa.array([], pa.int64())})
+
     stats = rows.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), 1))
         .select([id_col, "dl"]),
         batch_format="pyarrow").to_pandas()
-    n_docs = int(stats[id_col].sum())
-    total_len = int(stats["dl"].sum())
+    # an empty corpus yields a column-less frame; no docs -> no hits
+    n_docs = int(stats[id_col].sum()) if id_col in stats.columns else 0
     if n_docs == 0:
-        raise ValueError("bm25_topk over an empty corpus")
+        import ray.data
+
+        return ray.data.from_arrow(empty_final)
+    total_len = int(stats["dl"].sum())
     avgdl = float(total_len) / float(n_docs)
 
     tf_rows = rows.map_batches(
@@ -1658,6 +1675,11 @@ def bm25_topk(docs_ds, query_terms: list[str], *, k1: float = 1.2,
         .select([id_col, "dl", "term", "tf"]),
         batch_format="pyarrow")
     df_pdf = tf_rows.groupby("term").count().to_pandas()
+    if "term" not in df_pdf.columns or not len(df_pdf):
+        # no document contains any query term
+        import ray.data
+
+        return ray.data.from_arrow(empty_final)
     df_map = dict(zip(df_pdf["term"], df_pdf["count()"]))
     idf = {t: float(np.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5)
                            / (df_map.get(t, 0) + 0.5)))

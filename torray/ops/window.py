@@ -914,12 +914,18 @@ def _lag_join_fixup(partials, bounds_ds, id_col: str,
             .map_groups(attach_partition, batch_format="pyarrow"))
 
 
-def _ds_field_type(ds, col: str) -> "pa.DataType":
+def _ds_field_type(ds, col: str,
+                   default: "pa.DataType" = None) -> "pa.DataType":
     """Arrow type of a Dataset column, robust to pandas-block schemas
     (``base_schema`` is only a ``pa.Schema`` for Arrow blocks; pandas
     object columns report ``object`` and resolve to ``pa.string()``,
-    the only object dtype these ops accept)."""
+    the only object dtype these ops accept).  A DERIVED zero-block
+    dataset reports ``schema() is None`` in Ray — ``default``
+    (int64 unless overridden) types the op's empty result instead of
+    crashing on an attribute of None."""
     sch = ds.schema()
+    if sch is None:
+        return default if default is not None else pa.int64()
     base = getattr(sch, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base.field(col).type
@@ -1169,15 +1175,18 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
                                          _right_types[name])
         return pa.table(cols)
 
-    right_tbl_schema = right_ds.schema()
-    _right_types = {
-        name: right_tbl_schema.base_schema.field(name).type
-        for name in right_value_cols
-    }
+    # a DERIVED zero-block side reports schema() = None: fall back to
+    # no carried columns / int64 so the zero-row plan still builds
+    _r_base = getattr(right_ds.schema(), "base_schema", None)
+    _right_types = ({n: _r_base.field(n).type for n in right_value_cols}
+                    if isinstance(_r_base, pa.Schema)
+                    else {n: pa.int64() for n in right_value_cols})
     left_schema = left_ds.schema()
-    _left_names = list(left_schema.names)
-    _left_types = {n: left_schema.base_schema.field(n).type
-                   for n in _left_names}
+    _l_base = getattr(left_schema, "base_schema", None)
+    _left_names = list(left_schema.names) if left_schema is not None else []
+    _left_types = ({n: _l_base.field(n).type for n in _left_names}
+                   if isinstance(_l_base, pa.Schema)
+                   else {n: pa.string() for n in _left_names})
 
     def _right_rows_table(key_arr, ts_arr, salt_arr, r_cols: dict,
                           n: int) -> pa.Table:
@@ -1499,12 +1508,15 @@ def interval_join(left_ds, right_ds, *, left_ts: str, right_start: str,
         bin_us = bin_s * us
 
     left_schema = left_ds.schema()
-    _left_names = list(left_schema.names)
-    _left_types = {n: left_schema.base_schema.field(n).type
-                   for n in _left_names}
-    right_schema = right_ds.schema()
-    _right_types = {n: right_schema.base_schema.field(n).type
-                    for n in right_value_cols}
+    _l_base = getattr(left_schema, "base_schema", None)
+    _left_names = list(left_schema.names) if left_schema is not None else []
+    _left_types = ({n: _l_base.field(n).type for n in _left_names}
+                   if isinstance(_l_base, pa.Schema)
+                   else {n: pa.string() for n in _left_names})
+    _r_base = getattr(right_ds.schema(), "base_schema", None)
+    _right_types = ({n: _r_base.field(n).type for n in right_value_cols}
+                    if isinstance(_r_base, pa.Schema)
+                    else {n: pa.int64() for n in right_value_cols})
 
     def _key_arr(t: pa.Table, col: str | None) -> pa.Array:
         if col is None:

@@ -87,8 +87,9 @@ def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
     # each re-execute the annotate+filter+join lineage.  Blocks pin in
     # the object store and spill to disk at scale — recomputing the
     # per-document annotation 4x is the costlier side everywhere.
-    unique_docs = kept.join(keepers, "inner",
-                            num_partitions=num_partitions,
+    from torray.ops.join import safe_join
+
+    unique_docs = safe_join(kept, keepers, "inner", num_partitions,
                             on=("doc_id",)).materialize()
 
     # Near-dup removal: verified pairs -> drop every larger id.  The
@@ -105,9 +106,8 @@ def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
         survivors = unique_docs
     else:
         losers = losers.repartition(num_partitions).materialize()
-        tagged = unique_docs.join(losers, "left_outer",
-                                  num_partitions=num_partitions,
-                                  on=("doc_id",))
+        tagged = safe_join(unique_docs, losers, "left_outer",
+                           num_partitions, on=("doc_id",))
         survivors = tagged.map_batches(
             lambda t: t.filter(pc.is_null(t.column("__loser"))).drop_columns(
                 ["__loser"]),
@@ -160,8 +160,10 @@ def corpus_from_crawl(pages_ds, seen_ds, *, url_col: str = "url",
                               batch_format="pyarrow")
     curated = curate_documents(docs, num_partitions=num_partitions,
                                **curate_kwargs)
-    joined = curated.join(id_map, "inner", num_partitions=num_partitions,
-                          on=("doc_id",))
+    from torray.ops.join import safe_join
+
+    joined = safe_join(curated, id_map, "inner", num_partitions,
+                       on=("doc_id",))
     return joined.map_batches(
         lambda t: t.select(["doc_id", "url", "lang_pred", "quality",
                             "split"]),
@@ -211,7 +213,9 @@ def canonical_docs(docs_ds, pairs_ds, *, id_col: str = "doc_id",
 
     quality = docs_ds.select_columns([id_col, quality_col]).map_batches(
         qual_side, batch_format="pyarrow")
-    labeled = comp.join(quality, "inner", num_partitions=join_parts,
+    from torray.ops.join import safe_join
+
+    labeled = safe_join(comp, quality, "inner", join_parts,
                         on=("node",))
 
     keepers = group_argmax(labeled, group_col="component",
@@ -227,8 +231,7 @@ def canonical_docs(docs_ds, pairs_ds, *, id_col: str = "doc_id",
             "keeper": pc.negate_checked(t.column("__negid")),
         })
 
-    out = comp.join(keepers.map_batches(to_keeper,
-                                        batch_format="pyarrow"),
-                    "inner", num_partitions=join_parts,
-                    on=("component",))
+    out = safe_join(comp, keepers.map_batches(to_keeper,
+                                              batch_format="pyarrow"),
+                    "inner", join_parts, on=("component",))
     return out.select_columns(["node", "keeper"])

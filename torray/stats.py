@@ -55,8 +55,9 @@ def count_where(ds, column: str, op: str, value=None, *,
         left = ds.select_columns([column]).map_batches(
             lambda t: t.filter(t.column(column).is_valid()),
             batch_format="pyarrow")
-        return left.join(distinct, "inner",
-                         num_partitions=num_partitions,
+        from torray.ops.join import safe_join
+
+        return safe_join(left, distinct, "inner", num_partitions,
                          on=(column,)).count()
     else:
         raise ValueError(f"unknown op {op!r} (eq|ne|has)")

@@ -175,6 +175,9 @@ def read_warc(paths):
     of ``(url, warc_ts, html)``."""
     import ray.data
 
+    if not isinstance(paths, str) and not list(paths):
+        # nothing written (empty input corpus) -> empty pages table
+        return ray.data.from_arrow(parse_warc_bytes(b""))
     ds = ray.data.read_binary_files(paths)
 
     def parse(batch: pa.Table) -> pa.Table:
