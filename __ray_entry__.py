@@ -308,6 +308,13 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
 
 
+def _q_ngram_containment(sf_dir: str):
+    from torray.ops.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_read(sf_dir, "documents"),
+                                   threshold=0.8)
+
+
 def _q_ngram_jaccard_prefix(sf_dir: str):
     """PPJoin-style prefix-filtered EXACT Jaccard join — same oracle
     as ``ngram_jaccard_pairs`` (results must be identical); candidate
@@ -551,6 +558,34 @@ def _q_media_image_features(sf_dir: str):
         payloads, media_type="image", mime="image/x-portable-pixmap"))
     return extract_media_features(media, decoder="ppm", concurrency=2,
                                   batch_size=16)
+
+
+def _q_media_image_dups(sf_dir: str):
+    """Perceptual-hash image near-dup pairs over REAL PPM decodes:
+    deterministic synthetic images seeded from doc_ids, with ids
+    2k/2k+1 sharing a base image plus re-encode noise — the actor-pool
+    hash stage + banded Hamming join finds exactly those pairs.
+    Rows-only (SQL cannot decode image bytes); planted-pair tested in
+    tests/test_ops.py."""
+    import ray
+
+    from torray.ops.multimodal import (encode_ppm, image_dup_pairs,
+                                       media_table_from_payloads)
+
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_pylist()[:80]
+    payloads = []
+    for idx, i in enumerate(ids):
+        rng = np.random.RandomState((int(i) // 2) % (2**31))
+        img = rng.randint(0, 256, size=(24, 32, 3)).astype(np.int16)
+        noise = np.random.RandomState(1000 + idx).randint(
+            -4, 5, size=img.shape)
+        payloads.append(encode_ppm(
+            np.clip(img + noise, 0, 255).astype(np.uint8)))
+    media = ray.data.from_arrow(media_table_from_payloads(
+        payloads, media_type="image", mime="image/x-portable-pixmap"))
+    return image_dup_pairs(media, max_hamming=6, concurrency=2,
+                           batch_size=16)
 
 
 def _q_media_video_frames(sf_dir: str):
@@ -4232,6 +4267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_top_parts": _q_lineitem_top_parts,
         "lineitem_urgent_semijoin": _q_lineitem_urgent_semijoin,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_containment_pairs": _q_ngram_containment,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "events_quantiles_exact": _q_events_quantiles_exact,
         "events_quantiles_by_type": _q_events_quantiles_by_type,
@@ -4373,6 +4409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "media_features": _q_media_features,
         "media_image_features": _q_media_image_features,
+        "media_image_dups": _q_media_image_dups,
         "media_video_frames": _q_media_video_frames,
         "docs_inverted_index": _q_docs_inverted_index,
         "docs_bm25_top10": _q_docs_bm25_top10,
@@ -4663,6 +4700,32 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sz sa ON sa.doc_id = inter.id_a "
             "JOIN sz sb ON sb.doc_id = inter.id_b "
             "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5"
+        ),
+        # Asymmetric containment: shared / LEAST(|A|, |B|) — same
+        # shingle CTE, different threshold expression; catches the
+        # quote-inclusion pairs Jaccard misses.
+        "ngram_containment_pairs": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS ws "
+            "FROM documents), "
+            "g AS ("
+            "SELECT DISTINCT doc_id, "
+            "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM ("
+            "SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws) - 2)) AS i "
+            "FROM w WHERE len(ws) >= 3) "
+            "UNION "
+            "SELECT doc_id, array_to_string(ws, ' ') FROM w "
+            "WHERE len(ws) IN (1, 2)), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS shared FROM g a "
+            "JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = inter.id_a "
+            "JOIN sz sb ON sb.doc_id = inter.id_b "
+            "WHERE CAST(shared AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8"
         ),
         "ngram_jaccard_prefix": (
             "WITH w AS (SELECT doc_id, "

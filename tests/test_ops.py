@@ -5149,3 +5149,47 @@ def test_tokenizer_ops_empty_input(ray_session):
         "text": pa.array(["  \n\t "])}))
     assert chunk_documents(ws, window=4, stride=2).count() == 0
     assert bpe_train(ws, n_merges=3).num_rows == 0
+
+
+def test_image_perceptual_hash_dup_pairs(ray_session):
+    """Planted near-dup images (re-encode noise) pair up via aHash
+    banding + Hamming verify; unrelated images don't."""
+    import numpy as np
+    import ray.data
+
+    from torray.ops.multimodal import (encode_ppm, image_dup_pairs,
+                                       image_hashes,
+                                       media_table_from_payloads)
+
+    payloads = []
+    for i in range(40):  # ids 2k / 2k+1 share a base image
+        rng = np.random.RandomState(i // 2)
+        img = rng.randint(0, 256, size=(24, 32, 3)).astype(np.int16)
+        noise = np.random.RandomState(1000 + i).randint(
+            -4, 5, size=img.shape)
+        payloads.append(encode_ppm(
+            np.clip(img + noise, 0, 255).astype(np.uint8)))
+    media = ray.data.from_arrow(media_table_from_payloads(payloads))
+
+    hashed = image_hashes(media).to_pandas()
+    assert len(hashed) == 40
+    assert hashed["width"].eq(32).all() and hashed["height"].eq(24).all()
+
+    pairs = image_dup_pairs(media, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    want = {(2 * k, 2 * k + 1) for k in range(20)}
+    assert got == want
+
+
+def test_image_dup_pairs_empty_and_undecodable(ray_session):
+    import ray.data
+
+    from torray.ops.multimodal import (image_dup_pairs,
+                                       media_table_from_payloads)
+
+    # undecodable payloads drop; empty input yields empty output
+    media = ray.data.from_arrow(
+        media_table_from_payloads([b"not an image", b""]))
+    assert image_dup_pairs(media).count() == 0
+    empty = ray.data.from_arrow(media_table_from_payloads([]))
+    assert image_dup_pairs(empty).count() == 0

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_dedup",
     "jaccard",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "prefix_jaccard_pairs",
     "bounded_pair_positions",
     "fnv1a64_strings",
@@ -784,6 +785,52 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
         sb = t.column("pay_b").to_numpy(
             zero_copy_only=False).astype(np.float64)
         keep = shared / (sa + sb - shared) >= threshold
+        return t.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(docs_ds, *, threshold: float = 0.8,
+                            shingle_k: int = 3, text_col: str = "text",
+                            max_bucket: int | None = None,
+                            num_partitions: int = 64):
+    """All pairs where the smaller document's word ``shingle_k``-gram
+    set is >= ``threshold`` CONTAINED in the other —
+    ``shared / min(|A|, |B|)`` — exact and distributed.
+
+    Containment is the asymmetric complement to
+    :func:`ngram_jaccard_pairs`: a short quote embedded verbatim in a
+    long page has near-zero Jaccard (the union is dominated by the
+    long side) but containment ~1.0, which is exactly the
+    quote-inclusion / page-wrapping duplication shape web corpora are
+    full of (same article + different boilerplate shell).  Same scale
+    shape as the Jaccard op: distinct shingles leave each block once
+    as narrow int64 ``(gram, doc_id, set_size)`` rows, one shuffle,
+    pair-emission count = ``|A ∩ B|``, set sizes ride the pair rows —
+    no verify join, text bytes never shuffle.
+
+    ``max_bucket`` semantics match :func:`ngram_jaccard_pairs`
+    (``None`` = exact; capped = high-precision subset).
+    """
+    explode = _make_shingle_explode(text_col, shingle_k)
+
+    pairs = salted_bucket_pairs(
+        docs_ds.select_columns(["doc_id", text_col])
+        .map_batches(explode, batch_format="pyarrow"),
+        "gram", "doc_id", max_bucket=max_bucket,
+        num_partitions=num_partitions,
+        payload_col="set_size", emit_payload=True)
+    agg = pair_counts(pairs, with_payload=True,
+                      num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        shared = t.column("n_shared").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sa = t.column("pay_a").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sb = t.column("pay_b").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = shared / np.minimum(sa, sb) >= threshold
         return t.filter(pa.array(keep)).select(["id_a", "id_b"])
 
     return agg.map_batches(finish, batch_format="pyarrow")

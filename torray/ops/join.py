@@ -200,19 +200,35 @@ def safe_join(left_ds, right_ds, join_type: str,
     rkeys = (lkeys if right_on is None else
              ([right_on] if isinstance(right_on, str) else list(right_on)))
 
-    def probe(ds, keys, other_ds, other_keys):
-        sch = getattr(ds.schema(), "base_schema", None)
+    def _known(ds, fetch):
+        try:
+            sch = ds.schema(fetch_if_missing=fetch)
+        except Exception:
+            sch = None
+        base = getattr(sch, "base_schema", None)
         # a 0-field schema is Ray's other spelling of "no schema"
         # (derived datasets whose every block is a schemaless empty)
-        if not isinstance(sch, pa.Schema) or len(sch) == 0:
-            osch = getattr(other_ds.schema(), "base_schema", None)
-            fields = ([(k, osch.field(ok).type)
-                       for k, ok in zip(keys, other_keys)]
-                      if isinstance(osch, pa.Schema)
-                      and all(ok in osch.names for ok in other_keys)
-                      else [(k, pa.int64()) for k in keys])
-            return pa.schema(fields), True
-        return sch, ds.limit(1).count() == 0
+        if isinstance(base, pa.Schema) and len(base) > 0:
+            return base
+        return None
+
+    def probe(ds, keys, other_ds, other_keys):
+        # metadata first (free), then one fetch (executes limit(1)
+        # through the lineage ONCE).  A side with a real schema is
+        # never "empty" here: zero-ROW sides are safe in the native
+        # join because torray._rayfix guarantees the schema broadcast
+        # reaches every aggregator partition — only a SCHEMALESS side
+        # (no columns anywhere) needs the driver-side fallback.
+        sch = _known(ds, False) or _known(ds, True)
+        if sch is not None:
+            return sch, False
+        osch = _known(other_ds, False) or _known(other_ds, True)
+        fields = ([(k, osch.field(ok).type)
+                   for k, ok in zip(keys, other_keys)]
+                  if osch is not None
+                  and all(ok in osch.names for ok in other_keys)
+                  else [(k, pa.int64()) for k in keys])
+        return pa.schema(fields), True
 
     lsch, lempty = probe(left_ds, lkeys, right_ds, rkeys)
     rsch, rempty = probe(right_ds, rkeys, left_ds, lkeys)

@@ -38,7 +38,8 @@ import pyarrow as pa
 
 __all__ = ["MEDIA_SCHEMA", "MediaFeatureExtractor", "extract_media_features",
            "media_table_from_payloads", "encode_ppm", "encode_wav",
-           "encode_ppmv", "sample_video_frames", "VideoFrameSampler"]
+           "encode_ppmv", "sample_video_frames", "VideoFrameSampler",
+           "ImageHasher", "image_hashes", "image_dup_pairs"]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -379,3 +380,140 @@ def sample_video_frames(media_ds, *, n_frames: int = 4,
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing: aHash/dHash + Hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _ahash64(gray: np.ndarray) -> int:
+    """Average hash: 8x8 block-mean thumbnail thresholded at its mean.
+    Bit i = 1 when cell i is brighter than the thumbnail average —
+    invariant to uniform brightness/contrast scaling and to the small
+    re-encode noise that defeats byte-exact dedup."""
+    thumb = _thumbnail_features(gray, 64).reshape(8, 8)
+    bits = (thumb > thumb.mean()).ravel()
+    return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+def _dhash64(gray: np.ndarray) -> int:
+    """Difference hash: 9x8 block means, bit = left cell > right cell.
+    Captures horizontal gradients; complements aHash (flat images with
+    one hot pixel hash identically under aHash but not dHash)."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 10).astype(int)
+    cells = np.empty((8, 9), np.float64)
+    for i in range(8):
+        for j in range(9):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+            cells[i, j] = float(block.mean())
+    bits = (cells[:, :-1] > cells[:, 1:]).ravel()
+    return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+class ImageHasher:
+    """Actor-pool stage: binary image payloads -> 64-bit perceptual
+    hashes (aHash + dHash).  Same stateful-stage contract as
+    :class:`MediaFeatureExtractor`: construction once per actor, small
+    ``batch_size`` because payloads are large, only (id, 2 x int64,
+    dims) leaves the stage — the image bytes never shuffle."""
+
+    def __init__(self, decoder: str = "ppm"):
+        if decoder != "ppm":
+            if decoder == "pil":
+                raise NotImplementedError(
+                    "decoder 'pil' requires Pillow, absent in this "
+                    "environment; wire the real decode here")
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ah, dh, ws, hs = [], [], [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            dec = _decode_ppm(payload)
+            if dec is None:
+                continue  # undecodable rows drop (logged-side metric)
+            gray, w, h = dec
+            ids.append(mid)
+            ah.append(np.uint64(_ahash64(gray)).astype(np.int64))
+            dh.append(np.uint64(_dhash64(gray)).astype(np.int64))
+            ws.append(w)
+            hs.append(h)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "ahash": pa.array(ah, pa.int64()),
+            "dhash": pa.array(dh, pa.int64()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32())})
+
+
+def image_hashes(media_ds, *, decoder: str = "ppm",
+                 concurrency: int = 2, batch_size: int = 16):
+    """Perceptual-hash stage over a MEDIA_SCHEMA Dataset."""
+    return media_ds.map_batches(
+        ImageHasher,
+        fn_constructor_kwargs={"decoder": decoder},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def image_dup_pairs(media_ds, *, max_hamming: int = 3,
+                    hash_col: str = "ahash", decoder: str = "ppm",
+                    max_bucket: int = 256,
+                    concurrency: int = 2, batch_size: int = 16):
+    """Near-duplicate image pairs: perceptual-hash Hamming distance
+    <= ``max_hamming``.
+
+    Scale shape mirrors :func:`torray.ops.dedup.simhash_dedup`: the
+    64-bit hash splits into ``max_hamming + 1`` bands, so any pair
+    within the distance budget shares at least one exact band
+    (pigeonhole); one narrow int64 ``(band_key, media_id, hash)``
+    shuffle groups candidates and a vectorized xor+popcount verifies.
+    Image bytes stay in the hashing stage's blocks; only 24 bytes per
+    image per band move.
+    """
+    from torray.ops.dedup import (_popcount64, pair_counts,
+                                  salted_bucket_pairs)
+
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    hashed = image_hashes(media_ds, decoder=decoder,
+                          concurrency=concurrency, batch_size=batch_size)
+
+    def banded(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        sigs = batch.column(hash_col).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        keys = np.empty(n_bands * n, np.uint64)
+        for band in range(n_bands):
+            lo = band * width
+            # the LAST band absorbs the 64 % n_bands remainder bits
+            take = 64 - lo if band == n_bands - 1 else width
+            mask = np.uint64((1 << take) - 1)
+            chunk = (sigs >> np.uint64(lo)) & mask
+            keys[band * n:(band + 1) * n] = (
+                (np.uint64(band) << np.uint64(58)) | chunk)
+        return pa.table({
+            "band_key": pa.array(keys.view(np.int64), pa.int64()),
+            "media_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+            "sig": pa.array(np.tile(sigs, n_bands).view(np.int64),
+                            pa.int64())})
+
+    def hamming_ok(pay_a: np.ndarray, pay_b: np.ndarray) -> np.ndarray:
+        return _popcount64(pay_a.view(np.uint64)
+                           ^ pay_b.view(np.uint64)) <= max_hamming
+
+    pair_ds = salted_bucket_pairs(
+        hashed.map_batches(banded, batch_format="pyarrow"),
+        "band_key", "media_id", max_bucket=max_bucket,
+        payload_col="sig", pair_filter=hamming_ok)
+    return pair_counts(pair_ds).map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")

@@ -217,7 +217,10 @@ class _SpanProbe:
                 "n_dup": pa.array(counts[keep].astype(np.int64))})
         selfw = _pack_winner(ids[di], lpos) if len(h) \
             else np.empty(0, np.int64)
-        excise = member & (self.w[p] != selfw)
+        if len(self.w):
+            excise = member & (self.w[p] != selfw)
+        else:  # no duplicate window anywhere: nothing to excise
+            excise = np.zeros(len(h), bool)
         lens = np.fromiter((len(t) if t else 0 for t in texts),
                            np.int64, len(texts))
         starts = np.zeros(len(lens) + 1, np.int64)
