@@ -588,6 +588,40 @@ def _q_media_image_dups(sf_dir: str):
                            batch_size=16)
 
 
+def _q_media_audio_dups(sf_dir: str):
+    """Spectral-fingerprint audio near-dup pairs over REAL WAV decodes:
+    deterministic synthetic clips seeded from doc_ids, ids 2k/2k+1
+    sharing a base clip at different gain + dither.  Rows-only (SQL
+    cannot decode audio); planted-pair tested in tests/test_ops.py."""
+    import ray
+
+    from torray.ops.multimodal import (audio_dup_pairs, encode_wav,
+                                       media_table_from_payloads)
+
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_pylist()[:60]
+    payloads = []
+    for idx, i in enumerate(ids):
+        rng = np.random.RandomState((int(i) // 2) % (2**31))
+        t = np.arange(4000)
+        base = rng.normal(0, 0.3, size=t.shape)
+        kernel = np.hanning(rng.randint(8, 64))
+        base = np.convolve(base, kernel / kernel.sum(), mode="same")
+        freqs = rng.uniform(100, 2000, 3)
+        base += sum(np.sin(2 * np.pi * f * t / 8000.0)
+                    for f in freqs) / 6.0
+        noise = np.random.RandomState(2000 + idx).normal(
+            0, 0.005, size=t.shape)
+        gain = 0.7 if idx % 2 else 0.9
+        payloads.append(encode_wav(
+            ((base + noise) * gain * 20000)
+            .clip(-32767, 32767).astype(np.int16)))
+    media = ray.data.from_arrow(media_table_from_payloads(
+        payloads, media_type="audio", mime="audio/wav"))
+    return audio_dup_pairs(media, max_hamming=6, concurrency=2,
+                           batch_size=16)
+
+
 def _q_media_video_frames(sf_dir: str):
     """REAL video frame sampling (PPMV synthetic container, numpy-only
     frame decode) through the actor-pool stage: 4 uniformly spaced
@@ -4410,6 +4444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_image_features": _q_media_image_features,
         "media_image_dups": _q_media_image_dups,
+        "media_audio_dups": _q_media_audio_dups,
         "media_video_frames": _q_media_video_frames,
         "docs_inverted_index": _q_docs_inverted_index,
         "docs_bm25_top10": _q_docs_bm25_top10,

@@ -5193,3 +5193,41 @@ def test_image_dup_pairs_empty_and_undecodable(ray_session):
     assert image_dup_pairs(media).count() == 0
     empty = ray.data.from_arrow(media_table_from_payloads([]))
     assert image_dup_pairs(empty).count() == 0
+
+
+def test_audio_spectral_dup_pairs(ray_session):
+    """Planted near-dup audio (gain change + dither) pairs up via the
+    spectral fingerprint; unrelated broadband clips don't."""
+    import numpy as np
+    import ray.data
+
+    from torray.ops.multimodal import (audio_dup_pairs, encode_wav,
+                                       media_table_from_payloads)
+
+    payloads = []
+    for i in range(30):  # ids 2k / 2k+1 share a base clip
+        rng = np.random.RandomState(i // 2)
+        t = np.arange(4000)
+        base = rng.normal(0, 0.3, size=t.shape)
+        kernel = np.hanning(rng.randint(8, 64))
+        base = np.convolve(base, kernel / kernel.sum(), mode="same")
+        freqs = rng.uniform(100, 2000, 3)
+        base += sum(np.sin(2 * np.pi * f * t / 8000.0)
+                    for f in freqs) / 6.0
+        noise = np.random.RandomState(2000 + i).normal(
+            0, 0.005, size=t.shape)
+        gain = 0.7 if i % 2 else 0.9
+        payloads.append(encode_wav(
+            ((base + noise) * gain * 20000)
+            .clip(-32767, 32767).astype(np.int16)))
+    media = ray.data.from_arrow(media_table_from_payloads(
+        payloads, media_type="audio", mime="audio/wav"))
+
+    pairs = audio_dup_pairs(media, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert got == {(2 * k, 2 * k + 1) for k in range(15)}
+
+    # undecodable payloads drop silently
+    bad = ray.data.from_arrow(media_table_from_payloads(
+        [b"junk", b""], media_type="audio"))
+    assert audio_dup_pairs(bad).count() == 0

@@ -39,7 +39,8 @@ import pyarrow as pa
 __all__ = ["MEDIA_SCHEMA", "MediaFeatureExtractor", "extract_media_features",
            "media_table_from_payloads", "encode_ppm", "encode_wav",
            "encode_ppmv", "sample_video_frames", "VideoFrameSampler",
-           "ImageHasher", "image_hashes", "image_dup_pairs"]
+           "ImageHasher", "image_hashes", "image_dup_pairs",
+           "AudioHasher", "audio_hashes", "audio_dup_pairs"]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -478,18 +479,26 @@ def image_dup_pairs(media_ds, *, max_hamming: int = 3,
     Image bytes stay in the hashing stage's blocks; only 24 bytes per
     image per band move.
     """
+    hashed = image_hashes(media_ds, decoder=decoder,
+                          concurrency=concurrency, batch_size=batch_size)
+    return _hash64_pairs(hashed, "media_id", hash_col,
+                         max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+def _hash64_pairs(hashed_ds, id_col: str, hash_col: str, *,
+                  max_hamming: int, max_bucket: int):
+    """Generic banded Hamming join over a (id, 64-bit hash) Dataset:
+    ``max_hamming + 1`` bands (pigeonhole guarantee), salted buckets,
+    vectorized xor+popcount verify."""
     from torray.ops.dedup import (_popcount64, pair_counts,
                                   salted_bucket_pairs)
 
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
-    hashed = image_hashes(media_ds, decoder=decoder,
-                          concurrency=concurrency, batch_size=batch_size)
-
     def banded(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sigs = batch.column(hash_col).to_numpy(
             zero_copy_only=False).astype(np.uint64)
         keys = np.empty(n_bands * n, np.uint64)
@@ -497,13 +506,14 @@ def image_dup_pairs(media_ds, *, max_hamming: int = 3,
             lo = band * width
             # the LAST band absorbs the 64 % n_bands remainder bits
             take = 64 - lo if band == n_bands - 1 else width
-            mask = np.uint64((1 << take) - 1)
+            mask = np.uint64((1 << take) - 1) if take < 64 \
+                else np.uint64(0xFFFFFFFFFFFFFFFF)
             chunk = (sigs >> np.uint64(lo)) & mask
             keys[band * n:(band + 1) * n] = (
                 (np.uint64(band) << np.uint64(58)) | chunk)
         return pa.table({
             "band_key": pa.array(keys.view(np.int64), pa.int64()),
-            "media_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+            id_col: pa.array(np.tile(ids, n_bands), pa.int64()),
             "sig": pa.array(np.tile(sigs, n_bands).view(np.int64),
                             pa.int64())})
 
@@ -512,8 +522,87 @@ def image_dup_pairs(media_ds, *, max_hamming: int = 3,
                            ^ pay_b.view(np.uint64)) <= max_hamming
 
     pair_ds = salted_bucket_pairs(
-        hashed.map_batches(banded, batch_format="pyarrow"),
-        "band_key", "media_id", max_bucket=max_bucket,
+        hashed_ds.map_batches(banded, batch_format="pyarrow"),
+        "band_key", id_col, max_bucket=max_bucket,
         payload_col="sig", pair_filter=hamming_ok)
     return pair_counts(pair_ds).map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+def _audiohash64(samples: np.ndarray) -> int:
+    """Spectral fingerprint: 64 log-spaced |rfft| band energies
+    thresholded at their median.  Robust to volume scaling (threshold
+    is relative) and to the small sample noise a re-encode introduces
+    — the audio analogue of the image aHash."""
+    if samples.size == 0:
+        return 0
+    mag = np.abs(np.fft.rfft(samples))
+    if mag.size < 2:
+        return 0
+    # log-spaced band edges emphasize the perceptually-dense low end;
+    # bit = adjacent-band LOG-energy comparison (dHash-style gradient),
+    # which stays stable on sparse spectra where a global median
+    # threshold flips on ties
+    edges = np.unique(np.geomspace(1, mag.size, 66).astype(int))
+    e = np.full(65, -30.0, np.float64)
+    for i in range(min(65, len(edges) - 1)):
+        seg = mag[edges[i]:max(edges[i + 1], edges[i] + 1)]
+        if seg.size:
+            e[i] = float(np.log(seg.mean() + 1e-12))
+    bits = e[:-1] > e[1:]
+    return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+class AudioHasher:
+    """Actor-pool stage: WAV payloads -> 64-bit spectral fingerprints.
+    Same contract as :class:`ImageHasher`; only (id, int64, duration)
+    leaves the stage."""
+
+    def __init__(self, decoder: str = "wav"):
+        if decoder != "wav":
+            if decoder == "librosa":
+                raise NotImplementedError(
+                    "decoder 'librosa' requires libraries absent in "
+                    "this environment; wire the real decode here")
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hh, dur = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            dec = _decode_wav(payload)
+            if dec is None:
+                continue
+            samples, d = dec
+            ids.append(mid)
+            hh.append(np.uint64(_audiohash64(samples)).astype(np.int64))
+            dur.append(d)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "audiohash": pa.array(hh, pa.int64()),
+            "duration_ms": pa.array(dur, pa.int32())})
+
+
+def audio_hashes(media_ds, *, decoder: str = "wav",
+                 concurrency: int = 2, batch_size: int = 16):
+    return media_ds.map_batches(
+        AudioHasher,
+        fn_constructor_kwargs={"decoder": decoder},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def audio_dup_pairs(media_ds, *, max_hamming: int = 4,
+                    decoder: str = "wav", max_bucket: int = 256,
+                    concurrency: int = 2, batch_size: int = 16):
+    """Near-duplicate audio pairs: spectral-fingerprint Hamming
+    distance <= ``max_hamming``, banded exactly like
+    :func:`image_dup_pairs` (pigeonhole over ``max_hamming + 1``
+    bands, xor+popcount verify, audio bytes never shuffle)."""
+    hashed = audio_hashes(media_ds, decoder=decoder,
+                          concurrency=concurrency,
+                          batch_size=batch_size)
+    return _hash64_pairs(hashed, "media_id", "audiohash",
+                         max_hamming=max_hamming, max_bucket=max_bucket)
