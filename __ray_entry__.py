@@ -308,6 +308,12 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
 
 
+def _q_vocab_overlap(sf_dir: str):
+    from torray.ops.text import vocab_overlap
+
+    return vocab_overlap(_read(sf_dir, "documents"), group_col="lang")
+
+
 def _q_ngram_containment(sf_dir: str):
     from torray.ops.dedup import ngram_containment_pairs
 
@@ -4302,6 +4308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_urgent_semijoin": _q_lineitem_urgent_semijoin,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment,
+        "vocab_overlap": _q_vocab_overlap,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "events_quantiles_exact": _q_events_quantiles_exact,
         "events_quantiles_by_type": _q_events_quantiles_by_type,
@@ -4735,6 +4742,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sz sa ON sa.doc_id = inter.id_a "
             "JOIN sz sb ON sb.doc_id = inter.id_b "
             "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5"
+        ),
+        # Pairwise vocabulary overlap between language slices:
+        # exact distinct-word intersections, jaccard = ONE mirrored
+        # float divide over exact ints.
+        "vocab_overlap": (
+            "WITH w AS (SELECT lang, "
+            "unnest(regexp_extract_all(lower(text), '\\S+')) AS word "
+            "FROM documents WHERE text IS NOT NULL "
+            "AND lang IS NOT NULL), "
+            "d AS (SELECT DISTINCT lang, word FROM w), "
+            "sz AS (SELECT lang, count(*) AS n FROM d GROUP BY 1), "
+            "inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, "
+            "count(*) AS n_shared FROM d a "
+            "JOIN d b ON a.word = b.word AND a.lang < b.lang "
+            "GROUP BY 1, 2) "
+            "SELECT lang_a, lang_b, n_shared, sa.n AS n_a, "
+            "sb.n AS n_b, "
+            "CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) "
+            "AS jaccard FROM inter "
+            "JOIN sz sa ON sa.lang = inter.lang_a "
+            "JOIN sz sb ON sb.lang = inter.lang_b"
         ),
         # Asymmetric containment: shared / LEAST(|A|, |B|) — same
         # shingle CTE, different threshold expression; catches the
