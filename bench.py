@@ -841,6 +841,110 @@ def bench_bfs_xl(sf_dir: str) -> dict:
             "kcore_nodes": n_core}
 
 
+def bench_dupfam_xl(sf_dir: str) -> dict:
+    """Session-5 dedup-family ops at scale: exact containment join at
+    20x documents volume (100k docs), vocabulary-overlap matrix over
+    the 200k-doc / ~5.6M-term unique-vocab corpus (12 synthetic
+    slices), and perceptual-hash image (20k payloads) + audio (8k
+    clips) near-dup joins with the payload synthesis running
+    DISTRIBUTED in map_batches (the bytes never visit the driver).
+    Not in the default suite (TORRAY_BENCH_ONLY=dupfam_xl)."""
+    import ray
+    import numpy as np
+    import pyarrow as pa
+
+    from torray.ops.dedup import ngram_containment_pairs
+    from torray.ops.multimodal import (audio_dup_pairs, encode_ppm,
+                                       encode_wav, image_dup_pairs,
+                                       media_table_from_payloads)
+    from torray.ops.text import vocab_overlap
+
+    path = _ensure_docs_xl(sf_dir)
+    _warm_pool()
+    t0 = time.monotonic()
+    # capped buckets = the documented scale mode for the exact-set
+    # family (a corpus-wide gram otherwise emits O(m^2) pairs —
+    # inherent to exactness; the cap keeps the high-precision subset).
+    # This synthetic corpus is WORST-case repetitive (tiny vocabulary:
+    # 5.2M distinct shingles across 100k docs, most shared by hundreds
+    # of docs), so candidate volume is the whole cost: cap 256 emits
+    # 194M candidate pairs (202 s); cap 64 keeps the planted dup pairs
+    # and measures the machinery, not the adversarial corpus.  The
+    # explode itself is 4.6 s for 5.2M distinct shingles (vectorized
+    # rolling hash; the per-shingle-md5 version measured 197 s).
+    n_cont = ngram_containment_pairs(
+        ray.data.read_parquet(path), threshold=0.8,
+        max_bucket=64).count()
+    t1 = time.monotonic()
+
+    vpath = _ensure_docs_xlvocab()
+
+    def add_lang(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = pa.array([f"l{int(i) % 12:02d}" for i in ids],
+                        pa.string())
+        return t.append_column("lang", lang)
+
+    n_vo = vocab_overlap(
+        ray.data.read_parquet(vpath).map_batches(
+            add_lang, batch_format="pyarrow")).count()
+    t2 = time.monotonic()
+
+    def make_images(t: pa.Table) -> pa.Table:
+        payloads = []
+        for i in t.column("id").to_pylist():
+            rng = np.random.RandomState(int(i) // 2)
+            img = rng.randint(0, 256, size=(24, 32, 3)).astype(np.int16)
+            noise = np.random.RandomState(10**6 + int(i)).randint(
+                -4, 5, size=img.shape)
+            payloads.append(encode_ppm(
+                np.clip(img + noise, 0, 255).astype(np.uint8)))
+        tbl = media_table_from_payloads(payloads)
+        return tbl.set_column(0, "media_id",
+                              t.column("id").cast(pa.int64()))
+
+    media_img = ray.data.range(20_000).map_batches(
+        make_images, batch_format="pyarrow", batch_size=512)
+    n_img = image_dup_pairs(media_img, max_hamming=6,
+                            concurrency=8, batch_size=256).count()
+    t3 = time.monotonic()
+
+    def make_audio(t: pa.Table) -> pa.Table:
+        payloads = []
+        for i in t.column("id").to_pylist():
+            rng = np.random.RandomState(int(i) // 2)
+            s = np.arange(4000)
+            base = rng.normal(0, 0.3, size=s.shape)
+            kernel = np.hanning(rng.randint(8, 64))
+            base = np.convolve(base, kernel / kernel.sum(), mode="same")
+            freqs = rng.uniform(100, 2000, 3)
+            base += sum(np.sin(2 * np.pi * f * s / 8000.0)
+                        for f in freqs) / 6.0
+            gain = 0.7 if int(i) % 2 else 0.9
+            payloads.append(encode_wav(
+                (base * gain * 20000).clip(-32767, 32767)
+                .astype(np.int16)))
+        tbl = media_table_from_payloads(payloads, media_type="audio",
+                                        mime="audio/wav")
+        return tbl.set_column(0, "media_id",
+                              t.column("id").cast(pa.int64()))
+
+    media_aud = ray.data.range(8_000).map_batches(
+        make_audio, batch_format="pyarrow", batch_size=256)
+    n_aud = audio_dup_pairs(media_aud, max_hamming=6,
+                            concurrency=8, batch_size=128).count()
+    wall = time.monotonic() - t0
+    return {"sec": wall,
+            "containment_sec": round(t1 - t0, 2),
+            "containment_pairs": n_cont,
+            "vocab_overlap_sec": round(t2 - t1, 2),
+            "vocab_pairs": n_vo,
+            "image_dedup_sec": round(t3 - t2, 2),
+            "image_pairs": n_img,
+            "audio_dedup_sec": round(wall - (t3 - t0), 2),
+            "audio_pairs": n_aud}
+
+
 def bench_tok_xl(sf_dir: str) -> dict:
     """Tokenizer-family ops at 20x documents volume (100k docs,
     ~10M whitespace tokens): sliding-window chunking (zero-shuffle
@@ -1031,6 +1135,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "bfs_xl": lambda: bench_bfs_xl(sf_dir),
         "spans_xl": lambda: bench_spans_xl(sf_dir),
         "tok_xl": lambda: bench_tok_xl(sf_dir),
+        "dupfam_xl": lambda: bench_dupfam_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()

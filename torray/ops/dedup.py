@@ -706,30 +706,98 @@ def simhash_dedup(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 
+_ROLL_BASE = np.uint64(1099511628211)
+_ROLL_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def shingle_hash_rows(texts, k: int) -> tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]:
+    """DISTINCT word ``k``-gram hashes for every text of a batch,
+    fully vectorized -> ``(hash uint64, doc_idx int64, set_size
+    int64)`` rows.
+
+    Semantics mirror :func:`_shingles` (equality over lowercased
+    ``\\S+`` word SEQUENCES; docs with 1..k-1 words collapse to one
+    whole-doc shingle; wordless docs emit nothing) but the hash is a
+    positional polynomial over vectorized per-word FNV hashes —
+    ``h(i..j) = (S[j+1]-S[i]) * base^-i`` with prefix sums in
+    wrap-around uint64 (the spans.py rolling-hash construction lifted
+    from characters to words) — ONE numpy pass per batch instead of
+    one Python md5 per shingle, which measured 197 s of a 216 s
+    containment run at 100k docs before this rewrite.
+    """
+    words_per = [_WORD_RE.findall(t.lower()) if t else []
+                 for t in texts]
+    lens = np.fromiter((len(w) for w in words_per), np.int64,
+                       len(words_per))
+    n = int(lens.sum())
+    z = np.empty(0, np.int64)
+    if n == 0:
+        return z.view(np.uint64), z, z
+    flat = [w for ws in words_per for w in ws]
+    W = fnv1a64_strings(pa.array(flat, pa.string())) + np.uint64(1)
+    pw = np.empty(n, np.uint64)
+    pw[0] = 1
+    if n > 1:
+        np.cumprod(np.full(n - 1, _ROLL_BASE, np.uint64), out=pw[1:])
+    S = np.zeros(n + 1, np.uint64)
+    np.cumsum(W * pw, out=S[1:])
+    ipw = np.empty(n, np.uint64)
+    ipw[0] = 1
+    if n > 1:
+        np.cumprod(np.full(n - 1, _ROLL_INV, np.uint64), out=ipw[1:])
+    starts = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+
+    # full k-grams: window start positions fully inside one doc
+    if n >= k:
+        m = n - k + 1
+        gpos = np.arange(m, dtype=np.int64)
+        di = np.searchsorted(starts[1:], gpos, side="right")
+        ok = gpos + k <= starts[di + 1]
+        gpos, di = gpos[ok], di[ok]
+        h_full = (S[gpos + k] - S[gpos]) * ipw[gpos]
+    else:
+        h_full = np.empty(0, np.uint64)
+        di = z
+    # short docs (0 < len < k): one whole-doc shingle each
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    if len(short):
+        s0 = starts[short]
+        h_short = (S[starts[short + 1]] - S[s0]) * ipw[s0]
+        h = np.concatenate([h_full, h_short])
+        d = np.concatenate([di, short])
+    else:
+        h, d = h_full, di
+    if not len(h):
+        return z.view(np.uint64), z, z
+    # distinct per doc + per-doc set sizes, via one lexsort
+    order = np.lexsort((h, d))
+    h, d = h[order], d[order]
+    keep = np.concatenate(([True], (h[1:] != h[:-1]) | (d[1:] != d[:-1])))
+    h, d = h[keep], d[keep]
+    seg = np.concatenate(([True], d[1:] != d[:-1]))
+    sizes = np.diff(np.append(np.flatnonzero(seg), len(d)))
+    return h, d, np.repeat(sizes, sizes).astype(np.int64)
+
+
 def _make_shingle_explode(text_col: str, shingle_k: int):
     """map_batches fn: documents -> distinct-shingle rows
     ``(gram, doc_id, set_size)`` (int64; empty-shingle docs emit
-    nothing)."""
+    nothing) — vectorized via :func:`shingle_hash_rows`."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        gram_out, id_out, sz_out = [], [], []
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column(text_col).to_pylist()):
-            sh = _shingles(t or "", shingle_k)
-            if not sh:
-                continue
-            g = np.fromiter(sh, np.uint64, len(sh)).view(np.int64)
-            gram_out.append(g)
-            id_out.append(np.full(g.size, did, np.int64))
-            sz_out.append(np.full(g.size, len(sh), np.int64))
-        if not gram_out:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        h, di, sz = shingle_hash_rows(texts, shingle_k)
+        if not len(h):
             return pa.table({"gram": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
                              "set_size": pa.array([], pa.int64())})
         return pa.table({
-            "gram": pa.array(np.concatenate(gram_out), pa.int64()),
-            "doc_id": pa.array(np.concatenate(id_out), pa.int64()),
-            "set_size": pa.array(np.concatenate(sz_out), pa.int64())})
+            "gram": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[di].astype(np.int64), pa.int64()),
+            "set_size": pa.array(sz, pa.int64())})
 
     return explode
 
