@@ -1014,11 +1014,21 @@ def prefix_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
                    .groupby("__dpart")
                    .map_groups(cut_prefix, batch_format="pyarrow"))
 
-    # -- stage 4: candidates from prefix co-occurrence (exact by lemma)
+    # -- stage 4: candidates from prefix co-occurrence (exact by
+    # lemma), with PPJoin's LENGTH filter vetting each candidate
+    # in-task: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|), so
+    # size-mismatched pairs never shuffle (pure pruning — exact).
+    def _len_ok(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        lo = np.minimum(sa, sb).astype(np.float64)
+        hi = np.maximum(sa, sb).astype(np.float64)
+        return lo >= threshold * hi
+
     candidates = pair_counts(
         salted_bucket_pairs(prefix_rows, "gram", "doc_id",
                             max_bucket=None,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions,
+                            payload_col="set_size",
+                            pair_filter=_len_ok)
     ).map_batches(lambda t: t.select(["id_a", "id_b"]),
                   batch_format="pyarrow").materialize()
     if candidates.count() == 0:
@@ -1047,16 +1057,20 @@ def prefix_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
         mask = np.isin(t.column("doc_id").to_numpy(zero_copy_only=False),
                        ids)
         t = t.filter(pa.array(mask))
-        out_ids, out_blobs = [], []
-        for did, txt in zip(t.column("doc_id").to_pylist(),
-                            t.column(text_col).to_pylist()):
-            sh = _shingles(txt or "", shingle_k)
-            out_ids.append(did)
-            # int64 bytes, not a list column: Acero joins reject list
-            # non-key fields
-            out_blobs.append(np.fromiter(
-                sh, np.uint64, len(sh)).tobytes())
-        return pa.table({id_name: pa.array(out_ids, pa.int64()),
+        texts = t.column(text_col).to_pylist()
+        h, di, _sz = shingle_hash_rows(texts, shingle_k)
+        # h/di arrive sorted by doc index; slice each doc's hash run
+        # into its blob (int64 bytes, not a list column: Acero joins
+        # reject list non-key fields)
+        seg_starts = np.flatnonzero(np.concatenate(
+            ([True], di[1:] != di[:-1]))) if len(di) else np.empty(
+                0, np.int64)
+        seg_ends = np.append(seg_starts[1:], len(di)) \
+            if len(seg_starts) else seg_starts
+        blob_by_doc = {int(di[s]): h[s:e].tobytes()
+                       for s, e in zip(seg_starts, seg_ends)}
+        out_blobs = [blob_by_doc.get(i, b"") for i in range(len(texts))]
+        return pa.table({id_name: t.column("doc_id"),
                          col: pa.array(out_blobs, pa.binary())})
 
     # Join parallelism is deliberately small: each Ray hash join
