@@ -3644,6 +3644,310 @@ def _q_parts_min_cost_supplier(sf_dir: str):
             .map_groups(scan_partition, batch_format="pyarrow"))
 
 
+def _q_orders_late_shipment(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS rewritten as an aggregate): count orders
+    per priority having ANY lineitem shipped after the order date —
+    EXISTS(l_shipdate > o_orderdate) == max(l_shipdate) > o_orderdate,
+    so the semi-join is one per-order Max aggregate (per-block group_by
+    combiner bounds the shuffle) + one key join, no row explosion."""
+    import ray
+    from ray.data.aggregate import Max
+
+    from torray.ops.join import safe_join
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        pt = pa.table({"l_orderkey": t.column("l_orderkey"),
+                       "ship_us": ship})
+        return pt.group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+
+    li = (_read_f(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"])
+          .map_batches(to_us, batch_format="pyarrow")
+          .groupby("l_orderkey").aggregate(Max("ship_us_max")))
+    orders = _read_f(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderdate",
+                              "o_orderpriority"])
+    joined = safe_join(orders, li, "inner", 8,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def late(t: pa.Table) -> pa.Table:
+        od = pc.cast(t.column("o_orderdate"), pa.int64())
+        keep = pc.greater(t.column("max(ship_us_max)"), od)
+        return t.filter(keep).select(["o_orderpriority"])
+
+    agg = (joined.map_batches(late, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(ray.data.aggregate.Count()))
+    return _rename(agg, {"count()": "n_late"})
+
+
+def _q_lineitem_priority_by_flag(sf_dir: str):
+    """TPC-H Q12 shape: 1996-shipped lineitems bucketed by returnflag,
+    counting high- vs low-priority orders.  The order priority attaches
+    to lineitem via the co-partitioned int-key run-scan (no broadcast:
+    orders is big at scale) encoded 1=high / 2=low, 0=dangling-FK."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.graph import _attach_int_value
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t.column("o_orderpriority"),
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "node": t.column("o_orderkey"),
+            "val": pc.cast(pc.if_else(hi, 1, 2), pa.int64())})
+
+    opri = _read_f(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        orders_f, batch_format="pyarrow")
+
+    lo_us = 820454400000000    # 1996-01-01
+    hi_us = 852076800000000    # 1997-01-01
+    li = _read_f(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def in_range(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("l_shipdate"), pa.int64())
+        keep = pc.and_(pc.greater_equal(s, lo_us), pc.less(s, hi_us))
+        return t.filter(keep).select(["l_orderkey", "l_returnflag"])
+
+    li = li.map_batches(in_range, batch_format="pyarrow")
+    # the run-scan attach carries int64 columns only: dictionary-encode
+    # the flag (few distinct values, one tiny distinct pass)
+    fpdf = (li.groupby("l_returnflag").count().to_pandas()
+            if li.schema() is not None else None)
+    flags = (sorted(fpdf["l_returnflag"].tolist())
+             if fpdf is not None and "l_returnflag" in fpdf else [])
+    if not flags:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "high_line_count": pa.array([], pa.int64()),
+            "low_line_count": pa.array([], pa.int64())}))
+    fid = {f: i for i, f in enumerate(flags)}
+
+    def enc(t: pa.Table) -> pa.Table:
+        ids = pa.array([fid[v] for v in
+                        t.column("l_returnflag").to_pylist()],
+                       pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "flag_id": ids})
+
+    li = li.map_batches(enc, batch_format="pyarrow")
+    li = _attach_int_value(li, opri, "l_orderkey", "__pri",
+                           ("l_orderkey", "flag_id"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t.column("__pri"), 0))
+        pri = f.column("__pri")
+        pt = pa.table({
+            "flag_id": f.column("flag_id"),
+            "hi": pc.cast(pc.equal(pri, 1), pa.int64()),
+            "lo": pc.cast(pc.equal(pri, 2), pa.int64())})
+        return pt.group_by(["flag_id"]).aggregate(
+            [("hi", "sum"), ("lo", "sum")])
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("flag_id")
+           .aggregate(Sum("hi_sum"), Sum("lo_sum")))
+
+    def decode(t: pa.Table) -> pa.Table:
+        names = pa.array([flags[int(i)] for i in
+                          t.column("flag_id").to_pylist()],
+                         pa.string())
+        return pa.table({
+            "l_returnflag": names,
+            "high_line_count": t.column("sum(hi_sum)"),
+            "low_line_count": t.column("sum(lo_sum)")})
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def _q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: per ship-month share of revenue from PROMO
+    parts — the PROMO partkey set broadcasts once (dimension side),
+    revenue folds as exact int64 cents, the share is ONE mirrored
+    float expression ``100.0 * promo / total`` per month row."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.moments import _cents
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    promo_keys = part.filter(
+        pc.equal(part.column("p_type"), "PROMO")).column(
+        "p_partkey").combine_chunks()
+    all_keys = part.column("p_partkey").combine_chunks()
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t.column("l_partkey"),
+                              value_set=all_keys))
+        ep = _cents(f.column("l_extendedprice"), 100)
+        dc = _cents(f.column("l_discount"), 100)
+        rev = pc.multiply(ep, pc.subtract(pa.scalar(100, pa.int64()),
+                                          dc))
+        is_promo = pc.is_in(f.column("l_partkey"),
+                            value_set=promo_keys)
+        month = pc.cast(pc.floor_temporal(f.column("l_shipdate"),
+                                          unit="month"), pa.int64())
+        pt = pa.table({
+            "ship_month": month,
+            "promo": pc.if_else(is_promo, rev,
+                                pa.scalar(0, pa.int64())),
+            "total": rev})
+        return pt.group_by(["ship_month"]).aggregate(
+            [("promo", "sum"), ("total", "sum")])
+
+    agg = (_read_f(sf_dir, "lineitem",
+                   columns=["l_partkey", "l_shipdate",
+                            "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("ship_month").aggregate(Sum("promo_sum"),
+                                            Sum("total_sum")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t.column("sum(promo_sum)").to_numpy(zero_copy_only=False)
+        d = t.column("sum(total_sum)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ship_month": pc.cast(t.column("ship_month"),
+                                  pa.timestamp("us")),
+            "promo_share": pa.array((100.0 * p) / d, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_part_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue/7 over lineitems whose quantity is
+    below 0.2x their part's average — the per-part cut folds from
+    EXACT int sums (quantities are integral) so the float boundary
+    compare is bit-identical on both engines; the global revenue sums
+    as int cents with ONE final divide."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.moments import _cents
+
+    def qpart(t: pa.Table) -> pa.Table:
+        pt = pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "q": pc.cast(pc.round(t.column("l_quantity")),
+                         pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return pt.group_by(["l_partkey"]).aggregate(
+            [("q", "sum"), ("one", "sum")])
+
+    cuts = (_read_f(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity"])
+            .map_batches(qpart, batch_format="pyarrow")
+            .groupby("l_partkey").aggregate(Sum("q_sum"),
+                                            Sum("one_sum")))
+    cut_tbl = pa.concat_tables(
+        [t for t in __import__("ray").get(cuts.to_arrow_refs())
+         if t.num_rows]) if cuts.count() else None
+    if cut_tbl is None:
+        return __import__("ray").data.from_arrow(pa.table(
+            {"avg_yearly": pa.array([], pa.float64())}))
+    pk = cut_tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+    qs = cut_tbl.column("sum(q_sum)").to_numpy(zero_copy_only=False)
+    qn = cut_tbl.column("sum(one_sum)").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk, kind="stable")
+    pk = pk[order].astype(np.int64)
+    cut = 0.2 * (qs[order].astype(np.float64) / qn[order])
+    import ray as _ray
+
+    cut_ref = _ray.put((pk, cut))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, cuts_arr = _ray.get(cut_ref)
+        lp = t.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lp)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (pos < len(keys)) & (keys[pos_c] == lp)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = hit & (q < cuts_arr[pos_c])
+        ep = _cents(t.column("l_extendedprice"), 100).to_numpy(
+            zero_copy_only=False)
+        s = int(ep[keep].sum())
+        return pa.table({"s": pa.array([s], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts_ds = (_read_f(sf_dir, "lineitem",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice"])
+                .map_batches(partial, batch_format="pyarrow")
+                .materialize())
+    total, nmatch = parts_ds.sum("s"), parts_ds.sum("n")
+    if not nmatch:  # SQL: SUM over zero rows is NULL
+        return _ray.data.from_arrow(pa.table({
+            "avg_yearly": pa.nulls(1, pa.float64())}))
+    return _ray.data.from_arrow(pa.table({
+        "avg_yearly": pa.array([float(total) / 700.0], pa.float64())}))
+
+
+def _q_brand_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under OR'd (brand, size-range,
+    quantity-range) predicates — the part dimension broadcasts as
+    sorted (key, brand-id, size) arrays, the disjunction evaluates
+    vectorized per batch, revenue folds as int cents with ONE final
+    divide."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk, kind="stable")
+    pk = pk[order].astype(np.int64)
+    brand = np.asarray(part.column("p_brand").to_pylist(),
+                       dtype=object)[order]
+    b13 = np.array([b == "Brand#13" for b in brand], bool)
+    b19 = np.array([b == "Brand#19" for b in brand], bool)
+    size = part.column("p_size").to_numpy(
+        zero_copy_only=False).astype(np.int64)[order]
+    from torray.ops.moments import _cents
+
+    ref = ray.put((pk, b13, b19, size))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, is13, is19, sz = ray.get(ref)
+        lp = t.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lp)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (len(keys) > 0) & (pos < len(keys))
+        hit = hit & (keys[pos_c] == lp)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        cond = hit & (
+            (is13[pos_c] & (sz[pos_c] >= 1) & (sz[pos_c] <= 15)
+             & (q >= 1) & (q <= 20))
+            | (is19[pos_c] & (sz[pos_c] >= 10) & (sz[pos_c] <= 30)
+               & (q >= 5) & (q <= 35)))
+        ep = _cents(t.column("l_extendedprice"), 100).to_numpy(
+            zero_copy_only=False)
+        dc = _cents(t.column("l_discount"), 100).to_numpy(
+            zero_copy_only=False)
+        rev = ep * (100 - dc)
+        return pa.table({"s": pa.array([int(rev[cond].sum())],
+                                       pa.int64()),
+                         "n": pa.array([int(cond.sum())], pa.int64())})
+
+    parts_ds = (_read_f(sf_dir, "lineitem",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"])
+                .map_batches(partial, batch_format="pyarrow")
+                .materialize())
+    total, nmatch = parts_ds.sum("s"), parts_ds.sum("n")
+    if not nmatch:  # SQL: SUM over zero rows is NULL
+        return ray.data.from_arrow(pa.table({
+            "revenue": pa.nulls(1, pa.float64())}))
+    return ray.data.from_arrow(pa.table({
+        "revenue": pa.array([float(total) / 10000.0], pa.float64())}))
+
+
 def _q_nation_market_share(sf_dir: str):
     """TPC-H Q8 shape: NATION_3's supplier share of ASIA-customer
     order volume by year.  The Q5 pipeline skeleton (dimensions fold
@@ -4423,6 +4727,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_min_cost_supplier": _q_parts_min_cost_supplier,
         "nation_market_share": _q_nation_market_share,
         "nation_profit": _q_nation_profit,
+        "orders_late_shipment": _q_orders_late_shipment,
+        "lineitem_priority_by_flag": _q_lineitem_priority_by_flag,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "part_small_qty_revenue": _q_part_small_qty_revenue,
+        "brand_disjunctive_revenue": _q_brand_disjunctive_revenue,
         "events_pct_change": _q_events_pct_change,
         "users_conversion_lag": _q_users_conversion_lag,
         "events_anomalies": _q_events_anomalies,
@@ -6127,6 +6436,62 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier sp ON sp.s_suppkey = l.l_suppkey "
             "JOIN nation n ON n.n_nationkey = sp.s_nationkey) "
             "GROUP BY 1, 2"
+        ),
+        # TPC-H Q4 shape: EXISTS == max(l_shipdate) > o_orderdate
+        "orders_late_shipment": (
+            "SELECT o_orderpriority, count(*) AS n_late FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate) GROUP BY 1"
+        ),
+        # TPC-H Q12 shape over available columns
+        "lineitem_priority_by_flag": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o_orderpriority IN "
+            "('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority NOT IN "
+            "('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS low_line_count "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_returnflag"
+        ),
+        # TPC-H Q14 shape: exact int cents, one mirrored divide
+        "promo_revenue_share": (
+            "SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) "
+            "AS ship_month, "
+            "100.0 * sum(CASE WHEN p_type = 'PROMO' THEN amt ELSE 0 "
+            "END) / sum(amt) AS promo_share FROM ("
+            "SELECT l_shipdate, p_type, "
+            "CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS amt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey) "
+            "GROUP BY 1"
+        ),
+        # TPC-H Q17 shape: integral-quantity avg folds from exact int
+        # sums so the float cut compare is bit-identical
+        "part_small_qty_revenue": (
+            "WITH pavg AS (SELECT l_partkey, "
+            "0.2 * (CAST(sum(CAST(round(l_quantity) AS BIGINT)) "
+            "AS DOUBLE) / count(*)) AS cut "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(sum(CAST(ROUND(l_extendedprice*100) "
+            "AS BIGINT)) AS DOUBLE) / 700.0 AS avg_yearly "
+            "FROM lineitem JOIN pavg USING (l_partkey) "
+            "WHERE l_quantity < cut"
+        ),
+        # TPC-H Q19 shape: disjunctive dimension predicates
+        "brand_disjunctive_revenue": (
+            "SELECT CAST(sum(CAST(ROUND(l_extendedprice*100) AS "
+            "BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) "
+            "AS DOUBLE) / 10000.0 AS revenue "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 "
+            "AND l_quantity BETWEEN 5 AND 35)"
         ),
         # LAG(value) pct change — prev is a passthrough, the ratio is
         # one mirrored float64 expression tree
