@@ -3948,6 +3948,174 @@ def _q_brand_disjunctive_revenue(sf_dir: str):
         "revenue": pa.array([float(total) / 10000.0], pa.float64())}))
 
 
+def _q_nation_shipping_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between NATION_1 and NATION_2
+    (both directions) by ship year.  Supplier and customer are
+    dimensions (broadcast key->nation-id arrays); the customer nation
+    reaches lineitem through orders via the co-partitioned int-key
+    run-scan (orders is big at scale — never broadcast); revenue folds
+    as exact int64 cents with ONE final divide per output row."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.graph import _attach_int_value
+    from torray.ops.moments import _cents
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    want = {"NATION_3": 1, "NATION_19": 2}
+
+    def dim_arrays(path, key, nk):
+        t = pq.read_table(os.path.join(sf_dir, path),
+                          columns=[key, nk])
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tag = np.array([want.get(nmap.get(int(x), ""), 0)
+                        for x in t.column(nk).to_numpy(
+                            zero_copy_only=False)], np.int64)
+        order = np.argsort(k, kind="stable")
+        return k[order], tag[order]
+
+    sk, stag = dim_arrays("supplier.parquet", "s_suppkey",
+                          "s_nationkey")
+    ck, ctag = dim_arrays("customer.parquet", "c_custkey",
+                          "c_nationkey")
+    ck_ref = __import__("ray").put((ck, ctag))
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        keys, tags = ray.get(ck_ref)
+        oc = t.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, oc)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = (pos < len(keys)) & (keys[pos_c] == oc)
+            val = np.where(hit, tags[pos_c], 0)
+        else:
+            val = np.zeros(len(oc), np.int64)
+        return pa.table({"node": t.column("o_orderkey"),
+                         "val": pa.array(val, pa.int64())})
+
+    onat = _read_f(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]).map_batches(
+        orders_f, batch_format="pyarrow")
+    li = _read_f(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                          "l_extendedprice", "l_discount"])
+    sk_ref = __import__("ray").put((sk, stag))
+
+    def enc(t: pa.Table) -> pa.Table:
+        keys, tags = ray.get(sk_ref)
+        ls = t.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, ls)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = (pos < len(keys)) & (keys[pos_c] == ls)
+            snat = np.where(hit, tags[pos_c], 0)
+        else:
+            snat = np.zeros(len(ls), np.int64)
+        ep = _cents(t.column("l_extendedprice"), 100)
+        dc = _cents(t.column("l_discount"), 100)
+        rev = pc.multiply(ep, pc.subtract(pa.scalar(100, pa.int64()),
+                                          dc))
+        yr = pc.cast(pc.year(t.column("l_shipdate")), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "snat": pa.array(snat, pa.int64()),
+                         "l_year": yr, "rev": rev})
+
+    li = li.map_batches(enc, batch_format="pyarrow")
+    li = _attach_int_value(li, onat, "l_orderkey", "__cnat",
+                           ("l_orderkey", "snat", "l_year", "rev"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = t.column("snat").to_numpy(zero_copy_only=False)
+        cn = t.column("__cnat").to_numpy(zero_copy_only=False)
+        keep = ((sn == 1) & (cn == 2)) | ((sn == 2) & (cn == 1))
+        f = t.filter(pa.array(keep))
+        return (f.select(["snat", "__cnat", "l_year", "rev"])
+                .group_by(["snat", "__cnat", "l_year"])
+                .aggregate([("rev", "sum")]))
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby(["snat", "__cnat", "l_year"])
+           .aggregate(Sum("rev_sum")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = {1: "NATION_3", 2: "NATION_19"}
+        s = t.column("sum(rev_sum)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "supp_nation": pa.array(
+                [names[int(x)] for x in
+                 t.column("snat").to_pylist()], pa.string()),
+            "cust_nation": pa.array(
+                [names[int(x)] for x in
+                 t.column("__cnat").to_pylist()], pa.string()),
+            "l_year": t.column("l_year"),
+            "revenue": pa.array(s / 10000.0, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (partsupp absent; lineitem substitutes): count
+    of DISTINCT suppliers per (brand, type, size) over selected sizes,
+    excluding one brand — part attrs broadcast as sorted arrays, the
+    exact distinct fold is the per-block-combiner
+    :func:`torray.ops.sketch.exact_distinct_by` (composite key)."""
+    import ray
+
+    from torray.ops.sketch import exact_distinct_by
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    sizes = pa.array([1, 5, 9, 13, 17, 21, 25, 29], pa.int32())
+    keep = pc.and_(pc.invert(pc.equal(part.column("p_brand"),
+                                      "Brand#13")),
+                   pc.is_in(part.column("p_size"), value_set=sizes))
+    part = part.filter(keep)
+    pk = part.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    pk = pk[order]
+    brand = np.asarray(part.column("p_brand").to_pylist(),
+                       dtype=object)[order]
+    ptype = np.asarray(part.column("p_type").to_pylist(),
+                       dtype=object)[order]
+    psize = part.column("p_size").to_numpy(
+        zero_copy_only=False).astype(np.int64)[order]
+    ref = ray.put((pk, brand, ptype, psize))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, br, ty, sz = ray.get(ref)
+        lp = t.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if not len(keys):
+            return pa.table({
+                "p_brand": pa.array([], pa.string()),
+                "p_type": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64())})
+        pos = np.searchsorted(keys, lp)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = (pos < len(keys)) & (keys[pos_c] == lp)
+        return pa.table({
+            "p_brand": pa.array(br[pos_c][hit], pa.string()),
+            "p_type": pa.array(ty[pos_c][hit], pa.string()),
+            "p_size": pa.array(sz[pos_c][hit], pa.int64()),
+            "l_suppkey": pc.cast(
+                t.column("l_suppkey"), pa.int64()).filter(
+                    pa.array(hit))})
+
+    rows = _read_f(sf_dir, "lineitem",
+                   columns=["l_partkey", "l_suppkey"]).map_batches(
+        attach, batch_format="pyarrow")
+    return exact_distinct_by(rows, ["p_brand", "p_type", "p_size"],
+                             "l_suppkey", out_col="supplier_cnt")
+
+
 def _q_nation_market_share(sf_dir: str):
     """TPC-H Q8 shape: NATION_3's supplier share of ASIA-customer
     order volume by year.  The Q5 pipeline skeleton (dimensions fold
@@ -4732,6 +4900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _q_promo_revenue_share,
         "part_small_qty_revenue": _q_part_small_qty_revenue,
         "brand_disjunctive_revenue": _q_brand_disjunctive_revenue,
+        "nation_shipping_volume": _q_nation_shipping_volume,
+        "part_supplier_counts": _q_part_supplier_counts,
         "events_pct_change": _q_events_pct_change,
         "users_conversion_lag": _q_users_conversion_lag,
         "events_anomalies": _q_events_anomalies,
@@ -6492,6 +6662,32 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 1 AND 20) "
             "OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 "
             "AND l_quantity BETWEEN 5 AND 35)"
+        ),
+        # TPC-H Q7 shape: bi-national shipping volume by year
+        "nation_shipping_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS "
+            "cust_nation, CAST(EXTRACT(year FROM l_shipdate) AS "
+            "BIGINT) AS l_year, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) / 10000.0 "
+            "AS revenue "
+            "FROM supplier s JOIN lineitem l ON s_suppkey = l_suppkey "
+            "JOIN orders o ON o_orderkey = l_orderkey "
+            "JOIN customer c ON c_custkey = o_custkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            "WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19') "
+            "OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3') "
+            "GROUP BY 1, 2, 3"
+        ),
+        # TPC-H Q16 shape over lineitem (no partsupp in the kit)
+        "part_supplier_counts": (
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#13' "
+            "AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) "
+            "GROUP BY 1, 2, 3"
         ),
         # LAG(value) pct change — prev is a passthrough, the ratio is
         # one mirrored float64 expression tree
