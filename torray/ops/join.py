@@ -213,13 +213,27 @@ def safe_join(left_ds, right_ds, join_type: str,
         return None
 
     def probe(ds, keys, other_ds, other_keys):
-        # metadata first (free), then one fetch (executes limit(1)
-        # through the lineage ONCE).  A side with a real schema is
-        # never "empty" here: zero-ROW sides are safe in the native
-        # join because torray._rayfix guarantees the schema broadcast
-        # reaches every aggregator partition — only a SCHEMALESS side
-        # (no columns anywhere) needs the driver-side fallback.
-        sch = _known(ds, False) or _known(ds, True)
+        # metadata first (free).  A side whose schema is only known
+        # from METADATA can still be runtime-schemaless: Ray's read of
+        # an empty parquet emits 0-column blocks, so the broadcast fix
+        # has nothing to ship — resolve emptiness from the metadata
+        # row count (free for reads), falling back to one limit(1)
+        # probe only when the count is unknown.  A side whose schema
+        # came from a FETCH (which executed the lineage) proved a
+        # schema-bearing block exists at runtime, and zero-ROW sides
+        # with real blocks are safe in the native join because
+        # torray._rayfix guarantees the schema broadcast reaches every
+        # aggregator partition.
+        sch = _known(ds, False)
+        if sch is not None:
+            try:
+                mc = ds._meta_count()
+            except Exception:
+                mc = None
+            if mc is None:
+                mc = 1 if ds.limit(1).count() else 0
+            return sch, mc == 0
+        sch = _known(ds, True)
         if sch is not None:
             return sch, False
         osch = _known(other_ds, False) or _known(other_ds, True)
