@@ -1820,6 +1820,35 @@ def _q_events_transitions(sf_dir: str):
 
 
 
+def _q_fk_audit(sf_dir: str):
+    """EXACT referential-integrity audit over four FK edges
+    (``ops.audit.fk_audit``): per-block distinct-(key, count)
+    combiners, ONE narrow distinct-key shuffle per edge, bloom +
+    exact anti-join membership check; the last edge
+    (orders -> event users) genuinely dangles in this data, so the
+    nonzero path is exercised."""
+    import ray
+
+    from torray.ops.audit import fk_audit
+
+    rd = lambda t, cols: _read_f(sf_dir, t, columns=cols)  # noqa: E731
+    res = fk_audit([
+        ("events.user_id->customer",
+         rd("events", ["user_id"]), "user_id",
+         rd("customer", ["c_custkey"]), "c_custkey"),
+        ("lineitem.l_orderkey->orders",
+         rd("lineitem", ["l_orderkey"]), "l_orderkey",
+         rd("orders", ["o_orderkey"]), "o_orderkey"),
+        ("orders.o_custkey->customer",
+         rd("orders", ["o_custkey"]), "o_custkey",
+         rd("customer", ["c_custkey"]), "c_custkey"),
+        ("orders.o_custkey->events.user_id",
+         rd("orders", ["o_custkey"]), "o_custkey",
+         rd("events", ["user_id"]), "user_id"),
+    ])
+    return res.sort("relation")
+
+
 def _q_events_profile(sf_dir: str):
     """One-pass distributed profile of the events table
     (``ops.profile.profile_table``): per-block Arrow partials (one row
@@ -2886,6 +2915,20 @@ def _q_emb_centroids(sf_dir: str):
     from torray.ops.similarity import group_centroids
 
     return group_centroids(_read(sf_dir, "embeddings"))
+
+
+def _q_emb_hard_negatives(sf_dir: str):
+    """EXACT contrastive hard-negative mining: per anchor, top-10
+    cosine neighbors with a DIFFERENT label —
+    ``ops.similarity.hard_negatives`` (score column excluded from the
+    hash like ``knn_top10``: the selection + ordering is the
+    certificate)."""
+    from torray.ops.similarity import hard_negatives
+
+    res = hard_negatives(_read(sf_dir, "embeddings"), [0, 1, 2, 3],
+                         k=10)
+    return res.map_batches(lambda t: t.select(["query_id", "vec_id"]),
+                           batch_format="pyarrow")
 
 
 def _q_events_json_field(sf_dir: str):
@@ -4850,6 +4893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lead_gaps": _q_events_lead_gaps,
         "events_transitions": _q_events_transitions,
         "events_profile": _q_events_profile,
+        "fk_dangling_audit": _q_fk_audit,
         "parts_triangles": _q_parts_triangles,
         "customers_idle_rich": _q_customers_idle_rich,
         "parts_supplier_cnt": _q_parts_supplier_cnt,
@@ -4878,6 +4922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_para_dedup_join": _q_docs_para_dedup_join,
         "events_range_window": _q_events_range_window,
         "emb_centroids": _q_emb_centroids,
+        "emb_hard_negatives": _q_emb_hard_negatives,
         "events_json_field": _q_events_json_field,
         "events_zscore": _q_events_zscore,
         "events_asof_forward": _q_events_asof_forward,
@@ -5770,6 +5815,59 @@ def oracle_sql() -> dict[str, str]:
             "JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
             "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles"
         ),
+        # FK audit: NOT EXISTS semantics per edge, null keys counted
+        # separately (never dangling), all-integer outputs
+        "fk_dangling_audit": (
+            "SELECT relation, child_rows, null_keys, dangling_rows, "
+            "dangling_keys FROM ("
+            "SELECT 'events.user_id->customer' AS relation, "
+            "CAST(count(*) AS BIGINT) AS child_rows, "
+            "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS null_keys, "
+            "CAST(sum(CASE WHEN user_id IS NOT NULL AND NOT EXISTS ("
+            "SELECT 1 FROM customer WHERE c_custkey = user_id) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS dangling_rows, "
+            "CAST(count(DISTINCT CASE WHEN user_id IS NOT NULL AND "
+            "NOT EXISTS (SELECT 1 FROM customer WHERE "
+            "c_custkey = user_id) THEN user_id END) AS BIGINT) "
+            "AS dangling_keys FROM events "
+            "UNION ALL "
+            "SELECT 'lineitem.l_orderkey->orders', "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT), "
+            "CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND NOT "
+            "EXISTS (SELECT 1 FROM orders WHERE "
+            "o_orderkey = l_orderkey) THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(count(DISTINCT CASE WHEN l_orderkey IS NOT NULL "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE "
+            "o_orderkey = l_orderkey) THEN l_orderkey END) AS BIGINT)"
+            " FROM lineitem "
+            "UNION ALL "
+            "SELECT 'orders.o_custkey->customer', "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), "
+            "CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM customer WHERE c_custkey = o_custkey) "
+            "THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(count(DISTINCT CASE WHEN o_custkey IS NOT NULL AND "
+            "NOT EXISTS (SELECT 1 FROM customer WHERE "
+            "c_custkey = o_custkey) THEN o_custkey END) AS BIGINT) "
+            "FROM orders "
+            "UNION ALL "
+            "SELECT 'orders.o_custkey->events.user_id', "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), "
+            "CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM events WHERE user_id = o_custkey) "
+            "THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(count(DISTINCT CASE WHEN o_custkey IS NOT NULL AND "
+            "NOT EXISTS (SELECT 1 FROM events WHERE "
+            "user_id = o_custkey) THEN o_custkey END) AS BIGINT) "
+            "FROM orders) ORDER BY relation"
+        ),
         # table profile: exact counts/distincts; min/max are exact
         # values cast ONCE to double (epoch micros < 2^53, lossless)
         "events_profile": (
@@ -6364,6 +6462,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000000) "
             "AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*)) "
             "AS centroid FROM x GROUP BY 1, 2"
+        ),
+        # hard negatives: same float-cosine selection certificate as
+        # knn_top10 (ids hashed, the float score itself excluded)
+        "emb_hard_negatives": (
+            "SELECT query_id, vec_id FROM ("
+            "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(e.embedding, q.embedding) "
+            "DESC, e.vec_id) AS rn "
+            "FROM embeddings q JOIN embeddings e ON e.label <> q.label "
+            "WHERE q.vec_id IN (0, 1, 2, 3)) t WHERE rn <= 10"
         ),
         "events_cohorts": (
             "WITH p AS (SELECT DISTINCT user_id, "

@@ -5231,3 +5231,98 @@ def test_audio_spectral_dup_pairs(ray_session):
     bad = ray.data.from_arrow(media_table_from_payloads(
         [b"junk", b""], media_type="audio"))
     assert audio_dup_pairs(bad).count() == 0
+
+
+def test_hard_negatives_label_mask_and_exactness(ray_session):
+    import ray
+
+    from torray.ops.similarity import hard_negatives
+
+    rng = np.random.default_rng(97)
+    n, d = 600, 16
+    mat = rng.normal(0, 1, (n, d)).astype(np.float32)
+    lab = (np.arange(n) % 3).astype(np.int32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        "label": pa.array(lab, pa.int32()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+    anchors = [0, 1, 5]
+    out = (hard_negatives(ds, anchors, k=8).to_pandas()
+           .sort_values(["query_id", "score"],
+                        ascending=[True, False])
+           .reset_index(drop=True))
+    assert len(out) == 8 * len(anchors)
+    # brute-force numpy oracle
+    norm = mat.astype(np.float64)
+    norm /= np.linalg.norm(norm, axis=1, keepdims=True)
+    for a in anchors:
+        got = out[out["query_id"] == a]
+        # never an identical label (and therefore never itself)
+        assert (lab[got["vec_id"].to_numpy()] != lab[a]).all()
+        sims = norm @ norm[a]
+        sims[lab == lab[a]] = -np.inf
+        want = np.lexsort((np.arange(n), -sims))[:8]
+        assert got["vec_id"].to_numpy().tolist() == want.tolist()
+
+
+def test_hard_negatives_empty_and_single_label(ray_session):
+    import ray
+
+    from torray.ops.similarity import hard_negatives
+
+    # all rows share one label -> every anchor has zero negatives
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]] * 3,
+                              pa.list_(pa.float32())),
+        "label": pa.array([7, 7, 7], pa.int32()),
+    })
+    ds = ray.data.from_arrow(t)
+    assert hard_negatives(ds, [0], k=5).count() == 0
+    # anchor id absent from the corpus -> empty, not an error
+    assert hard_negatives(ds, [99], k=5).count() == 0
+
+
+def test_referential_audit_nulls_and_danglers(ray_session):
+    import ray
+
+    from torray.ops.audit import fk_audit, referential_audit
+
+    child = pa.table({
+        "fk": pa.array([1, 1, 2, None, 9, 9, 9, None, 3], pa.int64()),
+    })
+    parent = pa.table({"pk": pa.array([1, 2, 4], pa.int64())})
+    cds = ray.data.from_arrow(child).repartition(3)
+    pds = ray.data.from_arrow(parent)
+    out = referential_audit(cds, "fk", pds, "pk", "c->p").to_pandas()
+    assert out.iloc[0].to_dict() == {
+        "relation": "c->p", "child_rows": 9, "null_keys": 2,
+        "dangling_rows": 4, "dangling_keys": 2}  # 9 x3, 3 x1
+
+    # string keys take the same path
+    child_s = pa.table({"fk": pa.array(["a", "b", "zz", None])})
+    parent_s = pa.table({"pk": pa.array(["a", "b", "c"])})
+    out_s = referential_audit(
+        ray.data.from_arrow(child_s), "fk",
+        ray.data.from_arrow(parent_s), "pk").to_pandas()
+    assert int(out_s["dangling_rows"].iloc[0]) == 1
+    assert int(out_s["null_keys"].iloc[0]) == 1
+
+    # all-null child short-circuits before the membership check
+    child_n = pa.table({"fk": pa.array([None, None], pa.int64())})
+    out_n = referential_audit(
+        ray.data.from_arrow(child_n), "fk", pds, "pk").to_pandas()
+    assert int(out_n["child_rows"].iloc[0]) == 2
+    assert int(out_n["null_keys"].iloc[0]) == 2
+    assert int(out_n["dangling_rows"].iloc[0]) == 0
+
+    # fk_audit unions per-edge one-row results
+    multi = fk_audit([
+        ("e1", cds, "fk", pds, "pk"),
+        ("e2", ray.data.from_arrow(child_s), "fk",
+         ray.data.from_arrow(parent_s), "pk"),
+    ]).to_pandas().sort_values("relation").reset_index(drop=True)
+    assert multi["relation"].tolist() == ["e1", "e2"]
+    assert multi["dangling_rows"].tolist() == [4, 1]

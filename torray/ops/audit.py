@@ -1,0 +1,155 @@
+"""Referential-integrity audit: exact dangling-foreign-key counts.
+
+A 100 TB ingest is never clean; before a join-heavy pipeline runs, the
+engine should be able to SAY "0.3% of lineitem rows reference an order
+that does not exist" rather than silently dropping them in an inner
+join.  :func:`referential_audit` measures one child->parent edge
+exactly; :func:`fk_audit` folds a whole schema's edge list into one
+small audit table.
+
+Scale shape: the child side collapses to DISTINCT (key, row_count)
+with a per-block Arrow ``group_by`` combiner BEFORE the one narrow
+shuffle (the groupby carries distinct keys only — never child rows),
+null keys ride the combiner as Arrow null groups (SQL semantics: a
+NULL FK is "unknown", counted separately, never dangling), and the
+membership check against the parent is :func:`~torray.ops.bloom.
+bloom_antijoin` — bloom-negative keys stream straight to the dangling
+set with zero shuffle, only probe survivors enter the exact check.
+Both sides' data columns never move: the audit touches key columns
+only.  All row/key totals fold from one-row-per-block partials, so
+the driver never holds the distinct-key table.
+
+The reference engine trusts its own SQLite writes; this belongs to
+the training-data-pipeline layer (SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["referential_audit", "fk_audit"]
+
+
+def _result_table(relation: str, child_rows: int, null_keys: int,
+                  dangling_rows: int, dangling_keys: int) -> pa.Table:
+    return pa.table({
+        "relation": pa.array([relation], pa.string()),
+        "child_rows": pa.array([child_rows], pa.int64()),
+        "null_keys": pa.array([null_keys], pa.int64()),
+        "dangling_rows": pa.array([dangling_rows], pa.int64()),
+        "dangling_keys": pa.array([dangling_keys], pa.int64()),
+    })
+
+
+def _fold_int(ds, col: str) -> int:
+    """Sum an int64 column from one-row-per-block partials (driver
+    holds block-count rows, never data rows)."""
+    import ray
+
+    return int(sum(
+        int(pc.sum(b.column(col)).as_py() or 0)
+        for b in ray.get(ds.to_arrow_refs()) if b.num_rows))
+
+
+def referential_audit(child_ds, child_key: str, parent_ds,
+                      parent_key: str, relation: str | None = None):
+    """EXACT foreign-key audit of one ``child.child_key ->
+    parent.parent_key`` edge.
+
+    Returns a ONE-ROW Dataset ``(relation, child_rows, null_keys,
+    dangling_rows, dangling_keys)``:
+
+    - ``child_rows``   — total child rows (null keys included);
+    - ``null_keys``    — child rows whose key IS NULL (SQL: unknown,
+      not dangling — ``NOT EXISTS`` keeps them out of the dangling
+      count, exactly as a LEFT JOIN probe would);
+    - ``dangling_rows``— child rows whose non-null key has NO parent;
+    - ``dangling_keys``— distinct such keys.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from torray.ops.bloom import bloom_antijoin
+
+    if relation is None:
+        relation = f"{child_key}->{parent_key}"
+    key_type = child_ds.schema().base_schema.field(child_key).type
+
+    def _empty() -> pa.Table:
+        return pa.table({"__fk": pa.array([], key_type),
+                         "__n": pa.array([], pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or child_key not in t.column_names:
+            return _empty()
+        g = (t.select([child_key]).group_by(child_key)
+             .aggregate([([], "count_all")]))
+        return pa.table({"__fk": g.column(child_key),
+                         "__n": g.column("count_all").cast(pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        return pa.table({"__fk": t.column("__fk"),
+                         "__n": t.column("sum(__n)").cast(pa.int64())})
+
+    keys = (child_ds.select_columns([child_key])
+            .map_batches(combine, batch_format="pyarrow")
+            .groupby("__fk").aggregate(Sum("__n"))
+            .map_batches(finish, batch_format="pyarrow")
+            .materialize())  # consumed 3x below; distinct keys only
+
+    child_rows = _fold_int(keys.map_batches(
+        lambda t: pa.table({"__t": pa.array(
+            [int(pc.sum(t.column("__n")).as_py() or 0)], pa.int64())})
+        if t.num_rows else pa.table({"__t": pa.array([], pa.int64())}),
+        batch_format="pyarrow"), "__t")
+    null_keys_rows = _fold_int(keys.map_batches(
+        lambda t: pa.table({"__t": pa.array(
+            [int(pc.sum(t.filter(t.column("__fk").is_null())
+                        .column("__n")).as_py() or 0)], pa.int64())})
+        if t.num_rows else pa.table({"__t": pa.array([], pa.int64())}),
+        batch_format="pyarrow"), "__t")
+
+    if child_rows - null_keys_rows == 0:
+        return ray.data.from_arrow(_result_table(
+            relation, child_rows, null_keys_rows, 0, 0))
+
+    nonnull = keys.map_batches(
+        lambda t: t.filter(t.column("__fk").is_valid())
+        if t.num_rows else t, batch_format="pyarrow")
+    dangling = bloom_antijoin(
+        nonnull, parent_ds.select_columns([parent_key]),
+        big_key="__fk", small_key=parent_key).materialize()
+    dangling_keys = int(dangling.count())
+    dangling_rows = 0 if dangling_keys == 0 else _fold_int(
+        dangling.map_batches(
+            lambda t: pa.table({"__t": pa.array(
+                [int(pc.sum(t.column("__n")).as_py() or 0)],
+                pa.int64())})
+            if t.num_rows else pa.table(
+                {"__t": pa.array([], pa.int64())}),
+            batch_format="pyarrow"), "__t")
+    return ray.data.from_arrow(_result_table(
+        relation, child_rows, null_keys_rows, dangling_rows,
+        dangling_keys))
+
+
+def fk_audit(relations):
+    """Audit a list of FK edges; returns one Dataset with one row per
+    edge (``relations``: iterable of ``(relation_name, child_ds,
+    child_key, parent_ds, parent_key)``).  Each edge audit is a
+    bounded one-row result, so the union is driver-safe at any
+    schema size."""
+    import ray
+    import ray.data
+
+    tables = []
+    for name, child_ds, child_key, parent_ds, parent_key in relations:
+        one = referential_audit(child_ds, child_key, parent_ds,
+                                parent_key, relation=name)
+        tables.append(pa.concat_tables(
+            [t for t in ray.get(one.to_arrow_refs()) if t.num_rows]))
+    return ray.data.from_arrow(pa.concat_tables(tables))

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 __all__ = ["knn_bruteforce", "lsh_knn", "ivf_knn", "kmeans_cluster",
            "embedding_cosine_dedup", "embedding_cosine_dedup_lsh",
-           "semantic_dedup", "group_centroids",
+           "semantic_dedup", "group_centroids", "hard_negatives",
            "pq_train", "pq_encode", "pq_knn", "pq_knn_rerank"]
 
 
@@ -956,3 +956,88 @@ def pq_knn_rerank(emb_ds, codes_ds, books: np.ndarray,
     partials = emb_ds.select_columns([id_col, vec_col]).map_batches(
         rerank, batch_format="pyarrow")
     return _merge_topk_partials(partials, k)
+
+
+def hard_negatives(emb_ds, anchor_ids, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label"):
+    """EXACT contrastive hard-negative mining: for each anchor vector,
+    the top-k most cosine-similar corpus vectors whose ``label_col``
+    DIFFERS from the anchor's — the classic negative pool for
+    contrastive / triplet training (near the anchor in embedding
+    space, but from another class, so the loss actually has to work).
+
+    Distribution shape (same contract as :func:`knn_bruteforce`):
+    the anchor rows are pulled with ONE bounded filtered scan
+    (``len(anchor_ids)`` rows), normalized and broadcast once via
+    ``ray.put``; every corpus batch computes a masked vectorized
+    partial top-k (one matmul, the label mask applied per anchor
+    column); the driver merge handles <= k x anchors x blocks rows.
+    Corpus vectors never shuffle.  An anchor can never return itself
+    (its own label matches, so the mask removes it).
+
+    Returns a Dataset ``(query_id, vec_id, score)`` ordered per anchor
+    by (score desc, vec_id) with deterministic tie-breaks; anchors
+    with no differently-labeled corpus row contribute zero rows.
+    """
+    import ray
+    import ray.data
+
+    wanted = pa.array(np.asarray(list(anchor_ids), dtype=np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({})
+        return t.filter(pc.is_in(t.column(id_col), value_set=wanted))
+
+    got = [t for t in ray.get(
+        emb_ds.select_columns([id_col, vec_col, label_col])
+        .map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not got:
+        return ray.data.from_arrow(empty)
+    anchors = pa.concat_tables(got)
+    qids = anchors.column(id_col).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    qlabels = anchors.column(label_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    qmat = _normalize(_batch_matrix(anchors, vec_col))
+    state_ref = ray.put((qids, qlabels, qmat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qlabels_, q = ray.get(state_ref)
+        mat = _batch_matrix(batch, vec_col)
+        if mat.size == 0:
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        sims = _normalize(mat) @ q.T  # (n, num_anchors)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            col = np.where(labels != qlabels_[qi], sims[:, qi], -np.inf)
+            idx = np.lexsort((ids, -col))[:kk]
+            idx = idx[col[idx] != -np.inf]
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        # query_idx carries the anchor's vec_id directly — the merge
+        # groups on values, so no positional remap is needed.
+        return pa.table({"query_idx": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partials = emb_ds.select_columns(
+        [id_col, vec_col, label_col]).map_batches(
+        partial, batch_format="pyarrow")
+    merged = _merge_topk_partials(partials, k)
+    return merged.map_batches(
+        lambda t: t.rename_columns(
+            ["query_id" if c == "query_idx" else c
+             for c in t.column_names]),
+        batch_format="pyarrow")
