@@ -2917,6 +2917,46 @@ def _q_emb_centroids(sf_dir: str):
     return group_centroids(_read(sf_dir, "embeddings"))
 
 
+def _q_parquet_compaction(sf_dir: str):
+    """Small-file compaction roundtrip (``torray.sinks.
+    compact_parquet``): shatter the documents table into 20 shard
+    files, compact them zero-shuffle into target-size files, read the
+    result back — the SQL oracle (``SELECT * FROM documents``)
+    certifies row-exact content preservation."""
+    import glob
+    import shutil
+
+    import ray
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join("/tmp", f"torray_compact_{tag}")
+    in_dir, out_dir = os.path.join(root, "in"), os.path.join(root, "out")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(in_dir)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    shard = max(1, t.num_rows // 20)
+    for i, off in enumerate(range(0, t.num_rows, shard)):
+        pq.write_table(t.slice(off, shard),
+                       os.path.join(in_dir, f"part-{i:03d}.parquet"))
+    from torray.sinks import compact_parquet
+
+    compact_parquet(in_dir, out_dir,
+                    min_rows_per_file=max(shard * 5, 1),
+                    max_rows_per_file=max(shard * 8, 1))
+    return ray.data.read_parquet(out_dir)
+
+
+def _q_docs_source_hhi(sf_dir: str):
+    """EXACT per-language Herfindahl–Hirschman source concentration
+    (corpus-mixing diagnostic) — ``ops.moments.group_concentration``;
+    integer counts, ONE mirrored float divide."""
+    from torray.ops.moments import group_concentration
+
+    return group_concentration(
+        _read_f(sf_dir, "documents", columns=["lang", "source"]),
+        group_col="lang", cat_col="source")
+
+
 def _q_emb_hard_negatives(sf_dir: str):
     """EXACT contrastive hard-negative mining: per anchor, top-10
     cosine neighbors with a DIFFERENT label —
@@ -4923,6 +4963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_window": _q_events_range_window,
         "emb_centroids": _q_emb_centroids,
         "emb_hard_negatives": _q_emb_hard_negatives,
+        "docs_source_hhi": _q_docs_source_hhi,
+        "parquet_compaction": _q_parquet_compaction,
         "events_json_field": _q_events_json_field,
         "events_zscore": _q_events_zscore,
         "events_asof_forward": _q_events_asof_forward,
@@ -6462,6 +6504,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000000) "
             "AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*)) "
             "AS centroid FROM x GROUP BY 1, 2"
+        ),
+        # compaction roundtrip: content equality is the certificate
+        "parquet_compaction": "SELECT * FROM documents",
+        # HHI: exact int sums; hhi is the ONE mirrored float divide
+        "docs_source_hhi": (
+            "WITH c AS (SELECT lang, source, count(*) AS cnt "
+            "FROM documents GROUP BY 1, 2) "
+            "SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_rows, "
+            "CAST(count(*) AS BIGINT) AS n_cats, "
+            "CAST(sum(cnt*cnt) AS BIGINT) AS sumsq, "
+            "CAST(sum(cnt*cnt) AS DOUBLE) / "
+            "(CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)) "
+            "AS hhi FROM c GROUP BY lang"
         ),
         # hard negatives: same float-cosine selection certificate as
         # knn_top10 (ids hashed, the float score itself excluded)

@@ -5326,3 +5326,55 @@ def test_referential_audit_nulls_and_danglers(ray_session):
     ]).to_pandas().sort_values("relation").reset_index(drop=True)
     assert multi["relation"].tolist() == ["e1", "e2"]
     assert multi["dangling_rows"].tolist() == [4, 1]
+
+
+def test_group_concentration_exact_and_edges(ray_session):
+    import ray
+
+    from torray.ops.moments import group_concentration
+
+    t = pa.table({
+        "g": pa.array(["a"] * 6 + ["b"] * 4),
+        "c": pa.array(["x", "x", "x", "y", "y", "z",
+                       "only", "only", "only", "only"]),
+    })
+    out = (group_concentration(
+        ray.data.from_arrow(t).repartition(3), group_col="g",
+        cat_col="c").to_pandas().sort_values("g")
+        .reset_index(drop=True))
+    # a: counts 3,2,1 -> sumsq 14, hhi 14/36
+    assert out.loc[0, "n_rows"] == 6 and out.loc[0, "n_cats"] == 3
+    assert out.loc[0, "sumsq"] == 14
+    assert out.loc[0, "hhi"] == 14.0 / 36.0
+    # b: monoculture -> hhi exactly 1.0
+    assert out.loc[1, "hhi"] == 1.0
+
+    empty = pa.table({"g": pa.array([], pa.string()),
+                      "c": pa.array([], pa.string())})
+    assert group_concentration(ray.data.from_arrow(empty),
+                               group_col="g", cat_col="c").count() == 0
+
+
+def test_compact_parquet_preserves_content(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from torray.sinks import compact_parquet
+
+    src = pq2.read_table("/root/testdata/sf0.001/documents.parquet")
+    in_dir = tmp_path / "shards"
+    in_dir.mkdir()
+    for i in range(10):
+        pq2.write_table(src.slice(i * 5, 5),
+                        str(in_dir / f"p{i:02d}.parquet"))
+    out_dir = tmp_path / "compacted"
+    summary = compact_parquet(str(in_dir), str(out_dir),
+                              min_rows_per_file=25,
+                              max_rows_per_file=50)
+    assert summary["files_before"] == 10
+    assert summary["files_after"] < 10
+    assert summary["rows"] == 50
+    back = (pq2.read_table(str(out_dir)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    want = (src.slice(0, 50).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert back.equals(want)

@@ -27,9 +27,14 @@ def _ray_init(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
+        # Under `ray job submit` the job runtime exports RAY_ADDRESS
+        # pointing at the live cluster: attach to it (a cluster owns
+        # its own CPU count — num_cpus only applies to a local
+        # single-node session).
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"address": address, "include_dashboard": False,
                   "ignore_reinit_error": True, "logging_level": "ERROR"}
-        if num_cpus:
+        if num_cpus and address == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     import ray.data

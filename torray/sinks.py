@@ -22,7 +22,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["write_partitioned", "done_partitions"]
+__all__ = ["write_partitioned", "done_partitions", "compact_parquet"]
 
 _DONE = "_DONE"
 
@@ -92,3 +92,44 @@ def write_partitioned(ds, root: str, partition_col: str, *,
     for row in summary.take_all():
         out[row["partition"]] = row["rows"]
     return out
+
+
+def compact_parquet(in_path: str, out_dir: str, *,
+                    min_rows_per_file: int = 200_000,
+                    max_rows_per_file: int = 400_000,
+                    columns=None) -> dict[str, int]:
+    """Small-file compaction: rewrite a Parquet dataset (typically the
+    many per-shard files a partitioned/resumable job leaves behind)
+    into files of ``min_rows_per_file..max_rows_per_file`` rows each.
+
+    Zero shuffle: the read streams blocks and the writer coalesces
+    them into target-size files (Ray's ``min_rows_per_file`` /
+    ``max_rows_per_file`` contract) — rows never hash-partition, so a
+    100 TB compaction moves each byte exactly twice (read + write).
+    Row-level content is preserved exactly; global row ORDER is not
+    contractual (Parquet datasets are unordered collections).
+
+    Returns ``{"files_before": .., "files_after": .., "rows": ..}``.
+    """
+    import glob
+    import ray
+
+    def _count_files(root: str) -> int:
+        if os.path.isfile(root):
+            return 1
+        return len([p for p in glob.glob(
+            os.path.join(root, "**", "*.parquet"), recursive=True)])
+
+    files_before = _count_files(in_path)
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    ds = ray.data.read_parquet(in_path, **kwargs)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir,
+                     min_rows_per_file=min_rows_per_file,
+                     max_rows_per_file=max_rows_per_file)
+    out = ray.data.read_parquet(out_dir)
+    return {"files_before": files_before,
+            "files_after": _count_files(out_dir),
+            "rows": int(out.count())}
