@@ -1879,6 +1879,20 @@ def _q_parts_triangles(sf_dir: str):
 
 
 
+def _q_parts_clustering(sf_dir: str):
+    """EXACT per-node local clustering coefficient of the part
+    co-occurrence graph — ``ops.graph.node_clustering`` (wedges carry
+    their center, closed wedges credit all three corners; clustering
+    is the ONE mirrored divide of two exact ints, NULL at degree<2)."""
+    from torray.ops.graph import cooccurrence_edges, node_clustering
+
+    li = _read_f(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, group_col="l_orderkey",
+                               item_col="l_partkey")
+    return node_clustering(edges)
+
+
 def _q_customers_idle_rich(sf_dir: str):
     """TPC-H Q22 shape: per-nation count + balance total of customers
     whose balance beats the positive-balance average AND who have no
@@ -4935,6 +4949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "fk_dangling_audit": _q_fk_audit,
         "parts_triangles": _q_parts_triangles,
+        "parts_clustering": _q_parts_clustering,
         "customers_idle_rich": _q_customers_idle_rich,
         "parts_supplier_cnt": _q_parts_supplier_cnt,
         "supplier_waits": _q_supplier_waits,
@@ -5856,6 +5871,34 @@ def oracle_sql() -> dict[str, str]:
             "AS n_edges, (SELECT CAST(count(*) AS BIGINT) FROM e e1 "
             "JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
             "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles"
+        ),
+        # per-node clustering: exact int triangle/degree counts;
+        # clustering is the ONE mirrored divide, NULL when degree < 2
+        "parts_clustering": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "und AS (SELECT u AS node, v AS nb FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree "
+            "FROM und GROUP BY node), "
+            "tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z "
+            "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v), "
+            "cr AS (SELECT x AS node FROM tri UNION ALL "
+            "SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "tc AS (SELECT node, CAST(count(*) AS BIGINT) AS t "
+            "FROM cr GROUP BY node) "
+            "SELECT d.node, d.degree, "
+            "CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles, "
+            "CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) "
+            "AS wedge_pairs, "
+            "CASE WHEN d.degree >= 2 THEN "
+            "CAST(COALESCE(tc.t, 0) AS DOUBLE) / "
+            "CAST(d.degree * (d.degree - 1) // 2 AS DOUBLE) "
+            "ELSE NULL END AS clustering "
+            "FROM deg d LEFT JOIN tc USING (node)"
         ),
         # FK audit: NOT EXISTS semantics per edge, null keys counted
         # separately (never dangling), all-integer outputs

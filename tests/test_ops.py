@@ -5378,3 +5378,52 @@ def test_compact_parquet_preserves_content(ray_session, tmp_path):
     want = (src.slice(0, 50).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     assert back.equals(want)
+
+
+def test_node_clustering_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray
+
+    from torray.ops.graph import node_clustering
+
+    rng = np.random.default_rng(5)
+    n = 60
+    edges = set()
+    for _ in range(300):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    eu = np.array([e[0] for e in sorted(edges)], np.int64)
+    ev = np.array([e[1] for e in sorted(edges)], np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": eu, "v": ev})).repartition(5)
+    out = (node_clustering(ds).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert len(out) == len({x for e in edges for x in e})
+    for _, row in out.iterrows():
+        node = int(row["node"])
+        nb = sorted(adj[node])
+        deg = len(nb)
+        tri = sum(1 for x, y in itertools.combinations(nb, 2)
+                  if (min(x, y), max(x, y)) in edges)
+        pairs = deg * (deg - 1) // 2
+        assert row["degree"] == deg
+        assert row["triangles"] == tri
+        assert row["wedge_pairs"] == pairs
+        if pairs > 0:
+            assert row["clustering"] == tri / pairs
+        else:
+            assert np.isnan(row["clustering"])
+
+    # a triangle-free star: all clustering 0, center NULL-free
+    star = pa.table({"u": pa.array([0, 0, 0], pa.int64()),
+                     "v": pa.array([1, 2, 3], pa.int64())})
+    s = (node_clustering(ray.data.from_arrow(star)).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert s["triangles"].tolist() == [0, 0, 0, 0]
+    assert s.loc[0, "clustering"] == 0.0      # center, degree 3
+    assert np.isnan(s.loc[1, "clustering"])   # leaves, degree 1

@@ -199,7 +199,8 @@ def bounded_pair_positions(ids_sorted: np.ndarray,
 def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
                         max_bucket: int | None, num_partitions: int = 64,
                         payload_col: str | None = None,
-                        pair_filter=None, emit_payload: bool = False):
+                        pair_filter=None, emit_payload: bool = False,
+                        emit_key: bool = False):
     """(int64 key, int64 id) rows -> bounded candidate ``(id_a, id_b)``
     pairs, one pair stream per BUCKET (= distinct key) — without one
     Python call per bucket.
@@ -225,6 +226,8 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
     cols = [key_col, id_col] + ([payload_col] if payload_col else [])
     out_cols = (["id_a", "id_b", "pay_a", "pay_b"]
                 if emit_payload else ["id_a", "id_b"])
+    if emit_key:  # carry the bucket key out with each pair (e.g. the
+        out_cols = out_cols + ["key"]  # wedge CENTER in graph kernels)
 
     def tag(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:  # schemaless empty map_groups blocks
@@ -252,7 +255,7 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
         starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
         ends = np.append(starts[1:], len(k))
         multi = np.flatnonzero(ends - starts >= 2)
-        out_a, out_b, out_pa, out_pb = [], [], [], []
+        out_a, out_b, out_pa, out_pb, out_k = [], [], [], [], []
         for m in multi:
             s, e = starts[m], ends[m]
             run_ids = ids[s:e]
@@ -274,6 +277,8 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
                 if emit_payload:
                     out_pa.append(run_pay[ii])
                     out_pb.append(run_pay[jj])
+                if emit_key:
+                    out_k.append(np.full(len(ii), k[s], np.int64))
         if not out_a:
             return empty
         out = {
@@ -285,6 +290,8 @@ def salted_bucket_pairs(ds, key_col: str, id_col: str, *,
                 np.concatenate(out_pa).view(np.int64), pa.int64())
             out["pay_b"] = pa.array(
                 np.concatenate(out_pb).view(np.int64), pa.int64())
+        if emit_key:
+            out["key"] = pa.array(np.concatenate(out_k), pa.int64())
         return pa.table(out)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
