@@ -1150,17 +1150,19 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     only = os.environ.get("TORRAY_BENCH_ONLY")
     names = only.split(",") if only else list(_ALL_QUERIES)
 
-    # Headline pipelines run best-of-N inside the suite: this host's
-    # neighbor contention swings single trials 2-4x, and the recorded
-    # BENCH number should reflect the engine, not the neighbors.
+    # EVERY row runs best-of-N inside the suite: this host's neighbor
+    # contention swings single trials 2-4x (BASELINE.md documents the
+    # distribution), and the r3 recorded bench caught exactly the
+    # single-trial rows (docs_dedup, docs_curation) 2-3x off their
+    # quiet numbers.  The recorded BENCH number should reflect the
+    # engine, not the neighbors.
     suite_trials = int(os.environ.get("TORRAY_SUITE_TRIALS", "2"))
-    headline = {"crawl_bfs", "crawl_fat", "scan_dedup"}
 
     detail: dict[str, dict] = {}
     if os.environ.get("TORRAY_BENCH_INNER") == "1":
         for name in names:
             best = None
-            for _ in range(suite_trials if name in headline else 1):
+            for _ in range(suite_trials):
                 run = _run_one(name, sf_dir, num_cpus, sf)
                 if best is None or run["sec"] < best["sec"]:
                     best = run
