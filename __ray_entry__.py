@@ -1893,6 +1893,25 @@ def _q_parts_clustering(sf_dir: str):
     return node_clustering(edges)
 
 
+def _q_parts_link_pred(sf_dir: str):
+    """Link prediction on the deep-discount part co-occurrence graph
+    — ``ops.graph.common_neighbors``: exact shared-neighbor counts
+    for NON-adjacent pairs (wedge emission + tagged-union adjacency
+    subtraction, all int64 shuffles).  The ``l_discount >= 0.09``
+    read-filter keeps the graph sparse (the dense full graph is the
+    hub case ``max_degree`` exists for)."""
+    import pyarrow.dataset as pds
+
+    from torray.ops.graph import common_neighbors, cooccurrence_edges
+
+    li = _read_f(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_partkey"],
+                 flt=(pds.field("l_discount") >= 0.09))
+    edges = cooccurrence_edges(li, group_col="l_orderkey",
+                               item_col="l_partkey")
+    return common_neighbors(edges, min_common=2)
+
+
 def _q_customers_idle_rich(sf_dir: str):
     """TPC-H Q22 shape: per-nation count + balance total of customers
     whose balance beats the positive-balance average AND who have no
@@ -4950,6 +4969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_dangling_audit": _q_fk_audit,
         "parts_triangles": _q_parts_triangles,
         "parts_clustering": _q_parts_clustering,
+        "parts_link_pred": _q_parts_link_pred,
         "customers_idle_rich": _q_customers_idle_rich,
         "parts_supplier_cnt": _q_parts_supplier_cnt,
         "supplier_waits": _q_supplier_waits,
@@ -5899,6 +5919,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(d.degree * (d.degree - 1) // 2 AS DOUBLE) "
             "ELSE NULL END AS clustering "
             "FROM deg d LEFT JOIN tc USING (node)"
+        ),
+        # link prediction: exact shared-neighbor counts, adjacency
+        # subtracted (NOT EXISTS), all-integer outputs
+        "parts_link_pred": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "WHERE a.l_discount >= 0.09 AND b.l_discount >= 0.09), "
+            "und AS (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "w AS (SELECT x.b AS u, y.b AS v FROM und x JOIN und y "
+            "ON x.a = y.a AND x.b < y.b), "
+            "cn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common "
+            "FROM w GROUP BY u, v) "
+            "SELECT u AS id_a, v AS id_b, common FROM cn "
+            "WHERE common >= 2 AND NOT EXISTS ("
+            "SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)"
         ),
         # FK audit: NOT EXISTS semantics per edge, null keys counted
         # separately (never dangling), all-integer outputs

@@ -5427,3 +5427,55 @@ def test_node_clustering_matches_bruteforce(ray_session):
     assert s["triangles"].tolist() == [0, 0, 0, 0]
     assert s.loc[0, "clustering"] == 0.0      # center, degree 3
     assert np.isnan(s.loc[1, "clustering"])   # leaves, degree 1
+
+
+def test_common_neighbors_exact_and_capped(ray_session):
+    import itertools
+
+    import ray
+
+    from torray.ops.graph import common_neighbors
+
+    rng = np.random.default_rng(11)
+    n = 80
+    edges = set()
+    for _ in range(260):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    eu = np.array([e[0] for e in sorted(edges)], np.int64)
+    ev = np.array([e[1] for e in sorted(edges)], np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": eu, "v": ev})).repartition(4)
+    out = (common_neighbors(ds, min_common=2).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sorted(
+        (a, b, len(adj[a] & adj[b]))
+        for a, b in itertools.combinations(range(n), 2)
+        if (a, b) not in edges and len(adj[a] & adj[b]) >= 2)
+    assert list(map(tuple, out.to_numpy())) == want
+
+    # hub cap: centers above max_degree emit no wedges (and the
+    # result is exact relative to that capped definition)
+    cap = 6
+    wantc: dict = {}
+    for c in range(n):
+        if len(adj[c]) > cap:
+            continue
+        for a, b in itertools.combinations(sorted(adj[c]), 2):
+            if (min(a, b), max(a, b)) in edges:
+                continue
+            wantc[(a, b)] = wantc.get((a, b), 0) + 1
+    wantc = sorted((a, b, m) for (a, b), m in wantc.items() if m >= 2)
+    outc = (common_neighbors(ds, min_common=2, max_degree=cap)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    assert list(map(tuple, outc.to_numpy())) == wantc
+
+    # empty graph -> empty result
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    assert common_neighbors(ray.data.from_arrow(empty)).count() == 0

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from torray.ops.join import safe_join
 
@@ -925,3 +926,158 @@ def node_clustering(edges_ds, *, num_partitions: int = 64):
                 mask=(pairs == 0))})
 
     return with_tri.map_batches(finish, batch_format="pyarrow")
+
+
+def common_neighbors(edges_ds, *, min_common: int = 2,
+                     max_degree: int | None = None,
+                     num_partitions: int = 64):
+    """Link prediction by EXACT common-neighbor counts: for every
+    NON-ADJACENT node pair, how many neighbors the two share — the
+    classic "people you may know" candidate generator, and the crawl
+    twin "hosts co-linked from N shared pages but never from each
+    other".
+
+    Each shared neighbor ``c`` of a pair (u, v) is exactly one wedge
+    centered at ``c`` in the full undirected adjacency, so: explode
+    each canonical edge into both directions, emit all neighbor pairs
+    per center (the salted run-scan pair emission, no Python per
+    center), count per (u, v) with a per-partition Arrow combiner,
+    and subtract adjacency via the tagged-union run-scan (runs that
+    contain an edge row are ADJACENT — dropped, they're triangles not
+    predictions).
+
+    Wedge volume is sum(deg^2), which a hub dominates uselessly (a
+    host linked from everywhere "shares" it with everyone);
+    ``max_degree`` EXCLUDES centers above the cap from wedge emission
+    — part of the operator's definition (mirror it in any oracle),
+    the standard link-prediction hub cut, and the 100 TB contract:
+    with it, wedges are bounded by n * max_degree^2.
+
+    Returns ``(id_a, id_b, common)``, ``id_a < id_b``, for non-
+    adjacent pairs with ``common >= min_common``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from torray.ops.dedup import _mix64, salted_bucket_pairs
+
+    edges = edges_ds.materialize()  # consumed 2x (wedges + adjacency)
+
+    def explode_und(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("center", "nb"))
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.table({
+            "center": pa.concat_arrays([u, v]),
+            "nb": pa.concat_arrays([v, u])})
+
+    adj = edges.map_batches(explode_und, batch_format="pyarrow")
+    if max_degree is not None:
+        def count_deg(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _empty_int64_table(("node", "__n"))
+            g = pa.TableGroupBy(
+                t.select(["center"]).rename_columns(["node"]),
+                "node").aggregate([([], "count_all")])
+            return pa.table({
+                "node": g.column("node"),
+                "__n": g.column("count_all").cast(pa.int64())})
+
+        deg = (adj.map_batches(count_deg, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("__n")))
+        deg_vals = deg.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "val": t.column("sum(__n)").cast(
+                                    pa.int64())})
+            if t.num_rows else _empty_int64_table(("node", "val")),
+            batch_format="pyarrow")
+        adj = _attach_int_value(adj, deg_vals, "center", "__deg",
+                                ("center", "nb"), num_partitions)
+        cap = max_degree
+
+        def cut(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _empty_int64_table(("center", "nb"))
+            keep = pc.less_equal(t.column("__deg"), cap)
+            return t.filter(keep).select(["center", "nb"])
+
+        adj = adj.map_batches(cut, batch_format="pyarrow")
+
+    wedges = salted_bucket_pairs(adj, "center", "nb", max_bucket=None,
+                                 num_partitions=num_partitions)
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("u", "v", "__n", "__side",
+                                       "__part"))
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        # per-block combine: one (u, v, count) row per distinct pair
+        g = pa.TableGroupBy(pa.table({
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64())}), ["u", "v"]).aggregate(
+            [([], "count_all")])
+        gu = g.column("u").to_numpy(zero_copy_only=False)
+        gv = g.column("v").to_numpy(zero_copy_only=False)
+        part = (_mix64(gu.astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15)
+                       + gv.astype(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            "u": g.column("u"), "v": g.column("v"),
+            "__n": g.column("count_all").cast(pa.int64()),
+            "__side": pa.array(np.ones(len(gu), np.int64), pa.int64()),
+            "__part": pa.array(part, pa.int64())})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_int64_table(("u", "v", "__n", "__side",
+                                       "__part"))
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        part = (_mix64(u.astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15)
+                       + v.astype(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            "u": t.column("u"), "v": t.column("v"),
+            "__n": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            "__side": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            "__part": pa.array(part, pa.int64())})
+
+    thresh = min_common
+
+    def predict(group: pa.Table) -> pa.Table:
+        out_cols = ("id_a", "id_b", "common")
+        if group.num_rows == 0:
+            return _empty_int64_table(out_cols)
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        n = group.column("__n").to_numpy(zero_copy_only=False)
+        s = group.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, v, u))
+        us, vs, ns, ss = u[order], v[order], n[order], s[order]
+        new_run = np.concatenate(
+            ([True], (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])))
+        run_id = np.cumsum(new_run) - 1
+        nruns = run_id[-1] + 1
+        has_edge = np.zeros(nruns, np.int64)
+        np.add.at(has_edge, run_id, (ss == 0).astype(np.int64))
+        common = np.zeros(nruns, np.int64)
+        np.add.at(common, run_id, ns)
+        firsts = np.flatnonzero(new_run)
+        keep = (has_edge == 0) & (common >= thresh)
+        if not keep.any():
+            return _empty_int64_table(out_cols)
+        pos = firsts[keep]
+        return pa.table({"id_a": pa.array(us[pos], pa.int64()),
+                         "id_b": pa.array(vs[pos], pa.int64()),
+                         "common": pa.array(common[keep], pa.int64())})
+
+    tagged = (wedges.map_batches(tag_wedge, batch_format="pyarrow")
+              .union(edges.map_batches(tag_edge,
+                                       batch_format="pyarrow")))
+    return (tagged.groupby("__part")
+            .map_groups(predict, batch_format="pyarrow"))
