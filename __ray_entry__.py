@@ -1893,6 +1893,74 @@ def _q_parts_clustering(sf_dir: str):
     return node_clustering(edges)
 
 
+def _q_events_incremental_daily(sf_dir: str):
+    """Materialized-view maintenance (``ops.incremental``): the first
+    15 days' daily aggregate state is PERSISTED to parquet
+    (yesterday's run), then updated by folding in only the ``ts >=
+    cutoff`` delta — predicate-pushdown read, base never rescanned.
+    The oracle recomputes the whole range from scratch, certifying
+    state-merge == full-recompute."""
+    import shutil
+    from datetime import datetime
+
+    import pyarrow.dataset as pds
+    import ray
+
+    from torray.ops.incremental import aggregate_state, merge_agg_state
+
+    cutoff = datetime(2024, 1, 16)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.string()),
+                             "event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        return pa.table({
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            "event_type": t.column("event_type"),
+            "value": t.column("value")})
+
+    def slice_state(flt):
+        ds = _read_f(sf_dir, "events",
+                     columns=["ts", "event_type", "value"], flt=flt)
+        return aggregate_state(
+            ds.map_batches(add_day, batch_format="pyarrow"),
+            group_cols=["day", "event_type"], value_col="value")
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    state_dir = os.path.join("/tmp", f"torray_aggstate_{tag}")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    base = slice_state(pds.field("ts") < cutoff).materialize()
+    base.write_parquet(state_dir)
+    os.makedirs(state_dir, exist_ok=True)  # zero-row write is a no-op
+    if any(n.endswith(".parquet") for n in os.listdir(state_dir)):
+        prior = ray.data.read_parquet(state_dir)  # yesterday's state
+    else:
+        prior = base  # zero-row slice writes no files
+    delta = slice_state(pds.field("ts") >= cutoff)
+    merged = merge_agg_state([prior, delta],
+                             group_cols=["day", "event_type"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "day": pa.array([], pa.string()),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_scaled": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64())})
+        s = t.column("sum_scaled").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": t.column("day"),
+            "event_type": t.column("event_type"),
+            "n": t.column("n"),
+            "sum_scaled": t.column("sum_scaled"),
+            "sum_value": pa.array(s.astype(np.float64) / 100.0,
+                                  pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_parts_link_pred(sf_dir: str):
     """Link prediction on the deep-discount part co-occurrence graph
     — ``ops.graph.common_neighbors``: exact shared-neighbor counts
@@ -4970,6 +5038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangles": _q_parts_triangles,
         "parts_clustering": _q_parts_clustering,
         "parts_link_pred": _q_parts_link_pred,
+        "events_incremental_daily": _q_events_incremental_daily,
         "customers_idle_rich": _q_customers_idle_rich,
         "parts_supplier_cnt": _q_parts_supplier_cnt,
         "supplier_waits": _q_supplier_waits,
@@ -5919,6 +5988,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(d.degree * (d.degree - 1) // 2 AS DOUBLE) "
             "ELSE NULL END AS clustering "
             "FROM deg d LEFT JOIN tc USING (node)"
+        ),
+        # incremental state merge == full recompute: exact int
+        # partials; sum_value is the ONE mirrored /100.0 divide
+        "events_incremental_daily": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_scaled, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) "
+            "/ 100.0 AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
         # link prediction: exact shared-neighbor counts, adjacency
         # subtracted (NOT EXISTS), all-integer outputs

@@ -5479,3 +5479,41 @@ def test_common_neighbors_exact_and_capped(ray_session):
     empty = pa.table({"u": pa.array([], pa.int64()),
                       "v": pa.array([], pa.int64())})
     assert common_neighbors(ray.data.from_arrow(empty)).count() == 0
+
+
+def test_incremental_state_merge_equals_full(ray_session):
+    import ray
+
+    from torray.ops.incremental import aggregate_state, merge_agg_state
+
+    rng = np.random.default_rng(3)
+    g = rng.choice(["a", "b", "c"], 400).tolist()
+    v = np.round(rng.uniform(-5, 5, 400), 2)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v, pa.float64())})
+    full = ray.data.from_arrow(t)
+    # split into three slices, state each, merge
+    parts = [ray.data.from_arrow(t.slice(i * 134, 134))
+             for i in range(3)]
+    states = [aggregate_state(p, group_cols=["g"], value_col="v")
+              for p in parts]
+    merged = (merge_agg_state(states, group_cols=["g"]).to_pandas()
+              .sort_values("g").reset_index(drop=True))
+    want = (aggregate_state(full, group_cols=["g"], value_col="v")
+            .to_pandas().sort_values("g").reset_index(drop=True))
+    assert merged.equals(want)
+    # exact scaled-int sums vs numpy
+    import pandas as pd
+
+    df = pd.DataFrame({"g": g, "s": np.copysign(
+        np.floor(np.abs(v * 100) + 0.5), v * 100).astype(np.int64)})
+    ref = df.groupby("g").agg(n=("s", "size"), sum_scaled=("s", "sum"))
+    for _, row in merged.iterrows():
+        assert row["n"] == ref.loc[row["g"], "n"]
+        assert row["sum_scaled"] == ref.loc[row["g"], "sum_scaled"]
+
+    # count-only state (no value column)
+    s0 = aggregate_state(full, group_cols=["g"])
+    out = (merge_agg_state([s0, s0], group_cols=["g"]).to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    assert (out["n"].to_numpy() == 2 * want["n"].to_numpy()).all()
+    assert (out["sum_scaled"] == 0).all()
