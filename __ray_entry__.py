@@ -1893,6 +1893,37 @@ def _q_parts_clustering(sf_dir: str):
     return node_clustering(edges)
 
 
+def _q_docs_zonemap_scan(sf_dir: str):
+    """Sort-clustered layout + file-level zone-map pruning
+    (``torray.sinks.write_sorted_zonemap`` / ``read_zonemap``): the
+    documents table is clustered by ``n_chars`` into many files, a
+    range scan touches only the overlapping files (asserted: fewer
+    than total), and the oracle's plain BETWEEN certifies the pruned
+    scan lost nothing."""
+    import shutil
+
+    import ray
+    import ray.data
+
+    from torray.sinks import read_zonemap, write_sorted_zonemap
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join("/tmp", f"torray_zonemap_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _read(sf_dir, "documents")
+    n = docs.count()
+    if n == 0:
+        return docs
+    # many small sorted files so the pruning is observable
+    write_sorted_zonemap(docs.repartition(max(2, min(16, n // 25))),
+                         root, "n_chars")
+    ds, files_read, files_total = read_zonemap(root, 200, 900)
+    if files_read >= files_total and files_total > 2:
+        raise RuntimeError(
+            f"zone map pruned nothing ({files_read}/{files_total})")
+    return ds
+
+
 def _q_events_incremental_daily(sf_dir: str):
     """Materialized-view maintenance (``ops.incremental``): the first
     15 days' daily aggregate state is PERSISTED to parquet
@@ -5039,6 +5070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_clustering": _q_parts_clustering,
         "parts_link_pred": _q_parts_link_pred,
         "events_incremental_daily": _q_events_incremental_daily,
+        "docs_zonemap_scan": _q_docs_zonemap_scan,
         "customers_idle_rich": _q_customers_idle_rich,
         "parts_supplier_cnt": _q_parts_supplier_cnt,
         "supplier_waits": _q_supplier_waits,
@@ -5988,6 +6020,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(d.degree * (d.degree - 1) // 2 AS DOUBLE) "
             "ELSE NULL END AS clustering "
             "FROM deg d LEFT JOIN tc USING (node)"
+        ),
+        # zone-map pruned range scan == plain BETWEEN
+        "docs_zonemap_scan": (
+            "SELECT * FROM documents "
+            "WHERE n_chars BETWEEN 200 AND 900"
         ),
         # incremental state merge == full recompute: exact int
         # partials; sum_value is the ONE mirrored /100.0 divide

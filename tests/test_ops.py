@@ -5517,3 +5517,36 @@ def test_incremental_state_merge_equals_full(ray_session):
            .sort_values("g").reset_index(drop=True))
     assert (out["n"].to_numpy() == 2 * want["n"].to_numpy()).all()
     assert (out["sum_scaled"] == 0).all()
+
+
+def test_zonemap_layout_prunes_and_loses_nothing(ray_session, tmp_path):
+    import json
+
+    import ray
+
+    from torray.sinks import read_zonemap, write_sorted_zonemap
+
+    rng = np.random.default_rng(21)
+    keys = rng.integers(0, 10_000, 4000)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "payload": pa.array([f"row-{i}" for i in range(4000)])})
+    root = str(tmp_path / "zm")
+    manifest = write_sorted_zonemap(
+        ray.data.from_arrow(t).repartition(10), root, "k")
+    assert len(manifest["zones"]) > 2
+    # zones are disjoint-ish after the global sort: lo <= hi per zone
+    for z in manifest["zones"]:
+        assert z["lo"] <= z["hi"]
+
+    lo, hi = 2_000, 3_000
+    ds, files_read, files_total = read_zonemap(root, lo, hi)
+    assert files_read < files_total  # skipping actually happened
+    got = sorted(ds.to_pandas()["payload"].tolist())
+    want = sorted(f"row-{i}" for i in range(4000)
+                  if lo <= keys[i] <= hi)
+    assert got == want
+
+    # out-of-range scan reads zero files but keeps the schema
+    ds0, n0, _ = read_zonemap(root, 100_000, 200_000)
+    assert n0 == 0 and ds0.count() == 0
+    assert set(ds0.schema().names) == {"k", "payload"}

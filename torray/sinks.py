@@ -22,7 +22,8 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["write_partitioned", "done_partitions", "compact_parquet"]
+__all__ = ["write_partitioned", "done_partitions", "compact_parquet",
+           "write_sorted_zonemap", "read_zonemap"]
 
 _DONE = "_DONE"
 
@@ -133,3 +134,78 @@ def compact_parquet(in_path: str, out_dir: str, *,
     return {"files_before": files_before,
             "files_after": _count_files(out_dir),
             "rows": int(out.count())}
+
+
+_ZONEMAP = "_zonemap.json"
+
+
+def write_sorted_zonemap(ds, out_dir: str, key: str) -> dict:
+    """Sort-clustered layout with a file-level zone map: globally
+    sort ``ds`` by ``key`` (Ray's native range-partitioned sort —
+    the ONE all-to-all this layout ever pays), write one file per
+    sorted block, and record each file's exact (min, max) of ``key``
+    from its own parquet footer into ``_zonemap.json``.
+
+    This is the storage half of data skipping: after clustering, a
+    range predicate touches the few files whose zones overlap instead
+    of every footer of a 100 TB dataset — :func:`read_zonemap` does
+    the pruning from the ONE small manifest, no per-file round trips.
+
+    Returns the manifest dict ``{"key": key, "zones": [{"file", "lo",
+    "hi", "rows"}, ...]}``.
+    """
+    import glob
+    import json
+
+    ds.sort(key).write_parquet(out_dir)
+    zones = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
+        md = pq.read_metadata(path)
+        idx = md.schema.names.index(key)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:  # stats-less file:
+                lo = hi = None                    # never prunable
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        zones.append({"file": os.path.basename(path),
+                      "lo": lo, "hi": hi, "rows": md.num_rows})
+    manifest = {"key": key, "zones": zones}
+    with open(os.path.join(out_dir, _ZONEMAP), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_zonemap(root: str, lo, hi, *, columns=None):
+    """Range scan over a :func:`write_sorted_zonemap` layout: prune
+    to the files whose [zone lo, zone hi] overlaps [lo, hi] using the
+    manifest alone, then read ONLY those files with the residual
+    row filter pushed into the fragment scan.  Files without stats
+    (``lo is None``) are never pruned.
+
+    Returns ``(dataset, files_read, files_total)`` so callers can
+    assert the skipping actually happened."""
+    import json
+
+    import ray
+    import pyarrow.dataset as pds
+
+    with open(os.path.join(root, _ZONEMAP)) as f:
+        manifest = json.load(f)
+    key = manifest["key"]
+    keep = [z["file"] for z in manifest["zones"]
+            if z["lo"] is None or not (z["hi"] < lo or z["lo"] > hi)]
+    total = len(manifest["zones"])
+    flt = (pds.field(key) >= lo) & (pds.field(key) <= hi)
+    if not keep:
+        # empty selection: scan nothing, return a typed empty dataset
+        first = os.path.join(root, manifest["zones"][0]["file"])
+        empty = pq.read_schema(first).empty_table()
+        return ray.data.from_arrow(empty), 0, total
+    kwargs = {"filter": flt}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    paths = [os.path.join(root, n) for n in keep]
+    return ray.data.read_parquet(paths, **kwargs), len(keep), total
