@@ -734,7 +734,16 @@ def bench_graph_xl(sf_dir: str) -> dict:
             np.int64), pa.int64())})).repartition(32)
     tri = triangle_count(edges)
     t3 = time.monotonic()
-    wall = t3 - t0
+    from torray.ops.graph import common_neighbors, node_clustering
+
+    edges_m = edges.materialize()
+    n_cluster = node_clustering(edges_m).count()
+    t4 = time.monotonic()
+    # hub-capped link prediction: wedge volume bounded n*cap^2
+    n_pred = common_neighbors(edges_m, min_common=3,
+                              max_degree=40).count()
+    t5 = time.monotonic()
+    wall = t5 - t0
     return {"sec": wall,
             "transitions_sec": round(t1 - t0, 2),
             "transition_pairs": n_trans,
@@ -742,7 +751,11 @@ def bench_graph_xl(sf_dir: str) -> dict:
             "distinct_groups": n_dist,
             "triangle_sec": round(t3 - t2, 2),
             "n_edges": int(tri.column("n_edges")[0].as_py()),
-            "n_triangles": int(tri.column("n_triangles")[0].as_py())}
+            "n_triangles": int(tri.column("n_triangles")[0].as_py()),
+            "clustering_sec": round(t4 - t3, 2),
+            "clustering_nodes": n_cluster,
+            "linkpred_sec": round(t5 - t4, 2),
+            "linkpred_pairs": n_pred}
 
 
 def _ensure_vecs_xl(n: int = 1_000_000, d: int = 64) -> str:
