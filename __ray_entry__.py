@@ -1924,6 +1924,22 @@ def _q_docs_zonemap_scan(sf_dir: str):
     return ds
 
 
+def _q_parts_edge_embed(sf_dir: str):
+    """EXACT per-edge embeddedness (triangles-per-edge + neighborhood
+    Jaccard) on the deep-discount co-occurrence graph —
+    ``ops.graph.edge_embeddedness``."""
+    import pyarrow.dataset as pds
+
+    from torray.ops.graph import cooccurrence_edges, edge_embeddedness
+
+    li = _read_f(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_partkey"],
+                 flt=(pds.field("l_discount") >= 0.09))
+    edges = cooccurrence_edges(li, group_col="l_orderkey",
+                               item_col="l_partkey")
+    return edge_embeddedness(edges)
+
+
 def _q_events_incremental_daily(sf_dir: str):
     """Materialized-view maintenance (``ops.incremental``): the first
     15 days' daily aggregate state is PERSISTED to parquet
@@ -5069,6 +5085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangles": _q_parts_triangles,
         "parts_clustering": _q_parts_clustering,
         "parts_link_pred": _q_parts_link_pred,
+        "parts_edge_embed": _q_parts_edge_embed,
         "events_incremental_daily": _q_events_incremental_daily,
         "docs_zonemap_scan": _q_docs_zonemap_scan,
         "customers_idle_rich": _q_customers_idle_rich,
@@ -6025,6 +6042,33 @@ def oracle_sql() -> dict[str, str]:
         "docs_zonemap_scan": (
             "SELECT * FROM documents "
             "WHERE n_chars BETWEEN 200 AND 900"
+        ),
+        # edge embeddedness: exact int common/union counts; jaccard
+        # is the ONE mirrored divide, NULL on an empty union
+        "parts_edge_embed": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "WHERE a.l_discount >= 0.09 AND b.l_discount >= 0.09), "
+            "und AS (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d "
+            "FROM und GROUP BY 1), "
+            "cn AS (SELECT x.a AS u, y.a AS v, "
+            "CAST(count(*) AS BIGINT) AS c FROM und x JOIN und y "
+            "ON x.b = y.b AND x.a < y.a GROUP BY 1, 2) "
+            "SELECT e.u AS id_a, e.v AS id_b, "
+            "CAST(COALESCE(cn.c, 0) AS BIGINT) AS common, "
+            "CAST(du.d + dv.d - 2 - COALESCE(cn.c, 0) AS BIGINT) "
+            "AS union_size, "
+            "CASE WHEN du.d + dv.d - 2 - COALESCE(cn.c, 0) > 0 THEN "
+            "CAST(COALESCE(cn.c, 0) AS DOUBLE) / "
+            "CAST(du.d + dv.d - 2 - COALESCE(cn.c, 0) AS DOUBLE) "
+            "ELSE NULL END AS jaccard "
+            "FROM e JOIN deg du ON du.node = e.u "
+            "JOIN deg dv ON dv.node = e.v "
+            "LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v"
         ),
         # incremental state merge == full recompute: exact int
         # partials; sum_value is the ONE mirrored /100.0 divide

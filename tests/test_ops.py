@@ -5550,3 +5550,44 @@ def test_zonemap_layout_prunes_and_loses_nothing(ray_session, tmp_path):
     ds0, n0, _ = read_zonemap(root, 100_000, 200_000)
     assert n0 == 0 and ds0.count() == 0
     assert set(ds0.schema().names) == {"k", "payload"}
+
+
+def test_edge_embeddedness_matches_bruteforce(ray_session):
+    import ray
+
+    from torray.ops.graph import edge_embeddedness
+
+    rng = np.random.default_rng(17)
+    n = 70
+    edges = set()
+    for _ in range(250):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    eu = np.array([e[0] for e in sorted(edges)], np.int64)
+    ev = np.array([e[1] for e in sorted(edges)], np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": eu, "v": ev})).repartition(4)
+    out = (edge_embeddedness(ds).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert len(out) == len(edges)
+    for _, r in out.iterrows():
+        a, b = int(r["id_a"]), int(r["id_b"])
+        common = len(adj[a] & adj[b])
+        union = len((adj[a] - {b}) | (adj[b] - {a}))
+        assert r["common"] == common
+        assert r["union_size"] == union
+        if union > 0:
+            assert r["jaccard"] == common / union
+        else:
+            assert np.isnan(r["jaccard"])
+
+    # a lone edge: no common neighbors, empty union -> NULL jaccard
+    lone = pa.table({"u": pa.array([1], pa.int64()),
+                     "v": pa.array([2], pa.int64())})
+    o = edge_embeddedness(ray.data.from_arrow(lone)).to_pandas()
+    assert o.loc[0, "common"] == 0 and o.loc[0, "union_size"] == 0
+    assert np.isnan(o.loc[0, "jaccard"])
