@@ -1924,6 +1924,19 @@ def _q_docs_zonemap_scan(sf_dir: str):
     return ds
 
 
+def _q_events_user_overlap_hll(sf_dir: str):
+    """Approximate pairwise shared-user estimates between event types
+    (``ops.sketch.hll_overlap``): HLL register algebra — union by
+    elementwise max, intersection by inclusion-exclusion; values
+    never shuffle, only 4 KB sketch rows.  Rows-only (approximate by
+    construction); error-bound-tested in pytest."""
+    from torray.ops.sketch import hll_overlap
+
+    return hll_overlap(
+        _read_f(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id", b=14)
+
+
 def _q_parts_edge_embed(sf_dir: str):
     """EXACT per-edge embeddedness (triangles-per-edge + neighborhood
     Jaccard) on the deep-discount co-occurrence graph —
@@ -5086,6 +5099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_clustering": _q_parts_clustering,
         "parts_link_pred": _q_parts_link_pred,
         "parts_edge_embed": _q_parts_edge_embed,
+        "events_user_overlap_hll": _q_events_user_overlap_hll,
         "events_incremental_daily": _q_events_incremental_daily,
         "docs_zonemap_scan": _q_docs_zonemap_scan,
         "customers_idle_rich": _q_customers_idle_rich,

@@ -5591,3 +5591,48 @@ def test_edge_embeddedness_matches_bruteforce(ray_session):
     o = edge_embeddedness(ray.data.from_arrow(lone)).to_pandas()
     assert o.loc[0, "common"] == 0 and o.loc[0, "union_size"] == 0
     assert np.isnan(o.loc[0, "jaccard"])
+
+
+def test_hll_overlap_error_bounds(ray_session):
+    import ray
+
+    from torray.ops.sketch import hll_overlap
+
+    rng = np.random.default_rng(1)
+    shared = np.arange(5000)
+    a_only = np.arange(100_000, 115_000)
+    b_only = np.arange(200_000, 215_000)
+    vals = np.concatenate([shared, a_only, shared, b_only])
+    grps = np.array(["A"] * 20000 + ["B"] * 20000)
+    perm = rng.permutation(len(vals))
+    t = pa.table({"g": pa.array(grps[perm]),
+                  "v": pa.array(vals[perm], pa.int64())})
+    out = hll_overlap(ray.data.from_arrow(t).repartition(6),
+                      "g", "v", b=14).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["group_a"], r["group_b"]) == ("A", "B")
+    # truth: |A|=|B|=20000, union=35000, inter=5000
+    assert abs(r["est_a"] - 20000) / 20000 < 0.05
+    assert abs(r["est_b"] - 20000) / 20000 < 0.05
+    assert abs(r["est_union"] - 35000) / 35000 < 0.05
+    assert abs(r["est_intersection"] - 5000) / 5000 < 0.30
+    assert abs(r["est_jaccard"] - 5000 / 35000) < 0.05
+
+    # disjoint slices -> intersection ~0 (clamped, never negative)
+    t2 = pa.table({"g": pa.array(["X"] * 5000 + ["Y"] * 5000),
+                   "v": pa.array(np.concatenate([
+                       np.arange(5000), np.arange(50_000, 55_000)]),
+                       pa.int64())})
+    o2 = hll_overlap(ray.data.from_arrow(t2), "g", "v",
+                     b=14).to_pandas()
+    assert o2.iloc[0]["est_intersection"] <= 0.05 * 5000
+
+    # single group / empty input -> zero pairs
+    t3 = pa.table({"g": pa.array(["A"] * 10),
+                   "v": pa.array(np.arange(10), pa.int64())})
+    assert hll_overlap(ray.data.from_arrow(t3), "g", "v").count() == 0
+    empty = pa.table({"g": pa.array([], pa.string()),
+                      "v": pa.array([], pa.int64())})
+    assert hll_overlap(ray.data.from_arrow(empty), "g",
+                       "v").count() == 0

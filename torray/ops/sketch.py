@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 from torray.ops.dedup import _mix64, fnv1a64_strings
 
-__all__ = ["hll_registers", "hll_estimate", "approx_distinct",
+__all__ = ["hll_registers", "hll_estimate", "approx_distinct", "hll_overlap",
            "approx_distinct_by", "approx_quantiles", "exact_quantiles",
            "exact_quantiles_cont", "exact_mad", "group_quantiles",
            "group_quantiles_cont",
@@ -1226,3 +1226,100 @@ def robust_zscore(ds, group_col: str, col: str, *,
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def hll_overlap(ds, group_col: str, col: str, b: int = 12,
+                num_partitions: int = 16):
+    """Approximate pairwise SLICE OVERLAP via HLL register algebra:
+    for every pair of groups (corpus slices — languages, sources,
+    train/val splits), estimate |A|, |B|, |A ∪ B| (the union is EXACT
+    register-wise: elementwise max of the two sketches) and derive
+    |A ∩ B| = |A| + |B| - |A ∪ B| (inclusion–exclusion, clamped at
+    0) and the Jaccard — the sketch-based scale path beside the
+    EXACT ``ops.text.vocab_overlap``: values never shuffle, only
+    ``2^b``-byte register rows bounded by groups x blocks do, and NO
+    second pass over the data is ever needed for a new pair.
+
+    Intended for BOUNDED group counts (slice diagnostics): the driver
+    folds one ``2^b``-byte register row per group and the pairwise
+    table is groups^2 rows.  Error ~1.04/sqrt(2^b) on each cardinality
+    (b=12 -> ~1.6%); the intersection inherits roughly the union's
+    absolute error, so tiny intersections of huge slices are noise —
+    use the exact op when that matters.
+
+    Returns a Dataset ``(group_a, group_b, est_a, est_b, est_union,
+    est_intersection, est_jaccard)`` with ``group_a < group_b``.
+    """
+    import ray
+    import ray.data
+
+    from torray.ops.window import _ds_field_type, _hash_col_np
+
+    m = 1 << b
+    gtype = _ds_field_type(ds, group_col)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_numpy(zero_copy_only=False)
+        hashes = _hash_values(batch.column(col))
+        uniq, inv = np.unique(keys, return_inverse=True)
+        reg2d = np.zeros((len(uniq), m), np.uint8)
+        if hashes.size:
+            idx, rho = _hll_idx_rho(hashes, b)
+            np.maximum.at(reg2d, (inv, idx), rho)
+        regs = pa.Array.from_buffers(
+            pa.binary(m), len(uniq),
+            [None, pa.py_buffer(np.ascontiguousarray(reg2d).tobytes())])
+        return pa.table({group_col: pa.array(uniq, type=gtype),
+                         "__reg": regs})
+
+    parts = [t for t in ray.get(
+        ds.select_columns([group_col, col])
+        .map_batches(fold, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    empty = pa.table({
+        "group_a": pa.array([], gtype), "group_b": pa.array([], gtype),
+        "est_a": pa.array([], pa.int64()),
+        "est_b": pa.array([], pa.int64()),
+        "est_union": pa.array([], pa.int64()),
+        "est_intersection": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64())})
+    if not parts:
+        return ray.data.from_arrow(empty)
+    allp = pa.concat_tables(parts)  # one 2^b-byte row per (group,
+    g = allp.column(group_col).to_numpy(zero_copy_only=False)  # block)
+    col_reg = allp.column("__reg").combine_chunks()
+    buf = np.frombuffer(col_reg.buffers()[1], np.uint8)
+    mat = buf[col_reg.offset * m:
+              (col_reg.offset + len(col_reg)) * m].reshape(-1, m)
+    order = np.argsort(g, kind="stable")
+    g, mat = g[order], mat[order]
+    starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+    merged = np.maximum.reduceat(mat, starts, axis=0)
+    groups = g[starts]
+    est = _hll_estimate_rows(merged)
+    k = len(groups)
+    out = {c: [] for c in ("group_a", "group_b", "est_a", "est_b",
+                           "est_union", "est_intersection",
+                           "est_jaccard")}
+    for i in range(k):
+        for j in range(i + 1, k):
+            u = float(_hll_estimate_rows(
+                np.maximum(merged[i], merged[j])[None, :])[0])
+            a, bb = float(est[i]), float(est[j])
+            inter = max(0.0, a + bb - u)
+            out["group_a"].append(groups[i])
+            out["group_b"].append(groups[j])
+            out["est_a"].append(int(round(a)))
+            out["est_b"].append(int(round(bb)))
+            out["est_union"].append(int(round(u)))
+            out["est_intersection"].append(int(round(inter)))
+            out["est_jaccard"].append(inter / u if u > 0 else 0.0)
+    return ray.data.from_arrow(pa.table({
+        "group_a": pa.array(out["group_a"], gtype),
+        "group_b": pa.array(out["group_b"], gtype),
+        "est_a": pa.array(out["est_a"], pa.int64()),
+        "est_b": pa.array(out["est_b"], pa.int64()),
+        "est_union": pa.array(out["est_union"], pa.int64()),
+        "est_intersection": pa.array(out["est_intersection"],
+                                     pa.int64()),
+        "est_jaccard": pa.array(out["est_jaccard"], pa.float64())}))
