@@ -1924,6 +1924,18 @@ def _q_docs_zonemap_scan(sf_dir: str):
     return ds
 
 
+def _q_docs_checksum(sf_dir: str):
+    """Order/partition-invariant content checksum of the documents
+    table (``ops.audit.dataset_checksum``) — the replica / resume /
+    compaction verifier.  Rows-only (FNV/splitmix kernels have no SQL
+    twin); invariance + sensitivity are pytest-certified."""
+    from torray.ops.audit import dataset_checksum
+
+    return dataset_checksum(
+        _read(sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def _q_events_user_overlap_hll(sf_dir: str):
     """Approximate pairwise shared-user estimates between event types
     (``ops.sketch.hll_overlap``): HLL register algebra — union by
@@ -5100,6 +5112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_link_pred": _q_parts_link_pred,
         "parts_edge_embed": _q_parts_edge_embed,
         "events_user_overlap_hll": _q_events_user_overlap_hll,
+        "docs_checksum": _q_docs_checksum,
         "events_incremental_daily": _q_events_incremental_daily,
         "docs_zonemap_scan": _q_docs_zonemap_scan,
         "customers_idle_rich": _q_customers_idle_rich,

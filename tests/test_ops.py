@@ -5636,3 +5636,40 @@ def test_hll_overlap_error_bounds(ray_session):
                       "v": pa.array([], pa.int64())})
     assert hll_overlap(ray.data.from_arrow(empty), "g",
                        "v").count() == 0
+
+
+def test_dataset_checksum_invariance_and_sensitivity(ray_session):
+    import pyarrow.parquet as pq2
+
+    import ray
+
+    from torray.ops.audit import dataset_checksum
+
+    t = pq2.read_table("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    c1 = dataset_checksum(
+        ray.data.from_arrow(t).repartition(3), cols).to_pandas()
+    # permuted rows + different partitioning -> identical checksum
+    idx = np.random.default_rng(0).permutation(t.num_rows)
+    c2 = dataset_checksum(
+        ray.data.from_arrow(t.take(pa.array(idx))).repartition(7),
+        cols).to_pandas()
+    assert c1.equals(c2)
+    assert int(c1["n_rows"][0]) == t.num_rows
+    # a single changed value flips it
+    arr = t.column("n_chars").to_numpy(zero_copy_only=False).copy()
+    arr[5] += 1
+    t3 = t.set_column(t.column_names.index("n_chars"), "n_chars",
+                      pa.array(arr, pa.int64()))
+    c3 = dataset_checksum(ray.data.from_arrow(t3), cols).to_pandas()
+    assert not c1.equals(c3)
+    # null vs zero hash differently
+    a = pa.table({"x": pa.array([0, 1], pa.int64())})
+    b = pa.table({"x": pa.array([None, 1], pa.int64())})
+    ca = dataset_checksum(ray.data.from_arrow(a), ["x"]).to_pandas()
+    cb = dataset_checksum(ray.data.from_arrow(b), ["x"]).to_pandas()
+    assert ca["checksum"][0] != cb["checksum"][0]
+    # empty input
+    c0 = dataset_checksum(
+        ray.data.from_arrow(t.slice(0, 0)), cols).to_pandas()
+    assert int(c0["n_rows"][0]) == 0

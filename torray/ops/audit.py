@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["referential_audit", "fk_audit"]
+__all__ = ["referential_audit", "fk_audit", "dataset_checksum"]
 
 
 def _result_table(relation: str, child_rows: int, null_keys: int,
@@ -153,3 +153,81 @@ def fk_audit(relations):
         tables.append(pa.concat_tables(
             [t for t in ray.get(one.to_arrow_refs()) if t.num_rows]))
     return ray.data.from_arrow(pa.concat_tables(tables))
+
+
+def dataset_checksum(ds, cols):
+    """Order- and partition-INVARIANT content checksum: a commutative
+    fold (uint64 wraparound SUM) of per-row hashes over the selected
+    columns — the replica/resume verifier ("did the re-run, the
+    compaction, or the copy on the other cluster produce the same
+    multiset of rows?") that never needs a sort or a shuffle.
+
+    Per block: each column vectorized-hashes (splitmix64 for ints,
+    FNV-1a for strings — the same kernels the dedup/bloom ops use,
+    no Python per value), columns mix into one row hash, rows fold to
+    ONE (count, sum) partial per block; the driver folds block
+    partials.  Any single-row change flips the checksum with
+    probability 1 - 2^-64; swapping rows between partitions cannot.
+
+    Returns a one-row Dataset ``(n_rows, checksum)`` (checksum is the
+    uint64 sum bit-cast to int64).  Multiset semantics: duplicate
+    rows each contribute.
+    """
+    import ray
+    import ray.data
+
+    from torray.ops.dedup import _mix64, fnv1a64_strings
+
+    cols = list(cols)
+
+    def _col_hash(col) -> "np.ndarray":
+        import numpy as np
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(t) or pa.types.is_temporal(t):
+            base = col.cast(pa.int64()).fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            h = _mix64(base.view(np.uint64))
+        elif pa.types.is_floating(t):
+            base = col.fill_null(0.0).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            base = np.where(base == 0.0, 0.0, base)  # -0.0 == 0.0
+            h = _mix64(base.view(np.uint64))
+        else:
+            h = fnv1a64_strings(col.cast(pa.string()).fill_null(""))
+        # nulls hash distinctly from any value (incl. 0 / "")
+        return np.where(null_mask, np.uint64(0x9E3779B97F4A7C15), h)
+
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or cols[0] not in t.column_names:
+            return pa.table({"__n": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int64())})
+        acc = np.zeros(t.num_rows, np.uint64)
+        for c in cols:
+            acc = _mix64(acc + _col_hash(t.column(c)))
+        with np.errstate(over="ignore"):
+            total = np.uint64(np.sum(acc, dtype=np.uint64))
+        return pa.table({
+            "__n": pa.array([t.num_rows], pa.int64()),
+            "__s": pa.array([int(total.view(np.int64))], pa.int64())})
+
+    parts = [t for t in ray.get(
+        ds.select_columns(cols).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    n = sum(int(pc.sum(t.column("__n")).as_py() or 0) for t in parts)
+    s = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for t in parts:
+            vals = t.column("__s").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            s = s + np.uint64(np.sum(vals.view(np.uint64),
+                                     dtype=np.uint64))
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "checksum": pa.array([int(s.view(np.int64))], pa.int64())}))
