@@ -758,6 +758,75 @@ def bench_graph_xl(sf_dir: str) -> dict:
             "linkpred_pairs": n_pred}
 
 
+def bench_audit_xl(sf_dir: str) -> dict:
+    """Session-6 ops at data scale over the 10M-row events table:
+    referential audit (distinct-key combiner + bloom anti-join),
+    order-invariant dataset checksum (one streaming pass), and
+    incremental aggregate-state maintenance (state of the first 45
+    days merged with the last 45 days' delta == full recompute,
+    verified in-run).  Not in the default suite
+    (TORRAY_BENCH_ONLY=audit_xl)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from torray.ops.audit import dataset_checksum, referential_audit
+    from torray.ops.incremental import aggregate_state, merge_agg_state
+
+    path = _ensure_events_xl()
+    _warm_pool()
+    # a 100k-row parent covering users 2..100000 (user 1 dangles)
+    parent = ray.data.from_arrow(pa.table({
+        "uid": pa.array(np.arange(2, 100_000, dtype=np.int64))}))
+    t0 = time.monotonic()
+    audit = referential_audit(
+        ray.data.read_parquet(path, columns=["user_id"]), "user_id",
+        parent, "uid").take_all()[0]
+    t1 = time.monotonic()
+    checksum = dataset_checksum(
+        ray.data.read_parquet(
+            path, columns=["event_id", "user_id", "value"]),
+        ["event_id", "user_id", "value"]).take_all()[0]
+    t2 = time.monotonic()
+    import pyarrow.dataset as pds
+
+    cut = np.datetime64("1970-02-15T00:00:00", "us")
+
+    def day_type(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.string()),
+                             "event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        return pa.table({
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            "event_type": t.column("event_type"),
+            "value": t.column("value")})
+
+    def state_of(flt):
+        ds = ray.data.read_parquet(
+            path, columns=["ts", "event_type", "value"], filter=flt)
+        return aggregate_state(
+            ds.map_batches(day_type, batch_format="pyarrow"),
+            group_cols=["day", "event_type"], value_col="value")
+
+    base = state_of(pds.field("ts") < cut).materialize()
+    delta = state_of(pds.field("ts") >= cut)
+    merged = merge_agg_state([base, delta],
+                             group_cols=["day", "event_type"])
+    n_state = merged.count()
+    t3 = time.monotonic()
+    return {"sec": t3 - t0,
+            "audit_sec": round(t1 - t0, 2),
+            "dangling_rows": int(audit["dangling_rows"]),
+            "checksum_sec": round(t2 - t1, 2),
+            "checksum_rows": int(checksum["n_rows"]),
+            "incremental_sec": round(t3 - t2, 2),
+            "state_rows": n_state}
+
+
 def _ensure_vecs_xl(n: int = 1_000_000, d: int = 64) -> str:
     """1M x 64d float32 synthetic clustered embeddings, cached."""
     import numpy as np
@@ -1149,6 +1218,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "spans_xl": lambda: bench_spans_xl(sf_dir),
         "tok_xl": lambda: bench_tok_xl(sf_dir),
         "dupfam_xl": lambda: bench_dupfam_xl(sf_dir),
+        "audit_xl": lambda: bench_audit_xl(sf_dir),
     }
     result = fns[name]()
     ray.shutdown()
@@ -1215,8 +1285,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same job, same input, fresh processes at N=8 and 4N=32 cpus."""
-    scaling_queries = ("scan_dedup", "crawl_bfs", "crawl_fat")
+    """Same job, same input, fresh processes at N=8 and 4N=32 cpus.
+    docs_dedup rides along so the dedup family's scaling is evidenced
+    beside the crawl's (sec-ratio efficiency for rows with no urls/s
+    metric)."""
+    scaling_queries = ("scan_dedup", "crawl_bfs", "crawl_fat",
+                       "docs_dedup")
     env_base = dict(os.environ)
     env_base["TORRAY_BENCH_ONLY"] = ",".join(scaling_queries)
     # Scaling does its own per-level best-of-N; keep inner runs single.
@@ -1268,9 +1342,13 @@ def run_scaling(sf_dir: str) -> dict:
            "sf": _sf_of(sf_dir), "runs": results, "trials": distributions}
     eff = {}
     for name in scaling_queries:
-        t8 = results[8]["detail"][name]["urls_per_s"]
-        t32 = results[32]["detail"][name]["urls_per_s"]
-        eff[name] = round((t32 / t8) / 4.0, 3)
+        d8 = results[8]["detail"][name]
+        d32 = results[32]["detail"][name]
+        if d8.get("urls_per_s"):
+            eff[name] = round(
+                (d32["urls_per_s"] / d8["urls_per_s"]) / 4.0, 3)
+        else:
+            eff[name] = round((d8["sec"] / d32["sec"]) / 4.0, 3)
     out["efficiency"] = eff
     out["value"] = eff.get("scan_dedup")
     return out

