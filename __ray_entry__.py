@@ -5001,6 +5001,42 @@ def _q_warc_roundtrip(sf_dir: str):
     return read_warc(paths).map_batches(project, batch_format="pyarrow")
 
 
+def _q_parts_skyline(sf_dir: str):
+    """Exact 2-D skyline (Pareto frontier): parts not dominated on
+    (cheaper retail price, larger size) — ``ops.skyline.skyline``,
+    vectorized 2-D lexsort/cummin fast path, comparisons only so the
+    floats hash bit-identical to the SQL NOT-EXISTS oracle."""
+    from torray.ops.skyline import skyline
+
+    return skyline(
+        _read_f(sf_dir, "part",
+                columns=["p_partkey", "p_size", "p_retailprice"]),
+        dims=["p_retailprice", "p_size"], maximize=["p_size"])
+
+
+def _q_parts_pareto3(sf_dir: str):
+    """Exact 3-D skyline on (price asc, size desc, name length asc) —
+    exercises the general-d chunked dominance path of
+    ``ops.skyline.skyline``."""
+    from torray.ops.skyline import skyline
+
+    def widen(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "name_len",
+            pc.utf8_length(t.column("p_name")).cast(pa.int64()))
+
+    ds = _read_f(sf_dir, "part",
+                 columns=["p_partkey", "p_name", "p_size",
+                          "p_retailprice"]).map_batches(
+        widen, batch_format="pyarrow")
+    out = skyline(ds, dims=["p_retailprice", "p_size", "name_len"],
+                  maximize=["p_size"])
+    return out.map_batches(
+        lambda t: t.select(["p_partkey", "p_size", "p_retailprice",
+                            "name_len"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5226,6 +5262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": _q_docs_chunks,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_word_freqs": _q_docs_word_freqs,
+        "parts_skyline": _q_parts_skyline,
+        "parts_pareto3": _q_parts_pareto3,
         # rows-only (iterative tokenizer training: no SQL twin)
         "docs_bpe_train": _q_docs_bpe_train,
         "docs_bpe_encode": _q_docs_bpe_encode,
@@ -7375,5 +7413,22 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT w AS word, count(*) AS n FROM ("
             r"SELECT unnest(list_filter(string_split_regex(text, "
             r"'\s+'), t -> t <> '')) AS w FROM documents) GROUP BY w"
+        ),
+        "parts_skyline": (
+            "SELECT p_partkey, p_size, p_retailprice FROM part p "
+            "WHERE NOT EXISTS (SELECT 1 FROM part q WHERE "
+            "q.p_retailprice <= p.p_retailprice AND "
+            "q.p_size >= p.p_size AND (q.p_retailprice < "
+            "p.p_retailprice OR q.p_size > p.p_size))"
+        ),
+        "parts_pareto3": (
+            "WITH w AS (SELECT p_partkey, p_size, p_retailprice, "
+            "CAST(length(p_name) AS BIGINT) AS name_len FROM part) "
+            "SELECT p_partkey, p_size, p_retailprice, name_len "
+            "FROM w p WHERE NOT EXISTS (SELECT 1 FROM w q WHERE "
+            "q.p_retailprice <= p.p_retailprice AND "
+            "q.p_size >= p.p_size AND q.name_len <= p.name_len AND "
+            "(q.p_retailprice < p.p_retailprice OR "
+            "q.p_size > p.p_size OR q.name_len < p.name_len))"
         ),
     }

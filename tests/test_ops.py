@@ -5673,3 +5673,74 @@ def test_dataset_checksum_invariance_and_sensitivity(ray_session):
     c0 = dataset_checksum(
         ray.data.from_arrow(t.slice(0, 0)), cols).to_pandas()
     assert int(c0["n_rows"][0]) == 0
+
+
+def _brute_skyline_mask(x: np.ndarray) -> np.ndarray:
+    """O(n^2) reference: q dominates p iff q <= p everywhere and
+    q < p somewhere."""
+    n = len(x)
+    dominated = np.zeros(n, bool)
+    for i in range(n):
+        le = (x <= x[i]).all(axis=1)
+        lt = (x < x[i]).any(axis=1)
+        dominated[i] = bool((le & lt).any())
+    return ~dominated
+
+
+def test_skyline_2d_matches_bruteforce(ray_session):
+    import ray
+
+    from torray.ops.skyline import skyline, skyline_table
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 50, 400).astype(np.float64)
+    b = rng.normal(0, 1, 400)
+    t = pa.table({"id": pa.array(np.arange(400), pa.int64()),
+                  "a": pa.array(a), "b": pa.array(b)})
+    truth = set(np.flatnonzero(
+        _brute_skyline_mask(np.column_stack([a, b]))))
+    local = skyline_table(t, dims=["a", "b"])
+    assert set(local.column("id").to_pylist()) == truth
+    # distributed == local, invariant to partitioning
+    for parts in (1, 7):
+        out = skyline(ray.data.from_arrow(t).repartition(parts),
+                      dims=["a", "b"]).to_pandas()
+        assert set(out["id"]) == truth
+
+
+def test_skyline_maximize_duplicates_and_nd(ray_session):
+    import ray
+
+    from torray.ops.skyline import skyline, skyline_table
+
+    # maximize flips the comparison; exact duplicates both survive
+    t = pa.table({"id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "price": pa.array([1.0, 1.0, 2.0, 3.0, 0.5]),
+                  "size": pa.array([10, 10, 20, 20, 1], pa.int64())})
+    out = skyline_table(t, dims=["price", "size"], maximize=["size"])
+    # (1,10)x2 survive (duplicates), (2,20) survives, (3,20) dominated
+    # by (2,20), (0.5,1) survives (cheapest)
+    assert sorted(out.column("id").to_pylist()) == [0, 1, 2, 4]
+    # general-d path vs brute force, including tied sums
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 6, (500, 3)).astype(np.float64)
+    tt = pa.table({"id": pa.array(np.arange(500), pa.int64()),
+                   "a": pa.array(x[:, 0]), "b": pa.array(x[:, 1]),
+                   "c": pa.array(x[:, 2])})
+    truth = set(np.flatnonzero(_brute_skyline_mask(x)))
+    loc = skyline_table(tt, dims=["a", "b", "c"])
+    assert set(loc.column("id").to_pylist()) == truth
+    dist = skyline(ray.data.from_arrow(tt).repartition(5),
+                   dims=["a", "b", "c"]).to_pandas()
+    assert set(dist["id"]) == truth
+    # anti-correlation guard trips loudly
+    anti = pa.table({"id": pa.array(np.arange(100), pa.int64()),
+                     "a": pa.array(np.arange(100, dtype=np.float64)),
+                     "b": pa.array(-np.arange(100, dtype=np.float64))})
+    with pytest.raises(Exception):
+        skyline(ray.data.from_arrow(anti), dims=["a", "b"],
+                max_partial_rows=10).to_pandas()
+    # empty input
+    e = skyline(ray.data.from_arrow(t.slice(0, 0)),
+                dims=["price", "size"]).to_pandas()
+    assert len(e) == 0
