@@ -5037,6 +5037,18 @@ def _q_parts_pareto3(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_users_state_intervals(sf_dir: str):
+    """SCD Type-2 dimension build from the event change-log: per user,
+    (state, valid_from, valid_to) intervals of consecutive equal
+    event types — ``ops.window.state_intervals`` (partition run-scan,
+    no Python call per key)."""
+    from torray.ops.window import state_intervals
+
+    return state_intervals(_read_f(
+        sf_dir, "events",
+        columns=["user_id", "event_type", "ts", "event_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5264,6 +5276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_word_freqs": _q_docs_word_freqs,
         "parts_skyline": _q_parts_skyline,
         "parts_pareto3": _q_parts_pareto3,
+        "users_state_intervals": _q_users_state_intervals,
         # rows-only (iterative tokenizer training: no SQL twin)
         "docs_bpe_train": _q_docs_bpe_train,
         "docs_bpe_encode": _q_docs_bpe_encode,
@@ -7430,5 +7443,15 @@ def oracle_sql() -> dict[str, str]:
             "q.p_size >= p.p_size AND q.name_len <= p.name_len AND "
             "(q.p_retailprice < p.p_retailprice OR "
             "q.p_size > p.p_size OR q.name_len < p.name_len))"
+        ),
+        "users_state_intervals": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "s AS (SELECT user_id, ts, event_id, event_type FROM o "
+            "WHERE prev IS NULL OR prev <> event_type) "
+            "SELECT user_id, event_type AS state, ts AS valid_from, "
+            "lead(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS valid_to FROM s"
         ),
     }

@@ -5744,3 +5744,31 @@ def test_skyline_maximize_duplicates_and_nd(ray_session):
     e = skyline(ray.data.from_arrow(t.slice(0, 0)),
                 dims=["price", "size"]).to_pandas()
     assert len(e) == 0
+
+
+def test_state_intervals_hand_case(ray_session):
+    import ray
+
+    from torray.ops.window import state_intervals
+
+    # two keys interleaved, ts ties broken by event_id, a repeated
+    # state collapses, last state per key stays open (NULL valid_to)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 1], pa.int64()),
+        "ts": pa.array([10, 10, 20, 30, 5, 6, 40],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([2, 1, 3, 4, 5, 6, 7], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b", "x", "x", "a"]),
+    })
+    for parts in (1, 4):
+        out = state_intervals(
+            ray.data.from_arrow(t).repartition(parts)).to_pandas()
+        out = out.sort_values(["user_id", "valid_from"],
+                              ignore_index=True)
+        assert list(out["user_id"]) == [1, 1, 1, 2]
+        assert list(out["state"]) == ["a", "b", "a", "x"]
+        vf = out["valid_from"].astype("int64").tolist()
+        assert vf == [10, 20, 40, 5]
+        vt = [(-1 if v is None or str(v) == "NaT"
+               else int(v.value // 1000)) for v in out["valid_to"]]
+        assert vt == [20, 40, -1, -1]

@@ -26,7 +26,7 @@ __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "interval_join", "running_total", "lag_delta", "moving_agg",
            "lead_delta", "resample", "transition_counts",
            "session_bounds", "trailing_window_distinct", "ewma",
-           "lag_values", "moving_zscore"]
+           "lag_values", "moving_zscore", "state_intervals"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -2806,5 +2806,95 @@ def moving_zscore(events_ds, *, key_col: str = "user_id",
 
     return (events_ds.select_columns(cols)
             .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def state_intervals(events_ds, *, key_col: str = "user_id",
+                    state_col: str = "event_type", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    num_partitions: int = 64):
+    """SCD Type-2 interval construction (gaps-and-islands over a
+    STATE column): per key ordered by ``(ts, id)``, consecutive equal
+    states collapse to one row ``(key, state, valid_from, valid_to)``
+    — ``valid_from`` the run's first timestamp, ``valid_to`` the next
+    run's first timestamp, NULL for the key's current (last) state.
+    The standard change-log -> dimension-table build.
+
+    Partition RUN-SCAN shape (see :func:`sessionize`): keys hash into
+    ``num_partitions`` coarse partitions, ONE groupby on the partition
+    id, then one lexsort + boundary masks per partition — never a
+    Python call per key.  The shuffle carries (key, state, ts, id)
+    rows once; output is one row per state CHANGE, usually a small
+    fraction of the input.
+    """
+
+    narrow = events_ds.select_columns([key_col, state_col, ts_col,
+                                       id_col])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                state_col: pa.array([], pa.string()),
+                "__ts": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "__part": pa.array([], pa.int64())})
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(k)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            key_col: batch.column(key_col),
+            state_col: batch.column(state_col),
+            "__ts": batch.column(ts_col).cast(pa.int64()),
+            id_col: batch.column(id_col),
+            "__part": pa.array(part, pa.int64())})
+
+    ts_type = pa.timestamp("us")
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.int64()),
+            "state": pa.array([], pa.string()),
+            "valid_from": pa.array([], ts_type),
+            "valid_to": pa.array([], ts_type)})
+        if group.num_rows == 0:
+            return empty
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column("__ts").to_numpy(zero_copy_only=False)
+        eid = group.column(id_col).to_numpy(zero_copy_only=False)
+        st = group.column(state_col).to_numpy(zero_copy_only=False)
+        # factorize so the break mask runs on int codes even for
+        # string keys/states
+        _, kcode = np.unique(k, return_inverse=True)
+        _, scode = np.unique(st, return_inverse=True)
+        order = np.lexsort((eid, ts, kcode))
+        kc, sc, tso = kcode[order], scode[order], ts[order]
+        n = len(order)
+        new_key = np.empty(n, np.bool_)
+        new_key[0] = True
+        np.not_equal(kc[1:], kc[:-1], out=new_key[1:])
+        new_run = new_key.copy()
+        new_run[1:] |= sc[1:] != sc[:-1]
+        starts = np.flatnonzero(new_run)
+        # valid_to = next run's first ts when that run is the SAME
+        # key, else NULL (the key's open current state)
+        nxt = np.empty(len(starts), np.int64)
+        nxt[:-1] = tso[starts[1:]]
+        nxt[-1] = 0
+        same_key = np.empty(len(starts), np.bool_)
+        same_key[:-1] = ~new_key[starts[1:]]
+        same_key[-1] = False
+        vf = pa.array(tso[starts], pa.int64()).cast(ts_type)
+        vt = pa.array(np.where(same_key, nxt, 0), pa.int64(),
+                      mask=~same_key).cast(ts_type)
+        take = pa.array(order[starts], pa.int64())
+        return pa.table({
+            key_col: pc.take(group.column(key_col), take),
+            "state": pc.take(group.column(state_col), take),
+            "valid_from": vf,
+            "valid_to": vt})
+
+    return (narrow.map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
