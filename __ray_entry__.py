@@ -5049,6 +5049,32 @@ def _q_users_state_intervals(sf_dir: str):
         columns=["user_id", "event_type", "ts", "event_id"]))
 
 
+def _q_orders_overlap_pairs(sf_dir: str):
+    """Interval x interval OVERLAP self-join: same-customer order
+    pairs whose fulfilment windows intersect —
+    ``ops.window.overlap_join`` (start-point-in-interval reduction
+    over ``interval_join``; one binned shuffle, no distinct pass)."""
+    from torray.ops.window import overlap_join
+
+    us_day = 86_400 * 1_000_000
+
+    def widen(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        start = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        end = start + (k % 20 + 3) * us_day
+        return t.append_column(
+            "o_winend",
+            pa.array(end, pa.int64()).cast(pa.timestamp("us")))
+
+    ds = _read_f(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                 ).map_batches(widen, batch_format="pyarrow")
+    return overlap_join(ds, id_col="o_orderkey",
+                        start_col="o_orderdate", end_col="o_winend",
+                        key_col="o_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5277,6 +5303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_skyline": _q_parts_skyline,
         "parts_pareto3": _q_parts_pareto3,
         "users_state_intervals": _q_users_state_intervals,
+        "orders_overlap_pairs": _q_orders_overlap_pairs,
         # rows-only (iterative tokenizer training: no SQL twin)
         "docs_bpe_train": _q_docs_bpe_train,
         "docs_bpe_encode": _q_docs_bpe_encode,
@@ -7453,5 +7480,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type AS state, ts AS valid_from, "
             "lead(ts) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id) AS valid_to FROM s"
+        ),
+        "orders_overlap_pairs": (
+            "WITH w AS (SELECT o_orderkey, o_custkey, o_orderdate, "
+            "o_orderdate + (o_orderkey % 20 + 3) * INTERVAL 1 DAY "
+            "AS wend FROM orders) "
+            "SELECT a.o_custkey AS key, a.o_orderkey AS id_a, "
+            "b.o_orderkey AS id_b FROM w a JOIN w b "
+            "ON a.o_custkey = b.o_custkey "
+            "AND a.o_orderkey < b.o_orderkey "
+            "AND a.o_orderdate < b.wend AND b.o_orderdate < a.wend"
         ),
     }

@@ -5772,3 +5772,53 @@ def test_state_intervals_hand_case(ray_session):
         vt = [(-1 if v is None or str(v) == "NaT"
                else int(v.value // 1000)) for v in out["valid_to"]]
         assert vt == [20, 40, -1, -1]
+
+
+def test_overlap_join_ties_containment_invariance(ray_session):
+    import ray
+
+    from torray.ops.window import overlap_join
+
+    us = pa.timestamp("us")
+    # tied starts (1,2), containment (3 in 4), touching-not-
+    # overlapping half-open (5,6), cross-key non-pairs
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "key": pa.array([1, 1, 1, 1, 2, 2, 1], pa.int64()),
+        "s": pa.array([0, 0, 50, 40, 0, 10, 100], pa.int64()).cast(us),
+        "e": pa.array([5, 9, 55, 90, 10, 20, 110], pa.int64()).cast(us),
+    })
+
+    def brute(tbl):
+        rows = tbl.to_pylist()
+        out = set()
+        for a in rows:
+            for b in rows:
+                if (a["id"] < b["id"] and a["key"] == b["key"]
+                        and a["s"] < b["e"] and b["s"] < a["e"]):
+                    out.add((a["key"], a["id"], b["id"]))
+        return out
+
+    truth = brute(t)
+    assert (1, 1, 2) in truth and (1, 3, 4) in truth
+    assert (2, 5, 6) not in truth   # half-open: [0,10) x [10,20)
+    for parts in (1, 5):
+        got = overlap_join(
+            ray.data.from_arrow(t).repartition(parts), id_col="id",
+            start_col="s", end_col="e", key_col="key").to_pandas()
+        assert set(map(tuple, got[["key", "id_a", "id_b"]]
+                       .values.tolist())) == truth
+        assert len(got) == len(truth)   # no duplicate emissions
+    # keyless mode
+    nk = overlap_join(ray.data.from_arrow(t.drop_columns(["key"])),
+                      id_col="id", start_col="s",
+                      end_col="e").to_pandas()
+    bruteall = set()
+    rows = t.to_pylist()
+    for a in rows:
+        for b in rows:
+            if (a["id"] < b["id"] and a["s"] < b["e"]
+                    and b["s"] < a["e"]):
+                bruteall.add((a["id"], b["id"]))
+    assert set(map(tuple, nk[["id_a", "id_b"]].values.tolist())) \
+        == bruteall

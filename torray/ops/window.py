@@ -26,7 +26,8 @@ __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "interval_join", "running_total", "lag_delta", "moving_agg",
            "lead_delta", "resample", "transition_counts",
            "session_bounds", "trailing_window_distinct", "ewma",
-           "lag_values", "moving_zscore", "state_intervals"]
+           "lag_values", "moving_zscore", "state_intervals",
+           "overlap_join"]
 
 
 def tumbling_window(events_ds, *, window_s: int = 21600,
@@ -2898,3 +2899,77 @@ def state_intervals(events_ds, *, key_col: str = "user_id",
     return (narrow.map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def overlap_join(ds, *, id_col: str, start_col: str, end_col: str,
+                 key_col: str | None = None, bin_s: int | None = None,
+                 sub_salt: int = 1, max_group_rows: int | None = None,
+                 num_partitions: int = 64):
+    """Self interval-OVERLAP join: every unordered pair of rows with
+    equal keys (when given) whose half-open intervals
+    ``[start, end)`` intersect — e.g. "orders of the same customer
+    whose fulfilment windows overlapped".  Interval x interval, where
+    :func:`interval_join` is point x interval.
+
+    Reduction (no new shuffle machinery): two intervals overlap iff
+    the LATER-starting one's start lies inside the other — so one
+    :func:`interval_join` of interval STARTS against the intervals
+    finds every overlapping pair.  A pair is emitted twice only when
+    starts tie exactly (each start is inside the other); the
+    vectorized keep-rule ``(r_start, r_id) < (l_start, l_id)`` keeps
+    exactly one direction of every pair — and drops self-matches —
+    without any distinct pass.  Output: ``(key?, id_a, id_b)`` with
+    ``id_a < id_b``.
+
+    Inherits interval_join's scale contract: bounded-interval binning,
+    ``sub_salt`` / ``max_group_rows`` hot-bin guards.
+    """
+    # interval_join keeps ORIGINAL column names on both sides of its
+    # output; rename the left (point) side first so names never
+    # collide with the right interval's columns.
+    left_cols = [id_col, start_col] + ([key_col] if key_col else [])
+
+    def as_points(t: pa.Table) -> pa.Table:
+        cols = {"__lid": t.column(id_col),
+                "__lts": t.column(start_col)}
+        if key_col:
+            cols["__lkey"] = t.column(key_col)
+        return pa.table(cols)
+
+    left = ds.select_columns(left_cols).map_batches(
+        as_points, batch_format="pyarrow")
+
+    pairs = interval_join(
+        left, ds, left_ts="__lts", right_start=start_col,
+        right_end=end_col, left_key="__lkey" if key_col else None,
+        right_key=key_col, right_value_cols=[id_col, start_col],
+        bin_s=bin_s,
+        sub_salt=sub_salt, max_group_rows=max_group_rows,
+        num_partitions=num_partitions)
+
+    out_key = ["key"] if key_col else []
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = {k: pa.array([], pa.int64()) for k in
+                 out_key + ["id_a", "id_b"]}
+        if t.num_rows == 0:
+            return pa.table(empty)
+        lid = t.column("__lid").to_numpy(zero_copy_only=False)
+        rid = t.column(id_col).to_numpy(zero_copy_only=False)
+        lts = t.column("__lts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rts = t.column(start_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (rts < lts) | ((rts == lts) & (rid < lid))
+        if not keep.any():
+            return pa.table(empty)
+        lid, rid = lid[keep], rid[keep]
+        cols = {}
+        if key_col:
+            cols["key"] = t.column("__lkey").filter(
+                pa.array(keep)).cast(pa.int64())
+        cols["id_a"] = pa.array(np.minimum(lid, rid), pa.int64())
+        cols["id_b"] = pa.array(np.maximum(lid, rid), pa.int64())
+        return pa.table(cols)
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
