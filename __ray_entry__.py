@@ -5075,6 +5075,46 @@ def _q_orders_overlap_pairs(sf_dir: str):
                         key_col="o_custkey")
 
 
+def _q_events_auc(sf_dir: str):
+    """EXACT ROC AUC of the event value as a purchase-detector score
+    — Mann–Whitney rank-sum with average-rank tie handling
+    (``ops.metrics.auc_exact``): per-block (score, n, n_pos)
+    combiners, one distinct-score shuffle, a domain-bounded fold;
+    ``auc`` is the ONE mirrored divide of exact ints."""
+    from torray.ops.metrics import auc_exact
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "y": pa.compute.cast(pa.compute.equal(
+                t.column("event_type"), "purchase"), pa.int64()),
+            "value": t.column("value")})
+
+    ds = _read_f(sf_dir, "events",
+                 columns=["event_type", "value"]).map_batches(
+                     lab, batch_format="pyarrow")
+    return auc_exact(ds, label_col="y", score_col="value")
+
+
+def _q_events_calibration(sf_dir: str):
+    """Reliability-diagram bins for the same purchase-detector score
+    (``ops.metrics.calibration_bins``): 8 fixed-width 50.0 buckets,
+    exact int (n, n_pos, sum_score) per bin; mean_score/frac_pos are
+    the two mirrored divides."""
+    from torray.ops.metrics import calibration_bins
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "y": pa.compute.cast(pa.compute.equal(
+                t.column("event_type"), "purchase"), pa.int64()),
+            "value": t.column("value")})
+
+    ds = _read_f(sf_dir, "events",
+                 columns=["event_type", "value"]).map_batches(
+                     lab, batch_format="pyarrow")
+    return calibration_bins(ds, label_col="y", score_col="value",
+                            bin_width=50.0, n_bins=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5304,6 +5344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_pareto3": _q_parts_pareto3,
         "users_state_intervals": _q_users_state_intervals,
         "orders_overlap_pairs": _q_orders_overlap_pairs,
+        "events_auc": _q_events_auc,
+        "events_calibration": _q_events_calibration,
         # rows-only (iterative tokenizer training: no SQL twin)
         "docs_bpe_train": _q_docs_bpe_train,
         "docs_bpe_encode": _q_docs_bpe_encode,
@@ -7490,5 +7532,37 @@ def oracle_sql() -> dict[str, str]:
             "ON a.o_custkey = b.o_custkey "
             "AND a.o_orderkey < b.o_orderkey "
             "AND a.o_orderdate < b.wend AND b.o_orderdate < a.wend"
+        ),
+        # Mann-Whitney AUC with average-rank ties, all-integer rank
+        # sums (2*R_pos stays integral), ONE mirrored divide.
+        "events_auc": (
+            "WITH lab AS (SELECT CAST(ROUND(value*100) AS BIGINT) "
+            "AS s, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END AS y FROM events), "
+            "d AS (SELECT s, COUNT(*) AS n, SUM(y) AS p FROM lab "
+            "GROUP BY s), "
+            "c AS (SELECT s, n, p, COALESCE(SUM(n) OVER ("
+            "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS cum FROM d), "
+            "agg AS (SELECT SUM(p*(2*cum+n+1)) AS two_rpos, "
+            "SUM(p) AS n_pos, SUM(n) - SUM(p) AS n_neg FROM c) "
+            "SELECT CAST(n_pos AS BIGINT) AS n_pos, "
+            "CAST(n_neg AS BIGINT) AS n_neg, "
+            "CAST(two_rpos - n_pos*(n_pos+1) AS DOUBLE) / "
+            "CAST(2*n_pos*n_neg AS DOUBLE) AS auc FROM agg"
+        ),
+        "events_calibration": (
+            "WITH lab AS (SELECT CAST(ROUND(value*100) AS BIGINT) "
+            "AS s, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END AS y FROM events), "
+            "b AS (SELECT LEAST(GREATEST(s // 5000, 0), 7) AS bin, "
+            "s, y FROM lab), "
+            "g AS (SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos, "
+            "SUM(s) AS ss FROM b GROUP BY bin) "
+            "SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) "
+            "AS n, CAST(n_pos AS BIGINT) AS n_pos, "
+            "CAST(ss AS DOUBLE) / (100.0 * n) AS mean_score, "
+            "CAST(n_pos AS DOUBLE) / n AS frac_pos "
+            "FROM g ORDER BY bin"
         ),
     }

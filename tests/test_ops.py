@@ -5822,3 +5822,61 @@ def test_overlap_join_ties_containment_invariance(ray_session):
                 bruteall.add((a["id"], b["id"]))
     assert set(map(tuple, nk[["id_a", "id_b"]].values.tolist())) \
         == bruteall
+
+
+def test_auc_exact_matches_bruteforce(ray_session):
+    import ray
+
+    from torray.ops.metrics import auc_exact
+
+    rng = np.random.default_rng(7)
+    n = 600
+    # coarse scores force heavy ties; labels correlated with score
+    score = np.round(rng.integers(0, 40, n) / 4.0, 2)
+    y = (rng.random(n) < (score / 12.0)).astype(np.int64)
+    t = pa.table({"y": pa.array(y, pa.int64()),
+                  "s": pa.array(score, pa.float64())})
+
+    pos = score[y == 1]
+    neg = score[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    for parts in (1, 7):
+        out = auc_exact(
+            ray.data.from_arrow(t).repartition(parts),
+            label_col="y", score_col="s").to_pandas()
+        assert int(out["n_pos"][0]) == int(y.sum())
+        assert int(out["n_neg"][0]) == int((1 - y).sum())
+        assert abs(float(out["auc"][0]) - expected) < 1e-12
+
+    # degenerate: single class -> NULL auc, counts still exact
+    t1 = pa.table({"y": pa.array([1, 1, 1], pa.int64()),
+                   "s": pa.array([0.1, 0.2, 0.3], pa.float64())})
+    out = auc_exact(ray.data.from_arrow(t1),
+                    label_col="y", score_col="s").to_pandas()
+    assert int(out["n_pos"][0]) == 3 and int(out["n_neg"][0]) == 0
+    assert out["auc"].isna().all()
+
+
+def test_calibration_bins_hand_case(ray_session):
+    import ray
+
+    from torray.ops.metrics import calibration_bins
+
+    t = pa.table({
+        "y": pa.array([1, 0, 0, 1, 1, 0], pa.int64()),
+        "s": pa.array([0.05, 0.45, 0.55, 0.95, 1.4, 2.6],
+                      pa.float64()),
+    })
+    # width 0.5, 4 bins; 2.6 clamps into the last bin
+    out = calibration_bins(
+        ray.data.from_arrow(t).repartition(3), label_col="y",
+        score_col="s", bin_width=0.5, n_bins=4).to_pandas()
+    assert list(out["bin"]) == [0, 1, 2, 3]
+    assert list(out["n"]) == [2, 2, 1, 1]
+    assert list(out["n_pos"]) == [1, 1, 1, 0]
+    assert abs(out["mean_score"][0] - 0.25) < 1e-12
+    assert abs(out["frac_pos"][2] - 1.0) < 1e-12
+    assert abs(out["frac_pos"][3] - 0.0) < 1e-12
