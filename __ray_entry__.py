@@ -5075,6 +5075,61 @@ def _q_orders_overlap_pairs(sf_dir: str):
                         key_col="o_custkey")
 
 
+def _q_parts_hits(sf_dir: str):
+    """HITS hubs/authorities over the DIRECTED part->supplier edge
+    list from lineitem (node ids part*2 / supplier*2+1) — 2 mutual
+    iterations, L1-normalized, e9-scaled ints
+    (``ops.graph.hits``); SQL oracle unrolls the same 4 half-steps."""
+    from torray.ops.graph import hits
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.compute.multiply(
+                t.column("l_partkey").cast(pa.int64()), 2),
+            "dst": pa.compute.add(pa.compute.multiply(
+                t.column("l_suppkey").cast(pa.int64()), 2), 1)})
+
+    edges = (li.map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow"))
+    return hits(edges, iters=2, num_partitions=2)
+
+
+def _q_parts_ppr(sf_dir: str):
+    """Personalized PageRank on the symmetrized part<->supplier graph
+    (same edges as ``parts_pagerank``), teleporting only to the seed
+    parts p_partkey <= 20 — the "related items near a trusted list"
+    primitive (``ops.graph.personalized_pagerank``: seeds broadcast
+    once, probed with np.isin, never joined)."""
+    from torray.ops.graph import personalized_pagerank
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        p = pa.compute.multiply(t.column("l_partkey"), 2)
+        s = pa.compute.add(
+            pa.compute.multiply(t.column("l_suppkey").cast(pa.int64()), 2),
+            1)
+        return pa.table({
+            "src": pa.concat_arrays(
+                [p.combine_chunks(), s.combine_chunks()]),
+            "dst": pa.concat_arrays(
+                [s.combine_chunks(), p.combine_chunks()])})
+
+    edges = (li.map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow"))
+    seeds = [2 * k for k in range(1, 21)]
+    return personalized_pagerank(edges, seeds, damping=0.85,
+                                 iters=3, num_partitions=2)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5346,6 +5401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_overlap_pairs": _q_orders_overlap_pairs,
         "events_auc": _q_events_auc,
         "events_calibration": _q_events_calibration,
+        "parts_hits": _q_parts_hits,
+        "parts_ppr": _q_parts_ppr,
         # rows-only (iterative tokenizer training: no SQL twin)
         "docs_bpe_train": _q_docs_bpe_train,
         "docs_bpe_encode": _q_docs_bpe_encode,
@@ -7564,5 +7621,72 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ss AS DOUBLE) / (100.0 * n) AS mean_score, "
             "CAST(n_pos AS DOUBLE) / n AS frac_pos "
             "FROM g ORDER BY bin"
+        ),
+        # 2 HITS iterations = 4 unrolled half-steps, L1-normalized
+        "parts_hits": (
+            "WITH e AS (SELECT DISTINCT l_partkey*2 AS src, "
+            "l_suppkey*2+1 AS dst FROM lineitem), "
+            "nodes AS (SELECT src AS node FROM e "
+            "UNION SELECT dst FROM e), "
+            "h0 AS (SELECT node, 1.0/(SELECT COUNT(*) FROM nodes) "
+            "AS w FROM nodes), "
+            "a1r AS (SELECT e.dst AS node, SUM(h0.w) AS w FROM e "
+            "JOIN h0 ON e.src = h0.node GROUP BY e.dst), "
+            "a1 AS (SELECT n.node, COALESCE(a1r.w, 0) / "
+            "(SELECT SUM(w) FROM a1r) AS w FROM nodes n "
+            "LEFT JOIN a1r ON n.node = a1r.node), "
+            "h1r AS (SELECT e.src AS node, SUM(a1.w) AS w FROM e "
+            "JOIN a1 ON e.dst = a1.node GROUP BY e.src), "
+            "h1 AS (SELECT n.node, COALESCE(h1r.w, 0) / "
+            "(SELECT SUM(w) FROM h1r) AS w FROM nodes n "
+            "LEFT JOIN h1r ON n.node = h1r.node), "
+            "a2r AS (SELECT e.dst AS node, SUM(h1.w) AS w FROM e "
+            "JOIN h1 ON e.src = h1.node GROUP BY e.dst), "
+            "a2 AS (SELECT n.node, COALESCE(a2r.w, 0) / "
+            "(SELECT SUM(w) FROM a2r) AS w FROM nodes n "
+            "LEFT JOIN a2r ON n.node = a2r.node), "
+            "h2r AS (SELECT e.src AS node, SUM(a2.w) AS w FROM e "
+            "JOIN a2 ON e.dst = a2.node GROUP BY e.src), "
+            "h2 AS (SELECT n.node, COALESCE(h2r.w, 0) / "
+            "(SELECT SUM(w) FROM h2r) AS w FROM nodes n "
+            "LEFT JOIN h2r ON n.node = h2r.node) "
+            "SELECT h2.node, CAST(ROUND(h2.w * 1e9) AS BIGINT) "
+            "AS hub_e9, CAST(ROUND(a2.w * 1e9) AS BIGINT) "
+            "AS auth_e9 FROM h2 JOIN a2 ON h2.node = a2.node"
+        ),
+        # personalized teleport to seed parts 1..20 (nodes 2..40
+        # even); symmetric graph -> no dangling mass, 3 iterations
+        "parts_ppr": (
+            "WITH e AS (SELECT DISTINCT l_partkey*2 AS src, "
+            "l_suppkey*2+1 AS dst FROM lineitem "
+            "UNION SELECT DISTINCT l_suppkey*2+1, l_partkey*2 "
+            "FROM lineitem), "
+            "nodes AS (SELECT DISTINCT src AS node FROM e), "
+            "deg AS (SELECT src AS node, COUNT(*) AS d FROM e "
+            "GROUP BY 1), "
+            "vt AS (SELECT node, CASE WHEN node % 2 = 0 AND "
+            "node >= 2 AND node <= 40 THEN 1.0/20 ELSE 0.0 END "
+            "AS v FROM nodes), "
+            "r0 AS (SELECT node, v AS pr FROM vt), "
+            "r1 AS (SELECT n.node, (1-0.85)*vt.v "
+            "+ 0.85*COALESCE(s.m, 0) AS pr FROM nodes n "
+            "JOIN vt ON vt.node = n.node LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r0.pr / deg.d) AS m FROM e "
+            "JOIN r0 ON e.src = r0.node JOIN deg ON deg.node = e.src "
+            "GROUP BY e.dst) s ON n.node = s.node), "
+            "r2 AS (SELECT n.node, (1-0.85)*vt.v "
+            "+ 0.85*COALESCE(s.m, 0) AS pr FROM nodes n "
+            "JOIN vt ON vt.node = n.node LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r1.pr / deg.d) AS m FROM e "
+            "JOIN r1 ON e.src = r1.node JOIN deg ON deg.node = e.src "
+            "GROUP BY e.dst) s ON n.node = s.node), "
+            "r3 AS (SELECT n.node, (1-0.85)*vt.v "
+            "+ 0.85*COALESCE(s.m, 0) AS pr FROM nodes n "
+            "JOIN vt ON vt.node = n.node LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r2.pr / deg.d) AS m FROM e "
+            "JOIN r2 ON e.src = r2.node JOIN deg ON deg.node = e.src "
+            "GROUP BY e.dst) s ON n.node = s.node) "
+            "SELECT node, CAST(ROUND(pr * 1e9) AS BIGINT) "
+            "AS rank_e9 FROM r3"
         ),
     }

@@ -5880,3 +5880,70 @@ def test_calibration_bins_hand_case(ray_session):
     assert abs(out["mean_score"][0] - 0.25) < 1e-12
     assert abs(out["frac_pos"][2] - 1.0) < 1e-12
     assert abs(out["frac_pos"][3] - 0.0) < 1e-12
+
+
+def test_hits_matches_numpy_power_iteration(ray_session):
+    import ray
+
+    from torray.ops.graph import hits
+
+    rng = np.random.default_rng(11)
+    n_nodes = 60
+    m = 400
+    src = rng.integers(0, n_nodes, m).astype(np.int64)
+    dst = rng.integers(0, n_nodes, m).astype(np.int64)
+    keep = src != dst
+    edges = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+
+    # numpy reference: same L1-normalized mutual recursion
+    nodes = np.unique(edges)
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(2):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+
+    t = pa.table({"src": pa.array(edges[:, 0], pa.int64()),
+                  "dst": pa.array(edges[:, 1], pa.int64())})
+    for parts in (1, 5):
+        out = hits(ray.data.from_arrow(t).repartition(parts),
+                   iters=2, num_partitions=2).to_pandas()
+        out = out.sort_values("node", ignore_index=True)
+        assert list(out["node"]) == list(nodes)
+        np.testing.assert_allclose(
+            out["hub_e9"].to_numpy() / 1e9, h, atol=2e-9)
+        np.testing.assert_allclose(
+            out["auth_e9"].to_numpy() / 1e9, a, atol=2e-9)
+
+    # empty input -> empty typed result
+    eds = hits(ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64())})))
+    assert eds.count() == 0
+    assert eds.schema().names == ["node", "hub_e9", "auth_e9"]
+
+
+def test_personalized_pagerank_seed_locality(ray_session):
+    import ray
+
+    from torray.ops.graph import personalized_pagerank
+
+    # two disconnected triangles; seeds only in the first one
+    e = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    sym = e + [(b, a) for a, b in e]
+    t = pa.table({
+        "src": pa.array([a for a, _ in sym], pa.int64()),
+        "dst": pa.array([b for _, b in sym], pa.int64())})
+    out = personalized_pagerank(
+        ray.data.from_arrow(t).repartition(3), [1],
+        iters=8, num_partitions=2).to_pandas()
+    r = dict(zip(out["node"], out["rank_e9"]))
+    # the seedless component holds exactly zero rank mass
+    assert r[10] == 0 and r[11] == 0 and r[12] == 0
+    # the seed outranks its neighbors; neighbors are symmetric
+    assert r[1] > r[2] == r[3] > 0

@@ -1278,3 +1278,234 @@ def edge_embeddedness(edges_ds, *, num_partitions: int = 64):
                                 pa.float64(), mask=(union == 0))})
 
     return attached.map_batches(finish, batch_format="pyarrow")
+
+
+def hits(edges_ds, *, iters: int = 2, num_partitions: int = 4,
+         src: str = "src", dst: str = "dst"):
+    """HITS hubs-and-authorities over a directed (src, dst) edge
+    list — the classic complement to :func:`pagerank` for link
+    analysis on a crawl graph (a good HUB points at many good
+    authorities; a good AUTHORITY is pointed at by many good hubs).
+
+    Fixed-iteration mutual recursion with L1 normalization (sums to
+    1 — keeps every step a plain SUM the SQL oracle can unroll; the
+    classical L2 variant only differs by a constant factor per
+    iteration, so rankings are identical):
+
+        auth = normalize( sum over in-edges of hub )
+        hub  = normalize( sum over out-edges of auth )
+
+    Returns ``(node, hub_e9, auth_e9)`` — both scaled by 1e9 and
+    rounded to int64 (hash-stable; magnitudes after L1 normalization
+    keep the float drift orders below the rounding grain).  Nodes
+    with no in-edges get authority 0, no out-edges hub 0.
+
+    Scale shape mirrors pagerank: edges materialize once; per
+    half-iteration one int64 join + a per-batch pre-combined
+    groupby-sum whose shuffle is bounded by distinct endpoints per
+    block, plus one scalar normalization aggregate.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    edges = edges_ds.map_batches(
+        lambda t: pa.table({
+            "src": t.column(src).combine_chunks().cast(pa.int64()),
+            "dst": t.column(dst).combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "hub_e9": pa.array([], pa.int64()),
+            "auth_e9": pa.array([], pa.int64())}))
+
+    nodes = (edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t.column("src").combine_chunks(),
+            t.column("dst").combine_chunks()])}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Count()))
+    nodes = nodes.map_batches(lambda t: t.select(["node"]),
+                              batch_format="pyarrow").materialize()
+    n = nodes.count()
+
+    def combine_per(key: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            v = t.column("w").to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            k, v = k[order], v[order]
+            cut = np.concatenate(([True], k[1:] != k[:-1]))
+            return pa.table({
+                "node": pa.array(k[cut], pa.int64()),
+                "w": pa.array(np.add.reduceat(v, np.nonzero(cut)[0]),
+                              pa.float64())})
+        return f
+
+    def half_step(weights, edge_key: str, out_key: str):
+        """weights: (node, w) on the edge_key side -> normalized
+        (node, w) accumulated on the out_key side."""
+        contrib = safe_join(edges, weights, "inner", num_partitions,
+                            on=(edge_key,), right_on=("node",))
+        contrib = contrib.map_batches(
+            lambda t, k=out_key: pa.table({
+                k: t.column(k), "w": t.column("w")}),
+            batch_format="pyarrow")
+        raw = (contrib.map_batches(combine_per(out_key),
+                                   batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("w")))
+        raw = _rename(raw, {"sum(w)": "w"}).materialize()
+        total = raw.sum("w")
+        joined = safe_join(nodes, raw, "left_outer", num_partitions,
+                           on=("node",))
+        return joined.map_batches(
+            lambda t, s=total: pa.table({
+                "node": t.column("node"),
+                "w": pa.array(np.nan_to_num(
+                    t.column("w").to_numpy(zero_copy_only=False)
+                    .astype(np.float64)) / s, pa.float64())}),
+            batch_format="pyarrow").materialize()
+
+    hub = nodes.map_batches(
+        lambda t: t.append_column(
+            "w", pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())),
+        batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+
+    both = safe_join(hub, _rename(auth, {"w": "a"}), "inner",
+                     num_partitions, on=("node",))
+    return both.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "hub_e9": pa.array(np.rint(
+                t.column("w").to_numpy(zero_copy_only=False) * 1e9
+            ).astype(np.int64), pa.int64()),
+            "auth_e9": pa.array(np.rint(
+                t.column("a").to_numpy(zero_copy_only=False) * 1e9
+            ).astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def personalized_pagerank(edges_ds, seeds, *, damping: float = 0.85,
+                          iters: int = 3, num_partitions: int = 4,
+                          src: str = "src", dst: str = "dst"):
+    """Personalized PageRank: teleport lands on the SEED SET only
+    (uniformly), not on every node — the "related pages /
+    similar-host discovery" primitive (rank the graph by proximity
+    to a trusted seed list, e.g. curated hosts feeding frontier
+    priority).
+
+    ``seeds`` is a bounded iterable of int64 node ids (a
+    personalization set is small by construction; it is broadcast
+    once via ``ray.put`` and probed with ``np.isin`` per batch —
+    never joined).  Update rule per iteration, dangling mass
+    returned to the seeds:
+
+        rank = ((1-d) + d*dangling) * v + d * contrib,
+        v(node) = 1/|S| if node in S else 0
+
+    Returns ``(node, rank_e9)`` over all nodes of the edge list.
+    Identical scale shape to :func:`pagerank`: one narrow int64 join
+    + pre-combined groupby-sum per iteration.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    seed_arr = np.unique(np.asarray(list(seeds), np.int64))
+    if seed_arr.size == 0:
+        raise ValueError("personalized_pagerank needs >=1 seed")
+    seeds_ref = ray.put(seed_arr)
+
+    edges = edges_ds.map_batches(
+        lambda t: pa.table({
+            "src": t.column(src).combine_chunks().cast(pa.int64()),
+            "dst": t.column(dst).combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_e9": pa.array([], pa.int64())}))
+
+    nodes = (edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t.column("src").combine_chunks(),
+            t.column("dst").combine_chunks()])}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Count()))
+    nodes = nodes.map_batches(lambda t: t.select(["node"]),
+                              batch_format="pyarrow").materialize()
+
+    deg = edges.groupby("src").aggregate(Count())
+    deg = _rename(deg, {"count()": "deg"}).materialize()
+    ns = float(seed_arr.size)
+
+    def v_of(node_col) -> np.ndarray:
+        s = ray.get(seeds_ref)
+        node = node_col.to_numpy(zero_copy_only=False)
+        return np.where(np.isin(node, s), 1.0 / ns, 0.0)
+
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(v_of(t.column("node")), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    def combine_contrib(t: pa.Table) -> pa.Table:
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        c = (t.column("rank").to_numpy(zero_copy_only=False)
+             / t.column("deg").to_numpy(zero_copy_only=False))
+        order = np.argsort(d, kind="stable")
+        d, c = d[order], c[order]
+        cut = np.concatenate(([True], d[1:] != d[:-1]))
+        return pa.table({
+            "node": pa.array(d[cut], pa.int64()),
+            "contrib": pa.array(np.add.reduceat(c, np.nonzero(cut)[0]),
+                                pa.float64())})
+
+    for _ in range(iters):
+        with_deg = safe_join(ranks, deg, "left_outer",
+                             num_partitions,
+                             on=("node",), right_on=("src",))
+        with_deg = with_deg.materialize()
+        dangling = with_deg.map_batches(
+            lambda t: pa.table({"d_rank": pc.if_else(
+                pc.is_null(t.column("deg")),
+                t.column("rank"), pa.scalar(0.0))}),
+            batch_format="pyarrow").sum("d_rank")
+        non_dangling = with_deg.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("deg")))
+            .select(["node", "rank", "deg"]),
+            batch_format="pyarrow")
+        contrib = safe_join(
+            edges, non_dangling, "inner",
+            num_partitions, on=("src",), right_on=("node",))
+        in_sum = (contrib.map_batches(combine_contrib,
+                                      batch_format="pyarrow")
+                  .groupby("node").aggregate(Sum("contrib")))
+        in_sum = _rename(in_sum, {"sum(contrib)": "contrib"})
+        base_coef = (1.0 - damping) + damping * dangling
+        joined = safe_join(nodes, in_sum, "left_outer",
+                           num_partitions, on=("node",))
+        ranks = joined.map_batches(
+            lambda t, bc=base_coef: pa.table({
+                "node": t.column("node"),
+                "rank": pa.array(
+                    bc * v_of(t.column("node"))
+                    + damping * np.nan_to_num(
+                        t.column("contrib")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)),
+                    pa.float64())}),
+            batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "rank_e9": pa.array(
+                np.rint(t.column("rank").to_numpy(zero_copy_only=False)
+                        * 1e9).astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")
