@@ -5170,6 +5170,49 @@ def _q_events_calibration(sf_dir: str):
                             bin_width=50.0, n_bins=8)
 
 
+def _q_docs_anchor_summary(sf_dir: str):
+    """Anchor-text aggregation — the classic webtext signal (the text
+    OTHER pages use when linking to a url).  Frames the documents
+    table as deterministic HTML pages: each page links to
+    http://t.example/{doc_id%97} twice as 'page N' (once with a
+    nested <b>, once with an unquoted href) and to /{doc_id%31} as
+    'hub {N%7}' with raw newline whitespace, plus non-extractable
+    chaff (href-less <a>, empty-text anchor, unclosed trailing
+    anchor).  ``ops.anchors.anchor_pairs`` (ONE compiled-regex scan
+    per page; page bytes never leave the block) feeds
+    ``anchor_summary``.  The SQL oracle regenerates the expected pair
+    stream arithmetically and aggregates it, so extraction
+    (tag-strip, whitespace collapse, all three quote styles, chaff
+    rejection) AND the distributed fold are both on the hash."""
+    from torray.ops.anchors import anchor_pairs, anchor_summary
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
+        astr = pc.cast(pa.array(d % 97, pa.int64()), pa.string())
+        bstr = pc.cast(pa.array(d % 31, pa.int64()), pa.string())
+        cstr = pc.cast(pa.array((d % 31) % 7, pa.int64()), pa.string())
+        html = pc.binary_join_element_wise(
+            "<html><body><p>intro ", dstr,
+            '</p><a href="http://t.example/', astr, '">page <b>',
+            astr, "</b></a><a href='http://t.example/", bstr,
+            "'>hub\n  ", cstr, "</a><a href=http://t.example/", astr,
+            " class=x>page ", astr,
+            '</a><a name="x">skip</a><a href="http://skip.example/',
+            dstr, '">  <img src="z"/>  </a>'
+            '<a href="http://tail.example/', dstr,
+            '">unclosed</body></html>', "")
+        url = pc.binary_join_element_wise(
+            "http://docs.example/", dstr, "")
+        return pa.table({"url": url,
+                         "html": html.cast(pa.large_binary())})
+
+    pages = _read_f(sf_dir, "documents",
+                    columns=["doc_id"]).map_batches(
+        to_pages, batch_format="pyarrow")
+    return anchor_summary(anchor_pairs(pages))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5346,6 +5389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mix": _q_docs_mix,
         "warc_roundtrip": _q_warc_roundtrip,
         "orders_union_by_name": _q_orders_union_by_name,
+        "docs_anchor_summary": _q_docs_anchor_summary,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -7688,5 +7732,34 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY e.dst) s ON n.node = s.node) "
             "SELECT node, CAST(ROUND(pr * 1e9) AS BIGINT) "
             "AS rank_e9 FROM r3"
+        ),
+        # anchor-text aggregation: the oracle regenerates the pair
+        # stream the constructed pages encode (2x 'page N' to
+        # dst N=doc_id%97, 1x 'hub N%7' to dst N=doc_id%31; chaff
+        # anchors extract to nothing) and folds it — counts exact,
+        # top anchor ties to the smallest string
+        "docs_anchor_summary": (
+            "WITH pairs AS ("
+            "SELECT 'http://t.example/' || CAST(doc_id % 97 AS VARCHAR)"
+            " AS dst, 'page ' || CAST(doc_id % 97 AS VARCHAR) AS anchor"
+            " FROM documents "
+            "UNION ALL "
+            "SELECT 'http://t.example/' || CAST(doc_id % 97 AS VARCHAR)"
+            ", 'page ' || CAST(doc_id % 97 AS VARCHAR) FROM documents "
+            "UNION ALL "
+            "SELECT 'http://t.example/' || CAST(doc_id % 31 AS VARCHAR)"
+            ", 'hub ' || CAST((doc_id % 31) % 7 AS VARCHAR) "
+            "FROM documents), "
+            "counts AS (SELECT dst, anchor, COUNT(*) AS n FROM pairs "
+            "GROUP BY dst, anchor), "
+            "tot AS (SELECT dst, CAST(SUM(n) AS BIGINT) AS n_refs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_anchors FROM counts "
+            "GROUP BY dst), "
+            "top AS (SELECT dst, anchor AS top_anchor, "
+            "CAST(n AS BIGINT) AS top_n FROM counts "
+            "QUALIFY row_number() OVER (PARTITION BY dst "
+            "ORDER BY n DESC, anchor) = 1) "
+            "SELECT tot.dst, n_refs, n_anchors, top_anchor, top_n "
+            "FROM tot JOIN top ON tot.dst = top.dst"
         ),
     }

@@ -5947,3 +5947,63 @@ def test_personalized_pagerank_seed_locality(ray_session):
     assert r[10] == 0 and r[11] == 0 and r[12] == 0
     # the seed outranks its neighbors; neighbors are symmetric
     assert r[1] > r[2] == r[3] > 0
+
+
+def test_anchor_pairs_extraction_quirks(ray_session):
+    import ray
+
+    from torray.ops.anchors import anchor_pairs
+
+    html = (
+        b'<html><body>'
+        b'<A HREF="http://a.example/1">one <b>bold</b></A>'
+        b"<a href='http://a.example/2'>two\n\t spaced</a>"
+        b'<a href=http://a.example/3 class=x>three</a>'
+        b'<a name="x">no href</a>'
+        b'<a href="http://skip.example">  <img src="z"/>  </a>'
+        b'<a href="">empty href</a>'
+        b'<a href="http://tail.example">unclosed'
+        b'</body></html>')
+    t = pa.table({"url": ["http://src.example/p"],
+                  "html": pa.array([html], pa.binary())})
+    out = (anchor_pairs(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("dst", ignore_index=True))
+    assert list(out["src"]) == ["http://src.example/p"] * 3
+    assert list(out["dst"]) == ["http://a.example/1",
+                                "http://a.example/2",
+                                "http://a.example/3"]
+    # tag-strip, whitespace collapse, case-insensitive tag match
+    assert list(out["anchor"]) == ["one bold", "two spaced", "three"]
+
+    # string html column + None rows handled; zero rows typed
+    t2 = pa.table({"url": ["u1", "u2"],
+                   "html": pa.array(
+                       ['<a href="http://x/">t</a>', None])})
+    out2 = anchor_pairs(ray.data.from_arrow(t2)).to_pandas()
+    assert list(out2["dst"]) == ["http://x/"]
+    # zero-row input -> zero rows, no crash (Ray yields zero blocks
+    # for an empty from_arrow, so there is no schema to probe)
+    assert anchor_pairs(
+        ray.data.from_arrow(t.slice(0, 0))).take_all() == []
+
+
+def test_anchor_summary_counts_and_top(ray_session):
+    import ray
+
+    from torray.ops.anchors import anchor_summary
+
+    # dst A: 'x' x3, 'y' x1 -> top 'x'(3); dst B: 'p' x2, 'q' x2
+    # -> tie broken to the smaller string 'p'
+    pairs = pa.table({
+        "src": pa.array([f"s{i}" for i in range(8)]),
+        "dst": pa.array(["A", "A", "A", "A", "B", "B", "B", "B"]),
+        "anchor": pa.array(["x", "x", "x", "y", "p", "q", "p", "q"])})
+    for parts in (1, 4):
+        out = (anchor_summary(
+            ray.data.from_arrow(pairs).repartition(parts))
+            .to_pandas().sort_values("dst", ignore_index=True))
+        assert list(out["dst"]) == ["A", "B"]
+        assert list(out["n_refs"]) == [4, 4]
+        assert list(out["n_anchors"]) == [2, 2]
+        assert list(out["top_anchor"]) == ["x", "p"]
+        assert list(out["top_n"]) == [3, 2]
