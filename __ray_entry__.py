@@ -5130,6 +5130,35 @@ def _q_parts_ppr(sf_dir: str):
                                  iters=3, num_partitions=2)
 
 
+def _q_parts_communities(sf_dir: str):
+    """Deterministic synchronous label propagation (2 iterations,
+    ties to the smallest label) on the symmetrized part<->supplier
+    graph — ``ops.graph.label_propagation``; the SQL oracle unrolls
+    both iterations (count in-neighbor labels, row_number winner,
+    COALESCE keep)."""
+    from torray.ops.graph import label_propagation
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        p = pa.compute.multiply(t.column("l_partkey"), 2)
+        s = pa.compute.add(
+            pa.compute.multiply(t.column("l_suppkey").cast(pa.int64()),
+                                2), 1)
+        return pa.table({
+            "src": pa.concat_arrays(
+                [p.combine_chunks(), s.combine_chunks()]),
+            "dst": pa.concat_arrays(
+                [s.combine_chunks(), p.combine_chunks()])})
+
+    edges = (li.map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow"))
+    return label_propagation(edges, iters=2, num_partitions=2)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5390,6 +5419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "orders_union_by_name": _q_orders_union_by_name,
         "docs_anchor_summary": _q_docs_anchor_summary,
+        "parts_communities": _q_parts_communities,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -7732,6 +7762,29 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY e.dst) s ON n.node = s.node) "
             "SELECT node, CAST(ROUND(pr * 1e9) AS BIGINT) "
             "AS rank_e9 FROM r3"
+        ),
+        # synchronous LPA, 2 unrolled iterations: count in-neighbor
+        # labels, row_number winner (ties -> smallest label),
+        # COALESCE keeps the old label when a node has no in-edges
+        "parts_communities": (
+            "WITH e AS (SELECT DISTINCT l_partkey*2 AS src, "
+            "l_suppkey*2+1 AS dst FROM lineitem "
+            "UNION SELECT DISTINCT l_suppkey*2+1, l_partkey*2 "
+            "FROM lineitem), "
+            "nodes AS (SELECT DISTINCT src AS node FROM e), "
+            "l0 AS (SELECT node, node AS lab FROM nodes), "
+            "c1 AS (SELECT e.dst AS node, l0.lab, COUNT(*) AS n "
+            "FROM e JOIN l0 ON e.src = l0.node GROUP BY 1, 2), "
+            "w1 AS (SELECT node, lab FROM c1 QUALIFY row_number() "
+            "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1), "
+            "l1 AS (SELECT l0.node, COALESCE(w1.lab, l0.lab) AS lab "
+            "FROM l0 LEFT JOIN w1 USING (node)), "
+            "c2 AS (SELECT e.dst AS node, l1.lab, COUNT(*) AS n "
+            "FROM e JOIN l1 ON e.src = l1.node GROUP BY 1, 2), "
+            "w2 AS (SELECT node, lab FROM c2 QUALIFY row_number() "
+            "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
+            "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
+            "FROM l1 LEFT JOIN w2 USING (node)"
         ),
         # anchor-text aggregation: the oracle regenerates the pair
         # stream the constructed pages encode (2x 'page N' to

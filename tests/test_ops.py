@@ -6007,3 +6007,52 @@ def test_anchor_summary_counts_and_top(ray_session):
         assert list(out["n_anchors"]) == [2, 2]
         assert list(out["top_anchor"]) == ["x", "p"]
         assert list(out["top_n"]) == [3, 2]
+
+
+def test_label_propagation_matches_reference(ray_session):
+    from collections import Counter
+
+    import ray
+
+    from torray.ops.graph import label_propagation
+
+    def ref_lpa(edges, iters):
+        nodes = sorted({n for e in edges for n in e})
+        lab = {n: n for n in nodes}
+        for _ in range(iters):
+            inc = {}
+            for s, d in edges:
+                inc.setdefault(d, []).append(lab[s])
+            new = {}
+            for n in nodes:
+                ls = inc.get(n)
+                if not ls:
+                    new[n] = lab[n]
+                else:
+                    c = Counter(ls)
+                    m = max(c.values())
+                    new[n] = min(v for v, k in c.items() if k == m)
+            lab = new
+        return lab
+
+    # two triangles bridged by one edge + a dangling directed edge
+    und = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10),
+           (3, 10)]
+    edges = und + [(b, a) for a, b in und] + [(99, 1)]
+    t = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    for iters in (1, 2, 3):
+        want = ref_lpa(edges, iters)
+        for parts in (1, 5):
+            out = label_propagation(
+                ray.data.from_arrow(t).repartition(parts),
+                iters=iters, num_partitions=2).to_pandas()
+            got = dict(zip(out["node"], out["community"]))
+            assert got == want, (iters, parts)
+
+    # empty input -> empty typed result
+    e = label_propagation(ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64())})))
+    assert e.count() == 0
+    assert e.schema().names == ["node", "community"]

@@ -1509,3 +1509,78 @@ def personalized_pagerank(edges_ds, seeds, *, damping: float = 0.85,
                 np.rint(t.column("rank").to_numpy(zero_copy_only=False)
                         * 1e9).astype(np.int64), pa.int64())}),
         batch_format="pyarrow")
+
+
+def label_propagation(edges_ds, *, iters: int = 2,
+                      num_partitions: int = 4,
+                      src: str = "src", dst: str = "dst"):
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan et al. 2007) made deterministic: every node starts
+    labeled with its own id; each iteration every node adopts the
+    most frequent label among its IN-neighbors, ties to the SMALLEST
+    label, nodes with no in-edges keep their label.  Pass a
+    symmetrized edge list for the undirected semantics.  Fixed
+    ``iters`` (synchronous LPA's halting is data-dependent; for
+    corpus/community diagnostics a fixed small count is the useful —
+    and SQL-oracle-able — contract).  Returns ``(node, community)``.
+
+    Per iteration: one int64 join (edges x labels), then
+    ``ops.orderagg.group_mode`` — per-block distinct
+    (node, label, count) Arrow combiners, ONE narrow (node, label)
+    shuffle, hashed-partition run-scan winner pick, no Python call
+    per node — and one left join back onto the label table.  Label
+    state is 2 int64 columns; per-iteration cost matches
+    :func:`pagerank`, never touching documents.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from torray.ops.orderagg import group_mode
+
+    edges = edges_ds.map_batches(
+        lambda t: pa.table({
+            "src": t.column(src).combine_chunks().cast(pa.int64()),
+            "dst": t.column(dst).combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            _empty_int64_table(("node", "community")))
+
+    nodes = (edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t.column("src").combine_chunks(),
+            t.column("dst").combine_chunks()])}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Count()))
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node").cast(pa.int64()),
+                            "lab": t.column("node").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        contrib = safe_join(edges, labels, "inner", num_partitions,
+                            on=("src",), right_on=("node",))
+        contrib = contrib.map_batches(
+            lambda t: pa.table({"node": t.column("dst"),
+                                "lab": t.column("lab")}),
+            batch_format="pyarrow")
+        win = group_mode(contrib, group_col="node", value_col="lab",
+                         num_partitions=max(num_partitions * 16, 64))
+        win = win.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "__new": t.column("lab")}),
+            batch_format="pyarrow")
+        joined = safe_join(labels, win, "left_outer", num_partitions,
+                           on=("node",))
+        labels = joined.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "lab": pc.coalesce(t.column("__new"),
+                                   t.column("lab")).cast(pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "community": t.column("lab")}),
+        batch_format="pyarrow")
