@@ -5159,6 +5159,43 @@ def _q_parts_communities(sf_dir: str):
     return label_propagation(edges, iters=2, num_partitions=2)
 
 
+_ROBOTS_RULES = [
+    ("http://h0.example/", False),
+    ("http://h0.example/a/", True),
+    ("http://h1.example/a/x/", False),
+    ("http://h2.example/b/", False),
+    ("http://h3.example/a", False),
+    ("http://h3.example/a/x/", True),
+]
+
+
+def _q_docs_robots_filter(sf_dir: str):
+    """RFC 9309 longest-prefix URL policy filter
+    (``ops.policy.robots_filter``): deterministic URLs derived from
+    the documents table, a literal 6-rule table (host block with an
+    allow carve-out, deep path block, mid-segment prefix, nested
+    re-allow) broadcast once; the SQL oracle resolves the same rules
+    with starts_with + row_number(ORDER BY length DESC, allow DESC).
+    Kept rows stream through unchanged — the verdict is O(rules)
+    C-kernel passes per batch."""
+    from torray.ops.policy import robots_filter
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        host = pc.cast(pa.array(d % 5, pa.int64()), pa.string())
+        seg = pa.array(np.array(["a/", "a/x/", "b/", ""])[d % 4],
+                       pa.string())
+        dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
+        url = pc.binary_join_element_wise(
+            "http://h", host, ".example/", seg, dstr, "")
+        return pa.table({"doc_id": t.column("doc_id"), "url": url})
+
+    urls = _read_f(sf_dir, "documents",
+                   columns=["doc_id"]).map_batches(
+        to_urls, batch_format="pyarrow")
+    return robots_filter(urls, _ROBOTS_RULES)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5420,6 +5457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_union_by_name": _q_orders_union_by_name,
         "docs_anchor_summary": _q_docs_anchor_summary,
         "parts_communities": _q_parts_communities,
+        "docs_robots_filter": _q_docs_robots_filter,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -7785,6 +7823,30 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # robots-policy filter: longest matching prefix wins, allow
+        # wins conflicts at equal length (allow DESC), no match ->
+        # allowed; urls regenerated arithmetically from doc_id
+        "docs_robots_filter": (
+            "WITH u AS (SELECT doc_id, 'http://h' || "
+            "CAST(doc_id % 5 AS VARCHAR) || '.example/' || "
+            "CASE doc_id % 4 WHEN 0 THEN 'a/' WHEN 1 THEN 'a/x/' "
+            "WHEN 2 THEN 'b/' ELSE '' END || "
+            "CAST(doc_id AS VARCHAR) AS url FROM documents), "
+            "rules(prefix, allowed) AS (VALUES "
+            "('http://h0.example/', FALSE), "
+            "('http://h0.example/a/', TRUE), "
+            "('http://h1.example/a/x/', FALSE), "
+            "('http://h2.example/b/', FALSE), "
+            "('http://h3.example/a', FALSE), "
+            "('http://h3.example/a/x/', TRUE)), "
+            "m AS (SELECT u.doc_id, r.allowed, length(r.prefix) AS pl "
+            "FROM u JOIN rules r ON starts_with(u.url, r.prefix)), "
+            "best AS (SELECT doc_id, allowed FROM m QUALIFY "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY pl DESC, allowed DESC) = 1) "
+            "SELECT u.doc_id, u.url FROM u LEFT JOIN best b "
+            "ON u.doc_id = b.doc_id WHERE COALESCE(b.allowed, TRUE)"
         ),
         # anchor-text aggregation: the oracle regenerates the pair
         # stream the constructed pages encode (2x 'page N' to

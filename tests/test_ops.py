@@ -6056,3 +6056,72 @@ def test_label_propagation_matches_reference(ray_session):
         "dst": pa.array([], pa.int64())})))
     assert e.count() == 0
     assert e.schema().names == ["node", "community"]
+
+
+def test_parse_robots_groups_and_precedence():
+    from torray.ops.policy import parse_robots
+
+    txt = """
+# corpus crawl policy
+User-agent: *
+Disallow: /private/
+Allow: /private/pub/
+Crawl-delay: 10
+
+User-Agent: badbot
+Disallow: /
+
+User-agent: goodbot
+User-agent: otherbot
+Disallow: /tmp/
+Disallow:
+"""
+    # star group for an unlisted agent; empty Disallow ignored
+    assert parse_robots(txt) == [("/private/", False),
+                                 ("/private/pub/", True)]
+    # specific group REPLACES the star group (RFC 9309 2.2.1);
+    # multi-agent group headers and case-insensitive match
+    assert parse_robots(txt, agent="GoodBot") == [("/tmp/", False)]
+    assert parse_robots(txt, agent="badbot") == [("/", False)]
+    # base prefixing for full-URL rules
+    assert parse_robots(txt, base="http://h.onion") == [
+        ("http://h.onion/private/", False),
+        ("http://h.onion/private/pub/", True)]
+    # wildcards refuse rather than silently weaken policy
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_robots("User-agent: *\nDisallow: /a/*.pdf")
+
+
+def test_robots_filter_longest_prefix_wins(ray_session):
+    import ray
+
+    from torray.ops.policy import robots_filter, robots_mark
+
+    rules = [("http://h/", False),
+             ("http://h/pub/", True),
+             ("http://h/pub/secret/", False),
+             # identical-prefix allow/disallow conflict -> allow wins
+             ("http://h/tie/", True),
+             ("http://h/tie/", False)]
+    urls = ["http://h/", "http://h/x", "http://h/pub/a",
+            "http://h/pub/secret/b", "http://h/tie/z",
+            "http://other/ok", None]
+    t = pa.table({"url": pa.array(urls, pa.string()),
+                  "i": pa.array(range(len(urls)), pa.int64())})
+    out = (robots_filter(ray.data.from_arrow(t), rules)
+           .to_pandas().sort_values("i", ignore_index=True))
+    # kept: /pub/a (allow beats host block), /tie/z (tie -> allow),
+    # other host (no match -> default allow), null url (no match)
+    assert list(out["url"].fillna("NULL")) == [
+        "http://h/pub/a", "http://h/tie/z", "http://other/ok", "NULL"]
+
+    marked = (robots_mark(ray.data.from_arrow(t), rules)
+              .to_pandas().sort_values("i", ignore_index=True))
+    assert list(marked["allowed"]) == [
+        False, False, True, False, True, True, True]
+
+    # empty input and empty rule list
+    assert robots_filter(ray.data.from_arrow(t.slice(0, 0)),
+                         rules).take_all() == []
+    assert robots_filter(ray.data.from_arrow(t), []).count() == 7

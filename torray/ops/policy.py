@@ -1,0 +1,125 @@
+"""Crawl-policy operators: robots.txt parsing and longest-prefix URL
+policy filtering.
+
+The reference spider fetches everything the backend hands out (no
+robots handling anywhere in /root/reference — Tor onion services
+rarely publish robots.txt), but a web-scale corpus pipeline MUST
+express fetch policy as data: a bounded rule table applied to an
+unbounded URL stream.  Semantics follow RFC 9309's core resolution:
+the LONGEST matching rule prefix wins, an allow/disallow tie at equal
+length resolves to allow, and a URL matching no rule is allowed.
+
+Scale shape: the rule table is the broadcast small side (``ray.put``
+once, fetched once per actor/task, never re-shipped per batch); each
+batch runs ONE vectorized ``pc.starts_with`` kernel per rule — cost
+O(rules x batch) in C, no Python per row.  Rules are applied in
+ascending (prefix length, allow) order so the LAST writer per row is
+exactly the RFC winner; the URL stream itself never shuffles.
+
+:func:`parse_robots` is the pure-function companion: a simplified
+robots.txt group parser (User-agent / Allow / Disallow, comments,
+case-insensitive keys) emitting the (prefix, allow) rule list for one
+agent.  Wildcard patterns (``*``/``$``) are intentionally out of
+scope — prefix rules are the 99% case and keep the operator
+SQL-oracle-able; a wildcard rule raises so policy is never silently
+weaker than the file said.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["parse_robots", "robots_mark", "robots_filter"]
+
+
+def parse_robots(text: str, *, agent: str = "*",
+                 base: str = "") -> list[tuple[str, bool]]:
+    """Parse (simplified) robots.txt into ``[(prefix, allow), ...]``
+    for ``agent``: groups are runs of ``User-agent`` lines followed by
+    rule lines; a group applies if it names ``agent`` exactly
+    (case-insensitive) or ``*``; specific-agent groups override the
+    ``*`` group entirely (RFC 9309 §2.2.1).  ``base`` (e.g.
+    ``"http://h.onion"``) is prepended to every rule path so the
+    output plugs straight into :func:`robots_filter` over full URLs.
+    Empty ``Disallow:`` lines are ignored (historic allow-all idiom);
+    ``*``/``$`` wildcards raise ``ValueError``.
+    """
+    star_rules: list[tuple[str, bool]] = []
+    mine_rules: list[tuple[str, bool]] = []
+    saw_mine = False
+    cur_agents: list[str] = []
+    in_group_header = True
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                cur_agents = []
+                in_group_header = True
+            cur_agents.append(val.lower())
+            continue
+        if key not in ("allow", "disallow"):
+            continue  # crawl-delay / sitemap / unknown keys
+        in_group_header = False
+        if not val:
+            continue  # "Disallow:" (empty) = allow everything
+        if "*" in val or val.endswith("$"):
+            raise ValueError(
+                f"wildcard robots rule not supported: {val!r}")
+        rule = (base + val, key == "allow")
+        if agent.lower() in cur_agents:
+            mine_rules.append(rule)
+            saw_mine = True
+        elif "*" in cur_agents:
+            star_rules.append(rule)
+    return mine_rules if saw_mine else star_rules
+
+
+def robots_mark(ds, rules, *, url_col: str = "url",
+                out_col: str = "allowed",
+                default_allow: bool = True):
+    """Append boolean ``out_col``: the RFC 9309 verdict of ``rules``
+    (an iterable of ``(prefix, allow)``) for each row's ``url_col`` —
+    longest matching prefix wins, allow wins length ties, no match =
+    ``default_allow``.  Rules are broadcast once via ``ray.put`` and
+    sorted once per task; each batch is O(rules) C-kernel passes."""
+    import ray
+
+    ordered = sorted(
+        ((str(p), bool(a)) for p, a in rules),
+        key=lambda r: (len(r[0]), r[1]))
+    rules_ref = ray.put(ordered)
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.bool_()))
+        rs = ray.get(rules_ref)
+        urls = t.column(url_col)
+        verdict = np.full(t.num_rows, default_allow, dtype=bool)
+        for prefix, allow in rs:
+            m = pc.fill_null(pc.starts_with(urls, pattern=prefix),
+                             False).to_numpy(zero_copy_only=False)
+            verdict[m.astype(bool)] = allow
+        return t.append_column(out_col, pa.array(verdict, pa.bool_()))
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def robots_filter(ds, rules, *, url_col: str = "url",
+                  default_allow: bool = True):
+    """Keep only rows whose ``url_col`` the ``rules`` allow (see
+    :func:`robots_mark`); output schema equals the input schema."""
+    marked = robots_mark(ds, rules, url_col=url_col,
+                         out_col="__robots_ok",
+                         default_allow=default_allow)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("__robots_ok")).drop_columns(
+            ["__robots_ok"])
+
+    return marked.map_batches(keep, batch_format="pyarrow")
