@@ -5196,6 +5196,36 @@ def _q_docs_robots_filter(sf_dir: str):
     return robots_filter(urls, _ROBOTS_RULES)
 
 
+def _q_docs_html_text(sf_dir: str):
+    """HTML -> body-text extraction — the derivation behind the
+    input_hint's ``text`` column (``ops.text.extract_page_text``).
+    Documents are framed as full pages (title, style/script subtrees
+    with markup INSIDE the script string, nav boilerplate, a comment,
+    entities); the oracle states the expected readable text directly,
+    so tag-stripping, subtree removal, entity decode and whitespace
+    collapse are all on the hash.  Page bytes never leave the
+    extraction block."""
+    from torray.ops.text import extract_page_text
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.string())
+        html = pc.binary_join_element_wise(
+            "<html><head><title>Doc ", did,
+            '</title><style>p{c:1}</style>'
+            '<script>var x = "</p>";</script></head>'
+            "<body><nav>home | about</nav>\n<p>",
+            t.column("text"),
+            "</p><!-- hidden --><div>footer &amp; legal</div>"
+            "</body></html>", "")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "html": html.cast(pa.large_binary())})
+
+    pages = _read_f(sf_dir, "documents",
+                    columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow")
+    return extract_page_text(pages, html_col="html", out_col="txt")
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5458,6 +5488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_anchor_summary": _q_docs_anchor_summary,
         "parts_communities": _q_parts_communities,
         "docs_robots_filter": _q_docs_robots_filter,
+        "docs_html_text": _q_docs_html_text,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -7823,6 +7854,14 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # html->text extraction: oracle states the expected readable
+        # text of the constructed page directly (corpus text is
+        # pre-verified free of <, >, & and whitespace runs)
+        "docs_html_text": (
+            "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) || "
+            "' home | about ' || text || ' footer & legal' AS txt "
+            "FROM documents"
         ),
         # robots-policy filter: longest matching prefix wins, allow
         # wins conflicts at equal length (allow DESC), no match ->

@@ -6125,3 +6125,33 @@ def test_robots_filter_longest_prefix_wins(ray_session):
     assert robots_filter(ray.data.from_arrow(t.slice(0, 0)),
                          rules).take_all() == []
     assert robots_filter(ray.data.from_arrow(t), []).count() == 7
+
+
+def test_html_to_text_extraction(ray_session):
+    import ray
+
+    from torray.ops.text import extract_page_text, html_to_text
+
+    h = (b'<html><head><title>T</title><style a=b>p{c:1}</style>'
+         b'<script>var x = "</p>";</script></head><body>'
+         b'<NAV>home | about</NAV><p>hello  \n world</p>'
+         b'<!-- hidden --><div>f &amp; g &#39;q&#39; &amp;lt;</div>'
+         b'</body></html>')
+    # script/style subtrees die (even with markup inside strings),
+    # comments die, tags become spaces, entities decode single-pass,
+    # whitespace collapses
+    assert html_to_text(h) == "T home | about hello world f & g 'q' &lt;"
+    assert html_to_text(None) == ""
+    assert html_to_text("a<br>b") == "a b"
+    assert html_to_text(b"\xff<p>ok</p>") == "�ok" \
+        or html_to_text(b"\xff<p>ok</p>") == "� ok"
+
+    t = pa.table({"url": ["u1", "u2"],
+                  "html": pa.array([h, None], pa.binary()),
+                  "n": pa.array([1, 2], pa.int64())})
+    out = (extract_page_text(ray.data.from_arrow(t))
+           .to_pandas().sort_values("n", ignore_index=True))
+    # html column never leaves the block; all others ride along
+    assert list(out.columns) == ["url", "n", "text"]
+    assert out["text"][0].startswith("T home")
+    assert out["text"][1] == ""

@@ -47,6 +47,8 @@ __all__ = [
     "model_score_documents",
     "gopher_rules_batch",
     "gopher_rules_filter",
+    "html_to_text",
+    "extract_page_text",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -2065,3 +2067,60 @@ def vocab_overlap(docs_ds, *, group_col: str = "lang",
         "jaccard": pa.array(
             shared.astype(np.float64) / (na + nb - shared),
             pa.float64())}))
+
+
+# --- HTML -> text extraction (the input_hint's text column is the
+# extracted body text of the html column; this op IS that derivation)
+
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_ANY_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RUN_RE = re.compile(r"\s+")
+# unescape order matters: &amp; LAST so '&amp;lt;' -> '&lt;' (the
+# html.unescape single-pass convention for the named core set)
+_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def html_to_text(html) -> str:
+    """Extract readable text from an HTML page: drop <script>/<style>
+    subtrees and comments, strip every tag (each becomes a space, so
+    block boundaries never glue words), decode the core named
+    entities, collapse whitespace, strip.  Bytes are decoded as UTF-8
+    with replacement.  Deterministic and layout-free — the
+    Common-Crawl-style ``text`` column of the input_hint schema is
+    exactly this derivation of ``html``."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    s = _SCRIPT_STYLE_RE.sub(" ", html)
+    s = _HTML_COMMENT_RE.sub(" ", s)
+    s = _ANY_TAG_RE.sub(" ", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return _WS_RUN_RE.sub(" ", s).strip()
+
+
+def extract_page_text(ds, *, html_col: str = "html",
+                      out_col: str = "text",
+                      keep_cols: list[str] | None = None):
+    """Batched :func:`html_to_text` over a pages Dataset: emits
+    ``keep_cols`` (default: every non-html column — page bytes never
+    leave the block) plus ``out_col``.  Per-row work is compiled-regex
+    scans only (C-dominated, same budget as the extract stage of the
+    crawl engine)."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        keep = (keep_cols if keep_cols is not None
+                else [c for c in t.column_names if c != html_col])
+        txt = [html_to_text(h) for h in
+               t.column(html_col).to_pylist()]
+        out = t.select(keep) if keep else pa.table(
+            {}, schema=pa.schema([]))
+        cols = {c: out.column(c) for c in out.column_names}
+        cols[out_col] = pa.array(txt, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(extract, batch_format="pyarrow")
