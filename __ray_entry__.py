@@ -5226,6 +5226,40 @@ def _q_docs_html_text(sf_dir: str):
     return extract_page_text(pages, html_col="html", out_col="txt")
 
 
+def _q_docs_url_templates(sf_dir: str):
+    """Top-2 URL path templates per host (digit runs -> N, query
+    dropped) over URLs derived from doc_id — the crawl-budget
+    diagnostic (``ops.policy.url_templates``, three vectorized RE2
+    kernels + distinct-pair combiners).  The oracle STATES each url's
+    expected host/template arithmetically and folds with the same
+    (count DESC, template ASC) cut, so the regex derivation is on the
+    hash."""
+    from torray.ops.policy import url_templates
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
+        hostd = pc.cast(pa.array(d % 5, pa.int64()), pa.string())
+        item = pc.binary_join_element_wise("item/", dstr, "")
+        page = pc.binary_join_element_wise("page/", dstr, "/view", "")
+        m3 = pa.array(d % 3, pa.int64())
+        mid = pc.if_else(
+            pc.equal(m3, 0), item,
+            pc.if_else(pc.equal(m3, 1), page, pa.scalar("about")))
+        q = pc.if_else(
+            pa.array(d % 7 == 0),
+            pc.binary_join_element_wise("?ref=", dstr, ""),
+            pa.scalar(""))
+        url = pc.binary_join_element_wise(
+            "http://h", hostd, ".example/", mid, q, "")
+        return pa.table({"url": url})
+
+    urls = _read_f(sf_dir, "documents",
+                   columns=["doc_id"]).map_batches(
+        to_urls, batch_format="pyarrow")
+    return url_templates(urls, k=2)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5489,6 +5523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_communities": _q_parts_communities,
         "docs_robots_filter": _q_docs_robots_filter,
         "docs_html_text": _q_docs_html_text,
+        "docs_url_templates": _q_docs_url_templates,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -7854,6 +7889,21 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # url template mining: oracle states each url's expected
+        # host/template (digit runs -> N, query dropped) and applies
+        # the same top-2 per-host cut (count DESC, template ASC)
+        "docs_url_templates": (
+            "WITH u AS (SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || "
+            "'.example' AS host, "
+            "'http://hN.example/' || CASE doc_id % 3 "
+            "WHEN 0 THEN 'item/N' WHEN 1 THEN 'page/N/view' "
+            "ELSE 'about' END AS template FROM documents), "
+            "c AS (SELECT host, template, COUNT(*) AS n FROM u "
+            "GROUP BY host, template) "
+            "SELECT host, template, CAST(n AS BIGINT) AS n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY host "
+            "ORDER BY n DESC, template) <= 2"
         ),
         # html->text extraction: oracle states the expected readable
         # text of the constructed page directly (corpus text is

@@ -6155,3 +6155,34 @@ def test_html_to_text_extraction(ray_session):
     assert list(out.columns) == ["url", "n", "text"]
     assert out["text"][0].startswith("T home")
     assert out["text"][1] == ""
+
+
+def test_url_templates_topk(ray_session):
+    import ray
+
+    from torray.ops.policy import url_templates
+
+    urls = (["http://a.com/item/%d" % i for i in range(5)]
+            + ["http://a.com/page/%d/view?ref=%d" % (i, i)
+               for i in range(3)]
+            + ["http://a.com/about", "http://a.com/about#frag"]
+            + ["http://b9.com/x/%d" % i for i in range(2)]
+            + ["not a url", None])
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    for parts in (1, 4):
+        out = (url_templates(ray.data.from_arrow(t).repartition(parts),
+                             k=2)
+               .to_pandas()
+               .sort_values(["host", "n", "template"],
+                            ascending=[True, False, True],
+                            ignore_index=True))
+        # a.com: item/N x5, about x2 (fragment dropped), page/N/view
+        # x3 -> top2 = item/N (5), page/N/view (3); b9.com keeps its
+        # host digits but templates its path; junk rows dropped
+        assert out.values.tolist() == [
+            ["a.com", "http://a.com/item/N", 5],
+            ["a.com", "http://a.com/page/N/view", 3],
+            ["b9.com", "http://bN.com/x/N", 2]]
+
+    assert url_templates(
+        ray.data.from_arrow(t.slice(0, 0))).take_all() == []

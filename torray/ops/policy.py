@@ -16,6 +16,13 @@ O(rules x batch) in C, no Python per row.  Rules are applied in
 ascending (prefix length, allow) order so the LAST writer per row is
 exactly the RFC winner; the URL stream itself never shuffles.
 
+Relation to the crawl engine: ``torray.frontier.parse_robots`` is the
+in-loop variant the round scheduler uses (disallow-only, all agents
+folded — the conservative semantics a polite crawler wants when it
+can't attribute itself); THIS module is the full RFC resolution for
+corpus post-processing (audit an already-crawled URL set against a
+policy, or pre-filter a seed list per agent).
+
 :func:`parse_robots` is the pure-function companion: a simplified
 robots.txt group parser (User-agent / Allow / Disallow, comments,
 case-insensitive keys) emitting the (prefix, allow) rule list for one
@@ -30,7 +37,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["parse_robots", "robots_mark", "robots_filter"]
+__all__ = ["parse_robots", "robots_mark", "robots_filter",
+           "url_templates"]
 
 
 def parse_robots(text: str, *, agent: str = "*",
@@ -123,3 +131,55 @@ def robots_filter(ds, rules, *, url_col: str = "url",
             ["__robots_ok"])
 
     return marked.map_batches(keep, batch_format="pyarrow")
+
+
+def url_templates(ds, *, url_col: str = "url", k: int = 3):
+    """Top-``k`` URL path TEMPLATES per host — every digit run
+    collapsed to ``N`` after dropping query/fragment — the
+    crawl-budget diagnostic (which page generators dominate a site;
+    which templates to throttle or prioritize).  Returns
+    ``(host, template, n)``; ties at equal count break to the
+    lexicographically smaller template.  Rows whose URL has no
+    ``scheme://host`` are dropped.
+
+    Scale shape: template + host derivation is three vectorized RE2
+    kernels; each block collapses to DISTINCT (host, template, count)
+    partials via Arrow C++ ``group_by`` (raw URLs never shuffle);
+    ONE narrow groupby-sum folds partials and the per-host cut uses
+    ``ops.rank.group_topk``'s pre-cut combiner."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.rank import group_topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "template": pa.array([], pa.string()),
+                          "__n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t.column(url_col)
+        base = pc.replace_substring_regex(u, pattern=r"[?#].*$",
+                                          replacement="")
+        tmpl = pc.replace_substring_regex(base, pattern="[0-9]+",
+                                          replacement="N")
+        m = pc.extract_regex(
+            base, pattern=r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]+)")
+        host = pc.struct_field(m, "host")
+        pairs = pa.table({"host": host, "template": tmpl}).filter(
+            pc.is_valid(host))
+        if pairs.num_rows == 0:
+            return empty
+        g = pairs.group_by(["host", "template"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"host": g.column("host"),
+                         "template": g.column("template"),
+                         "__n": g.column("count_all").cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["host", "template"]).aggregate(Sum("__n")))
+    counts = counts.map_batches(
+        lambda t: pa.table({"host": t.column("host"),
+                            "template": t.column("template"),
+                            "n": t.column("sum(__n)").cast(pa.int64())}),
+        batch_format="pyarrow")
+    return group_topk(counts, "host", "n", k, "template")
