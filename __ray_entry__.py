@@ -5260,6 +5260,56 @@ def _q_docs_url_templates(sf_dir: str):
     return url_templates(urls, k=2)
 
 
+def _q_docs_canonical_groups(sf_dir: str):
+    """Canonical-link consolidation: each constructed page declares
+    ``<link rel=canonical>`` pointing at its 4-doc group leader
+    (attribute order varies by row parity; a stylesheet link rides as
+    chaff); ``ops.anchors.canonical_pairs`` extracts, a combiner-fold
+    counts pages per canonical target.  Oracle restates the group
+    arithmetic."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.anchors import canonical_pairs
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
+        lead = pc.cast(pa.array(d - (d % 4), pa.int64()), pa.string())
+        canon_a = pc.binary_join_element_wise(
+            '<link rel="canonical" href="http://docs.example/', lead,
+            '">', "")
+        canon_b = pc.binary_join_element_wise(
+            "<link href='http://docs.example/", lead,
+            "' rel=canonical>", "")
+        canon = pc.if_else(pa.array(d % 2 == 0), canon_a, canon_b)
+        html = pc.binary_join_element_wise(
+            '<html><head><link rel="stylesheet" href="/s.css">',
+            canon, "</head><body>page ", dstr, "</body></html>", "")
+        url = pc.binary_join_element_wise(
+            "http://docs.example/", dstr, "")
+        return pa.table({"url": url,
+                         "html": html.cast(pa.large_binary())})
+
+    pages = _read_f(sf_dir, "documents",
+                    columns=["doc_id"]).map_batches(
+        to_pages, batch_format="pyarrow")
+    pairs = canonical_pairs(pages)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (t.select(["canonical"]).group_by("canonical")
+             .aggregate([([], "count_all")]))
+        return pa.table({"canonical": g.column("canonical"),
+                         "__n": g.column("count_all").cast(pa.int64())})
+
+    out = (pairs.map_batches(combine, batch_format="pyarrow")
+           .groupby("canonical").aggregate(Sum("__n")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "canonical": t.column("canonical"),
+            "n_pages": t.column("sum(__n)").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5524,6 +5574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_robots_filter": _q_docs_robots_filter,
         "docs_html_text": _q_docs_html_text,
         "docs_url_templates": _q_docs_url_templates,
+        "docs_canonical_groups": _q_docs_canonical_groups,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -7889,6 +7940,13 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # canonical-link consolidation: every page points at its
+        # 4-doc group leader; count pages per canonical target
+        "docs_canonical_groups": (
+            "SELECT 'http://docs.example/' || "
+            "CAST(doc_id - (doc_id % 4) AS VARCHAR) AS canonical, "
+            "COUNT(*) AS n_pages FROM documents GROUP BY 1"
         ),
         # url template mining: oracle states each url's expected
         # host/template (digit runs -> N, query dropped) and applies

@@ -6186,3 +6186,33 @@ def test_url_templates_topk(ray_session):
 
     assert url_templates(
         ray.data.from_arrow(t.slice(0, 0))).take_all() == []
+
+
+def test_canonical_pairs_extraction(ray_session):
+    import ray
+
+    from torray.ops.anchors import canonical_pairs
+
+    pages = [
+        # attribute order free, unquoted rel, single-quoted href
+        b'<head><link href="http://c/1" rel=canonical></head>',
+        b"<head><link rel='canonical' href='http://c/2'/></head>",
+        # first declaration wins over a second one
+        b'<link rel="canonical" href="http://c/3">'
+        b'<link rel="canonical" href="http://c/ignored">',
+        # chaff: stylesheet link, canonical without href, no link
+        b'<link rel="stylesheet" href="http://css/x">'
+        b'<link rel="canonical">',
+        b'<p>no links</p>',
+        None,
+        # rel value must be exactly canonical (not a prefix)
+        b'<link rel="canonicalish" href="http://c/no">',
+    ]
+    t = pa.table({"url": [f"http://p/{i}" for i in range(len(pages))],
+                  "html": pa.array(pages, pa.binary())})
+    out = (canonical_pairs(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("url", ignore_index=True))
+    assert out.values.tolist() == [
+        ["http://p/0", "http://c/1"],
+        ["http://p/1", "http://c/2"],
+        ["http://p/2", "http://c/3"]]

@@ -36,7 +36,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["anchor_pairs", "anchor_summary"]
+__all__ = ["anchor_pairs", "anchor_summary", "canonical_pairs"]
 
 _ANCHOR_RE = re.compile(
     rb"""<a\b[^>]*?\bhref\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)[^>]*>"""
@@ -156,3 +156,56 @@ def anchor_summary(pairs_ds, *, num_partitions: int = 64):
         lambda t: t.select(["dst", "n_refs", "n_anchors",
                             "top_anchor", "top_n"]),
         batch_format="pyarrow")
+
+
+_LINK_TAG_RE = re.compile(rb"<link\b[^>]*>", re.IGNORECASE)
+_REL_CANON_RE = re.compile(
+    rb"""\brel\s*=\s*("canonical"|'canonical'|canonical)(?=[\s/>])""",
+    re.IGNORECASE)
+_HREF_RE = re.compile(
+    rb"""\bhref\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.IGNORECASE)
+
+
+def canonical_pairs(ds, *, url_col: str = "url",
+                    html_col: str = "html"):
+    """Extract ``(url, canonical)`` from each page's
+    ``<link rel="canonical" href=...>`` — the publisher's own
+    duplicate-consolidation signal (one row per page that declares
+    one; FIRST declaration wins, matching how browsers and crawlers
+    resolve repeats).  Attribute order inside the tag is free; all
+    three quote styles parse; link tags without rel=canonical or
+    without an href are ignored.  Same budget as
+    :func:`anchor_pairs`: compiled-regex scans, page bytes never
+    leave the block."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "canonical": pa.array([], pa.string())})
+        urls = t.column(url_col).to_pylist()
+        htmls = t.column(html_col).to_pylist()
+        src, dst = [], []
+        for u, h in zip(urls, htmls):
+            if h is None:
+                continue
+            if isinstance(h, str):
+                h = h.encode("utf-8", "replace")
+            for m in _LINK_TAG_RE.finditer(h):
+                tag = m.group(0)
+                if not _REL_CANON_RE.search(tag):
+                    continue
+                hm = _HREF_RE.search(tag)
+                if not hm:
+                    continue
+                href = hm.group(1)
+                if href[:1] in (b'"', b"'"):
+                    href = href[1:-1]
+                href = href.strip()
+                if href:
+                    src.append(u)
+                    dst.append(href.decode("utf-8", "replace"))
+                    break  # first declaration wins
+        return pa.table({"url": pa.array(src, pa.string()),
+                         "canonical": pa.array(dst, pa.string())})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
