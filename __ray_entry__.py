@@ -5310,6 +5310,31 @@ def _q_docs_canonical_groups(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_mirror_hosts(sf_dir: str):
+    """Mirror-site detection (``ops.dedup.mirror_hosts``): hosts
+    assigned as doc_id%7, page text keyed by the quadratic residue
+    (doc_id^2)%97 so hosts share a nonuniform subset of 97 distinct
+    pages; host pairs ranked by exactly-shared texts.
+    n_shared/n_a/n_b exact ints, jaccard the ONE mirrored divide.
+    SQL oracle: DISTINCT (host, text) self-join over the same
+    construction."""
+    from torray.ops.dedup import mirror_hosts
+
+    def to_hosted(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(pa.array(d % 7, pa.int64()), pa.string()), "")
+        text = pc.binary_join_element_wise(
+            "page ", pc.cast(pa.array((d * d) % 97, pa.int64()),
+                             pa.string()), "")
+        return pa.table({"host": host, "text": text})
+
+    ds = _read_f(sf_dir, "documents",
+                 columns=["doc_id"]).map_batches(
+        to_hosted, batch_format="pyarrow")
+    return mirror_hosts(ds, min_shared=1, num_partitions=16)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5575,6 +5600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_html_text": _q_docs_html_text,
         "docs_url_templates": _q_docs_url_templates,
         "docs_canonical_groups": _q_docs_canonical_groups,
+        "docs_mirror_hosts": _q_docs_mirror_hosts,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -7940,6 +7966,27 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # mirror-host detection: hosts = doc_id%7; shared-page counts
+        # from the DISTINCT (host, text) self-join, jaccard over the
+        # exact union
+        "docs_mirror_hosts": (
+            "WITH d AS (SELECT DISTINCT 'h' || "
+            "CAST(doc_id % 7 AS VARCHAR) AS host, "
+            "'page ' || CAST((doc_id * doc_id) % 97 AS VARCHAR) "
+            "AS text FROM documents), "
+            "s AS (SELECT host, COUNT(*) AS nv FROM d GROUP BY host), "
+            "p AS (SELECT a.host AS host_a, b.host AS host_b, "
+            "COUNT(*) AS n_shared FROM d a JOIN d b "
+            "ON a.text = b.text AND a.host < b.host GROUP BY 1, 2) "
+            "SELECT p.host_a, p.host_b, "
+            "CAST(p.n_shared AS BIGINT) AS n_shared, "
+            "CAST(sa.nv AS BIGINT) AS n_a, "
+            "CAST(sb.nv AS BIGINT) AS n_b, "
+            "CAST(p.n_shared AS DOUBLE) / "
+            "(sa.nv + sb.nv - p.n_shared) AS jaccard "
+            "FROM p JOIN s sa ON sa.host = p.host_a "
+            "JOIN s sb ON sb.host = p.host_b"
         ),
         # canonical-link consolidation: every page points at its
         # 4-doc group leader; count pages per canonical target

@@ -6216,3 +6216,38 @@ def test_canonical_pairs_extraction(ray_session):
         ["http://p/0", "http://c/1"],
         ["http://p/1", "http://c/2"],
         ["http://p/2", "http://c/3"]]
+
+
+def test_mirror_hosts_shared_pages(ray_session):
+    import ray
+
+    from torray.ops.dedup import mirror_hosts
+
+    # A and B share 2 texts; A and C share 1; B and C share 1 (t4);
+    # duplicates of the same text WITHIN a host must not double-count
+    rows = [("A", "t1"), ("A", "t2"), ("A", "t3"), ("A", "t1"),
+            ("B", "t1"), ("B", "t2"), ("B", "t4"),
+            ("C", "t3"), ("C", "t4"), ("C", "t5"), ("C", "t6")]
+    t = pa.table({"host": pa.array([h for h, _ in rows]),
+                  "text": pa.array([x for _, x in rows])})
+    for parts in (1, 4):
+        out = (mirror_hosts(ray.data.from_arrow(t).repartition(parts))
+               .to_pandas()
+               .sort_values(["host_a", "host_b"], ignore_index=True))
+        assert out[["host_a", "host_b", "n_shared", "n_a",
+                    "n_b"]].values.tolist() == [
+            ["A", "B", 2, 3, 3], ["A", "C", 1, 3, 4],
+            ["B", "C", 1, 3, 4]]
+        assert abs(out["jaccard"][0] - 2 / 4) < 1e-12
+        assert abs(out["jaccard"][1] - 1 / 6) < 1e-12
+
+    # min_shared gate
+    out2 = mirror_hosts(ray.data.from_arrow(t),
+                        min_shared=2).to_pandas()
+    assert out2[["host_a", "host_b"]].values.tolist() == [["A", "B"]]
+
+    # no shared pages / empty input -> empty result
+    t3 = pa.table({"host": ["X", "Y"], "text": ["p", "q"]})
+    assert mirror_hosts(ray.data.from_arrow(t3)).count() == 0
+    assert mirror_hosts(
+        ray.data.from_arrow(t.slice(0, 0))).count() == 0

@@ -28,8 +28,10 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
+    "mirror_hosts",
     "exact_dedup",
     "minhash_signatures_batch",
     "minhash_lsh_dedup",
@@ -1444,3 +1446,138 @@ def edit_distance_pairs(ds, *, id_col: str, text_col: str,
         })
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def mirror_hosts(ds, *, host_col: str = "host", text_col: str = "text",
+                 min_shared: int = 1, max_bucket: int | None = None,
+                 num_partitions: int = 64):
+    """Mirror-site / shared-boilerplate detection: for every pair of
+    HOSTS the EXACT count of identical page texts they share, plus
+    each host's distinct-page count and the page-set Jaccard —
+    ``(host_a, host_b, n_shared, n_a, n_b, jaccard)`` with
+    ``host_a < host_b`` (string order) and ``n_shared >=
+    min_shared``.  The webtext twin of ``ops.text.vocab_overlap``
+    (same machinery, page-text granularity): mirrors, CDN clones and
+    template farms surface as high-Jaccard host pairs — prune them
+    BEFORE document-level dedup pays for their pages.
+
+    Scale shape: each block emits DISTINCT (text-hash, host-id) int64
+    rows once (text never shuffles; host ids are
+    :func:`fnv1a64_strings` of the host, the name map rides as a
+    small distinct (gid, host) dataset — no driver fold over hosts);
+    :func:`salted_bucket_pairs` buckets by content hash with
+    cross-block id-dedup so a page shared by g hosts emits C(g, 2)
+    pairs exactly once each (``max_bucket`` optionally caps
+    ubiquitous-boilerplate buckets — capping trades exactness for a
+    bound, default exact); :func:`pair_counts` folds to per-pair
+    totals; sizes come from ``exact_distinct_by`` over the same rows.
+    A second independent content hash vets every candidate pair, so
+    a 64-bit bucket collision can only drop a pair, never invent one.
+    """
+    import ray
+    import ray.data
+
+    from torray.ops.join import safe_join
+    from torray.ops.sketch import exact_distinct_by
+
+    empty = pa.table({
+        "host_a": pa.array([], pa.string()),
+        "host_b": pa.array([], pa.string()),
+        "n_shared": pa.array([], pa.int64()),
+        "n_a": pa.array([], pa.int64()),
+        "n_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_empty = pa.table({"h1": pa.array([], pa.int64()),
+                              "h2": pa.array([], pa.int64()),
+                              "gid": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return out_empty
+        keep = pc.and_(pc.is_valid(t.column(host_col)),
+                       pc.is_valid(t.column(text_col)))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return out_empty
+        texts = t.column(text_col)
+        h1 = fnv1a64_strings(texts)
+        h2 = fnv1a64_strings(pc.binary_join_element_wise(
+            texts.cast(pa.string()), "\x01", ""))
+        gid = fnv1a64_strings(t.column(host_col))
+        tbl = pa.table({
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "gid": pa.array(gid.view(np.int64), pa.int64())})
+        return tbl.group_by(["h1", "h2", "gid"]).aggregate([])
+
+    rows = (ds.select_columns([host_col, text_col])
+            .map_batches(explode, batch_format="pyarrow")
+            .materialize())
+    if rows.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def name_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"gid": pa.array([], pa.int64()),
+                             "host": pa.array([], pa.string())})
+        gid = fnv1a64_strings(t.column(host_col))
+        tbl = pa.table({"gid": pa.array(gid.view(np.int64), pa.int64()),
+                        "host": t.column(host_col).cast(pa.string())})
+        return tbl.group_by(["gid", "host"]).aggregate([])
+
+    names = (ds.select_columns([host_col])
+             .map_batches(name_rows, batch_format="pyarrow")
+             .groupby(["gid", "host"]).count()
+             .map_batches(lambda t: t.select(["gid", "host"]),
+                          batch_format="pyarrow"))
+    sizes = exact_distinct_by(rows, "gid", "h1",
+                              num_partitions=num_partitions)
+    info = safe_join(names, sizes, "inner", 4, on=("gid",))
+
+    pairs = salted_bucket_pairs(
+        rows, "h1", "gid", max_bucket=max_bucket,
+        num_partitions=num_partitions, payload_col="h2",
+        pair_filter=lambda a, b: a == b)
+    counts = pair_counts(pairs, num_partitions=num_partitions)
+    if min_shared > 1:
+        counts = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("n_shared"), min_shared)),
+            batch_format="pyarrow")
+    # no surviving pair -> typed empty (a zero-block pipeline tail
+    # loses its schema; callers and the driver compare need columns)
+    counts = counts.materialize()
+    if counts.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    j = safe_join(counts, info, "inner", 4,
+                  on=("id_a",), right_on=("gid",))
+    j = j.map_batches(
+        lambda t: pa.table({
+            "id_b": t.column("id_b"), "n_shared": t.column("n_shared"),
+            "ha": t.column("host"), "na": t.column("n_distinct")}),
+        batch_format="pyarrow")
+    j = safe_join(j, info, "inner", 4, on=("id_b",), right_on=("gid",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ha = t.column("ha").cast(pa.string())
+        hb = t.column("host").cast(pa.string())
+        na = t.column("na").cast(pa.int64())
+        nb = t.column("n_distinct").cast(pa.int64())
+        sh = t.column("n_shared").cast(pa.int64())
+        swap = pc.greater(ha, hb)
+        host_a = pc.if_else(swap, hb, ha)
+        host_b = pc.if_else(swap, ha, hb)
+        n_a = pc.if_else(swap, nb, na)
+        n_b = pc.if_else(swap, na, nb)
+        shn = sh.to_numpy(zero_copy_only=False).astype(np.float64)
+        un = (n_a.to_numpy(zero_copy_only=False)
+              + n_b.to_numpy(zero_copy_only=False)
+              - sh.to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table({"host_a": host_a, "host_b": host_b,
+                         "n_shared": sh, "n_a": n_a, "n_b": n_b,
+                         "jaccard": pa.array(shn / un, pa.float64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
