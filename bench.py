@@ -1062,6 +1062,84 @@ def bench_tok_xl(sf_dir: str) -> dict:
             "docs_per_s": round(3 * 100_000 / (t4 - t0 - (t3 - t2)), 1)}
 
 
+def bench_webtext_xl(sf_dir: str) -> dict:
+    """Webtext extraction family at 20x documents volume (100k pages,
+    built in-flight as full HTML with 3 anchors, a canonical link and
+    body text per page): anchor-text aggregation, HTML->text
+    extraction, canonical-link extraction, URL template mining and
+    the robots-policy filter.  Page bytes are constructed and consumed
+    INSIDE each task (never shuffled, never cached to disk) — the
+    probe measures the compiled-regex extraction path plus each op's
+    narrow fold.  Not in the default suite
+    (TORRAY_BENCH_ONLY=webtext_xl)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    from torray.ops.anchors import (anchor_pairs, anchor_summary,
+                                    canonical_pairs)
+    from torray.ops.policy import robots_filter, url_templates
+    from torray.ops.text import extract_page_text
+
+    path = _ensure_docs_xl(sf_dir)
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
+        astr = pc.cast(pa.array(d % 9973, pa.int64()), pa.string())
+        bstr = pc.cast(pa.array(d % 997, pa.int64()), pa.string())
+        lead = pc.cast(pa.array(d - (d % 4), pa.int64()), pa.string())
+        html = pc.binary_join_element_wise(
+            '<html><head><title>Doc ', dstr,
+            '</title><link rel="canonical" href="http://x.example/',
+            lead, '"><style>p{c:1}</style></head><body>'
+            '<a href="http://t.example/', astr, '">page <b>', astr,
+            "</b></a><a href='http://t.example/", bstr, "'>hub ",
+            bstr, '</a><a href=http://t.example/', astr,
+            ' class=x>page ', astr, '</a><p>', t.column("text"),
+            '</p><!-- c --><div>footer &amp; legal</div>'
+            '</body></html>', '')
+        url = pc.binary_join_element_wise(
+            'http://h', pc.cast(pa.array(d % 53, pa.int64()),
+                                pa.string()),
+            '.example/item/', dstr, '')
+        return pa.table({"url": url,
+                         "html": html.cast(pa.large_binary())})
+
+    def pages():
+        return ray.data.read_parquet(path).map_batches(
+            to_pages, batch_format="pyarrow")
+
+    _warm_pool()
+    t0 = time.monotonic()
+    n_anchor = anchor_summary(anchor_pairs(pages()),
+                              num_partitions=64).count()
+    t1 = time.monotonic()
+    n_text = extract_page_text(pages(), html_col="html",
+                               out_col="txt").count()
+    t2 = time.monotonic()
+    n_canon = canonical_pairs(pages()).count()
+    t3 = time.monotonic()
+    n_tmpl = url_templates(
+        pages().map_batches(lambda t: t.select(["url"]),
+                            batch_format="pyarrow"), k=3).count()
+    t4 = time.monotonic()
+    n_ok = robots_filter(
+        pages().map_batches(lambda t: t.select(["url"]),
+                            batch_format="pyarrow"),
+        [(f"http://h{i}.example/", False) for i in range(8)]
+        + [("http://h3.example/item/", True)]).count()
+    t5 = time.monotonic()
+    wall = t5 - t0
+    return {"sec": wall,
+            "anchor_sec": round(t1 - t0, 2), "anchor_targets": n_anchor,
+            "text_sec": round(t2 - t1, 2), "texts": n_text,
+            "canonical_sec": round(t3 - t2, 2), "canonicals": n_canon,
+            "template_sec": round(t4 - t3, 2), "templates": n_tmpl,
+            "robots_sec": round(t5 - t4, 2), "allowed": n_ok,
+            "pages_per_s": round(5 * 100_000 / wall, 1)}
+
+
 def bench_knn(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -1217,6 +1295,7 @@ def _run_one(name: str, sf_dir: str, num_cpus: int, sf: float) -> dict:
         "bfs_xl": lambda: bench_bfs_xl(sf_dir),
         "spans_xl": lambda: bench_spans_xl(sf_dir),
         "tok_xl": lambda: bench_tok_xl(sf_dir),
+        "webtext_xl": lambda: bench_webtext_xl(sf_dir),
         "dupfam_xl": lambda: bench_dupfam_xl(sf_dir),
         "audit_xl": lambda: bench_audit_xl(sf_dir),
     }
