@@ -5335,6 +5335,43 @@ def _q_docs_mirror_hosts(sf_dir: str):
     return mirror_hosts(ds, min_shared=1, num_partitions=16)
 
 
+def _q_docs_sitemap_entries(sf_dir: str):
+    """Sitemap seed ingestion (``ops.policy.sitemap_entries``): one
+    constructed sitemap page per doc — a <url> entry (or a
+    <sitemap> index pointer for every 10th doc), lastmod present only
+    for doc_id%3==0.  The oracle restates every field arithmetically,
+    so block matching, optional-lastmod nulls and the index flag are
+    all on the hash."""
+    from torray.ops.policy import sitemap_entries
+
+    def to_xml(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
+        host = pc.cast(pa.array(d % 5, pa.int64()), pa.string())
+        daystr = pc.cast(pa.array(d % 28, pa.int64()), pa.string())
+        loc = pc.binary_join_element_wise(
+            "http://h", host, ".example/p/", dstr, "")
+        mod = pc.if_else(
+            pa.array(d % 3 == 0),
+            pc.binary_join_element_wise(
+                "<lastmod>d", daystr, "</lastmod>", ""),
+            pa.scalar(""))
+        tag = pc.if_else(pa.array(d % 10 == 0),
+                         pa.scalar("sitemap"), pa.scalar("url"))
+        xml = pc.binary_join_element_wise(
+            '<?xml version="1.0"?><urlset><', tag, "><loc>", loc,
+            "</loc>", mod, "</", tag, "></urlset>", "")
+        sm = pc.binary_join_element_wise(
+            "http://h", host, ".example/sitemap", dstr, ".xml", "")
+        return pa.table({"url": sm,
+                         "xml": xml.cast(pa.large_binary())})
+
+    ds = _read_f(sf_dir, "documents",
+                 columns=["doc_id"]).map_batches(
+        to_xml, batch_format="pyarrow")
+    return sitemap_entries(ds, url_col="url", xml_col="xml")
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5601,6 +5638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_templates": _q_docs_url_templates,
         "docs_canonical_groups": _q_docs_canonical_groups,
         "docs_mirror_hosts": _q_docs_mirror_hosts,
+        "docs_sitemap_entries": _q_docs_sitemap_entries,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -7966,6 +8004,18 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # sitemap ingestion: every field restated arithmetically;
+        # lastmod null unless doc_id%3=0, index flag on doc_id%10=0
+        "docs_sitemap_entries": (
+            "SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR) || "
+            "'.example/sitemap' || CAST(doc_id AS VARCHAR) || '.xml' "
+            "AS sitemap, "
+            "'http://h' || CAST(doc_id % 5 AS VARCHAR) || "
+            "'.example/p/' || CAST(doc_id AS VARCHAR) AS loc, "
+            "CASE WHEN doc_id % 3 = 0 THEN "
+            "'d' || CAST(doc_id % 28 AS VARCHAR) END AS lastmod, "
+            "doc_id % 10 = 0 AS is_index FROM documents"
         ),
         # mirror-host detection: hosts = doc_id%7; shared-page counts
         # from the DISTINCT (host, text) self-join, jaccard over the

@@ -6251,3 +6251,34 @@ def test_mirror_hosts_shared_pages(ray_session):
     assert mirror_hosts(ray.data.from_arrow(t3)).count() == 0
     assert mirror_hosts(
         ray.data.from_arrow(t.slice(0, 0))).count() == 0
+
+
+def test_sitemap_entries_parsing(ray_session):
+    import ray
+
+    from torray.ops.policy import sitemap_entries
+
+    urlset = (b'<?xml version="1.0"?>\n'
+              b'<urlset xmlns="http://www.sitemaps.org/schemas/'
+              b'sitemap/0.9">\n'
+              b'<url><loc> http://a/1 </loc>'
+              b'<lastmod>2026-01-02</lastmod></url>\n'
+              b'<url><loc>http://a/2</loc></url>\n'
+              b'<url><lastmod>2026-01-03</lastmod></url>\n'  # no loc
+              b'</urlset>')
+    index = (b'<sitemapindex><sitemap><loc>http://a/s1.xml</loc>'
+             b'</sitemap><SITEMAP><loc>http://a/s2.xml</loc>'
+             b'<lastmod>2026-02-01</lastmod></SITEMAP></sitemapindex>')
+    t = pa.table({"url": ["http://a/sitemap.xml", "http://a/idx.xml",
+                          "http://a/broken.xml"],
+                  "xml": pa.array([urlset, index, None], pa.binary())})
+    out = (sitemap_entries(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("loc", ignore_index=True))
+    assert out["loc"].tolist() == [
+        "http://a/1", "http://a/2", "http://a/s1.xml",
+        "http://a/s2.xml"]
+    assert out["lastmod"].tolist()[0] == "2026-01-02"
+    assert out["lastmod"].isna().tolist() == [False, True, True, False]
+    assert out["is_index"].tolist() == [False, False, True, True]
+    assert set(out["sitemap"]) == {"http://a/sitemap.xml",
+                                   "http://a/idx.xml"}

@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["parse_robots", "robots_mark", "robots_filter",
-           "url_templates"]
+           "url_templates", "sitemap_entries"]
 
 
 def parse_robots(text: str, *, agent: str = "*",
@@ -183,3 +183,57 @@ def url_templates(ds, *, url_col: str = "url", k: int = 3):
                             "n": t.column("sum(__n)").cast(pa.int64())}),
         batch_format="pyarrow")
     return group_topk(counts, "host", "n", k, "template")
+
+
+def sitemap_entries(ds, *, url_col: str = "url",
+                    xml_col: str = "xml"):
+    """Parse sitemap XML pages into seed rows ``(sitemap, loc,
+    lastmod, is_index)`` — the standing seed-ingestion source a crawl
+    round unions into its frontier.  Handles both ``<urlset>`` entry
+    blocks (``<url><loc>..</loc><lastmod>..</lastmod></url>``,
+    lastmod optional -> null) and ``<sitemapindex>`` child pointers
+    (``<sitemap><loc>..</loc></sitemap>``, ``is_index=true`` so the
+    driver loop can fetch-and-expand).  CDATA-free subset of the
+    sitemaps.org protocol; compiled-regex scans per batch, XML bytes
+    never leave the block."""
+    import re as _re
+
+    block_re = _re.compile(
+        rb"<(url|sitemap)\b[^>]*>(.*?)</\1\s*>",
+        _re.IGNORECASE | _re.DOTALL)
+    loc_re = _re.compile(rb"<loc\s*>\s*(.*?)\s*</loc\s*>",
+                         _re.IGNORECASE | _re.DOTALL)
+    mod_re = _re.compile(rb"<lastmod\s*>\s*(.*?)\s*</lastmod\s*>",
+                         _re.IGNORECASE | _re.DOTALL)
+
+    def extract(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "sitemap": pa.array([], pa.string()),
+                "loc": pa.array([], pa.string()),
+                "lastmod": pa.array([], pa.string()),
+                "is_index": pa.array([], pa.bool_())})
+        sm, loc, mod, isx = [], [], [], []
+        for u, x in zip(t.column(url_col).to_pylist(),
+                        t.column(xml_col).to_pylist()):
+            if x is None:
+                continue
+            if isinstance(x, str):
+                x = x.encode("utf-8", "replace")
+            for m in block_re.finditer(x):
+                body = m.group(2)
+                lm = loc_re.search(body)
+                if not lm or not lm.group(1):
+                    continue
+                mm = mod_re.search(body)
+                sm.append(u)
+                loc.append(lm.group(1).decode("utf-8", "replace"))
+                mod.append(mm.group(1).decode("utf-8", "replace")
+                           if mm and mm.group(1) else None)
+                isx.append(m.group(1).lower() == b"sitemap")
+        return pa.table({"sitemap": pa.array(sm, pa.string()),
+                         "loc": pa.array(loc, pa.string()),
+                         "lastmod": pa.array(mod, pa.string()),
+                         "is_index": pa.array(isx, pa.bool_())})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
