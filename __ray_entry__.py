@@ -5372,6 +5372,42 @@ def _q_docs_sitemap_entries(sf_dir: str):
     return sitemap_entries(ds, url_col="url", xml_col="xml")
 
 
+def _q_docs_template_clusters(sf_dir: str):
+    """DOM template clustering (``ops.text.template_clusters``):
+    three page generators (article / double-paragraph div / table) by
+    doc_id%3, every page carrying doc-specific text and attributes
+    that must NOT affect the fingerprint.  The oracle groups by the
+    generator arithmetic and states leader/count/tag-length, so the
+    tag-sequence hash's content-invariance is on the hash."""
+    from torray.ops.text import template_clusters
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
+        txt = t.column("text")
+        v0 = pc.binary_join_element_wise(
+            "<html><body><h1>T", dstr, "</h1><p>", txt,
+            "</p></body></html>", "")
+        v1 = pc.binary_join_element_wise(
+            '<html><body><div class="c', dstr, '"><p>', txt,
+            "</p><p>x", dstr, "</p></div></body></html>", "")
+        v2 = pc.binary_join_element_wise(
+            "<html><body><table><tr><td id='", dstr, "'>", txt,
+            "</td></tr></table></body></html>", "")
+        m3 = pa.array(d % 3, pa.int64())
+        html = pc.if_else(pc.equal(m3, 0), v0,
+                          pc.if_else(pc.equal(m3, 1), v1, v2))
+        url = pc.binary_join_element_wise(
+            "http://docs.example/", dstr, "")
+        return pa.table({"url": url,
+                         "html": html.cast(pa.large_binary())})
+
+    pages = _read_f(sf_dir, "documents",
+                    columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow")
+    return template_clusters(pages, num_partitions=8)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5639,6 +5675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_canonical_groups": _q_docs_canonical_groups,
         "docs_mirror_hosts": _q_docs_mirror_hosts,
         "docs_sitemap_entries": _q_docs_sitemap_entries,
+        "docs_template_clusters": _q_docs_template_clusters,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -8004,6 +8041,18 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # DOM template clustering: generator = doc_id%3; tag counts
+        # stated from the construction (8 / 10 / 10 tags); leader =
+        # lexicographically smallest member url
+        "docs_template_clusters": (
+            "SELECT MIN('http://docs.example/' || "
+            "CAST(doc_id AS VARCHAR)) AS leader_url, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pages, "
+            "CAST(CASE m WHEN 0 THEN 8 ELSE 10 END AS BIGINT) "
+            "AS n_tags FROM ("
+            "SELECT doc_id, doc_id % 3 AS m FROM documents) "
+            "GROUP BY m"
         ),
         # sitemap ingestion: every field restated arithmetically;
         # lastmod null unless doc_id%3=0, index flag on doc_id%10=0

@@ -6282,3 +6282,34 @@ def test_sitemap_entries_parsing(ray_session):
     assert out["is_index"].tolist() == [False, False, True, True]
     assert set(out["sitemap"]) == {"http://a/sitemap.xml",
                                    "http://a/idx.xml"}
+
+
+def test_template_clusters(ray_session):
+    import ray
+
+    from torray.ops.text import template_clusters
+
+    tpl_a = "<html><body><h1>%s</h1><p>%s</p></body></html>"
+    tpl_b = "<html><body><div><p>%s</p></div></body></html>"
+    pages, urls = [], []
+    for i in range(6):
+        urls.append(f"http://s/{i}")
+        pages.append((tpl_a if i % 2 == 0 else tpl_b)
+                     % ((f"title {i}", f"body {i}")
+                        if i % 2 == 0 else (f"text {i}",)))
+    # attributes and text must NOT affect the fingerprint
+    urls.append("http://s/6")
+    pages.append('<html><body><h1 class="x">Z</h1>'
+                 "<p id='q'>W</p></body></html>")
+    urls.append("http://s/none")
+    pages.append(None)
+    t = pa.table({"url": pa.array(urls, pa.string()),
+                  "html": pa.array(pages, pa.string())})
+    for parts in (1, 3):
+        out = (template_clusters(
+            ray.data.from_arrow(t).repartition(parts))
+            .to_pandas().sort_values("leader_url",
+                                     ignore_index=True))
+        assert out.values.tolist() == [
+            ["http://s/0", 4, 8],   # tpl_a: docs 0,2,4,6
+            ["http://s/1", 3, 8]]   # tpl_b: docs 1,3,5

@@ -49,6 +49,7 @@ __all__ = [
     "gopher_rules_filter",
     "html_to_text",
     "extract_page_text",
+    "template_clusters",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -2124,3 +2125,84 @@ def extract_page_text(ds, *, html_col: str = "html",
         return pa.table(cols)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+_TAG_NAME_RE = re.compile(r"<(/?[A-Za-z][A-Za-z0-9]*)")
+
+
+def template_clusters(ds, *, url_col: str = "url",
+                      html_col: str = "html",
+                      num_partitions: int = 64):
+    """Cluster pages by DOM TEMPLATE: the fingerprint is a 64-bit
+    hash of the page's full tag-name sequence (open and close tags,
+    lowercased, attributes and text ignored) — pages generated by the
+    same template collide regardless of content, the complement of
+    content-hash dedup for boilerplate discovery.  Returns one row
+    per template: ``(leader_url, n_pages, n_tags)`` with
+    ``leader_url`` the lexicographically smallest member URL (a
+    stable, partition-invariant cluster id) and ``n_tags`` the
+    sequence length.
+
+    Scale shape: tag sequences are single compiled-regex scans; each
+    block collapses to per-fingerprint partials (min url, count,
+    n_tags) via Arrow C++ ``group_by`` — page bytes and tag sequences
+    never leave the block; ONE narrow (fp, url, n) shuffle, then the
+    hashed-partition run-scan folds partials without per-cluster
+    Python."""
+    from torray.ops.dedup import fnv1a64_strings
+    from torray.ops.window import _hash_col_np
+
+    part_cols = ("__fp", "__url", "__n", "__tags")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "__fp": pa.array([], pa.int64()),
+                "__url": pa.array([], pa.string()),
+                "__n": pa.array([], pa.int64()),
+                "__tags": pa.array([], pa.int64()),
+                "__part": pa.array([], pa.int64())})
+        urls, seqs, lens = [], [], []
+        for u, h in zip(t.column(url_col).to_pylist(),
+                        t.column(html_col).to_pylist()):
+            if h is None:
+                continue
+            if isinstance(h, (bytes, bytearray, memoryview)):
+                h = bytes(h).decode("utf-8", "replace")
+            tags = _TAG_NAME_RE.findall(h)
+            urls.append(u)
+            seqs.append(" ".join(tags).lower())
+            lens.append(len(tags))
+        fp = fnv1a64_strings(pa.array(seqs, pa.string()))
+        tbl = pa.table({
+            "__fp": pa.array(fp.view(np.int64), pa.int64()),
+            "__url": pa.array(urls, pa.string()),
+            "__tags": pa.array(lens, pa.int64())})
+        g = tbl.group_by(["__fp", "__tags"]).aggregate(
+            [("__url", "min"), ([], "count_all")])
+        fps = g.column("__fp").to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(fps)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            "__fp": g.column("__fp"),
+            "__url": g.column("__url_min"),
+            "__n": g.column("count_all").cast(pa.int64()),
+            "__tags": g.column("__tags"),
+            "__part": pa.array(part, pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"leader_url": pa.array([], pa.string()),
+                             "n_pages": pa.array([], pa.int64()),
+                             "n_tags": pa.array([], pa.int64())})
+        g = (group.select(list(part_cols))
+             .group_by(["__fp", "__tags"])
+             .aggregate([("__url", "min"), ("__n", "sum")]))
+        return pa.table({
+            "leader_url": g.column("__url_min"),
+            "n_pages": g.column("__n_sum").cast(pa.int64()),
+            "n_tags": g.column("__tags")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(fold, batch_format="pyarrow"))
