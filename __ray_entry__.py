@@ -5408,6 +5408,31 @@ def _q_docs_template_clusters(sf_dir: str):
     return template_clusters(pages, num_partitions=8)
 
 
+def _q_docs_redirect_map(sf_dir: str):
+    """Whole-map redirect resolution (``ops.graph.resolve_redirects``,
+    pointer doubling — O(log max_hops) narrow shuffles): chains
+    u{4k+3} -> u{4k+2} -> u{4k+1} -> u{4k} (sinks at multiples of 4).
+    The oracle states final/hops arithmetically, certifying the
+    doubled hop accounting exactly."""
+    from torray.ops.graph import resolve_redirects
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d = d[d % 4 > 0]
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                "u", pc.cast(pa.array(d, pa.int64()), pa.string()),
+                ""),
+            "dst": pc.binary_join_element_wise(
+                "u", pc.cast(pa.array(d - 1, pa.int64()),
+                             pa.string()), "")})
+
+    edges = _read_f(sf_dir, "documents",
+                    columns=["doc_id"]).map_batches(
+        to_edges, batch_format="pyarrow")
+    return resolve_redirects(edges, max_hops=8, num_partitions=2)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5676,6 +5701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mirror_hosts": _q_docs_mirror_hosts,
         "docs_sitemap_entries": _q_docs_sitemap_entries,
         "docs_template_clusters": _q_docs_template_clusters,
+        "docs_redirect_map": _q_docs_redirect_map,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -8041,6 +8067,15 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # redirect-chain resolution: chains descend to the nearest
+        # multiple of 4; final/hops are pure doc_id arithmetic, no
+        # cycles in the construction (cycle paths are pytest-covered)
+        "docs_redirect_map": (
+            "SELECT 'u' || CAST(doc_id AS VARCHAR) AS src, "
+            "'u' || CAST(doc_id - (doc_id % 4) AS VARCHAR) AS final, "
+            "CAST(doc_id % 4 AS BIGINT) AS hops, FALSE AS cycle "
+            "FROM documents WHERE doc_id % 4 > 0"
         ),
         # DOM template clustering: generator = doc_id%3; tag counts
         # stated from the construction (8 / 10 / 10 tags); leader =

@@ -6313,3 +6313,39 @@ def test_template_clusters(ray_session):
         assert out.values.tolist() == [
             ["http://s/0", 4, 8],   # tpl_a: docs 0,2,4,6
             ["http://s/1", 3, 8]]   # tpl_b: docs 1,3,5
+
+
+def test_resolve_redirects_chains_and_cycles(ray_session):
+    import ray
+
+    from torray.ops.graph import resolve_redirects
+
+    #  a->b->c->d (d is a sink); e->f->e (2-cycle); g->g (self-loop);
+    #  dup source h with two targets -> smallest dst wins (h->a)
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("e", "f"), ("f", "e"), ("g", "g"),
+             ("h", "z"), ("h", "a")]
+    t = pa.table({"src": pa.array([x for x, _ in edges]),
+                  "dst": pa.array([y for _, y in edges])})
+    for parts in (1, 4):
+        out = resolve_redirects(
+            ray.data.from_arrow(t).repartition(parts),
+            max_hops=16).to_pandas().set_index("src")
+        assert out.loc["a", "final"] == "d"
+        assert out.loc["a", "hops"] == 3
+        assert out.loc["b", "final"] == "d"
+        assert out.loc["b", "hops"] == 2
+        assert out.loc["c", "hops"] == 1
+        assert not out.loc["a", "cycle"]
+        # h deterministically follows its smallest target into a's
+        # chain: h->a->b->c->d
+        assert out.loc["h", "final"] == "d"
+        assert out.loc["h", "hops"] == 4
+        # cycles flagged
+        assert bool(out.loc["e", "cycle"])
+        assert bool(out.loc["f", "cycle"])
+        assert bool(out.loc["g", "cycle"])
+        assert not out.loc["c", "cycle"]
+
+    assert resolve_redirects(ray.data.from_arrow(
+        t.slice(0, 0))).count() == 0
