@@ -94,8 +94,7 @@ def anchor_summary(pairs_ds, *, num_partitions: int = 64):
     string), ``top_n`` its count."""
     from ray.data.aggregate import Sum
 
-    from torray.ops.join import safe_join
-    from torray.ops.orderagg import group_argmax
+    from torray.ops.window import _hash_col_np
 
     def pair_counts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -111,51 +110,54 @@ def anchor_summary(pairs_ds, *, num_partitions: int = 64):
 
     counts = (pairs_ds.map_batches(pair_counts, batch_format="pyarrow")
               .groupby(["dst", "anchor"]).aggregate(Sum("__n")))
-    counts = counts.map_batches(
-        lambda t: pa.table({"dst": t.column("dst"),
-                            "anchor": t.column("anchor"),
-                            "n": t.column("sum(__n)").cast(pa.int64())}),
-        batch_format="pyarrow").materialize()
 
-    def totals_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"dst": pa.array([], pa.string()),
-                             "__refs": pa.array([], pa.int64()),
-                             "__k": pa.array([], pa.int64())})
-        g = (t.select(["dst", "n"]).group_by("dst")
-             .aggregate([("n", "sum"), ([], "count_all")]))
-        return pa.table({"dst": g.column("dst"),
-                         "__refs": g.column("n_sum").cast(pa.int64()),
-                         "__k": g.column("count_all").cast(pa.int64())})
+    # ONE hashed-partition run-scan computes all four outputs per dst
+    # from the globally-unique (dst, anchor, n) rows — totals, distinct
+    # count and the argmax in a single lexsort pass (the prior shape's
+    # second groupby + argmax sort + join were three more sub-DAGs for
+    # the same answer).
+    def tag(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "dst": t.column("dst") if t.num_rows else
+            pa.array([], pa.string()),
+            "anchor": t.column("anchor") if t.num_rows else
+            pa.array([], pa.string()),
+            "n": (t.column("sum(__n)").cast(pa.int64())
+                  if t.num_rows else pa.array([], pa.int64()))})
+        d = out.column("dst").to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(d)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return out.append_column("__part", pa.array(part, pa.int64()))
 
-    totals = (counts.map_batches(totals_partial, batch_format="pyarrow")
-              .groupby("dst").aggregate(Sum("__refs"), Sum("__k")))
-    totals = totals.map_batches(
-        lambda t: pa.table({
-            "dst": t.column("dst"),
-            "n_refs": t.column("sum(__refs)").cast(pa.int64()),
-            "n_anchors": t.column("sum(__k)").cast(pa.int64())}),
-        batch_format="pyarrow")
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "dst": pa.array([], pa.string()),
+                "n_refs": pa.array([], pa.int64()),
+                "n_anchors": pa.array([], pa.int64()),
+                "top_anchor": pa.array([], pa.string()),
+                "top_n": pa.array([], pa.int64())})
+        d = group.column("dst").to_numpy(zero_copy_only=False)
+        a = group.column("anchor").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        # per dst: rows sorted count-desc then anchor-asc -> the run
+        # head IS the top anchor; sums/lengths fold with reduceat
+        order = np.lexsort((a, -n, d))
+        d, a, n = d[order], a[order], n[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], d[1:] != d[:-1])))
+        lens = np.diff(np.append(starts, len(d)))
+        refs = np.add.reduceat(n, starts)
+        return pa.table({
+            "dst": pa.array(d[starts], pa.string()),
+            "n_refs": pa.array(refs, pa.int64()),
+            "n_anchors": pa.array(lens, pa.int64()),
+            "top_anchor": pa.array(a[starts], pa.string()),
+            "top_n": pa.array(n[starts], pa.int64())})
 
-    def negn(t: pa.Table) -> pa.Table:
-        return t.append_column("__negn", pa.array(
-            -t.column("n").to_numpy(zero_copy_only=False), pa.int64()))
-
-    top = group_argmax(
-        counts.map_batches(negn, batch_format="pyarrow"),
-        group_col="dst", order_cols=["__negn", "anchor"],
-        keep_cols=["n"], mode="min", num_partitions=num_partitions)
-    top = top.map_batches(
-        lambda t: pa.table({"dst": t.column("dst"),
-                            "top_anchor": t.column("anchor"),
-                            "top_n": t.column("n").cast(pa.int64())}),
-        batch_format="pyarrow")
-
-    out = safe_join(totals, top, "inner", 4, on=("dst",))
-    return out.map_batches(
-        lambda t: t.select(["dst", "n_refs", "n_anchors",
-                            "top_anchor", "top_n"]),
-        batch_format="pyarrow")
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
 
 
 _LINK_TAG_RE = re.compile(rb"<link\b[^>]*>", re.IGNORECASE)
