@@ -5433,6 +5433,57 @@ def _q_docs_redirect_map(sf_dir: str):
     return resolve_redirects(edges, max_hops=8, num_partitions=2)
 
 
+def _q_docs_page_metadata(sf_dir: str):
+    """Head-metadata harvesting (``ops.anchors.page_metadata``):
+    constructed pages declare lang / charset / description /
+    og:title / robots-noindex on independent doc_id moduli (each
+    field absent on part of the corpus -> nulls on the hash), with
+    an http-equiv Content-Type decoy that must NOT populate charset.
+    Oracle restates every field arithmetically."""
+    from torray.ops.anchors import page_metadata
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
+        langs = pa.array(np.array(
+            [' lang="en"', " lang='fr'", " lang=de", ""])[d % 4],
+            pa.string())
+        charset = pc.if_else(
+            pa.array(d % 2 == 0),
+            pa.scalar("<meta charset=utf-8>"), pa.scalar(""))
+        desc = pc.if_else(
+            pa.array(d % 3 != 0),
+            pc.binary_join_element_wise(
+                '<meta name=description content="Desc ', dstr, '">',
+                ""),
+            pa.scalar(""))
+        ogt = pc.if_else(
+            pa.array(d % 5 == 0),
+            pc.binary_join_element_wise(
+                '<meta content="T', dstr,
+                '" property="og:title">', ""),
+            pa.scalar(""))
+        nidx = pc.if_else(
+            pa.array(d % 10 == 0),
+            pa.scalar('<meta name="robots" content="noindex">'),
+            pa.scalar(""))
+        html = pc.binary_join_element_wise(
+            "<html", langs, "><head>",
+            '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=latin-1">',
+            charset, desc, ogt, nidx,
+            "</head><body>x</body></html>", "")
+        url = pc.binary_join_element_wise(
+            "http://docs.example/", dstr, "")
+        return pa.table({"url": url,
+                         "html": html.cast(pa.large_binary())})
+
+    pages = _read_f(sf_dir, "documents",
+                    columns=["doc_id"]).map_batches(
+        to_pages, batch_format="pyarrow")
+    return page_metadata(pages)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5702,6 +5753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sitemap_entries": _q_docs_sitemap_entries,
         "docs_template_clusters": _q_docs_template_clusters,
         "docs_redirect_map": _q_docs_redirect_map,
+        "docs_page_metadata": _q_docs_page_metadata,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -8067,6 +8119,20 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # head-metadata harvesting: every field restated from its
+        # modulus; the http-equiv decoy never populates charset
+        "docs_page_metadata": (
+            "SELECT 'http://docs.example/' || "
+            "CAST(doc_id AS VARCHAR) AS url, "
+            "CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' "
+            "WHEN 2 THEN 'de' END AS lang, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'utf-8' END AS charset, "
+            "CASE WHEN doc_id % 3 <> 0 THEN "
+            "'Desc ' || CAST(doc_id AS VARCHAR) END AS description, "
+            "CASE WHEN doc_id % 5 = 0 THEN "
+            "'T' || CAST(doc_id AS VARCHAR) END AS og_title, "
+            "doc_id % 10 = 0 AS noindex FROM documents"
         ),
         # redirect-chain resolution: chains descend to the nearest
         # multiple of 4; final/hops are pure doc_id arithmetic, no

@@ -6349,3 +6349,39 @@ def test_resolve_redirects_chains_and_cycles(ray_session):
 
     assert resolve_redirects(ray.data.from_arrow(
         t.slice(0, 0))).count() == 0
+
+
+def test_page_metadata_extraction(ray_session):
+    import ray
+
+    from torray.ops.anchors import page_metadata
+
+    pages = [
+        # all fields, mixed quoting and attribute order
+        b'<html LANG="en-US"><head><meta charset=utf-8>'
+        b"<meta content='A page.' name=description>"
+        b'<meta property="og:title" content="OG Title">'
+        b'<meta name="robots" content="NOINDEX, nofollow">'
+        b'</head></html>',
+        # http-equiv charset form must NOT populate charset; first
+        # description wins
+        b'<html lang=fr><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=latin-1">'
+        b'<meta name="description" content="first">'
+        b'<meta name="description" content="second">',
+        # nothing declared
+        b'<html><body>plain</body></html>',
+        None,
+    ]
+    t = pa.table({"url": [f"u{i}" for i in range(len(pages))],
+                  "html": pa.array(pages, pa.binary())})
+    out = (page_metadata(ray.data.from_arrow(t)).to_pandas()
+           .set_index("url"))
+    assert len(out) == 3  # null html dropped
+    assert out.loc["u0"].tolist() == [
+        "en-US", "utf-8", "A page.", "OG Title", True]
+    assert out.loc["u1", "lang"] == "fr"
+    assert out.loc["u1", "charset"] is None
+    assert out.loc["u1", "description"] == "first"
+    assert not out.loc["u1", "noindex"]
+    assert out.loc["u2"].tolist() == [None, None, None, None, False]

@@ -19,11 +19,15 @@ the block: the emitted rows are the narrow extraction only.
 - exact counts: per-block Arrow ``group_by(dst, anchor)`` combiners,
   then ONE ``groupby([dst, anchor])`` sum — the shuffle carries
   distinct pairs, never raw rows;
-- totals/distincts fold from the globally-unique (dst, anchor, n)
-  rows with a second per-block combiner + narrow ``groupby(dst)``;
-- ``top_anchor`` = most-referenced anchor, ties to the
-  lexicographically smallest (``ops.orderagg.group_argmax`` hashed
-  run-scan — no Python call per target).
+- totals, distinct count and the top anchor (ties to the
+  lexicographically smallest) all fold in ONE hashed-partition
+  run-scan over the globally-unique (dst, anchor, n) rows — a single
+  lexsort pass per partition, no Python call per target.
+
+:func:`canonical_pairs` and :func:`page_metadata` harvest the other
+head-level webtext signals (publisher dedup hints; lang / charset /
+description / og:title / robots-noindex) with the same
+compiled-regex, bytes-stay-in-block budget.
 
 The reference crawler stores raw link lists only; anchor harvesting
 belongs to the training-data layer (SURVEY.md "beyond the
@@ -36,7 +40,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["anchor_pairs", "anchor_summary", "canonical_pairs"]
+__all__ = ["anchor_pairs", "anchor_summary", "canonical_pairs",
+           "page_metadata"]
 
 _ANCHOR_RE = re.compile(
     rb"""<a\b[^>]*?\bhref\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)[^>]*>"""
@@ -209,5 +214,101 @@ def canonical_pairs(ds, *, url_col: str = "url",
                     break  # first declaration wins
         return pa.table({"url": pa.array(src, pa.string()),
                          "canonical": pa.array(dst, pa.string())})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+_META_TAG_RE = re.compile(rb"<meta\b[^>]*>", re.IGNORECASE)
+_HTML_LANG_RE = re.compile(
+    rb"""<html\b[^>]*?\blang\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""",
+    re.IGNORECASE)
+_ATTR_RES = {
+    "name": re.compile(
+        rb"""\bname\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.IGNORECASE),
+    "property": re.compile(
+        rb"""\bproperty\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""",
+        re.IGNORECASE),
+    "content": re.compile(
+        rb"""\bcontent\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""",
+        re.IGNORECASE),
+    "charset": re.compile(
+        rb"""\bcharset\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""",
+        re.IGNORECASE),
+}
+
+
+def _unquote(v: bytes | None) -> str | None:
+    if v is None:
+        return None
+    if v[:1] in (b'"', b"'"):
+        v = v[1:-1]
+    v = v.strip()
+    return v.decode("utf-8", "replace") if v else None
+
+
+def page_metadata(ds, *, url_col: str = "url",
+                  html_col: str = "html"):
+    """Harvest head metadata into typed columns — ``(url, lang,
+    charset, description, og_title, noindex)``: the ``<html lang>``
+    attribute, ``<meta charset>``, ``<meta name=description>``,
+    ``<meta property=og:title>`` and whether a robots meta declares
+    ``noindex`` (curation gate: publishers opting out of indexing).
+    First occurrence wins per field; absent fields are null; matching
+    is attribute-order-free across all three quote styles.  One
+    compiled-regex scan collects every <meta> tag; page bytes never
+    leave the block."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        urls, langs, chars, descs, ogts, noidx = [], [], [], [], [], []
+        for u, h in zip(t.column(url_col).to_pylist(),
+                        t.column(html_col).to_pylist()
+                        if t.num_rows else []):
+            if h is None:
+                continue
+            if isinstance(h, str):
+                h = h.encode("utf-8", "replace")
+            lang = None
+            lm = _HTML_LANG_RE.search(h)
+            if lm:
+                lang = _unquote(lm.group(1))
+            charset = desc = ogt = None
+            noindex = False
+            for m in _META_TAG_RE.finditer(h):
+                tag = m.group(0)
+                cm = _ATTR_RES["charset"].search(tag)
+                # only the HTML5 <meta charset=...> form — an
+                # http-equiv Content-Type tag carries charset= inside
+                # its content attribute and is skipped here
+                if cm and charset is None and \
+                        not _ATTR_RES["content"].search(tag):
+                    charset = _unquote(cm.group(1))
+                nm = _ATTR_RES["name"].search(tag)
+                name = (_unquote(nm.group(1)) or "").lower() \
+                    if nm else ""
+                con = _ATTR_RES["content"].search(tag)
+                content = _unquote(con.group(1)) if con else None
+                if name == "description" and desc is None:
+                    desc = content
+                elif name == "robots" and content and \
+                        "noindex" in content.lower():
+                    noindex = True
+                pm = _ATTR_RES["property"].search(tag)
+                prop = (_unquote(pm.group(1)) or "").lower() \
+                    if pm else ""
+                if prop == "og:title" and ogt is None:
+                    ogt = content
+            urls.append(u)
+            langs.append(lang)
+            chars.append(charset)
+            descs.append(desc)
+            ogts.append(ogt)
+            noidx.append(noindex)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "charset": pa.array(chars, pa.string()),
+            "description": pa.array(descs, pa.string()),
+            "og_title": pa.array(ogts, pa.string()),
+            "noindex": pa.array(noidx, pa.bool_())})
 
     return ds.map_batches(extract, batch_format="pyarrow")
