@@ -5484,6 +5484,53 @@ def _q_docs_page_metadata(sf_dir: str):
     return page_metadata(pages)
 
 
+def _q_docs_harvest_corpus(sf_dir: str):
+    """END-TO-END webtext harvest (``torray.pipelines
+    .harvest_corpus``): robots rules block host h0, declared-language
+    allowlist (en, fr), robots-noindex gate (doc_id%10==0 opt out),
+    canonical gate (doc_id%7==0 declares one; it is self only for
+    even ids), then HTML->text extraction — ONE pass over the page
+    bytes for all gates + extraction.  The oracle restates the whole
+    kept-set predicate and the expected text arithmetically, so the
+    full composition is on one hash."""
+    from torray.pipelines import harvest_corpus
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
+        host = pc.cast(pa.array(d % 5, pa.int64()), pa.string())
+        url = pc.binary_join_element_wise(
+            "http://h", host, ".example/", dstr, "")
+        langs = pa.array(np.array(
+            [' lang="en"', " lang='fr'", " lang=de", ""])[d % 4],
+            pa.string())
+        nidx = pc.if_else(
+            pa.array(d % 10 == 0),
+            pa.scalar('<meta name="robots" content="noindex">'),
+            pa.scalar(""))
+        canon_url = pc.binary_join_element_wise(
+            "http://h", host, ".example/",
+            pc.cast(pa.array(d - (d % 2), pa.int64()), pa.string()),
+            "")
+        canon = pc.if_else(
+            pa.array(d % 7 == 0),
+            pc.binary_join_element_wise(
+                '<link rel="canonical" href="', canon_url, '">', ""),
+            pa.scalar(""))
+        html = pc.binary_join_element_wise(
+            "<html", langs, "><head>", nidx, canon,
+            "</head><body><p>", t.column("text"),
+            "</p></body></html>", "")
+        return pa.table({"url": url,
+                         "html": html.cast(pa.large_binary())})
+
+    pages = _read_f(sf_dir, "documents",
+                    columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow")
+    return harvest_corpus(pages, [("http://h0.example/", False)],
+                          langs=("en", "fr"))
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5754,6 +5801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_template_clusters": _q_docs_template_clusters,
         "docs_redirect_map": _q_docs_redirect_map,
         "docs_page_metadata": _q_docs_page_metadata,
+        "docs_harvest_corpus": _q_docs_harvest_corpus,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -8119,6 +8167,18 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # end-to-end harvest: kept-set predicate + extracted text
+        # restated arithmetically (host!=h0, declared lang in
+        # (en,fr), not noindex, canonical absent-or-self)
+        "docs_harvest_corpus": (
+            "SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR) || "
+            "'.example/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CASE doc_id % 4 WHEN 0 THEN 'en' ELSE 'fr' END AS lang, "
+            "text FROM documents "
+            "WHERE doc_id % 5 <> 0 AND doc_id % 4 IN (0, 1) "
+            "AND doc_id % 10 <> 0 "
+            "AND (doc_id % 7 <> 0 OR doc_id % 2 = 0)"
         ),
         # head-metadata harvesting: every field restated from its
         # modulus; the http-equiv decoy never populates charset

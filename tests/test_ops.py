@@ -6385,3 +6385,45 @@ def test_page_metadata_extraction(ray_session):
     assert out.loc["u1", "description"] == "first"
     assert not out.loc["u1", "noindex"]
     assert out.loc["u2"].tolist() == [None, None, None, None, False]
+
+
+def test_harvest_corpus_gates(ray_session):
+    import ray
+
+    from torray.pipelines import harvest_corpus
+
+    def page(lang=None, noindex=False, canon=None, body="hello"):
+        h = "<html" + (f' lang="{lang}"' if lang else "") + "><head>"
+        if noindex:
+            h += '<meta name="robots" content="noindex">'
+        if canon:
+            h += f'<link rel="canonical" href="{canon}">'
+        return h + f"</head><body><p>{body}</p></body></html>"
+
+    rows = [
+        ("http://ok/1", page(lang="en", body="keep one")),
+        ("http://ok/2", page(lang="en", canon="http://ok/2",
+                             body="self canonical")),
+        ("http://ok/3", page(lang="fr", body="wrong lang")),
+        ("http://ok/4", page(lang="en", noindex=True,
+                             body="opted out")),
+        ("http://ok/5", page(lang="en", canon="http://ok/1",
+                             body="duplicate copy")),
+        ("http://blocked/x", page(lang="en", body="robots blocked")),
+        ("http://ok/6", None),
+    ]
+    t = pa.table({"url": pa.array([u for u, _ in rows]),
+                  "html": pa.array([h for _, h in rows])})
+    out = (harvest_corpus(
+        ray.data.from_arrow(t),
+        [("http://blocked/", False)], langs=("en",))
+        .to_pandas().sort_values("url", ignore_index=True))
+    assert out["url"].tolist() == ["http://ok/1", "http://ok/2"]
+    assert out["text"].tolist() == ["keep one", "self canonical"]
+    assert out["lang"].tolist() == ["en", "en"]
+
+    # no rules / no lang gate: only noindex + foreign-canonical drop
+    out2 = harvest_corpus(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out2["url"]) == [
+        "http://blocked/x", "http://ok/1", "http://ok/2",
+        "http://ok/3"]

@@ -23,7 +23,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["curate_documents", "corpus_from_crawl", "canonical_docs"]
+__all__ = ["curate_documents", "corpus_from_crawl", "canonical_docs",
+           "harvest_corpus"]
 
 
 def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
@@ -235,3 +236,92 @@ def canonical_docs(docs_ds, pairs_ds, *, id_col: str = "doc_id",
                                               batch_format="pyarrow"),
                     "inner", join_parts, on=("component",))
     return out.select_columns(["node", "keeper"])
+
+
+def harvest_corpus(pages_ds, robots_rules=(), *,
+                   url_col: str = "url", html_col: str = "html",
+                   langs: tuple[str, ...] | None = None):
+    """Raw HTML pages -> training-corpus rows: the session-7 webtext
+    extraction layer composed end-to-end, every gate a streaming
+    batch transform over the SAME pass so page bytes are read once
+    and never shuffled:
+
+        robots_filter (policy rules, broadcast once)
+          -> page_metadata gates (drop robots-noindex pages; optional
+             declared-language allowlist)
+          -> canonical gate (drop pages whose <link rel=canonical>
+             points at a DIFFERENT url — the publisher already told
+             us which copy to keep)
+          -> extract_page_text (script/style removal, entity decode)
+
+    Returns ``(url, lang, text)``.  The metadata/canonical gates fuse
+    into one map_batches each; only the narrow output rows leave the
+    extraction blocks — at 100 TB the html column is read exactly
+    once and dropped inside the task.
+    """
+    import re as _re
+
+    from torray.ops.anchors import (_HREF_RE, _LINK_TAG_RE,
+                                    _REL_CANON_RE, _unquote)
+    from torray.ops.policy import robots_filter
+    from torray.ops.text import html_to_text
+
+    ds = pages_ds
+    if robots_rules:
+        ds = robots_filter(ds, robots_rules, url_col=url_col)
+
+    lang_set = set(langs) if langs is not None else None
+    lang_re = _re.compile(
+        rb"""<html\b[^>]*?\blang\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""",
+        _re.IGNORECASE)
+    noidx_re = _re.compile(
+        rb"""<meta\b[^>]*\bname\s*=\s*["']?robots["']?[^>]*>""",
+        _re.IGNORECASE)
+    content_re = _re.compile(
+        rb"""\bcontent\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""",
+        _re.IGNORECASE)
+
+    def gate_and_extract(t: pa.Table) -> pa.Table:
+        urls_out, langs_out, texts_out = [], [], []
+        for u, h in zip(t.column(url_col).to_pylist(),
+                        t.column(html_col).to_pylist()
+                        if t.num_rows else []):
+            if h is None:
+                continue
+            hb = h.encode("utf-8", "replace") if isinstance(h, str) \
+                else bytes(h)
+            # noindex gate
+            skip = False
+            for m in noidx_re.finditer(hb):
+                cm = content_re.search(m.group(0))
+                if cm and b"noindex" in (cm.group(1) or b"").lower():
+                    skip = True
+                    break
+            if skip:
+                continue
+            # declared-language gate
+            lm = lang_re.search(hb)
+            lang = _unquote(lm.group(1)) if lm else None
+            if lang_set is not None and lang not in lang_set:
+                continue
+            # canonical gate: first declaration, must be self or absent
+            canon = None
+            for m in _LINK_TAG_RE.finditer(hb):
+                tag = m.group(0)
+                if not _REL_CANON_RE.search(tag):
+                    continue
+                hm = _HREF_RE.search(tag)
+                if hm:
+                    canon = _unquote(hm.group(1))
+                break
+            if canon is not None and canon != u:
+                continue
+            urls_out.append(u)
+            langs_out.append(lang)
+            texts_out.append(html_to_text(hb))
+        return pa.table({
+            "url": pa.array(urls_out, pa.string()),
+            "lang": pa.array(langs_out, pa.string()),
+            "text": pa.array(texts_out, pa.string())})
+
+    return ds.map_batches(gate_and_extract, batch_format="pyarrow")
