@@ -5531,6 +5531,26 @@ def _q_docs_harvest_corpus(sf_dir: str):
                           langs=("en", "fr"))
 
 
+def _q_docs_reciprocal_links(sf_dir: str):
+    """Link-reciprocity classification (``ops.graph
+    .reciprocal_pairs``): directed edges doc_id%50 -> (doc_id*3)%50 —
+    a pair is reciprocal exactly when the arithmetic produces both
+    directions.  The link-farm signal; oracle mirrors with
+    LEAST/GREATEST + min/max dir."""
+    from torray.ops.graph import reciprocal_pairs
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(d % 50, pa.int64()),
+            "dst": pa.array((d * 3) % 50, pa.int64())})
+
+    edges = _read_f(sf_dir, "documents",
+                    columns=["doc_id"]).map_batches(
+        to_edges, batch_format="pyarrow")
+    return reciprocal_pairs(edges, num_partitions=2)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5802,6 +5822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_redirect_map": _q_docs_redirect_map,
         "docs_page_metadata": _q_docs_page_metadata,
         "docs_harvest_corpus": _q_docs_harvest_corpus,
+        "docs_reciprocal_links": _q_docs_reciprocal_links,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -8167,6 +8188,19 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # link reciprocity: both directions must exist; self-loops
+        # dropped; dir encoded 1/2 on the canonical order
+        "docs_reciprocal_links": (
+            "WITH e AS (SELECT DISTINCT doc_id % 50 AS s, "
+            "(doc_id * 3) % 50 AS d FROM documents), "
+            "p AS (SELECT DISTINCT LEAST(s, d) AS id_a, "
+            "GREATEST(s, d) AS id_b, "
+            "CASE WHEN s < d THEN 1 ELSE 2 END AS dir "
+            "FROM e WHERE s <> d) "
+            "SELECT id_a, id_b, "
+            "MIN(dir) = 1 AND MAX(dir) = 2 AS reciprocal "
+            "FROM p GROUP BY id_a, id_b"
         ),
         # end-to-end harvest: kept-set predicate + extracted text
         # restated arithmetically (host!=h0, declared lang in

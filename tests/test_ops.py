@@ -6427,3 +6427,24 @@ def test_harvest_corpus_gates(ray_session):
     assert sorted(out2["url"]) == [
         "http://blocked/x", "http://ok/1", "http://ok/2",
         "http://ok/3"]
+
+
+def test_reciprocal_pairs(ray_session):
+    import ray
+
+    from torray.ops.graph import reciprocal_pairs
+
+    edges = [(1, 2), (2, 1), (1, 3), (4, 5), (5, 4), (4, 5),
+             (6, 6), (7, 8)]
+    t = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    for parts in (1, 4):
+        out = (reciprocal_pairs(
+            ray.data.from_arrow(t).repartition(parts))
+            .to_pandas().sort_values(["id_a", "id_b"],
+                                     ignore_index=True))
+        assert out.values.tolist() == [
+            [1, 2, True], [1, 3, False], [4, 5, True],
+            [7, 8, False]]
+    assert reciprocal_pairs(
+        ray.data.from_arrow(t.slice(0, 0))).count() == 0

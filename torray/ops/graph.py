@@ -1673,3 +1673,53 @@ def resolve_redirects(edges_ds, *, src: str = "src", dst: str = "dst",
             "hops": t.column("h").cast(pa.int64()),
             "cycle": pc.is_valid(t.column("__is_src"))}),
         batch_format="pyarrow")
+
+
+def reciprocal_pairs(edges_ds, *, src: str = "src", dst: str = "dst",
+                     num_partitions: int = 4):
+    """Classify every undirected node pair of a DIRECTED edge list by
+    reciprocity — ``(id_a, id_b, reciprocal)`` with ``id_a < id_b``,
+    ``reciprocal=true`` iff BOTH directions exist.  High reciprocal
+    density between host groups is the classic link-farm / link-ring
+    signal (organic web links are overwhelmingly one-way); self-loops
+    are dropped.
+
+    Scale shape: each block reduces to DISTINCT (a, b, dir) int64
+    triples via Arrow C++ ``group_by`` (dir = 1 forward, 2 backward
+    of the canonical order); ONE narrow groupby folds min/max dir —
+    a pair is reciprocal exactly when both 1 and 2 survive."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "dir": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        s = t.column(src).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = t.column(dst).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if not len(s):
+            return empty
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        direction = np.where(s < d, 1, 2).astype(np.int64)
+        tbl = pa.table({"id_a": pa.array(a, pa.int64()),
+                        "id_b": pa.array(b, pa.int64()),
+                        "dir": pa.array(direction, pa.int64())})
+        return tbl.group_by(["id_a", "id_b", "dir"]).aggregate([])
+
+    folded = (edges_ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["id_a", "id_b"])
+              .aggregate(Min("dir"), Max("dir")))
+    return folded.map_batches(
+        lambda t: pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "reciprocal": pc.and_(
+                pc.equal(t.column("min(dir)"), 1),
+                pc.equal(t.column("max(dir)"), 2))}),
+        batch_format="pyarrow")
