@@ -5551,6 +5551,33 @@ def _q_docs_reciprocal_links(sf_dir: str):
     return reciprocal_pairs(edges, num_partitions=2)
 
 
+def _q_docs_media_sniff(sf_dir: str):
+    """Magic-byte payload classification (``ops.multimodal
+    .sniff_media_type``): ten payload classes cycle on doc_id%10
+    (incl. both RIFF formats and junk bytes), doc_id%13==0 rows carry
+    null payloads.  Oracle restates the verdict from the moduli."""
+    from torray.ops.multimodal import sniff_media_type
+
+    kinds = [b"%PDF-1.7 x", b"\x89PNG\r\n\x1a\n", b"GIF89a;",
+             b"\xff\xd8\xff\xe0JF", b"PK\x03\x04zz", b"\x1f\x8b\x08g",
+             b"P6 2 2 255 ", b"RIFF\x00\x00\x00\x00WAVEfmt",
+             b"RIFF\x00\x00\x00\x00AVI LIST", b"just text"]
+
+    def to_payloads(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pay = [None if x % 13 == 0 else kinds[x % 10] for x in d]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "payload": pa.array(pay, pa.binary())})
+
+    ds = _read_f(sf_dir, "documents",
+                 columns=["doc_id"]).map_batches(
+        to_payloads, batch_format="pyarrow")
+    out = sniff_media_type(ds)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "sniffed_type"]),
+        batch_format="pyarrow")
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5823,6 +5850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_page_metadata": _q_docs_page_metadata,
         "docs_harvest_corpus": _q_docs_harvest_corpus,
         "docs_reciprocal_links": _q_docs_reciprocal_links,
+        "docs_media_sniff": _q_docs_media_sniff,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -8188,6 +8216,13 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # magic-byte sniffing: verdict restated from the moduli
+        "docs_media_sniff": (
+            "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN NULL "
+            "ELSE ['pdf','png','gif','jpeg','zip','gzip','ppm',"
+            "'wav','avi','unknown'][doc_id % 10 + 1] END "
+            "AS sniffed_type FROM documents"
         ),
         # link reciprocity: both directions must exist; self-loops
         # dropped; dir encoded 1/2 on the canonical order

@@ -6448,3 +6448,25 @@ def test_reciprocal_pairs(ray_session):
             [7, 8, False]]
     assert reciprocal_pairs(
         ray.data.from_arrow(t.slice(0, 0))).count() == 0
+
+
+def test_sniff_media_type(ray_session):
+    import ray
+
+    from torray.ops.multimodal import (encode_ppm, encode_wav,
+                                       sniff_media_type)
+
+    payloads = [b"%PDF-1.7 rest", b"\x89PNG\r\n\x1a\n...",
+                b"GIF89a;;;", b"\xff\xd8\xff\xe0jfif",
+                b"PK\x03\x04zipzip", b"\x1f\x8b\x08gz",
+                encode_ppm(np.zeros((2, 2, 3), np.uint8)),
+                encode_wav(np.zeros(4, np.int16)),
+                b"RIFF\x00\x00\x00\x00AVI LIST", b"plain text",
+                b"", None]
+    t = pa.table({"i": pa.array(range(len(payloads)), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    out = (sniff_media_type(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("i", ignore_index=True))
+    assert out["sniffed_type"].tolist() == [
+        "pdf", "png", "gif", "jpeg", "zip", "gzip", "ppm", "wav",
+        "avi", "unknown", "unknown", None]
