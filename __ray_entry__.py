@@ -5578,6 +5578,28 @@ def _q_docs_media_sniff(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_change_rates(sf_dir: str):
+    """Recrawl-scheduling change statistics (``torray.stats
+    .change_rates``): events reframed as scan observations (url per
+    user, ts = event_id, hash = event_type); n_changes counts
+    consecutive-hash transitions per url in one hashed-partition
+    run-scan.  Oracle: LAG window + conditional sum."""
+    from torray.stats import change_rates
+
+    def to_obs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.binary_join_element_wise(
+                "u", pc.cast(t.column("user_id"), pa.string()), ""),
+            "ts": t.column("event_id").cast(pa.int64()),
+            "hash": t.column("event_type")})
+
+    obs = _read_f(sf_dir, "events",
+                  columns=["user_id", "event_id",
+                           "event_type"]).map_batches(
+        to_obs, batch_format="pyarrow")
+    return change_rates(obs, num_partitions=16)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5851,6 +5873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_harvest_corpus": _q_docs_harvest_corpus,
         "docs_reciprocal_links": _q_docs_reciprocal_links,
         "docs_media_sniff": _q_docs_media_sniff,
+        "events_change_rates": _q_events_change_rates,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
@@ -8216,6 +8239,19 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # change-rate fold: LAG transition count per url, ties at
+        # equal ts break by hash on both sides
+        "events_change_rates": (
+            "WITH o AS (SELECT 'u' || CAST(user_id AS VARCHAR) "
+            "AS url, event_id AS ts, event_type AS h FROM events), "
+            "w AS (SELECT url, ts, h, LAG(h) OVER "
+            "(PARTITION BY url ORDER BY ts, h) AS ph FROM o) "
+            "SELECT url, CAST(COUNT(*) AS BIGINT) AS n_scans, "
+            "CAST(SUM(CASE WHEN ph IS NOT NULL AND h <> ph "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_changes, "
+            "CAST(MIN(ts) AS BIGINT) AS first_ts, "
+            "CAST(MAX(ts) AS BIGINT) AS last_ts FROM w GROUP BY url"
         ),
         # magic-byte sniffing: verdict restated from the moduli
         "docs_media_sniff": (

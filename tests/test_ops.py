@@ -6470,3 +6470,26 @@ def test_sniff_media_type(ray_session):
     assert out["sniffed_type"].tolist() == [
         "pdf", "png", "gif", "jpeg", "zip", "gzip", "ppm", "wav",
         "avi", "unknown", "unknown", None]
+
+
+def test_change_rates(ray_session):
+    import ray
+
+    from torray.stats import change_rates
+
+    # u1: h a->a->b->b->c = 2 changes over 5 scans; u2: constant;
+    # u3: single scan
+    rows = [("u1", 1, "a"), ("u1", 2, "a"), ("u1", 3, "b"),
+            ("u1", 4, "b"), ("u1", 5, "c"),
+            ("u2", 10, "x"), ("u2", 20, "x"),
+            ("u3", 7, "z")]
+    t = pa.table({"url": pa.array([r[0] for r in rows]),
+                  "ts": pa.array([r[1] for r in rows], pa.int64()),
+                  "hash": pa.array([r[2] for r in rows])})
+    for parts in (1, 4):
+        out = (change_rates(ray.data.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("url", ignore_index=True))
+        assert out.values.tolist() == [
+            ["u1", 5, 2, 1, 5], ["u2", 2, 0, 10, 20],
+            ["u3", 1, 0, 7, 7]]
+    assert change_rates(ray.data.from_arrow(t.slice(0, 0))).count() == 0

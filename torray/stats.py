@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["crawl_counts", "domain_status", "link_graph", "count_where",
+           "change_rates",
            "stats_report"]
 
 
@@ -292,3 +293,68 @@ def link_graph(scan_ds):
             batch_format="pyarrow",
         )
     )
+
+
+def change_rates(obs_ds, *, url_col: str = "url", ts_col: str = "ts",
+                 hash_col: str = "hash", num_partitions: int = 64):
+    """Per-URL change statistics from a scan-observation history
+    ``(url, ts, hash)`` -> ``(url, n_scans, n_changes, first_ts,
+    last_ts)`` — ``n_changes`` counts observations whose hash differs
+    from the PREVIOUS observation of the same url in ts order (the
+    reference's per-fetch hash comparison, TorSpider.py:293-299,
+    folded over history).  This is the recrawl-scheduling input: rank
+    urls by change frequency, spend the politeness budget on the
+    volatile ones.
+
+    Shape: the standard hashed-partition run-scan (url-hash -> coarse
+    partition; ONE lexsort per partition; transitions vectorized with
+    a shifted comparison) — no Python per url; ties at equal ts break
+    by hash so the count is partition- and order-invariant."""
+    import numpy as np
+
+    from torray.ops.window import _hash_col_np
+
+    cols = [url_col, ts_col, hash_col]
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        if t.num_rows == 0:
+            return t.append_column("__part", pa.array([], pa.int64()))
+        u = t.column(url_col).to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(u)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "url": pa.array([], pa.string()),
+                "n_scans": pa.array([], pa.int64()),
+                "n_changes": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.int64())})
+        u = group.column(url_col).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = group.column(hash_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, ts, u))
+        u, ts, h = u[order], ts[order], h[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], u[1:] != u[:-1])))
+        lens = np.diff(np.append(starts, len(u)))
+        diff = np.concatenate(([False], h[1:] != h[:-1]))
+        diff[starts] = False  # a url's first scan is not a change
+        changes = np.add.reduceat(
+            diff.astype(np.int64), starts) if len(starts) else \
+            np.array([], np.int64)
+        ends = np.append(starts[1:], len(u)) - 1
+        return pa.table({
+            "url": pa.array(u[starts], pa.string()),
+            "n_scans": pa.array(lens, pa.int64()),
+            "n_changes": pa.array(changes, pa.int64()),
+            "first_ts": pa.array(ts[starts], pa.int64()),
+            "last_ts": pa.array(ts[ends], pa.int64())})
+
+    return (obs_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
