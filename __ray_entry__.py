@@ -5600,6 +5600,17 @@ def _q_events_change_rates(sf_dir: str):
     return change_rates(obs, num_partitions=16)
 
 
+def _q_docs_compression(sf_dir: str):
+    """Per-doc zlib compression-ratio quality signal
+    (``ops.text.compression_ratios``) — rows-only: SQL has no zlib;
+    byte-exactness vs direct zlib and the repetitive-vs-random
+    ordering are pytest-certified."""
+    from torray.ops.text import compression_ratios
+
+    return compression_ratios(
+        _read_f(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5875,6 +5886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_media_sniff": _q_docs_media_sniff,
         "events_change_rates": _q_events_change_rates,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
+        "docs_compression": _q_docs_compression,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
         "events_quantiles_by_type_approx":

@@ -6493,3 +6493,30 @@ def test_change_rates(ray_session):
             ["u1", 5, 2, 1, 5], ["u2", 2, 0, 10, 20],
             ["u3", 1, 0, 7, 7]]
     assert change_rates(ray.data.from_arrow(t.slice(0, 0))).count() == 0
+
+
+def test_compression_ratios(ray_session):
+    import zlib
+
+    import ray
+
+    from torray.ops.text import compression_ratios
+
+    import hashlib
+
+    rep = "spam ham " * 500
+    rnd = "".join(hashlib.md5(str(i).encode()).hexdigest()
+                  for i in range(200))
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array([rep, rnd, "", None])})
+    out = (compression_ratios(ray.data.from_arrow(t)).to_pandas()
+           .set_index("doc_id"))
+    # repetitive text compresses far better than high-entropy text
+    assert out.loc[1, "ratio"] < 0.05 < 0.4 < out.loc[2, "ratio"]
+    # byte-exact against direct zlib
+    assert out.loc[1, "n_compressed"] == len(
+        zlib.compress(rep.encode(), 6))
+    assert out.loc[1, "n_bytes"] == len(rep.encode())
+    import math
+    assert math.isnan(out.loc[3, "ratio"]) and out.loc[3, "n_bytes"] == 0
+    assert math.isnan(out.loc[4, "ratio"])

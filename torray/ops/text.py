@@ -50,6 +50,7 @@ __all__ = [
     "html_to_text",
     "extract_page_text",
     "template_clusters",
+    "compression_ratios",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -2206,3 +2207,40 @@ def template_clusters(ds, *, url_col: str = "url",
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(fold, batch_format="pyarrow"))
+
+
+def compression_ratios(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text", level: int = 6):
+    """Per-document zlib compression ratio ``(id, n_bytes,
+    n_compressed, ratio)`` — the cheap language-agnostic
+    repetition/boilerplate signal (RefinedWeb/MassiveText-style
+    filters drop documents that compress too well; random-looking
+    binary-in-text compresses too badly).  ``ratio`` =
+    n_compressed / n_bytes, 1-byte-exact from deterministic zlib
+    (level pinned); empty/null text -> null ratio.
+
+    Per-row work is one C zlib call (same budget class as the sha1
+    page hasher); text never leaves the block."""
+    import zlib
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        nb, nc, ratio = [], [], []
+        for x in t.column(text_col).to_pylist():
+            if not x:
+                nb.append(0)
+                nc.append(0)
+                ratio.append(None)
+                continue
+            raw = x.encode("utf-8", "replace")
+            comp = len(zlib.compress(raw, level))
+            nb.append(len(raw))
+            nc.append(comp)
+            ratio.append(comp / len(raw))
+        return pa.table({
+            id_col: ids,
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_compressed": pa.array(nc, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
