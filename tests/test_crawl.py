@@ -462,3 +462,57 @@ def test_query_cli(ray_session, tmp_path, capsys):
     assert pq.read_table(dest).num_rows == 5
 
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_sitemap_seed_expansion(tmp_path, ray_session):
+    import datetime
+
+    import pyarrow as pa
+
+    from torray.synth import PAGES_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+
+    def page(url, html):
+        return {"url": url, "warc_ts": ts,
+                "html": html if isinstance(html, bytes)
+                else html.encode(), "text": "", "lang": "en"}
+
+    host = "http://seedhost.onion"
+    idx = (f"<sitemapindex><sitemap><loc>{host}/maps/a.xml</loc>"
+           f"</sitemap><sitemap><loc>{host}/maps/a.xml</loc>"
+           f"</sitemap></sitemapindex>")  # duplicate child = cycle-safe
+    child = (f"<urlset><url><loc>{host}/p1</loc></url>"
+             f"<url><loc>{host}/p2</loc></url></urlset>")
+    rows = [
+        page(f"{host}/sitemap.xml", idx),
+        page(f"{host}/maps/a.xml", child),
+        page(f"{host}/p1", "<html><title>P1</title></html>"),
+        page(f"{host}/p2",
+             f'<html><a href="{host}/p3">x</a></html>'),
+        page(f"{host}/p3", "<html><title>P3</title></html>"),
+    ]
+    rows.sort(key=lambda r: r["url"])
+    table = pa.Table.from_arrays(
+        [pa.array([r["url"] for r in rows], pa.string()),
+         pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+         pa.array([r["html"] for r in rows], pa.binary()),
+         pa.array([r["text"] for r in rows], pa.string()),
+         pa.array([r["lang"] for r in rows], pa.string())],
+        schema=PAGES_SCHEMA)
+    pq.write_table(table, str(tmp_path / "pages.parquet"))
+
+    cfg = CrawlConfig(
+        pages_path=str(tmp_path / "pages.parquet"),
+        workdir=str(tmp_path / "w"),
+        seeds=[],
+        seed_sitemaps=[f"{host}/sitemap.xml"],
+        budget=5, max_rounds=4, scan_date=SCAN_DATE, node=NODE,
+        num_shards=2, num_buckets=2)
+    crawler = Crawler(cfg)
+    crawler.run()
+    scanned = set(crawler.scan_results().to_pandas()["url"])
+    # sitemap-listed pages seeded round 0; link discovery continues
+    assert {f"{host}/p1", f"{host}/p2", f"{host}/p3"} <= scanned
+    # the sitemap files themselves are not seeds
+    assert f"{host}/sitemap.xml" not in scanned

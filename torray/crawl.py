@@ -70,6 +70,13 @@ class CrawlConfig:
     recrawl: bool = False
     num_shards: int = 8
     num_buckets: int = 16
+    # Sitemap URLs to expand into extra round-0 seeds: each is looked
+    # up in the page store and parsed (sitemaps.org urlset /
+    # sitemapindex subset, ops.policy.parse_sitemap); index files
+    # recurse up to 4 levels.  Expansion order is deterministic
+    # (listing order, then in-file order), so the F2 per-host seq
+    # contract extends unchanged.
+    seed_sitemaps: list[str] = field(default_factory=list)
     # Retryable (no-fault-status) scans re-enter the next round's
     # frontier up to this many times — the engine's deterministic
     # rendering of the reference backend re-serving no_fault_codes urls
@@ -507,14 +514,50 @@ class Crawler:
             pq.write_table(part, os.path.join(
                 out_dir, f"shard-{k:05d}-{tag}.parquet"))
 
+    def _expand_sitemaps(self, sitemap_urls: list[str],
+                         max_depth: int = 4) -> list[str]:
+        """Expand sitemap URLs into seed URLs via page-store lookups:
+        <url> entries become seeds, <sitemap> index entries recurse
+        (bounded depth, seen-set on sitemap urls so index cycles
+        terminate).  Order is deterministic — BFS over the listing
+        order with in-file order preserved."""
+        from torray.ops.policy import parse_sitemap
+
+        seeds: list[str] = []
+        seen: set[str] = set()
+        frontier = list(sitemap_urls)
+        for _ in range(max_depth):
+            if not frontier:
+                break
+            nxt: list[str] = []
+            for sm_url in frontier:
+                if sm_url in seen:
+                    continue
+                seen.add(sm_url)
+                bucket = bucket_of(host_of(sm_url),
+                                   self.cfg.num_buckets)
+                body = self.store.lookup(bucket, [sm_url]).get(sm_url)
+                if body is None:
+                    continue
+                for loc, _lastmod, is_index in parse_sitemap(body):
+                    if is_index:
+                        nxt.append(loc)
+                    else:
+                        seeds.append(loc)
+            frontier = nxt
+        return seeds
+
     def _init_frontier(self) -> None:
         """Round-0 frontier from the seed list (F2 ordering: list order
         defines per-host seq)."""
         import ray
 
         cfg = self.cfg
+        seeds = list(cfg.seeds)
+        if cfg.seed_sitemaps:
+            seeds.extend(self._expand_sitemaps(cfg.seed_sitemaps))
         by_shard: dict[int, list] = {}
-        for url in cfg.seeds:
+        for url in seeds:
             host = host_of(url)
             path = urlsplit(url)[2]
             sid = stable_hash(host) % cfg.num_shards

@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["parse_robots", "robots_mark", "robots_filter",
-           "url_templates", "sitemap_entries"]
+           "url_templates", "sitemap_entries", "parse_sitemap"]
 
 
 def parse_robots(text: str, *, agent: str = "*",
@@ -185,6 +185,50 @@ def url_templates(ds, *, url_col: str = "url", k: int = 3):
     return group_topk(counts, "host", "n", k, "template")
 
 
+_SM_BLOCK_RE = None
+_SM_LOC_RE = None
+_SM_MOD_RE = None
+
+
+def _sm_res():
+    global _SM_BLOCK_RE, _SM_LOC_RE, _SM_MOD_RE
+    if _SM_BLOCK_RE is None:
+        import re as _re
+        _SM_BLOCK_RE = _re.compile(
+            rb"<(url|sitemap)\b[^>]*>(.*?)</\1\s*>",
+            _re.IGNORECASE | _re.DOTALL)
+        _SM_LOC_RE = _re.compile(rb"<loc\s*>\s*(.*?)\s*</loc\s*>",
+                                 _re.IGNORECASE | _re.DOTALL)
+        _SM_MOD_RE = _re.compile(
+            rb"<lastmod\s*>\s*(.*?)\s*</lastmod\s*>",
+            _re.IGNORECASE | _re.DOTALL)
+    return _SM_BLOCK_RE, _SM_LOC_RE, _SM_MOD_RE
+
+
+def parse_sitemap(xml) -> list[tuple[str, str | None, bool]]:
+    """Pure sitemap parser: XML bytes/str -> ordered
+    ``[(loc, lastmod|None, is_index), ...]`` — the per-page kernel of
+    :func:`sitemap_entries`, importable by the crawl engine for seed
+    expansion."""
+    if xml is None:
+        return []
+    if isinstance(xml, str):
+        xml = xml.encode("utf-8", "replace")
+    block_re, loc_re, mod_re = _sm_res()
+    out = []
+    for m in block_re.finditer(xml):
+        body = m.group(2)
+        lm = loc_re.search(body)
+        if not lm or not lm.group(1):
+            continue
+        mm = mod_re.search(body)
+        out.append((lm.group(1).decode("utf-8", "replace"),
+                    (mm.group(1).decode("utf-8", "replace")
+                     if mm and mm.group(1) else None),
+                    m.group(1).lower() == b"sitemap"))
+    return out
+
+
 def sitemap_entries(ds, *, url_col: str = "url",
                     xml_col: str = "xml"):
     """Parse sitemap XML pages into seed rows ``(sitemap, loc,
@@ -194,17 +238,9 @@ def sitemap_entries(ds, *, url_col: str = "url",
     lastmod optional -> null) and ``<sitemapindex>`` child pointers
     (``<sitemap><loc>..</loc></sitemap>``, ``is_index=true`` so the
     driver loop can fetch-and-expand).  CDATA-free subset of the
-    sitemaps.org protocol; compiled-regex scans per batch, XML bytes
-    never leave the block."""
-    import re as _re
-
-    block_re = _re.compile(
-        rb"<(url|sitemap)\b[^>]*>(.*?)</\1\s*>",
-        _re.IGNORECASE | _re.DOTALL)
-    loc_re = _re.compile(rb"<loc\s*>\s*(.*?)\s*</loc\s*>",
-                         _re.IGNORECASE | _re.DOTALL)
-    mod_re = _re.compile(rb"<lastmod\s*>\s*(.*?)\s*</lastmod\s*>",
-                         _re.IGNORECASE | _re.DOTALL)
+    sitemaps.org protocol; compiled-regex scans per batch
+    (:func:`parse_sitemap` per page), XML bytes never leave the
+    block."""
 
     def extract(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -216,21 +252,11 @@ def sitemap_entries(ds, *, url_col: str = "url",
         sm, loc, mod, isx = [], [], [], []
         for u, x in zip(t.column(url_col).to_pylist(),
                         t.column(xml_col).to_pylist()):
-            if x is None:
-                continue
-            if isinstance(x, str):
-                x = x.encode("utf-8", "replace")
-            for m in block_re.finditer(x):
-                body = m.group(2)
-                lm = loc_re.search(body)
-                if not lm or not lm.group(1):
-                    continue
-                mm = mod_re.search(body)
+            for lc, md, ix in parse_sitemap(x):
                 sm.append(u)
-                loc.append(lm.group(1).decode("utf-8", "replace"))
-                mod.append(mm.group(1).decode("utf-8", "replace")
-                           if mm and mm.group(1) else None)
-                isx.append(m.group(1).lower() == b"sitemap")
+                loc.append(lc)
+                mod.append(md)
+                isx.append(ix)
         return pa.table({"sitemap": pa.array(sm, pa.string()),
                          "loc": pa.array(loc, pa.string()),
                          "lastmod": pa.array(mod, pa.string()),
