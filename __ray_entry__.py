@@ -5611,6 +5611,29 @@ def _q_docs_compression(sf_dir: str):
         _read_f(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_events_rank_eval(sf_dir: str):
+    """Per-query ranking metrics (``ops.metrics.rank_eval``): events
+    as scored candidates per user (score = value, relevant =
+    purchase); MRR rank / precision@10 numerator exact ints, NDCG@10
+    e9-scaled.  Oracle mirrors with row_number windows + a
+    generate_series IDCG."""
+    from torray.ops.metrics import rank_eval
+
+    def to_cands(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t.column("user_id").cast(pa.int64()),
+            "doc_id": t.column("event_id").cast(pa.int64()),
+            "score": t.column("value").cast(pa.float64()),
+            "rel": pc.cast(pc.equal(t.column("event_type"),
+                                    "purchase"), pa.int64())})
+
+    ds = _read_f(sf_dir, "events",
+                 columns=["user_id", "event_id", "event_type",
+                          "value"]).map_batches(
+        to_cands, batch_format="pyarrow")
+    return rank_eval(ds, k=10, num_partitions=16)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5885,6 +5908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_reciprocal_links": _q_docs_reciprocal_links,
         "docs_media_sniff": _q_docs_media_sniff,
         "events_change_rates": _q_events_change_rates,
+        "events_rank_eval": _q_events_rank_eval,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "docs_compression": _q_docs_compression,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -8251,6 +8275,32 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # ranking metrics: (score DESC, doc ASC) total order on both
+        # sides; NDCG e9-rounded so summation order cannot bite
+        "events_rank_eval": (
+            "WITH c AS (SELECT user_id AS query_id, event_id AS doc, "
+            "value AS score, CASE WHEN event_type = 'purchase' "
+            "THEN 1 ELSE 0 END AS rel FROM events), "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score DESC, doc) AS rk FROM c), "
+            "agg AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) "
+            "AS n_docs, CAST(SUM(rel) AS BIGINT) AS n_rel, "
+            "CAST(MIN(CASE WHEN rel = 1 THEN rk END) AS BIGINT) "
+            "AS first_rel_rank, "
+            "CAST(SUM(CASE WHEN rel = 1 AND rk <= 10 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS rel_at_k, "
+            "SUM(CASE WHEN rel = 1 AND rk <= 10 "
+            "THEN 1.0 / log2(rk + 1) ELSE 0 END) AS dcg "
+            "FROM w GROUP BY query_id), "
+            "i AS (SELECT a.query_id, SUM(1.0 / log2(g.i + 1)) "
+            "AS idcg FROM agg a JOIN generate_series(1, 10) g(i) "
+            "ON g.i <= LEAST(a.n_rel, 10) GROUP BY a.query_id) "
+            "SELECT a.query_id, a.n_docs, a.n_rel, a.first_rel_rank, "
+            "a.rel_at_k, CASE WHEN a.n_rel = 0 THEN NULL ELSE "
+            "CAST(ROUND(a.dcg / i.idcg * 1e9) AS BIGINT) END "
+            "AS ndcg_e9 FROM agg a LEFT JOIN i "
+            "ON a.query_id = i.query_id"
         ),
         # change-rate fold: LAG transition count per url, ties at
         # equal ts break by hash on both sides

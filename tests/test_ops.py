@@ -6520,3 +6520,38 @@ def test_compression_ratios(ray_session):
     import math
     assert math.isnan(out.loc[3, "ratio"]) and out.loc[3, "n_bytes"] == 0
     assert math.isnan(out.loc[4, "ratio"])
+
+
+def test_rank_eval_metrics(ray_session):
+    import ray
+
+    from torray.ops.metrics import rank_eval
+
+    # q1: docs scored 5,4,3,2 with rel at ranks 2 and 4
+    # q2: no relevant docs; q3: relevant at rank 1 only
+    rows = [(1, 10, 5.0, 0), (1, 11, 4.0, 1), (1, 12, 3.0, 0),
+            (1, 13, 2.0, 1),
+            (2, 20, 9.0, 0), (2, 21, 8.0, 0),
+            (3, 30, 1.0, 1)]
+    t = pa.table({"query_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                  "score": pa.array([r[2] for r in rows], pa.float64()),
+                  "rel": pa.array([r[3] for r in rows], pa.int64())})
+    for parts in (1, 3):
+        out = (rank_eval(ray.data.from_arrow(t).repartition(parts),
+                         k=10)
+               .to_pandas().set_index("query_id").sort_index())
+        assert out.loc[1, "n_docs"] == 4
+        assert out.loc[1, "n_rel"] == 2
+        assert out.loc[1, "first_rel_rank"] == 2
+        assert out.loc[1, "rel_at_k"] == 2
+        dcg = 1 / np.log2(3) + 1 / np.log2(5)
+        idcg = 1 / np.log2(2) + 1 / np.log2(3)
+        assert out.loc[1, "ndcg_e9"] == round(dcg / idcg * 1e9)
+        assert out.loc[2, "n_rel"] == 0
+        assert out.loc[2, "first_rel_rank"] is None or \
+            np.isnan(out.loc[2, "first_rel_rank"])
+        assert out.loc[2, "ndcg_e9"] is None or \
+            np.isnan(out.loc[2, "ndcg_e9"])
+        assert out.loc[3, "first_rel_rank"] == 1
+        assert out.loc[3, "ndcg_e9"] == 10**9

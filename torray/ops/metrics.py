@@ -43,7 +43,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["auc_exact", "calibration_bins"]
+__all__ = ["auc_exact", "calibration_bins", "rank_eval"]
 
 
 def _scaled_int(col: pa.ChunkedArray, scale: int) -> np.ndarray:
@@ -205,3 +205,92 @@ def calibration_bins(ds, *, label_col: str, score_col: str,
                                  pa.float64())})
 
     return folded.map_batches(finish, batch_format="pyarrow").sort("bin")
+
+
+def rank_eval(ds, *, query_col: str = "query_id",
+              doc_col: str = "doc_id", score_col: str = "score",
+              rel_col: str = "rel", k: int = 10,
+              num_partitions: int = 64):
+    """Per-query ranking-evaluation metrics for a scored candidate
+    table ``(query, doc, score, rel)`` -> ``(query_id, n_docs,
+    n_rel, first_rel_rank, rel_at_k, ndcg_e9)``:
+
+    - ``first_rel_rank``: 1-based rank of the first relevant doc
+      (reciprocal = MRR contribution; null when the query has none),
+    - ``rel_at_k``: relevant docs inside the top ``k`` (precision@k
+      numerator — exact int),
+    - ``ndcg_e9``: binary-gain NDCG@k scaled by 1e9 and rounded to
+      int64 (hash-stable; null when n_rel = 0).
+
+    Ranking order is (score DESC, doc ASC) — a deterministic total
+    order, so every metric is partition-invariant.  Shape: the
+    standard hashed-partition run-scan — queries colocate by hash,
+    ONE lexsort per partition, per-query folds via reduceat; no
+    Python call per query."""
+    from torray.ops.window import _hash_col_np
+
+    cols = [query_col, doc_col, score_col, rel_col]
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        if t.num_rows == 0:
+            return t.append_column("__part", pa.array([], pa.int64()))
+        q = t.column(query_col).to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(q)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    disc = 1.0 / np.log2(np.arange(2, k + 2, dtype=np.float64))
+    idcg_prefix = np.concatenate(([0.0], np.cumsum(disc)))
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_rel": pa.array([], pa.int64()),
+                "first_rel_rank": pa.array([], pa.int64()),
+                "rel_at_k": pa.array([], pa.int64()),
+                "ndcg_e9": pa.array([], pa.int64())})
+        q = group.column(query_col).to_numpy(zero_copy_only=False)
+        d = group.column(doc_col).to_numpy(zero_copy_only=False)
+        s = group.column(score_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        r = group.column(rel_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, -s, q))
+        q, r = q[order], (r[order] != 0)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], q[1:] != q[:-1])))
+        lens = np.diff(np.append(starts, len(q)))
+        pos = np.arange(len(q), dtype=np.int64) - np.repeat(
+            starts, lens)  # 0-based rank within the query
+        n_rel = np.add.reduceat(r.astype(np.int64), starts)
+        # first relevant rank: min pos among relevant rows per run
+        big = len(q) + 1
+        frr_src = np.where(r, pos + 1, big)
+        frr = np.minimum.reduceat(frr_src, starts)
+        frr_arr = pa.array(
+            np.where(frr == big, None, frr).tolist(), pa.int64())
+        topk = r & (pos < k)
+        rel_at_k = np.add.reduceat(topk.astype(np.int64), starts)
+        gains = np.where(topk, np.concatenate(
+            (disc, np.zeros(1)))[np.minimum(pos, k)], 0.0)
+        dcg = np.add.reduceat(gains, starts)
+        idcg = idcg_prefix[np.minimum(n_rel, k)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ndcg = np.where(idcg > 0, dcg / idcg, np.nan)
+        ndcg_arr = pa.array(
+            [None if np.isnan(x) else int(round(x * 1e9))
+             for x in ndcg], pa.int64())
+        return pa.table({
+            "query_id": pa.array(q[starts].tolist()),
+            "n_docs": pa.array(lens, pa.int64()),
+            "n_rel": pa.array(n_rel, pa.int64()),
+            "first_rel_rank": frr_arr,
+            "rel_at_k": pa.array(rel_at_k, pa.int64()),
+            "ndcg_e9": ndcg_arr})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
