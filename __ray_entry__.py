@@ -5634,6 +5634,33 @@ def _q_events_rank_eval(sf_dir: str):
     return rank_eval(ds, k=10, num_partitions=16)
 
 
+def _q_events_auc_by_segment(sf_dir: str):
+    """EXACT per-segment ROC AUC (``ops.metrics.auc_by_group``):
+    users sliced into 5 segments, purchase-detector score = value;
+    doubled-average-rank arithmetic keeps both sides integer to the
+    ONE mirrored divide."""
+    from torray.ops.metrics import auc_by_group
+
+    def lab(t: pa.Table) -> pa.Table:
+        seg = pc.binary_join_element_wise(
+            "s", pc.cast(pc.subtract(
+                t.column("user_id"),
+                pc.multiply(pc.divide(t.column("user_id"), 5), 5)
+            ).cast(pa.int64()), pa.string()), "")
+        return pa.table({
+            "g": seg,
+            "y": pc.cast(pc.equal(t.column("event_type"),
+                                  "purchase"), pa.int64()),
+            "s": t.column("value").cast(pa.float64())})
+
+    ds = _read_f(sf_dir, "events",
+                 columns=["user_id", "event_type",
+                          "value"]).map_batches(
+        lab, batch_format="pyarrow")
+    return auc_by_group(ds, group_col="g", label_col="y",
+                        score_col="s", num_partitions=8)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5909,6 +5936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_media_sniff": _q_docs_media_sniff,
         "events_change_rates": _q_events_change_rates,
         "events_rank_eval": _q_events_rank_eval,
+        "events_auc_by_segment": _q_events_auc_by_segment,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "docs_compression": _q_docs_compression,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -8275,6 +8303,24 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # per-segment exact AUC: doubled average rank of a tie run =
+        # 2*RANK + tie_count - 1 (integer on both sides)
+        "events_auc_by_segment": (
+            "WITH c AS (SELECT 's' || CAST(user_id % 5 AS VARCHAR) "
+            "AS g, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END AS y, value AS s FROM events), "
+            "r AS (SELECT g, y, 2 * RANK() OVER (PARTITION BY g "
+            "ORDER BY s) + COUNT(*) OVER (PARTITION BY g, s) - 1 "
+            "AS r2 FROM c), "
+            "a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(y) AS BIGINT) AS n_pos, "
+            "CAST(SUM(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) "
+            "AS sum2 FROM r GROUP BY g) "
+            "SELECT g AS \"group\", n, n_pos, "
+            "CASE WHEN n_pos = 0 OR n_pos = n THEN NULL ELSE "
+            "(sum2 - n_pos * (n_pos + 1)) / "
+            "(2.0 * n_pos * (n - n_pos)) END AS auc FROM a"
         ),
         # ranking metrics: (score DESC, doc ASC) total order on both
         # sides; NDCG e9-rounded so summation order cannot bite

@@ -6555,3 +6555,49 @@ def test_rank_eval_metrics(ray_session):
             np.isnan(out.loc[2, "ndcg_e9"])
         assert out.loc[3, "first_rel_rank"] == 1
         assert out.loc[3, "ndcg_e9"] == 10**9
+
+
+def test_auc_by_group(ray_session):
+    import ray
+
+    from torray.ops.metrics import auc_by_group, auc_exact
+
+    rng = [(g, i, float(v), y) for g, vals in
+           (("a", [(1.0, 0), (2.0, 0), (3.0, 1), (3.0, 0), (4.0, 1)]),
+            ("b", [(5.0, 1), (4.0, 0), (3.0, 1), (2.0, 0)]),
+            ("c", [(1.0, 1), (2.0, 1)]))
+           for i, (v, y) in enumerate(vals)]
+
+    def ref_auc(pairs):
+        pos = [s for s, y in pairs if y]
+        neg = [s for s, y in pairs if not y]
+        if not pos or not neg:
+            return None
+        wins = sum((p > n) + 0.5 * (p == n)
+                   for p in pos for n in neg)
+        return wins / (len(pos) * len(neg))
+
+    t = pa.table({
+        "g": pa.array([r[0] for r in rng]),
+        "y": pa.array([r[3] for r in rng], pa.int64()),
+        "s": pa.array([r[2] for r in rng], pa.float64())})
+    for parts in (1, 3):
+        out = (auc_by_group(
+            ray.data.from_arrow(t).repartition(parts),
+            group_col="g", label_col="y", score_col="s")
+            .to_pandas().set_index("group").sort_index())
+        for gname in ("a", "b"):
+            pairs = [(r[2], r[3]) for r in rng if r[0] == gname]
+            assert abs(out.loc[gname, "auc"] - ref_auc(pairs)) < 1e-12
+        # single-class group -> null auc
+        assert np.isnan(out.loc["c", "auc"])
+        assert out.loc["c", "n_pos"] == 2
+
+    # grouped op with ONE group == the global exact AUC
+    one = t.drop_columns(["g"]).append_column(
+        "g", pa.array(["z"] * t.num_rows))
+    got = auc_by_group(ray.data.from_arrow(one), group_col="g",
+                       label_col="y", score_col="s").to_pandas()
+    want = auc_exact(ray.data.from_arrow(one), label_col="y",
+                     score_col="s").to_pandas()["auc"][0]
+    assert abs(got["auc"][0] - want) < 1e-12

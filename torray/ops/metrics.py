@@ -43,7 +43,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["auc_exact", "calibration_bins", "rank_eval"]
+__all__ = ["auc_exact", "calibration_bins", "rank_eval",
+           "auc_by_group"]
 
 
 def _scaled_int(col: pa.ChunkedArray, scale: int) -> np.ndarray:
@@ -290,6 +291,80 @@ def rank_eval(ds, *, query_col: str = "query_id",
             "first_rel_rank": frr_arr,
             "rel_at_k": pa.array(rel_at_k, pa.int64()),
             "ndcg_e9": ndcg_arr})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(scan_partition, batch_format="pyarrow"))
+
+
+def auc_by_group(ds, *, group_col: str, label_col: str,
+                 score_col: str, num_partitions: int = 64):
+    """EXACT per-group ROC AUC -> ``(group, n, n_pos, auc)`` — the
+    segment-sliced companion of :func:`auc_exact` (per-language model
+    quality, per-source drift).  Mann-Whitney rank-sum with
+    average-rank tie handling kept ALL-INTEGER until the final
+    mirrored divide: a tie run's doubled average rank is
+    ``2*rank_lo + len - 1`` (always int), so
+    ``auc = (sum2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg)`` is exact on
+    both engine and SQL sides.  Null when a group lacks a class.
+
+    Shape: hashed-partition run-scan — groups colocate by hash, ONE
+    lexsort per partition, tie runs and positive sums fold with
+    reduceat; no Python per group."""
+    from torray.ops.window import _hash_col_np
+
+    cols = [group_col, label_col, score_col]
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        if t.num_rows == 0:
+            return t.append_column("__part", pa.array([], pa.int64()))
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        part = (_hash_col_np(g)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "group": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "n_pos": pa.array([], pa.int64()),
+                "auc": pa.array([], pa.float64())})
+        g = group.column(group_col).to_numpy(zero_copy_only=False)
+        y = (group.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64) != 0)
+        s = group.column(score_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((s, g))
+        g, y, s = g[order], y[order], s[order]
+        gstarts = np.flatnonzero(np.concatenate(
+            ([True], g[1:] != g[:-1])))
+        glens = np.diff(np.append(gstarts, len(g)))
+        # tie runs within each group: same group AND same score
+        tstarts = np.flatnonzero(np.concatenate(
+            ([True], (g[1:] != g[:-1]) | (s[1:] != s[:-1]))))
+        tlens = np.diff(np.append(tstarts, len(g)))
+        # 1-based low rank of each tie run WITHIN its group
+        grp_of_run = np.searchsorted(gstarts, tstarts, "right") - 1
+        rank_lo = tstarts - gstarts[grp_of_run] + 1
+        rank2 = 2 * rank_lo + tlens - 1  # doubled average rank (int)
+        rank2_per_row = np.repeat(rank2, tlens)
+        n_pos = np.add.reduceat(y.astype(np.int64), gstarts)
+        sum2 = np.add.reduceat(
+            np.where(y, rank2_per_row, 0), gstarts)
+        n_neg = glens - n_pos
+        u2 = sum2 - n_pos * (n_pos + 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            auc = u2 / (2.0 * n_pos * n_neg)
+        auc_arr = pa.array(
+            [None if (np_ == 0 or nn == 0) else float(a)
+             for a, np_, nn in zip(auc, n_pos, n_neg)], pa.float64())
+        return pa.table({
+            "group": pa.array(g[gstarts].tolist()),
+            "n": pa.array(glens, pa.int64()),
+            "n_pos": pa.array(n_pos, pa.int64()),
+            "auc": auc_arr})
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__part")
