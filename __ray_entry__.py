@@ -5661,6 +5661,28 @@ def _q_events_auc_by_segment(sf_dir: str):
                         score_col="s", num_partitions=8)
 
 
+def _q_parts_negative_edges(sf_dir: str):
+    """Deterministic negative sampling on the part<->supplier graph
+    (``ops.graph.negative_edges``) — link-prediction training pairs
+    guaranteed absent from the true edge list.  Rows-only: the
+    splitmix-based draw has no SQL twin; exclusion, determinism and
+    partition-invariance are pytest-certified."""
+    from torray.ops.graph import negative_edges
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.compute.multiply(
+                t.column("l_partkey").cast(pa.int64()), 2),
+            "dst": pa.compute.add(pa.compute.multiply(
+                t.column("l_suppkey").cast(pa.int64()), 2), 1)})
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return negative_edges(edges, k=3, seed=4, num_partitions=2)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5939,6 +5961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_auc_by_segment": _q_events_auc_by_segment,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "docs_compression": _q_docs_compression,
+        "parts_negative_edges": _q_parts_negative_edges,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
         "events_quantiles_by_type_approx":

@@ -6601,3 +6601,36 @@ def test_auc_by_group(ray_session):
     want = auc_exact(ray.data.from_arrow(one), label_col="y",
                      score_col="s").to_pandas()["auc"][0]
     assert abs(got["auc"][0] - want) < 1e-12
+
+
+def test_negative_edges_sampling(ray_session):
+    import ray
+
+    from torray.ops.graph import negative_edges
+
+    # small dense-ish graph over nodes 0..19
+    edges = [(i, (i * 7 + 1) % 20) for i in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    t = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    true = set(edges)
+    outs = []
+    for parts in (1, 4):
+        out = (negative_edges(ray.data.from_arrow(t).repartition(parts),
+                              k=4, seed=7)
+               .to_pandas().sort_values(["src", "dst"],
+                                        ignore_index=True))
+        pairs = list(zip(out["src"], out["dst"]))
+        # no sampled pair is a real edge or a self-loop
+        assert not (set(pairs) & true)
+        assert all(a != b for a, b in pairs)
+        # every node contributes some negatives, at most k
+        counts = out.groupby("src").size()
+        assert counts.max() <= 4 and len(counts) >= 15
+        outs.append(pairs)
+    # deterministic and partition-invariant
+    assert outs[0] == outs[1]
+    # different seed -> different sample
+    other = negative_edges(ray.data.from_arrow(t), k=4,
+                           seed=8).to_pandas()
+    assert list(zip(other["src"], other["dst"])) != outs[0]
