@@ -5683,6 +5683,29 @@ def _q_parts_negative_edges(sf_dir: str):
     return negative_edges(edges, k=3, seed=4, num_partitions=2)
 
 
+def _q_docs_budget_selection(sf_dir: str):
+    """Token-budget corpus selection (``ops.sampling
+    .select_within_budget``): fill a 30,000-char budget with the
+    best documents by n_chars-per-quality... here score = n_chars
+    descending with doc_id ties, cost = n_chars — the two-pass bucket
+    prefix shape, no global sort.  Oracle: QUALIFY running SUM <=
+    budget over the same (score DESC, id) order."""
+    from torray.ops.sampling import select_within_budget
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "q": t.column("n_chars").cast(pa.float64()),
+            "tok": t.column("n_chars").cast(pa.int64())})
+
+    ds = _read_f(sf_dir, "documents",
+                 columns=["doc_id", "n_chars"]).map_batches(
+        widen, batch_format="pyarrow")
+    return select_within_budget(ds, score_col="q", cost_col="tok",
+                                budget=30000, id_col="doc_id",
+                                num_buckets=16)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5959,6 +5982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_change_rates": _q_events_change_rates,
         "events_rank_eval": _q_events_rank_eval,
         "events_auc_by_segment": _q_events_auc_by_segment,
+        "docs_budget_selection": _q_docs_budget_selection,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "docs_compression": _q_docs_compression,
         "parts_negative_edges": _q_parts_negative_edges,
@@ -8326,6 +8350,15 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # budget selection: running int64 SUM over the same
+        # deterministic (score DESC, id) total order
+        "docs_budget_selection": (
+            "SELECT doc_id, CAST(n_chars AS DOUBLE) AS q, "
+            "CAST(n_chars AS BIGINT) AS tok, "
+            "CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost "
+            "FROM documents QUALIFY cum_cost <= 30000"
         ),
         # per-segment exact AUC: doubled average rank of a tie run =
         # 2*RANK + tie_count - 1 (integer on both sides)

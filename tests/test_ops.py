@@ -6634,3 +6634,40 @@ def test_negative_edges_sampling(ray_session):
     other = negative_edges(ray.data.from_arrow(t), k=4,
                            seed=8).to_pandas()
     assert list(zip(other["src"], other["dst"])) != outs[0]
+
+
+def test_select_within_budget(ray_session):
+    import ray
+
+    from torray.ops.sampling import select_within_budget
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    score = ((ids * 37) % 101).astype(np.float64)  # many ties
+    cost = ((ids % 7) + 1).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "q": pa.array(score, pa.float64()),
+                  "tok": pa.array(cost, pa.int64())})
+
+    order = np.lexsort((ids, -score))
+    cum = np.cumsum(cost[order])
+    budget = int(cum[len(cum) // 3])
+    keep_ids = set(ids[order][cum <= budget].tolist())
+
+    for parts in (1, 5):
+        out = (select_within_budget(
+            ray.data.from_arrow(t).repartition(parts),
+            score_col="q", cost_col="tok", budget=budget,
+            id_col="doc_id", num_buckets=16)
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+        assert set(out["doc_id"]) == keep_ids
+        assert out["cum_cost"].max() <= budget
+        # cum_cost matches the reference running total per row
+        ref = dict(zip(ids[order], cum))
+        assert all(ref[i] == c for i, c in
+                   zip(out["doc_id"], out["cum_cost"]))
+
+    # budget covering everything keeps everything
+    assert select_within_budget(
+        ray.data.from_arrow(t), score_col="q", cost_col="tok",
+        budget=int(cost.sum()), id_col="doc_id").count() == n

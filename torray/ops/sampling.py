@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["hash_split", "sample_per_group", "filter_by_quantile",
+           "select_within_budget",
            "sample_global_k", "stratified_split", "weighted_sample_k",
            "winsorize", "mix_sources"]
 
@@ -368,3 +369,100 @@ def mix_sources(ds, *, source_col: str, id_col: str,
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def select_within_budget(ds, *, score_col: str, cost_col: str,
+                         budget: int, id_col: str,
+                         num_buckets: int = 256):
+    """Global best-first selection under a COST BUDGET: keep rows in
+    (score DESC, id ASC) order while the running cost total stays
+    <= ``budget`` — the "fill the token budget with the best
+    documents" primitive of corpus construction.  Returns
+    ``(id_col, score_col, cost_col, cum_cost)`` for the selected
+    rows; SQL twin is ``QUALIFY SUM(cost) OVER (ORDER BY score DESC,
+    id ROWS UNBOUNDED PRECEDING) <= budget``.
+
+    Exactness needs integer costs (token counts) — cumulative int64
+    sums are order-exact on both engines.
+
+    Shape (the :func:`torray.ops.rank.global_rank` two-pass counting
+    skeleton — no global sort): approximate score splitters bucket
+    the rows (equal scores never straddle a bucket); per-bucket cost
+    TOTALS fold to an O(buckets) driver prefix from the top; ONE
+    ``groupby(bucket)`` pass lexsorts each bucket locally, adds its
+    exclusive prefix to the local cumsum, and emits survivors.
+    Buckets whose entire prefix already exceeds the budget are cut
+    without emitting rows."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from torray.ops.sketch import approx_quantiles
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    splits = np.unique(np.asarray(
+        list(approx_quantiles(ds, score_col, qs).values()),
+        dtype=np.float64))
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, score_col, cost_col])
+        if t.num_rows == 0:
+            return t.append_column("__b", pa.array([], pa.int64()))
+        v = t.column(score_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)  # null/NaN scores never selected
+        t, v = t.filter(pa.array(ok)), v[ok]
+        b = np.searchsorted(splits, v, side="left").astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__b": pa.array([], pa.int64()),
+                             "__c": pa.array([], pa.int64())})
+        g = (t.select(["__b", cost_col]).group_by("__b")
+             .aggregate([(cost_col, "sum")]))
+        return pa.table({
+            "__b": g.column("__b"),
+            "__c": g.column(f"{cost_col}_sum").cast(pa.int64())})
+
+    tot = (tagged.map_batches(totals, batch_format="pyarrow")
+           .groupby("__b").aggregate(Sum("__c"))).to_pandas()
+    per_bucket = np.zeros(len(splits) + 1, np.int64)
+    if len(tot):
+        per_bucket[tot["__b"].to_numpy()] = \
+            tot["sum(__c)"].to_numpy()
+    # exclusive prefix of cost ABOVE each bucket (higher score first)
+    above = (np.cumsum(per_bucket[::-1])[::-1]
+             - per_bucket)
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            score_col: pa.array([], pa.float64()),
+            cost_col: pa.array([], pa.int64()),
+            "cum_cost": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        b = int(group.column("__b")[0].as_py())
+        base = int(above[b])
+        if base > budget:
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        v = group.column(score_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c = group.column(cost_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -v))
+        ids, v, c = ids[order], v[order], c[order]
+        cum = base + np.cumsum(c)
+        keep = cum <= budget
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            score_col: pa.array(v[keep], pa.float64()),
+            cost_col: pa.array(c[keep], pa.int64()),
+            "cum_cost": pa.array(cum[keep], pa.int64())})
+
+    return (tagged.groupby("__b")
+            .map_groups(scan_bucket, batch_format="pyarrow"))
