@@ -5706,6 +5706,18 @@ def _q_docs_budget_selection(sf_dir: str):
                                 num_buckets=16)
 
 
+def _q_docs_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-2 global shuffle order
+    (``ops.sampling.epoch_shuffle``): md5-keyed total order, first
+    hex byte buckets -> O(256) driver prefix -> per-bucket lexsort.
+    Oracle: row_number over the identical md5 key."""
+    from torray.ops.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        _read_f(sf_dir, "documents", columns=["doc_id"]),
+        id_col="doc_id", epoch=2, salt="v1")
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5983,6 +5995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_eval": _q_events_rank_eval,
         "events_auc_by_segment": _q_events_auc_by_segment,
         "docs_budget_selection": _q_docs_budget_selection,
+        "docs_epoch_shuffle": _q_docs_epoch_shuffle,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "docs_compression": _q_docs_compression,
         "parts_negative_edges": _q_parts_negative_edges,
@@ -8350,6 +8363,12 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # epoch shuffle: identical md5 key on both sides, id ties
+        "docs_epoch_shuffle": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "md5('v12:' || CAST(doc_id AS VARCHAR)), doc_id) "
+            "AS BIGINT) AS pos FROM documents"
         ),
         # budget selection: running int64 SUM over the same
         # deterministic (score DESC, id) total order

@@ -6671,3 +6671,32 @@ def test_select_within_budget(ray_session):
     assert select_within_budget(
         ray.data.from_arrow(t), score_col="q", cost_col="tok",
         budget=int(cost.sum()), id_col="doc_id").count() == n
+
+
+def test_epoch_shuffle_deterministic(ray_session):
+    import hashlib
+
+    import ray
+
+    from torray.ops.sampling import epoch_shuffle
+
+    n = 300
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+
+    def ref(epoch):
+        keys = sorted((hashlib.md5(f"v1{epoch}:{i}".encode())
+                       .hexdigest(), i) for i in range(n))
+        return {i: p + 1 for p, (_, i) in enumerate(keys)}
+
+    for parts in (1, 4):
+        out = (epoch_shuffle(ray.data.from_arrow(t).repartition(parts),
+                             id_col="doc_id", epoch=3)
+               .to_pandas())
+        got = dict(zip(out["doc_id"], out["pos"]))
+        assert got == ref(3)
+    # positions form the exact permutation 1..n
+    assert sorted(got.values()) == list(range(1, n + 1))
+    # a different epoch is a different permutation
+    out2 = epoch_shuffle(ray.data.from_arrow(t), id_col="doc_id",
+                         epoch=4).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["pos"])) == ref(4) != got

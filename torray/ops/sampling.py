@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["hash_split", "sample_per_group", "filter_by_quantile",
-           "select_within_budget",
+           "select_within_budget", "epoch_shuffle",
            "sample_global_k", "stratified_split", "weighted_sample_k",
            "winsorize", "mix_sources"]
 
@@ -463,6 +463,68 @@ def select_within_budget(ds, *, score_col: str, cost_col: str,
             score_col: pa.array(v[keep], pa.float64()),
             cost_col: pa.array(c[keep], pa.int64()),
             "cum_cost": pa.array(cum[keep], pa.int64())})
+
+    return (tagged.groupby("__b")
+            .map_groups(scan_bucket, batch_format="pyarrow"))
+
+
+def epoch_shuffle(ds, *, id_col: str, epoch: int, salt: str = "v1"):
+    """Deterministic GLOBAL shuffle order for one training epoch:
+    ``(id, pos)`` with ``pos`` = 1-based position in
+    ``ORDER BY md5(salt || epoch || ':' || id), id`` — a different
+    but fully reproducible permutation per epoch, independent of
+    partitioning and cluster size (``ray.data.random_shuffle`` is
+    neither reproducible across cluster shapes nor SQL-checkable;
+    this is the md5-prefix trick of :func:`hash_split` extended to a
+    total order).
+
+    Shape: the md5 hex key's FIRST BYTE buckets rows uniformly by
+    construction (256 buckets, no quantile pass needed); per-bucket
+    counts fold to an O(256) driver prefix; ONE ``groupby(bucket)``
+    lexsorts each bucket and emits ``prefix + local position``.  The
+    shuffle carries (bucket, key, id) narrow rows only."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    prefix = f"{salt}{epoch}:"
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "__k": pa.array([], pa.string()),
+                "__b": pa.array([], pa.int64())})
+        ids = t.column(id_col).to_pylist()
+        keys = [hashlib.md5(f"{prefix}{i}".encode()).hexdigest()
+                for i in ids]
+        b = [int(k[:2], 16) for k in keys]
+        return pa.table({id_col: t.column(id_col),
+                         "__k": pa.array(keys, pa.string()),
+                         "__b": pa.array(b, pa.int64())})
+
+    tagged = ds.select_columns([id_col]).map_batches(
+        tag, batch_format="pyarrow").materialize()
+    counts = tagged.groupby("__b").aggregate(Count()).to_pandas()
+    per_bucket = np.zeros(256, np.int64)
+    if len(counts):
+        per_bucket[counts["__b"].to_numpy()] = \
+            counts["count()"].to_numpy()
+    prefix_rows = np.concatenate(
+        ([0], np.cumsum(per_bucket)[:-1]))
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        b = int(group.column("__b")[0].as_py())
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        keys = group.column("__k").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        pos = (prefix_rows[b] + 1
+               + np.arange(group.num_rows, dtype=np.int64))
+        return pa.table({id_col: pa.array(ids[order]),
+                         "pos": pa.array(pos, pa.int64())})
 
     return (tagged.groupby("__b")
             .map_groups(scan_bucket, batch_format="pyarrow"))
