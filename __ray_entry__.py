@@ -5718,6 +5718,53 @@ def _q_docs_epoch_shuffle(sf_dir: str):
         id_col="doc_id", epoch=2, salt="v1")
 
 
+def _q_docs_outlink_profile(sf_dir: str):
+    """Per-SOURCE outlink profile over the anchor-extraction pair
+    stream (same constructed pages as ``docs_anchor_summary``):
+    total links, distinct targets and distinct anchor texts per
+    source page — the outlink-spam diagnostic (pages repeating one
+    target/anchor score low diversity).  Reuses
+    ``ops.anchors.anchor_pairs`` + one Arrow distinct combiner +
+    ONE narrow groupby; oracle regenerates the pair stream."""
+    from ray.data.aggregate import Max, Sum
+
+    from torray.ops.anchors import anchor_pairs
+
+    pages = _anchor_pages(sf_dir)
+    pairs = anchor_pairs(pages)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "src": pa.array([], pa.string()),
+                "__n": pa.array([], pa.int64()),
+                "__d": pa.array([], pa.int64()),
+                "__a": pa.array([], pa.int64())})
+        g = (t.group_by("src").aggregate(
+            [([], "count_all"), ("dst", "count_distinct"),
+             ("anchor", "count_distinct")]))
+        return pa.table({
+            "src": g.column("src"),
+            "__n": g.column("count_all").cast(pa.int64()),
+            "__d": g.column("dst_count_distinct").cast(pa.int64()),
+            "__a": g.column("anchor_count_distinct").cast(pa.int64())})
+
+    # one page's anchors always share a block (pages are rows), so
+    # the per-block distinct counts are already per-src exact; the
+    # groupby folds duplicates of a src across blocks with MAX (a src
+    # appears in exactly one block -> max == the value)
+    out = (pairs.map_batches(combine, batch_format="pyarrow")
+           .groupby("src").aggregate(Sum("__n"), Max("__d"),
+                                     Max("__a")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "src": t.column("src"),
+            "n_links": t.column("sum(__n)").cast(pa.int64()),
+            "n_targets": t.column("max(__d)").cast(pa.int64()),
+            "n_anchors": t.column("max(__a)").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -5774,6 +5821,14 @@ def _q_docs_anchor_summary(sf_dir: str):
     rejection) AND the distributed fold are both on the hash."""
     from torray.ops.anchors import anchor_pairs, anchor_summary
 
+    return anchor_summary(anchor_pairs(_anchor_pages(sf_dir)))
+
+
+def _anchor_pages(sf_dir: str):
+    """The constructed anchor-bearing page set shared by
+    ``docs_anchor_summary`` and ``docs_outlink_profile`` (layout in
+    the former's docstring)."""
+
     def to_pages(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         dstr = pc.cast(pa.array(d, pa.int64()), pa.string())
@@ -5795,10 +5850,9 @@ def _q_docs_anchor_summary(sf_dir: str):
         return pa.table({"url": url,
                          "html": html.cast(pa.large_binary())})
 
-    pages = _read_f(sf_dir, "documents",
-                    columns=["doc_id"]).map_batches(
+    return _read_f(sf_dir, "documents",
+                   columns=["doc_id"]).map_batches(
         to_pages, batch_format="pyarrow")
-    return anchor_summary(anchor_pairs(pages))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -5996,6 +6050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_auc_by_segment": _q_events_auc_by_segment,
         "docs_budget_selection": _q_docs_budget_selection,
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,
+        "docs_outlink_profile": _q_docs_outlink_profile,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "docs_compression": _q_docs_compression,
         "parts_negative_edges": _q_parts_negative_edges,
@@ -8363,6 +8418,16 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # outlink profile: 3 anchors per constructed page; targets
+        # collapse when doc_id%97 == doc_id%31; anchors always 2
+        "docs_outlink_profile": (
+            "SELECT 'http://docs.example/' || "
+            "CAST(doc_id AS VARCHAR) AS src, "
+            "CAST(3 AS BIGINT) AS n_links, "
+            "CAST(CASE WHEN doc_id % 97 = doc_id % 31 THEN 1 ELSE 2 "
+            "END AS BIGINT) AS n_targets, "
+            "CAST(2 AS BIGINT) AS n_anchors FROM documents"
         ),
         # epoch shuffle: identical md5 key on both sides, id ties
         "docs_epoch_shuffle": (
