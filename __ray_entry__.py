@@ -5765,6 +5765,47 @@ def _q_docs_outlink_profile(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_parts_pagerank_weighted(sf_dir: str):
+    """WEIGHTED PageRank on the symmetrized part<->supplier graph —
+    edge weight = lineitem pair multiplicity (how often the pair
+    traded), contributions rank*w/out_weight
+    (``ops.graph.pagerank(weight=...)``).  Oracle unrolls 3 weighted
+    iterations with the same multiply/divide order."""
+    from torray.ops.graph import pagerank
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        p = pa.compute.multiply(t.column("l_partkey"), 2)
+        s = pa.compute.add(
+            pa.compute.multiply(t.column("l_suppkey").cast(pa.int64()),
+                                2), 1)
+        return pa.table({
+            "src": pa.concat_arrays(
+                [p.combine_chunks(), s.combine_chunks()]),
+            "dst": pa.concat_arrays(
+                [s.combine_chunks(), p.combine_chunks()])})
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["src", "dst"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"src": g.column("src"),
+                         "dst": g.column("dst"),
+                         "__n": g.column("count_all").cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+    edges = (li.map_batches(to_edges, batch_format="pyarrow")
+             .map_batches(fold, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Sum("__n")))
+    edges = edges.map_batches(
+        lambda t: pa.table({
+            "src": t.column("src"), "dst": t.column("dst"),
+            "w": t.column("sum(__n)").cast(pa.float64())}),
+        batch_format="pyarrow")
+    return pagerank(edges, iters=3, weight="w", num_partitions=2)
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -6051,6 +6092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_budget_selection": _q_docs_budget_selection,
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,
         "docs_outlink_profile": _q_docs_outlink_profile,
+        "parts_pagerank_weighted": _q_parts_pagerank_weighted,
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "docs_compression": _q_docs_compression,
         "parts_negative_edges": _q_parts_negative_edges,
@@ -8418,6 +8460,40 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY node ORDER BY n DESC, lab) = 1) "
             "SELECT l1.node, COALESCE(w2.lab, l1.lab) AS community "
             "FROM l1 LEFT JOIN w2 USING (node)"
+        ),
+        # weighted pagerank: edge weight = pair multiplicity;
+        # identical pr*w/wd operation order on both sides, e9-rounded
+        "parts_pagerank_weighted": (
+            "WITH e AS (SELECT l_partkey*2 AS src, "
+            "l_suppkey*2+1 AS dst, COUNT(*) AS w FROM lineitem "
+            "GROUP BY 1, 2 "
+            "UNION ALL SELECT l_suppkey*2+1, l_partkey*2, COUNT(*) "
+            "FROM lineitem GROUP BY 1, 2), "
+            "nodes AS (SELECT DISTINCT src AS node FROM e), "
+            "deg AS (SELECT src AS node, CAST(SUM(w) AS DOUBLE) "
+            "AS wd FROM e GROUP BY 1), "
+            "r0 AS (SELECT node, 1.0/(SELECT COUNT(*) FROM nodes) "
+            "AS pr FROM nodes), "
+            "r1 AS (SELECT n.node, (1-0.85)/(SELECT COUNT(*) FROM "
+            "nodes) + 0.85*COALESCE(s.m, 0) AS pr FROM nodes n "
+            "LEFT JOIN (SELECT e.dst AS node, "
+            "SUM(r0.pr * e.w / deg.wd) AS m FROM e "
+            "JOIN r0 ON e.src = r0.node JOIN deg ON deg.node = e.src "
+            "GROUP BY e.dst) s ON n.node = s.node), "
+            "r2 AS (SELECT n.node, (1-0.85)/(SELECT COUNT(*) FROM "
+            "nodes) + 0.85*COALESCE(s.m, 0) AS pr FROM nodes n "
+            "LEFT JOIN (SELECT e.dst AS node, "
+            "SUM(r1.pr * e.w / deg.wd) AS m FROM e "
+            "JOIN r1 ON e.src = r1.node JOIN deg ON deg.node = e.src "
+            "GROUP BY e.dst) s ON n.node = s.node), "
+            "r3 AS (SELECT n.node, (1-0.85)/(SELECT COUNT(*) FROM "
+            "nodes) + 0.85*COALESCE(s.m, 0) AS pr FROM nodes n "
+            "LEFT JOIN (SELECT e.dst AS node, "
+            "SUM(r2.pr * e.w / deg.wd) AS m FROM e "
+            "JOIN r2 ON e.src = r2.node JOIN deg ON deg.node = e.src "
+            "GROUP BY e.dst) s ON n.node = s.node) "
+            "SELECT node, CAST(ROUND(pr * 1e9) AS BIGINT) AS rank_e9 "
+            "FROM r3"
         ),
         # outlink profile: 3 anchors per constructed page; targets
         # collapse when doc_id%97 == doc_id%31; anchors always 2

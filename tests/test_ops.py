@@ -6700,3 +6700,38 @@ def test_epoch_shuffle_deterministic(ray_session):
     out2 = epoch_shuffle(ray.data.from_arrow(t), id_col="doc_id",
                          epoch=4).to_pandas()
     assert dict(zip(out2["doc_id"], out2["pos"])) == ref(4) != got
+
+
+def test_pagerank_weighted(ray_session):
+    import ray
+
+    from torray.ops.graph import pagerank
+
+    # weighted triangle with a heavy edge 1->2
+    edges = [(1, 2, 10.0), (1, 3, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+    t = pa.table({"src": pa.array([a for a, _, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b, _ in edges], pa.int64()),
+                  "w": pa.array([w for _, _, w in edges],
+                                pa.float64())})
+    nodes = [1, 2, 3]
+    r = {n: 1 / 3 for n in nodes}
+    wout = {1: 11.0, 2: 1.0, 3: 1.0}
+    for _ in range(3):
+        contrib = {n: 0.0 for n in nodes}
+        for a, b, w in edges:
+            contrib[b] += r[a] * w / wout[a]
+        r = {n: 0.15 / 3 + 0.85 * contrib[n] for n in nodes}
+    for parts in (1, 3):
+        out = pagerank(ray.data.from_arrow(t).repartition(parts),
+                       iters=3, weight="w",
+                       num_partitions=2).to_pandas()
+        got = dict(zip(out["node"], out["rank_e9"]))
+        for n in nodes:
+            assert abs(got[n] / 1e9 - r[n]) < 2e-9, n
+    # all-ones weights == unweighted, bit-identical
+    ones = t.set_column(2, "w", pa.array([1.0] * 4, pa.float64()))
+    a = pagerank(ray.data.from_arrow(ones), iters=3,
+                 weight="w").to_pandas().sort_values("node")
+    b = pagerank(ray.data.from_arrow(t.select(["src", "dst"])),
+                 iters=3).to_pandas().sort_values("node")
+    assert a["rank_e9"].tolist() == b["rank_e9"].tolist()

@@ -156,7 +156,8 @@ def connected_components(pairs_ds, *, id_a: str = "id_a",
 
 def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 3,
              num_partitions: int = 4, src: str = "src",
-             dst: str = "dst", scaled_int: bool = True):
+             dst: str = "dst", weight: str | None = None,
+             scaled_int: bool = True):
     """Power-iteration PageRank over a directed (src, dst) edge list.
 
     Returns ``(node, rank_e9)`` (rank scaled by 1e9, rounded to int64 —
@@ -164,6 +165,11 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 3,
     ``scaled_int=False``.  Exact dangling handling: rank mass sitting
     on nodes with no out-edges is redistributed uniformly each
     iteration, so ranks always sum to 1.
+
+    ``weight`` names an edge-weight column: contributions become
+    ``rank * w / out_weight(src)`` (link-count-weighted host ranking);
+    unweighted edges use w = 1.0 through the identical code path, so
+    the two modes are bit-identical where weights are all 1.
 
     Per iteration: one int64 join (edges x ranks on src) whose
     contribution rows are pre-combined per batch before the
@@ -175,11 +181,17 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 3,
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    edges = edges_ds.map_batches(
-        lambda t: pa.table({
+    def to_edges(t: pa.Table) -> pa.Table:
+        w = (t.column(weight).combine_chunks().cast(pa.float64())
+             if weight else
+             pa.array(np.ones(t.num_rows, np.float64), pa.float64()))
+        return pa.table({
             "src": t.column(src).combine_chunks().cast(pa.int64()),
-            "dst": t.column(dst).combine_chunks().cast(pa.int64())}),
-        batch_format="pyarrow").materialize()
+            "dst": t.column(dst).combine_chunks().cast(pa.int64()),
+            "w": w})
+
+    edges = edges_ds.map_batches(
+        to_edges, batch_format="pyarrow").materialize()
     if edges.count() == 0:
         return ray.data.from_arrow(
             _empty_int64_table(("node", "rank_e9")) if scaled_int else
@@ -196,8 +208,8 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 3,
                               batch_format="pyarrow").materialize()
     n = nodes.count()
 
-    deg = edges.groupby("src").aggregate(Count())
-    deg = _rename(deg, {"count()": "deg"}).materialize()
+    deg = edges.groupby("src").aggregate(Sum("w"))
+    deg = _rename(deg, {"sum(w)": "deg"}).materialize()
 
     # ranks: (node, rank) joined with out-degree once so the per-iter
     # join ships rank/deg in one row.
@@ -209,6 +221,7 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 3,
     def combine_contrib(t: pa.Table) -> pa.Table:
         d = t.column("dst").to_numpy(zero_copy_only=False)
         c = (t.column("rank").to_numpy(zero_copy_only=False)
+             * t.column("w").to_numpy(zero_copy_only=False)
              / t.column("deg").to_numpy(zero_copy_only=False))
         order = np.argsort(d, kind="stable")
         d, c = d[order], c[order]
@@ -1424,7 +1437,9 @@ def personalized_pagerank(edges_ds, seeds, *, damping: float = 0.85,
     edges = edges_ds.map_batches(
         lambda t: pa.table({
             "src": t.column(src).combine_chunks().cast(pa.int64()),
-            "dst": t.column(dst).combine_chunks().cast(pa.int64())}),
+            "dst": t.column(dst).combine_chunks().cast(pa.int64()),
+            "w": pa.array(np.ones(t.num_rows, np.float64),
+                          pa.float64())}),
         batch_format="pyarrow").materialize()
     if edges.count() == 0:
         return ray.data.from_arrow(pa.table({
@@ -1440,8 +1455,8 @@ def personalized_pagerank(edges_ds, seeds, *, damping: float = 0.85,
     nodes = nodes.map_batches(lambda t: t.select(["node"]),
                               batch_format="pyarrow").materialize()
 
-    deg = edges.groupby("src").aggregate(Count())
-    deg = _rename(deg, {"count()": "deg"}).materialize()
+    deg = edges.groupby("src").aggregate(Sum("w"))
+    deg = _rename(deg, {"sum(w)": "deg"}).materialize()
     ns = float(seed_arr.size)
 
     def v_of(node_col) -> np.ndarray:
@@ -1457,6 +1472,7 @@ def personalized_pagerank(edges_ds, seeds, *, damping: float = 0.85,
     def combine_contrib(t: pa.Table) -> pa.Table:
         d = t.column("dst").to_numpy(zero_copy_only=False)
         c = (t.column("rank").to_numpy(zero_copy_only=False)
+             * t.column("w").to_numpy(zero_copy_only=False)
              / t.column("deg").to_numpy(zero_copy_only=False))
         order = np.argsort(d, kind="stable")
         d, c = d[order], c[order]
