@@ -5806,6 +5806,47 @@ def _q_parts_pagerank_weighted(sf_dir: str):
     return pagerank(edges, iters=3, weight="w", num_partitions=2)
 
 
+def _q_docs_lang_confusion(sf_dir: str):
+    """Language-metadata reliability diagnostic: confusion counts of
+    DECLARED lang vs the n-gram/stopword lang-ID prediction
+    (``ops.text.lang_id``) — the standard check before trusting
+    either column for corpus slicing.  Rows-only: the predictor is a
+    heuristic with no SQL twin (its behavior is diff-tested in
+    pytest); the fold is one distinct-pair combiner + narrow
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from torray.ops.text import lang_id_batch
+
+    docs = _read_f(sf_dir, "documents",
+                   columns=["doc_id", "text", "lang"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "declared": pa.array([], pa.string()),
+                "predicted": pa.array([], pa.string()),
+                "__n": pa.array([], pa.int64())})
+        preds = lang_id_batch(t)  # row-aligned (doc_id, lang_pred)
+        g = (pa.table({"declared": t.column("lang"),
+                       "predicted": preds.column("lang_pred")})
+             .group_by(["declared", "predicted"])
+             .aggregate([([], "count_all")]))
+        return pa.table({
+            "declared": g.column("declared"),
+            "predicted": g.column("predicted"),
+            "__n": g.column("count_all").cast(pa.int64())})
+
+    out = (docs.map_batches(combine, batch_format="pyarrow")
+           .groupby(["declared", "predicted"]).aggregate(Sum("__n")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "declared": t.column("declared"),
+            "predicted": t.column("predicted"),
+            "n": t.column("sum(__n)").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_events_auc(sf_dir: str):
     """EXACT ROC AUC of the event value as a purchase-detector score
     — Mann–Whitney rank-sum with average-rank tie handling
@@ -6096,6 +6137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible; differentially tested in tests/)
         "docs_compression": _q_docs_compression,
         "parts_negative_edges": _q_parts_negative_edges,
+        "docs_lang_confusion": _q_docs_lang_confusion,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_cm_counts": _q_events_cm_counts,
         "events_quantiles_by_type_approx":
