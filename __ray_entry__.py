@@ -5488,8 +5488,9 @@ def _q_docs_harvest_corpus(sf_dir: str):
     """END-TO-END webtext harvest (``torray.pipelines
     .harvest_corpus``): robots rules block host h0, declared-language
     allowlist (en, fr), robots-noindex gate (doc_id%10==0 opt out),
-    canonical gate (doc_id%7==0 declares one; it is self only for
-    even ids), then HTML->text extraction — ONE pass over the page
+    canonical gate (doc_id%7==0 declares one; even ids declare a
+    RELATIVE self-canonical that must survive urljoin resolution,
+    odd ids an absolute non-self one), then HTML->text extraction — ONE pass over the page
     bytes for all gates + extraction.  The oracle restates the whole
     kept-set predicate and the expected text arithmetically, so the
     full composition is on one hash."""
@@ -5508,14 +5509,21 @@ def _q_docs_harvest_corpus(sf_dir: str):
             pa.array(d % 10 == 0),
             pa.scalar('<meta name="robots" content="noindex">'),
             pa.scalar(""))
-        canon_url = pc.binary_join_element_wise(
-            "http://h", host, ".example/",
-            pc.cast(pa.array(d - (d % 2), pa.int64()), pa.string()),
-            "")
+        # Even ids declare a RELATIVE self-canonical ("/{d}") — the
+        # gate must resolve it against the page url and keep the
+        # page; odd ids declare an absolute canonical pointing at
+        # d-1 (a different page) and are dropped.
+        canon_href = pc.if_else(
+            pa.array(d % 2 == 0),
+            pc.binary_join_element_wise("/", dstr, ""),
+            pc.binary_join_element_wise(
+                "http://h", host, ".example/",
+                pc.cast(pa.array(d - (d % 2), pa.int64()), pa.string()),
+                ""))
         canon = pc.if_else(
             pa.array(d % 7 == 0),
             pc.binary_join_element_wise(
-                '<link rel="canonical" href="', canon_url, '">', ""),
+                '<link rel="canonical" href="', canon_href, '">', ""),
             pa.scalar(""))
         html = pc.binary_join_element_wise(
             "<html", langs, "><head>", nidx, canon,

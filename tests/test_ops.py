@@ -6093,6 +6093,23 @@ Disallow:
         parse_robots("User-agent: *\nDisallow: /a/*.pdf")
 
 
+def test_parse_robots_empty_specific_group_is_allow_all():
+    """RFC 9309 2.2.1: the most specific matched group applies
+    EXCLUSIVELY — a specific-agent group whose only line is an empty
+    Disallow (the historic allow-all idiom) yields [] for that agent,
+    NOT the '*' group's rules."""
+    from torray.ops.policy import parse_robots
+
+    txt = ("User-agent: mybot\nDisallow:\n\n"
+           "User-agent: *\nDisallow: /private\n")
+    assert parse_robots(txt, agent="mybot") == []
+    assert parse_robots(txt, agent="other") == [("/private", False)]
+    # adjacent User-agent lines (no rule between) still merge into
+    # ONE group header, so both agents share the group's rules
+    txt2 = ("User-agent: mybot\nUser-agent: *\nDisallow: /p\n")
+    assert parse_robots(txt2, agent="mybot") == [("/p", False)]
+
+
 def test_robots_filter_longest_prefix_wins(ray_session):
     import ray
 
@@ -6429,6 +6446,40 @@ def test_harvest_corpus_gates(ray_session):
         "http://ok/3"]
 
 
+def test_harvest_canonical_resolves_relative_hrefs(ray_session):
+    """Relative self-canonicals (href="/p1") and scheme/host-case
+    variants must be urljoin-resolved against the page url before the
+    self-or-drop comparison — raw string equality would silently drop
+    every such valid page."""
+    import ray
+
+    from torray.pipelines import _canonical_is_self, harvest_corpus
+
+    assert _canonical_is_self("/p1", "http://h.example/p1")
+    assert _canonical_is_self("p1", "http://h.example/p1")
+    assert _canonical_is_self("HTTP://H.EXAMPLE/p1",
+                              "http://h.example/p1")
+    assert _canonical_is_self("http://h.example", "http://h.example/")
+    assert not _canonical_is_self("/p2", "http://h.example/p1")
+    assert not _canonical_is_self("http://other.example/p1",
+                                  "http://h.example/p1")
+
+    def page(canon, body):
+        return ("<html lang=\"en\"><head>"
+                f'<link rel="canonical" href="{canon}">'
+                f"</head><body><p>{body}</p></body></html>")
+
+    t = pa.table({"url": pa.array(["http://h.example/p1",
+                                   "http://h.example/p2",
+                                   "http://h.example/p3"]),
+                  "html": pa.array([page("/p1", "rel self"),
+                                    page("p2", "bare rel self"),
+                                    page("/other", "rel foreign")])})
+    out = harvest_corpus(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["url"]) == ["http://h.example/p1",
+                                  "http://h.example/p2"]
+
+
 def test_reciprocal_pairs(ray_session):
     import ray
 
@@ -6735,3 +6786,23 @@ def test_pagerank_weighted(ray_session):
     b = pagerank(ray.data.from_arrow(t.select(["src", "dst"])),
                  iters=3).to_pandas().sort_values("node")
     assert a["rank_e9"].tolist() == b["rank_e9"].tolist()
+
+
+def test_pagerank_rejects_bad_weights(ray_session):
+    """Zero/negative/null/NaN edge weights would poison the out-weight
+    denominator (deg <= 0 or NaN -> inf/NaN contributions silently
+    zeroed by nan_to_num, breaking ranks-sum-to-1) — the op must fail
+    loudly instead."""
+    import pytest as _pytest
+    import ray
+
+    from torray.ops.graph import pagerank
+
+    for bad in ([0.0, 1.0], [-1.0, 1.0], [float("nan"), 1.0],
+                [None, 1.0]):
+        t = pa.table({"src": pa.array([1, 2], pa.int64()),
+                      "dst": pa.array([2, 1], pa.int64()),
+                      "w": pa.array(bad, pa.float64())})
+        with _pytest.raises(Exception, match="finite, non-null"):
+            pagerank(ray.data.from_arrow(t), iters=1,
+                     weight="w").to_pandas()

@@ -1501,8 +1501,15 @@ def mirror_hosts(ds, *, host_col: str = "host", text_col: str = "text",
             return out_empty
         texts = t.column(text_col)
         h1 = fnv1a64_strings(texts)
+        # Independent second hash: PREFIX the sentinel.  A suffix
+        # would be ineffective — fnv1a64 is a streaming hash and the
+        # _mix64 finalizer is bijective, so two texts with equal h1
+        # share the FNV state at end-of-text and any common suffix
+        # keeps them colliding.  A differing *prefix* diverges the
+        # state from byte 0 (and changes the md5 input entirely on
+        # the long-text path), making h1/h2 genuinely independent.
         h2 = fnv1a64_strings(pc.binary_join_element_wise(
-            texts.cast(pa.string()), "\x01", ""))
+            pa.scalar("\x01"), texts.cast(pa.string()), ""))
         gid = fnv1a64_strings(t.column(host_col))
         tbl = pa.table({
             "h1": pa.array(h1.view(np.int64), pa.int64()),

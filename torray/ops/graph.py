@@ -182,9 +182,23 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 3,
     from ray.data.aggregate import Count, Sum
 
     def to_edges(t: pa.Table) -> pa.Table:
-        w = (t.column(weight).combine_chunks().cast(pa.float64())
-             if weight else
-             pa.array(np.ones(t.num_rows, np.float64), pa.float64()))
+        if weight:
+            w = t.column(weight).combine_chunks().cast(pa.float64())
+            # Guard the out-weight denominator: a zero/negative/null/
+            # NaN weight would make deg = Sum(w) <= 0 or NaN for its
+            # source, turning rank*w/deg into inf/NaN that
+            # nan_to_num would silently zero — breaking the
+            # ranks-sum-to-1 invariant this function documents.
+            # Weights are a caller contract; fail loudly per batch.
+            wn = w.to_numpy(zero_copy_only=False)
+            if w.null_count or not np.all(np.isfinite(wn)) \
+                    or np.any(wn <= 0.0):
+                raise ValueError(
+                    "pagerank: edge weights must be finite, non-null "
+                    "and > 0 (got a null/NaN/<=0 value in column "
+                    f"{weight!r})")
+        else:
+            w = pa.array(np.ones(t.num_rows, np.float64), pa.float64())
         return pa.table({
             "src": t.column(src).combine_chunks().cast(pa.int64()),
             "dst": t.column(dst).combine_chunks().cast(pa.int64()),

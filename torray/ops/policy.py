@@ -47,7 +47,9 @@ def parse_robots(text: str, *, agent: str = "*",
     for ``agent``: groups are runs of ``User-agent`` lines followed by
     rule lines; a group applies if it names ``agent`` exactly
     (case-insensitive) or ``*``; specific-agent groups override the
-    ``*`` group entirely (RFC 9309 §2.2.1).  ``base`` (e.g.
+    ``*`` group entirely (RFC 9309 §2.2.1) — including a
+    specific-agent group with NO rules, which yields an empty rule
+    list (allow all), never the ``*`` group's rules.  ``base`` (e.g.
     ``"http://h.onion"``) is prepended to every rule path so the
     output plugs straight into :func:`robots_filter` over full URLs.
     Empty ``Disallow:`` lines are ignored (historic allow-all idiom);
@@ -70,6 +72,14 @@ def parse_robots(text: str, *, agent: str = "*",
                 cur_agents = []
                 in_group_header = True
             cur_agents.append(val.lower())
+            # Track the match at HEADER time, not when a rule is
+            # appended: RFC 9309 §2.2.1 says the most specific
+            # matched group applies EXCLUSIVELY, so a specific-agent
+            # group with zero rules (or only empty Disallow lines)
+            # means allow-all for that agent — the '*' group must
+            # NOT leak through in that case.
+            if val.lower() == agent.lower():
+                saw_mine = True
             continue
         if key not in ("allow", "disallow"):
             continue  # crawl-delay / sitemap / unknown keys

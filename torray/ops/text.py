@@ -2029,9 +2029,13 @@ def vocab_overlap(docs_ds, *, group_col: str = "lang",
         import pyarrow.compute as _pc
 
         h1 = fnv1a64_strings(words)
-        # independent second hash: same fn over word + sentinel byte
+        # Independent second hash: sentinel byte PREFIXED (a suffix
+        # would collide whenever h1 collides — fnv1a64 is streaming
+        # and _mix64 is bijective, so equal end-of-word state plus a
+        # shared suffix stays equal; a differing prefix diverges the
+        # state from byte 0).
         h2 = fnv1a64_strings(_pc.binary_join_element_wise(
-            words, "\x01", ""))
+            pa.scalar("\x01"), words, ""))
         return pa.table({
             "h1": pa.array(h1.view(np.int64), pa.int64()),
             "h2": pa.array(h2.view(np.int64), pa.int64()),

@@ -27,6 +27,24 @@ __all__ = ["curate_documents", "corpus_from_crawl", "canonical_docs",
            "harvest_corpus"]
 
 
+def _canonical_is_self(href: str, page_url: str) -> bool:
+    """True when a ``<link rel=canonical>`` href denotes the page
+    itself: the href is resolved against the page url (RFC 3986
+    urljoin, so relative hrefs work) and compared component-wise with
+    case-folded scheme/host and '' == '/' path equivalence.  An
+    unparseable href counts as not-self (conservative: the publisher
+    declared SOMETHING other than a clean self-reference)."""
+    from urllib.parse import urljoin, urlsplit
+    try:
+        a = urlsplit(urljoin(page_url, href.strip()))
+        b = urlsplit(page_url)
+    except ValueError:
+        return False
+    return ((a.scheme.lower(), a.netloc.lower(), a.path or "/", a.query)
+            == (b.scheme.lower(), b.netloc.lower(), b.path or "/",
+                b.query))
+
+
 def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
                      min_quality: float = 0.25,
                      near_dup_threshold: float = 0.8,
@@ -304,7 +322,12 @@ def harvest_corpus(pages_ds, robots_rules=(), *,
             lang = _unquote(lm.group(1)) if lm else None
             if lang_set is not None and lang not in lang_set:
                 continue
-            # canonical gate: first declaration, must be self or absent
+            # canonical gate: first declaration, must be self or absent.
+            # The href is RESOLVED against the page url before the
+            # comparison — publishers routinely declare relative
+            # self-canonicals (href="/p1") and scheme/case variants,
+            # and a raw string-equality gate would silently drop
+            # every such valid page.
             canon = None
             for m in _LINK_TAG_RE.finditer(hb):
                 tag = m.group(0)
@@ -314,7 +337,7 @@ def harvest_corpus(pages_ds, robots_rules=(), *,
                 if hm:
                     canon = _unquote(hm.group(1))
                 break
-            if canon is not None and canon != u:
+            if canon is not None and not _canonical_is_self(canon, u):
                 continue
             urls_out.append(u)
             langs_out.append(lang)
