@@ -3725,8 +3725,10 @@ def _q_crawl_page_kcore(sf_dir: str):
     rings / nav clusters in a real crawl.  URLs hash to stable int64
     node ids with the vectorized FNV fold; ``ops.graph.kcore`` peels;
     the surviving (small) core broadcasts back against the id->url
-    map to return readable URLs.  Rows-only (peeling has no closed
-    SQL form); the peel itself is numpy-diff-tested in pytest."""
+    map to return readable URLs.  SQL-checked via a golden snapshot
+    (r5): the fixed seeded web makes the core a constant, pinned by
+    two bit-identical independent crawls (torray/_crawl_golden.py);
+    the peel itself is numpy-diff-tested in pytest."""
     from torray.ops.dedup import fnv1a64_strings
     from torray.ops.graph import kcore
     from torray.ops.join import broadcast_join
@@ -5818,10 +5820,10 @@ def _q_docs_lang_confusion(sf_dir: str):
     """Language-metadata reliability diagnostic: confusion counts of
     DECLARED lang vs the n-gram/stopword lang-ID prediction
     (``ops.text.lang_id``) — the standard check before trusting
-    either column for corpus slicing.  Rows-only: the predictor is a
-    heuristic with no SQL twin (its behavior is diff-tested in
-    pytest); the fold is one distinct-pair combiner + narrow
-    groupby."""
+    either column for corpus slicing.  SQL-checked (r5): the
+    stopword-profile predictor is restated exactly in DuckDB (same
+    RE2 word regex, integer hit counts, first-max tie-break); the
+    fold is one distinct-pair combiner + narrow groupby."""
     from ray.data.aggregate import Sum
 
     from torray.ops.text import lang_id_batch
@@ -6209,6 +6211,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from torray import _crawl_golden
+
+    # --- shared fragments for the lang-ID / quality restatements ---
+    # DuckDB and pyarrow both run RE2, and every float is produced by
+    # the same single-division / left-associated expression as the
+    # Ray kernels, so these oracles are BIT-exact (verified at sf0.01
+    # and sf0.1 during promotion), not tolerance matches.
+    _en = ("'the','and','of','to','a','in','is','that','it','for',"
+           "'was','with','his','this','are','you','not','be'")
+    _de = ("'der','die','und','das','ist','nicht','ein','mit','von',"
+           "'den','im','zu','sich','auf','es','ich'")
+    _fr = ("'le','la','les','et','des','est','une','dans','que',"
+           "'pour','qui','pas','sur','au','ce','il'")
+    _es = ("'el','la','los','las','y','es','una','en','que','por',"
+           "'con','para','del','se','no','un'")
+    # per-doc word list + stopword hit counts (the _score_lang fold)
+    _lang_hits = (
+        "WITH w AS (SELECT doc_id, lang, regexp_extract_all("
+        "lower(coalesce(text,'')), '[a-z'']+') AS ws FROM documents), "
+        "h AS (SELECT doc_id, lang, "
+        f"len(list_filter(ws, x -> x IN ({_en}))) AS h_en, "
+        f"len(list_filter(ws, x -> x IN ({_de}))) AS h_de, "
+        f"len(list_filter(ws, x -> x IN ({_fr}))) AS h_fr, "
+        f"len(list_filter(ws, x -> x IN ({_es}))) AS h_es FROM w)")
+    # first-maximum tie-break == _score_lang's dict-order argmax
+    _lang_case = (
+        "CASE WHEN greatest(h_en,h_de,h_fr,h_es) = 0 THEN 'und' "
+        "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
+        "WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' "
+        "WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END")
     return {
         "docs_by_lang": (
             "SELECT lang, count(*) AS n_docs, "
@@ -6223,6 +6255,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, "
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"
         ),
+        # stopword-profile language ID restated exactly: same RE2
+        # word regex, same integer hit counts, same first-max
+        # tie-break as ops.text._score_lang (r5 promotion)
+        "lang_id": (
+            _lang_hits + " SELECT doc_id, " + _lang_case
+            + " AS lang_pred FROM h"
+        ),
+        # declared-vs-predicted confusion matrix over the same
+        # restated predictor (r5 promotion)
+        "docs_lang_confusion": (
+            _lang_hits + " SELECT lang AS declared, " + _lang_case
+            + " AS predicted, count(*) AS n FROM h "
+            "GROUP BY lang, " + _lang_case
+        ),
+        # heuristic quality signals restated BIT-exactly: RE2
+        # char-class counts, single-division ratios, the same
+        # left-associated clip/weight composite (r5 promotion)
+        "quality_scores": (
+            "WITH c AS (SELECT doc_id, coalesce(text,'') AS t "
+            "FROM documents), "
+            "d AS (SELECT doc_id, length(t) AS n_chars, "
+            "CAST(length(t) - length(regexp_replace(t, '[^\\w\\s]', "
+            "'', 'g')) AS DOUBLE) AS np_, "
+            "CAST(length(t) - length(regexp_replace(t, '\\p{Lu}', "
+            "'', 'g')) AS DOUBLE) AS nu_, "
+            "regexp_extract_all(lower(t), '[a-z'']+') AS ws FROM c), "
+            "e AS (SELECT doc_id, n_chars, "
+            "np_ / CAST(greatest(n_chars,1) AS DOUBLE) AS punct_ratio, "
+            "nu_ / CAST(greatest(n_chars,1) AS DOUBLE) AS upper_ratio, "
+            "CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, "
+            f"x -> x IN ({_en}))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) "
+            "ELSE 0.0 END AS stopword_ratio, "
+            "CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform("
+            "ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) "
+            "ELSE 0.0 END AS mean_word_len FROM d) "
+            "SELECT doc_id, n_chars, punct_ratio, stopword_ratio, "
+            "upper_ratio, mean_word_len, "
+            "CASE WHEN n_chars = 0 THEN 0.0 ELSE "
+            "least(greatest(CAST(n_chars AS DOUBLE)/500.0, 0), 1) * 0.3 "
+            "+ least(greatest(1.0 - punct_ratio*4.0, 0), 1) * 0.2 "
+            "+ least(greatest(stopword_ratio*5.0, 0), 1) * 0.3 "
+            "+ least(greatest(1.0 - upper_ratio*3.0, 0), 1) * 0.2 END "
+            "AS quality FROM e"
+        ),
+        # crawl family: GOLDEN-SNAPSHOT oracles (r5 promotion).  The
+        # crawl runs over a FIXED deterministic synthetic web (800
+        # pages / 30 hosts / seed 42 — sf-independent), so outputs
+        # are constants; the snapshots were captured from two
+        # bit-identical independent fresh crawls whose ordering/seen
+        # set are certified vs the reference-twin simulator in
+        # tests/test_crawl.py.  See torray/_crawl_golden.py +
+        # tools/regen_crawl_golden.py.
+        "crawl_counts": _crawl_golden.CRAWL_COUNTS_SQL,
+        "crawl_bfs": _crawl_golden.CRAWL_BFS_SQL,
+        "crawl_domains": _crawl_golden.CRAWL_DOMAINS_SQL,
+        "crawl_link_graph": _crawl_golden.CRAWL_LINK_GRAPH_SQL,
+        "crawl_host_rank": _crawl_golden.CRAWL_HOST_RANK_SQL,
+        "crawl_seen": _crawl_golden.CRAWL_SEEN_SQL,
+        "crawl_page_kcore": _crawl_golden.CRAWL_PAGE_KCORE_SQL,
         "events_by_type": (
             "SELECT event_type, count(*) AS n, min(value) AS min_value, "
             "max(value) AS max_value, CAST(sum(user_id) AS BIGINT) AS "

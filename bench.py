@@ -6,6 +6,12 @@ Usage:
     python bench.py --scaling      # same job at num_cpus=8 and 32 in
                                    # fresh processes; reports both
                                    # throughputs + scaling efficiency
+    python bench.py --scaling --levels 2,8
+                                   # sub-bandwidth-knee pair (engine
+                                   # scaling without the shared box's
+                                   # memory-bandwidth ceiling); trials
+                                   # are load-gated and archived under
+                                   # bench_notes/
 
 Environment:
     GRAFT_SF_DIR    input tables dir (default /root/testdata/sf0.1)
@@ -1364,11 +1370,35 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str) -> dict:
-    """Same job, same input, fresh processes at N=8 and 4N=32 cpus.
-    docs_dedup rides along so the dedup family's scaling is evidenced
-    beside the crawl's (sec-ratio efficiency for rows with no urls/s
-    metric)."""
+def _wait_quiet(threshold: float, max_wait_s: float) -> float:
+    """Load-gate: block until the 1-min load average drops below
+    ``threshold`` (or ``max_wait_s`` elapses), so a scaling trial
+    doesn't start while the shared box is still digesting another
+    tenant's (or our own previous trial's) work.  Returns the load at
+    release — archived with the trial so every efficiency number
+    carries its measurement conditions."""
+    t0 = time.monotonic()
+    while True:
+        load = os.getloadavg()[0]
+        if load < threshold or time.monotonic() - t0 > max_wait_s:
+            return load
+        time.sleep(5.0)
+
+
+def run_scaling(sf_dir: str, levels: tuple[int, int] = (8, 32)) -> dict:
+    """Same job, same input, fresh processes at N=levels[0] and
+    levels[1] cpus.  docs_dedup rides along so the dedup family's
+    scaling is evidenced beside the crawl's (sec-ratio efficiency for
+    rows with no urls/s metric).
+
+    ``--levels 2,8`` exists because this box's memory bandwidth
+    saturates around 8 parse processes (measured by ``--ceiling``):
+    above the knee ANY engine is bandwidth-bound and per-core
+    throughput falls for hardware reasons, so the sub-knee pair is
+    the honest view of ENGINE (orchestration) scaling.  Trials are
+    load-gated (``TORRAY_LOAD_GATE``, default 1.0 one-minute load;
+    ``TORRAY_LOAD_WAIT`` max seconds, default 300) and every trial's
+    release-load rides in the output."""
     scaling_queries = ("scan_dedup", "crawl_bfs", "crawl_fat",
                        "docs_dedup")
     env_base = dict(os.environ)
@@ -1376,12 +1406,17 @@ def run_scaling(sf_dir: str) -> dict:
     # Scaling does its own per-level best-of-N; keep inner runs single.
     env_base["TORRAY_SUITE_TRIALS"] = "1"
     trials = int(os.environ.get("TORRAY_BENCH_TRIALS", "2"))
+    gate = float(os.environ.get("TORRAY_LOAD_GATE", "1.0"))
+    gate_wait = float(os.environ.get("TORRAY_LOAD_WAIT", "300"))
     results = {}
     distributions: dict[int, dict[str, list]] = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         best = None
         distributions[cpus] = {}
         for _trial in range(trials):
+            load = _wait_quiet(gate, gate_wait)
+            distributions[cpus].setdefault("_load_at_start", []).append(
+                round(load, 2))
             env = dict(env_base)
             env["RAY_GRAFT_CPUS"] = str(cpus)
             proc = subprocess.run(
@@ -1418,17 +1453,20 @@ def run_scaling(sf_dir: str) -> dict:
                     k: best["detail"][k].get("urls_per_s")
                     for k in scaling_queries if k in best["detail"]}
         results[cpus] = best
-    out = {"metric": "scaling efficiency N=8 -> 4N=32 cpus", "unit": "ratio",
-           "sf": _sf_of(sf_dir), "runs": results, "trials": distributions}
+    lo, hi = levels
+    factor = hi / lo
+    out = {"metric": f"scaling efficiency N={lo} -> {hi} cpus",
+           "unit": "ratio", "sf": _sf_of(sf_dir), "levels": [lo, hi],
+           "runs": results, "trials": distributions}
     eff = {}
     for name in scaling_queries:
-        d8 = results[8]["detail"][name]
-        d32 = results[32]["detail"][name]
-        if d8.get("urls_per_s"):
+        d_lo = results[lo]["detail"][name]
+        d_hi = results[hi]["detail"][name]
+        if d_lo.get("urls_per_s"):
             eff[name] = round(
-                (d32["urls_per_s"] / d8["urls_per_s"]) / 4.0, 3)
+                (d_hi["urls_per_s"] / d_lo["urls_per_s"]) / factor, 3)
         else:
-            eff[name] = round((d8["sec"] / d32["sec"]) / 4.0, 3)
+            eff[name] = round((d_lo["sec"] / d_hi["sec"]) / factor, 3)
     out["efficiency"] = eff
     out["value"] = eff.get("scan_dedup")
     return out
@@ -1479,7 +1517,23 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", _SF_DEFAULT)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        levels = (8, 32)
+        if "--levels" in sys.argv:
+            raw = sys.argv[sys.argv.index("--levels") + 1]
+            lo, hi = (int(x) for x in raw.split(","))
+            levels = (lo, hi)
+        res = run_scaling(sf_dir, levels)
+        # Archive the full trial record (distribution + release-loads)
+        # so every efficiency claim in BASELINE.md has raw evidence.
+        notes = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_notes")
+        if os.path.isdir(notes):
+            tag = time.strftime("%Y%m%d_%H%M%S")
+            path = os.path.join(
+                notes, f"scaling_{levels[0]}to{levels[1]}_{tag}.json")
+            with open(path, "w") as f:
+                json.dump(res, f, indent=1)
+        print(json.dumps(res))
     elif "--ceiling" in sys.argv:
         print(json.dumps(run_ceiling()))
     else:
