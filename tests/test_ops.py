@@ -1771,6 +1771,58 @@ def test_prefix_jaccard_equals_full_and_bounds_hot_grams(ray_session):
         assert (k, 300 + k) in set(zip(pb["id_a"], pb["id_b"]))
 
 
+def test_prefix_jaccard_regime_guard(ray_session):
+    """A no-df-tail corpus (every doc near-identical) defeats the
+    prefix filter; the guard must detect the degenerate candidate
+    bound and warn / raise / route per ``fallback`` — while leaving
+    a normal tailed corpus untouched."""
+    import pytest as _pytest
+    import ray
+
+    from torray.ops.dedup import prefix_jaccard_pairs
+
+    # 40 near-identical docs: every gram appears in every doc -> the
+    # df-based bound is ~n^2 * set_size, far above a tiny cap.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    t = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array([base] * 40)})
+    ds = ray.data.from_arrow(t).repartition(2)
+
+    with _pytest.warns(RuntimeWarning, match="candidate upper bound"):
+        out = prefix_jaccard_pairs(
+            ds, threshold=0.8, num_partitions=4,
+            max_candidate_pairs=100).to_pandas()
+    # warn still computes the EXACT result: C(40,2) identical pairs
+    assert len(out) == 40 * 39 // 2
+
+    with _pytest.raises(RuntimeError, match="candidate upper bound"):
+        prefix_jaccard_pairs(ds, threshold=0.8, num_partitions=4,
+                             max_candidate_pairs=100,
+                             fallback="error").to_pandas()
+
+    # minhash routing: identical docs have identical signatures, so
+    # the fallback still recovers every pair (recall 1.0 here)
+    routed = prefix_jaccard_pairs(
+        ds, threshold=0.8, num_partitions=4,
+        max_candidate_pairs=100, fallback="minhash").to_pandas()
+    assert len(routed) == 40 * 39 // 2
+
+    # a tailed corpus stays under the default cap: no warning
+    import warnings as _warnings
+
+    rng = np.random.RandomState(7)
+    tail = [" ".join(rng.choice(list("abcdefghijklmnop"), 30))
+            for _ in range(40)]
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(tail)})).repartition(2)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        prefix_jaccard_pairs(ds2, threshold=0.8,
+                             num_partitions=4).to_pandas()
+
+
 def test_exact_quantiles_drops_nan(ray_session):
     """NaN must be excluded like NULL (SQL aggregate semantics):
     median of {1,2,3,4,NaN,NaN} is 2.0, not 3.0 — NaNs previously

@@ -915,7 +915,9 @@ def ngram_containment_pairs(docs_ds, *, threshold: float = 0.8,
 
 def prefix_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
                          shingle_k: int = 3, text_col: str = "text",
-                         num_partitions: int = 64):
+                         num_partitions: int = 64,
+                         max_candidate_pairs: int | None = 50_000_000,
+                         fallback: str = "warn"):
     """EXACT n-gram Jaccard join with PPJoin-style PREFIX FILTERING
     (Chaudhuri et al. SSJoin '06 / Bayardo et al. WWW'07, public
     algorithm) — same output as :func:`ngram_jaccard_pairs`, but
@@ -945,6 +947,20 @@ def prefix_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
     The verify's pair emission is restricted to candidate pairs with
     a broadcast membership probe BEFORE the shuffle, so hot grams
     among candidate docs cost in-task compute, never shuffle rows.
+
+    REGIME GUARD: on a corpus with no document-frequency tail (every
+    gram hot — e.g. near-identical boilerplate docs) the prefix
+    filter cannot prune and candidate volume degenerates toward
+    O(n^2) — that cost is exact-join-INHERENT, not an implementation
+    defect (446 s at 100 k degenerate docs, measured).  Before
+    pairing, the op computes the free upper bound
+    ``sum_over_prefix_rows(df - 1) / 2`` from the df it already
+    carries; when it exceeds ``max_candidate_pairs``, ``fallback``
+    decides: ``"warn"`` (default) logs the measured bound and
+    proceeds, ``"error"`` raises, ``"minhash"`` routes to
+    :func:`minhash_lsh_dedup` at the same threshold (exact-verified
+    pairs, but probabilistic recall < 1 — the documented trade for a
+    bounded candidate stream), ``"none"`` disables the check.
     """
     import ray
     import ray.data
@@ -999,7 +1015,8 @@ def prefix_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
     def cut_prefix(group: pa.Table) -> pa.Table:
         empty = pa.table({"gram": pa.array([], pa.int64()),
                           "doc_id": pa.array([], pa.int64()),
-                          "set_size": pa.array([], pa.int64())})
+                          "set_size": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64())})
         if group.num_rows == 0:
             return empty
         d = group.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1014,14 +1031,57 @@ def prefix_jaccard_pairs(docs_ds, *, threshold: float = 0.8,
             starts, np.diff(np.append(starts, len(d_s))))
         plen = sz_s - np.ceil(threshold * sz_s).astype(np.int64) + 1
         keep = rank < plen
+        df_arr = group.column("df").to_numpy(
+            zero_copy_only=False)[order]
         return pa.table({
             "gram": pa.array(g_s[keep], pa.int64()),
             "doc_id": pa.array(d_s[keep], pa.int64()),
-            "set_size": pa.array(sz_s[keep], pa.int64())})
+            "set_size": pa.array(sz_s[keep], pa.int64()),
+            "df": pa.array(df_arr[keep], pa.int64())})
 
     prefix_rows = (with_df.map_batches(tag_doc, batch_format="pyarrow")
                    .groupby("__dpart")
                    .map_groups(cut_prefix, batch_format="pyarrow"))
+
+    # -- regime guard: candidate upper bound from the carried df
+    # (each prefix row can pair with at most df-1 docs; /2 for
+    # double counting).  Zero shuffle: one pass of per-block sums
+    # over the materialized narrow rows (materialized only when the
+    # guard is on, so it also feeds stage 4 without recompute).
+    if max_candidate_pairs is not None and fallback != "none":
+        prefix_rows = prefix_rows.materialize()
+        def bound_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"b": pa.array([0], pa.int64())})
+            df_np = t.column("df").to_numpy(zero_copy_only=False)
+            return pa.table({"b": pa.array(
+                [int((df_np - 1).sum())], pa.int64())})
+
+        bound = (prefix_rows.map_batches(
+            bound_partial, batch_format="pyarrow").sum("b") or 0) // 2
+        if bound > max_candidate_pairs:
+            msg = (
+                f"prefix_jaccard_pairs: candidate upper bound "
+                f"{bound:,} exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,} — the corpus has no df "
+                "tail, so the prefix filter cannot prune and the "
+                "exact join degenerates toward O(n^2) candidates")
+            if fallback == "error":
+                raise RuntimeError(msg)
+            if fallback == "minhash":
+                import logging
+                logging.getLogger(__name__).warning(
+                    "%s; routing to minhash_lsh_dedup (exact-verified "
+                    "pairs, probabilistic recall < 1)", msg)
+                return minhash_lsh_dedup(
+                    docs_ds, threshold=threshold, shingle_k=shingle_k,
+                    text_col=text_col,
+                    num_partitions=min(num_partitions, 8))
+            import warnings
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+
+    prefix_rows = prefix_rows.map_batches(
+        lambda t: t.drop_columns(["df"]), batch_format="pyarrow")
 
     # -- stage 4: candidates from prefix co-occurrence (exact by
     # lemma), with PPJoin's LENGTH filter vetting each candidate
