@@ -5604,6 +5604,94 @@ def test_zonemap_layout_prunes_and_loses_nothing(ray_session, tmp_path):
     assert set(ds0.schema().names) == {"k", "payload"}
 
 
+def test_zonemap_streams_huge_manifest(ray_session, tmp_path):
+    """At 100 TB the zone manifest is ~10^5-10^6 rows — above
+    driver_manifest_limit read_zonemap must scan it as a DATASET with
+    the overlap predicate pushed down instead of folding a file list
+    on the driver.  Synthesize a 100k-zone parquet manifest around a
+    real 10-file layout: the fake zones never overlap the query, so
+    only the real files are opened (they'd error if touched — the
+    files don't exist)."""
+    import os
+
+    import pyarrow.parquet as pqt
+    import ray
+
+    from torray.sinks import _ZONEMAP_PQ, read_zonemap, \
+        write_sorted_zonemap
+
+    rng = np.random.default_rng(22)
+    keys = rng.integers(0, 10_000, 4000)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "payload": pa.array([f"row-{i}" for i in range(4000)])})
+    root = str(tmp_path / "zm_big")
+    write_sorted_zonemap(
+        ray.data.from_arrow(t).repartition(10), root, "k")
+
+    real = pqt.read_table(os.path.join(root, _ZONEMAP_PQ))
+    n_fake = 100_000
+    # fake zones live far above every real key: pruned, never opened
+    fake = pa.table({
+        "file": pa.array([f"missing-{i}.parquet"
+                          for i in range(n_fake)]),
+        "lo": pa.array(
+            np.arange(n_fake, dtype=np.int64) * 10 + 1_000_000),
+        "hi": pa.array(
+            np.arange(n_fake, dtype=np.int64) * 10 + 1_000_005),
+        "rows": pa.array(np.full(n_fake, 1, np.int64)),
+        "key": pa.array(["k"] * n_fake)})
+    pqt.write_table(
+        pa.concat_tables([real.cast(fake.schema), fake]),
+        os.path.join(root, _ZONEMAP_PQ))
+
+    lo, hi = 2_000, 3_000
+    ds, files_read, files_total = read_zonemap(root, lo, hi)
+    assert files_total == n_fake + real.num_rows
+    assert 0 < files_read <= real.num_rows  # every fake zone pruned
+    got = sorted(ds.to_pandas()["payload"].tolist())
+    want = sorted(f"row-{i}" for i in range(4000)
+                  if lo <= keys[i] <= hi)
+    assert got == want
+
+    # column pruning flows through the streamed read tasks too
+    ds2, _, _ = read_zonemap(root, lo, hi, columns=["payload"])
+    assert ds2.schema().names == ["payload"]
+
+    # empty overlap on the streamed path keeps schema, opens nothing
+    ds0, n0, tot0 = read_zonemap(root, -50, -10)
+    assert n0 == 0 and tot0 == files_total and ds0.count() == 0
+
+
+def test_write_warc_manifest_streams(ray_session, tmp_path):
+    """write_warc streams its manifest to _manifest.parquet and can
+    hand it back as a Dataset (the ~10^5-segment path) — identical
+    content to the driver-list return."""
+    import os
+
+    import ray
+    import ray.data
+
+    from torray.warc import write_warc
+
+    ts = pa.array([1_700_000_000_000_000 + i * 1_000_000
+                   for i in range(40)], pa.timestamp("us"))
+    t = pa.table({
+        "url": pa.array([f"http://h{i % 4}.onion/p{i}"
+                         for i in range(40)]),
+        "warc_ts": ts,
+        "html": pa.array([f"<html>{i}</html>".encode()
+                          for i in range(40)], pa.large_binary())})
+    out = str(tmp_path / "warc_ds")
+    as_list = write_warc(ray.data.from_arrow(t).repartition(4), out)
+    as_ds = write_warc(ray.data.from_arrow(t).repartition(4), out,
+                       as_dataset=True)
+    assert isinstance(as_ds, ray.data.Dataset)
+    a = sorted((r["path"], r["records"]) for r in as_list)
+    b = sorted((r["path"], r["records"]) for r in as_ds.take_all())
+    assert a == b and sum(r for _, r in a) == 40
+    assert os.path.isdir(os.path.join(out, "_manifest.parquet"))
+
+
 def test_edge_embeddedness_matches_bruteforce(ray_session):
     import ray
 

@@ -137,6 +137,7 @@ def compact_parquet(in_path: str, out_dir: str, *,
 
 
 _ZONEMAP = "_zonemap.json"
+_ZONEMAP_PQ = "_zonemap.parquet"
 
 
 def write_sorted_zonemap(ds, out_dir: str, key: str) -> dict:
@@ -175,22 +176,77 @@ def write_sorted_zonemap(ds, out_dir: str, key: str) -> dict:
     manifest = {"key": key, "zones": zones}
     with open(os.path.join(out_dir, _ZONEMAP), "w") as f:
         json.dump(manifest, f)
+    # Parquet twin of the manifest: the SCALE representation.  At
+    # ~10^5-10^6 files the json would be a driver-side fold on every
+    # open; read_zonemap switches to a streamed scan over this table
+    # above its driver_manifest_limit.
+    zt = pa.Table.from_pylist(zones)
+    pq.write_table(zt.append_column(
+        "key", pa.array([key] * zt.num_rows, pa.string())),
+        os.path.join(out_dir, _ZONEMAP_PQ))
     return manifest
 
 
-def read_zonemap(root: str, lo, hi, *, columns=None):
+def read_zonemap(root: str, lo, hi, *, columns=None,
+                 driver_manifest_limit: int = 100_000):
     """Range scan over a :func:`write_sorted_zonemap` layout: prune
     to the files whose [zone lo, zone hi] overlaps [lo, hi] using the
     manifest alone, then read ONLY those files with the residual
     row filter pushed into the fragment scan.  Files without stats
     (``lo is None``) are never pruned.
 
+    Manifest handling is size-gated: up to ``driver_manifest_limit``
+    zones the manifest is a driver-side list (one small json read,
+    the precise fast path); above it — a 100 TB layout is ~10^5-10^6
+    files — the parquet manifest twin is scanned as a DATASET with
+    the overlap predicate pushed down, and the pruned zone rows fan
+    out to read tasks that open their own files: the file list never
+    materializes on the driver.
+
     Returns ``(dataset, files_read, files_total)`` so callers can
     assert the skipping actually happened."""
     import json
 
     import ray
+    import ray.data
     import pyarrow.dataset as pds
+
+    zpq = os.path.join(root, _ZONEMAP_PQ)
+    total = None
+    if os.path.exists(zpq):
+        total = pq.read_metadata(zpq).num_rows
+    if total is not None and total > driver_manifest_limit:
+        key = pq.read_table(zpq, columns=["key"]).column(
+            "key")[0].as_py()
+        overlap = (pds.field("lo").is_null()
+                   | ~((pds.field("hi") < lo) | (pds.field("lo") > hi)))
+        zones = ray.data.read_parquet(
+            zpq, columns=["file"], filter=overlap)
+        files_read = zones.count()
+        flt = (pds.field(key) >= lo) & (pds.field(key) <= hi)
+        if files_read == 0:
+            first = pq.read_table(
+                zpq, columns=["file"]).column("file")[0].as_py()
+            empty = pq.read_schema(
+                os.path.join(root, first)).empty_table()
+            if columns is not None:
+                empty = empty.select(list(columns))
+            return ray.data.from_arrow(empty), 0, total
+
+        def read_files(t: pa.Table) -> pa.Table:
+            tabs = []
+            for name in t.column("file").to_pylist():
+                frag = pds.dataset(os.path.join(root, name))
+                tabs.append(frag.to_table(
+                    filter=flt,
+                    columns=list(columns) if columns else None))
+            return pa.concat_tables(tabs)
+
+        # one read task per zone-row batch; file names stream from
+        # the manifest scan straight into the tasks
+        return (zones.map_batches(read_files, batch_format="pyarrow",
+                                  batch_size=64),
+                files_read, total)
 
     with open(os.path.join(root, _ZONEMAP)) as f:
         manifest = json.load(f)

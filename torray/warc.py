@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import gzip
 import hashlib
+import shutil
 import io
 import os
 import zlib
@@ -191,11 +192,20 @@ def read_warc(paths):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
-def write_warc(ds, out_dir: str, *, compress: bool = False) -> list[dict]:
+def write_warc(ds, out_dir: str, *, compress: bool = False,
+               as_dataset: bool = False):
     """WARC sink: one segment file per input block, named by the
     content hash of its first row (deterministic, resumable — an
     existing segment file of the same name is the same bytes and is
-    skipped).  Returns the manifest ``[{path, records}, ...]``."""
+    skipped).
+
+    The manifest is STREAMED to ``out_dir/_manifest.parquet`` (one
+    row per segment, written by Ray — never folded on the driver).
+    Returns the manifest ``[{path, records}, ...]`` as a driver list
+    by default (fine for bounded jobs), or — ``as_dataset=True``, the
+    100 TB path where segments number ~10^5-10^6 — as the manifest
+    Dataset read back from the parquet, so no file list ever
+    materializes driver-side."""
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 
@@ -219,4 +229,11 @@ def write_warc(ds, out_dir: str, *, compress: bool = False) -> list[dict]:
                          "records": pa.array([batch.num_rows], pa.int64())})
 
     manifest = ds.map_batches(write_block, batch_format="pyarrow")
-    return [r for r in manifest.take_all()]
+    mdir = os.path.join(out_dir, "_manifest.parquet")
+    shutil.rmtree(mdir, ignore_errors=True)
+    manifest.write_parquet(mdir)  # executes the sink; streamed rows
+    import ray.data
+    out = ray.data.read_parquet(mdir)
+    if as_dataset:
+        return out
+    return [r for r in out.take_all()]
