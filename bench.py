@@ -215,14 +215,25 @@ def bench_docs_dedup(sf_dir: str) -> dict:
     _warm_pool()
     _thread_safe_reads()
     path = os.path.join(sf_dir, "documents.parquet")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     t0 = time.monotonic()
-    with ThreadPoolExecutor(2) as ex:
-        f_exact = ex.submit(
-            lambda: exact_dedup(ray.data.read_parquet(path)).count())
-        f_near = ex.submit(
-            lambda: minhash_lsh_dedup(ray.data.read_parquet(path),
-                                      threshold=0.5).count())
-        n_groups, n_pairs = f_exact.result(), f_near.result()
+    if cpus >= 8:
+        with ThreadPoolExecutor(2) as ex:
+            f_exact = ex.submit(
+                lambda: exact_dedup(ray.data.read_parquet(path)).count())
+            f_near = ex.submit(
+                lambda: minhash_lsh_dedup(ray.data.read_parquet(path),
+                                          threshold=0.5).count())
+            n_groups, n_pairs = f_exact.result(), f_near.result()
+    else:
+        # Below 8 cpus two concurrent hash-shuffle DAGs starve each
+        # other's aggregator pools (observed deadlock at 2 cpus);
+        # run sequentially with partitioning sized to the session.
+        parts = max(2, cpus)
+        n_groups = exact_dedup(ray.data.read_parquet(path)).count()
+        n_pairs = minhash_lsh_dedup(ray.data.read_parquet(path),
+                                    threshold=0.5,
+                                    num_partitions=parts).count()
     wall = time.monotonic() - t0
     return {"sec": wall, "exact_groups": n_groups, "near_dup_pairs": n_pairs}
 

@@ -451,7 +451,8 @@ def test_query_cli(ray_session, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "docs_by_lang\tsql-checked" in out
-    assert "crawl_bfs\trows-only" in out
+    assert "crawl_bfs\tsql-checked" in out  # r5 golden promotion
+    assert "crawl_corpus\trows-only" in out
 
     dest = str(tmp_path / "out.parquet")
     rc = main(["query", "events_by_type",

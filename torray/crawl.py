@@ -359,12 +359,14 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
     import numpy as np
     import ray
 
+    my_node = ray.get_runtime_context().get_node_id()
     files = sorted(glob.glob(os.path.join(
         frontier_dir, f"shard-{shard_id:05d}-*.parquet")))
     if not files:
         return {"shard": shard_id, "frontier": 0, "selected": 0,
                 "deferred": 0, "results": 0, "requeued": 0, "chunks": 0,
-                "t_lookup": 0.0, "t_parse": 0.0, "t_rest": 0.0}
+                "t_lookup": 0.0, "t_parse": 0.0, "t_rest": 0.0,
+                "node_id": my_node}
     frontier = pa.concat_tables([pq.read_table(f) for f in files])
     selected, deferred = split_budget(frontier, budget)
 
@@ -416,7 +418,7 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
            "selected": selected.num_rows, "deferred": deferred.num_rows,
            "results": sum(c["results"] for c in chunk_stats),
            "requeued": sum(c["requeued"] for c in chunk_stats),
-           "chunks": len(chunk_stats)}
+           "chunks": len(chunk_stats), "node_id": my_node}
     for key in ("t_lookup", "t_parse", "t_rest"):
         out[key] = round(sum(c[key] for c in chunk_stats), 3)
     return out
@@ -463,6 +465,7 @@ class Crawler:
                        if cfg.seen_spill_threshold else None))
         self.metrics: list[dict] = []
         self._shard_task = None  # lazily-created ray.remote wrapper
+        self._shard_nodes = None  # actor node ids (placement pinning)
 
     # -- checkpoint helpers ---------------------------------------------
 
@@ -741,8 +744,25 @@ class Crawler:
 
         if self._shard_task is None:
             self._shard_task = ray.remote(num_cpus=1)(_process_shard_impl)
+        if self._shard_nodes is None:
+            # One-time placement probe: which node owns each seen
+            # shard (actors are SPREAD across the cluster).  Each
+            # round's shard task is then pinned to its actor's node
+            # with SOFT NodeAffinity — frontier reads, seen offers
+            # and finalize writes stay node-local; only the
+            # candidate pushes to OTHER shards cross the wire (the
+            # co-partitioned shuffle, irreducible by placement).
+            # Soft: a busy/dead node falls back to normal scheduling
+            # rather than stalling the round.
+            self._shard_nodes = ray.get(
+                [s.get_node_id.remote() for s in shard_actors])
+        from ray.util.scheduling_strategies import (
+            NodeAffinitySchedulingStrategy,
+        )
         rows = ray.get([
-            self._shard_task.remote(
+            self._shard_task.options(
+                scheduling_strategy=NodeAffinitySchedulingStrategy(
+                    node_id=self._shard_nodes[k], soft=True)).remote(
                 k, rnd, frontier_dir, nxt_dir, rdir, store, shard_actors,
                 num_shards, num_buckets, budget, scan_date, node,
                 cfg.max_retries, scan_chunk)
@@ -784,6 +804,12 @@ class Crawler:
             "t_parse": round(sum(r["t_parse"] for r in rows), 3),
             "t_rest": round(sum(r["t_rest"] for r in rows), 3),
             "chunks": sum(r["chunks"] for r in rows),
+            # Placement evidence: how many shard tasks landed on
+            # their seen-shard actor's node (soft affinity can miss
+            # under load; 100% on an idle cluster).
+            "placement_hits": sum(
+                1 for k, r in enumerate(rows)
+                if r.get("node_id") == self._shard_nodes[k]),
             "path": "sharded",
         }
         with open(os.path.join(rdir, "metrics.json"), "w") as f:

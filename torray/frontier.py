@@ -613,12 +613,21 @@ class SeenShardState:
 
 def make_seen_shards(num_shards: int, robots: dict[str, list[str]] | None,
                      max_inheap: int | None = None,
-                     spill_dir: str | None = None):
+                     spill_dir: str | None = None,
+                     spread_nodes: bool = True):
     """Spawn the seen-shard actor pool.  Robots rules are pre-split per
     shard so each actor holds only its hosts' rules (at 10^7-host scale
     this split would itself be a Dataset->per-shard write; here it is a
     driver-side dict split).  ``max_inheap``/``spill_dir`` enable the
-    bounded-memory exact layer (spill-to-Parquet runs)."""
+    bounded-memory exact layer (spill-to-Parquet runs).
+
+    ``spread_nodes`` (default) places the actors with Ray's SPREAD
+    strategy so on a multi-node cluster each node owns ~shards/nodes
+    of the seen set; the crawl round then pins each shard's scan task
+    to its actor's node (soft NodeAffinity — see
+    ``Crawler._run_round_sharded``), keeping frontier reads, seen
+    offers and finalize writes node-local.  Single-node behavior is
+    unchanged (SPREAD on one node is a no-op)."""
     import ray
 
     robots = robots or {}
@@ -627,6 +636,8 @@ def make_seen_shards(num_shards: int, robots: dict[str, list[str]] | None,
         per_shard[stable_hash(host) % num_shards][host] = rules
 
     shard_actor = ray.remote(num_cpus=0)(_SeenShardActor)
+    if spread_nodes:
+        shard_actor = shard_actor.options(scheduling_strategy="SPREAD")
     return [shard_actor.remote(i, per_shard[i], max_inheap, spill_dir)
             for i in range(num_shards)]
 
@@ -642,6 +653,12 @@ class _SeenShardActor:
         self.state = SeenShardState(shard_id, robots,
                                     max_inheap=max_inheap,
                                     spill_dir=spill_dir)
+
+    def get_node_id(self) -> str:
+        """Placement introspection: which node this shard lives on
+        (the crawl round pins each shard's scan task here)."""
+        import ray
+        return ray.get_runtime_context().get_node_id()
 
     def add_seeds(self, items):
         return self.state.add_seeds(items)
