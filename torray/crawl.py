@@ -322,7 +322,12 @@ def _scan_selected_impl(selected: pa.Table, shard_id: int, chunk_id: int,
         for t in np.unique(shards_np):
             sub = kept.filter(pa.array(shards_np == t)).drop_columns(
                 ["shard"])
-            pushes.append(shard_actors[int(t)].buffer_table.remote(sub))
+            # Tagged with the scan round: the pipelined loop overlaps
+            # round k's finalize with round k+1's scans, so this push
+            # may race a finalize on the target actor — the tag keeps
+            # it in round rnd's bin (see SeenShardState.buffer_table).
+            pushes.append(
+                shard_actors[int(t)].buffer_table.remote(sub, rnd))
     if pushes:
         ray.get(pushes)
     return {"results": scan.num_rows, "requeued": requeue.num_rows,
@@ -346,7 +351,7 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
                         nxt_dir: str, rdir: str, store, shard_actors,
                         num_shards: int, num_buckets: int, budget: int,
                         scan_date: str, node: str, max_retries: int,
-                        scan_chunk: int) -> dict:
+                        scan_chunk: int, accepted=None) -> dict:
     """One shard's share of a distributed round (see
     ``Crawler._run_round_sharded``): read own frontier files, politeness
     selection, write crawl-log / deferred shards, then scan — inline
@@ -355,19 +360,35 @@ def _process_shard_impl(shard_id: int, rnd: int, frontier_dir: str,
     parallelism; a blocked parent task releases its CPU while waiting).
     Runs as a plain Ray task: the round is a fixed fan-out of
     side-effecting workers, which raw tasks dispatch with less
-    per-round overhead than a Dataset execution."""
+    per-round overhead than a Dataset execution.
+
+    ``accepted``: in the pipelined round loop the previous round's
+    accepted frontier arrives as an in-memory table (an ObjectRef on
+    this shard's own node — the actor produced it there), NOT as a
+    parquet file: its checkpoint write is still in flight, overlapped
+    with this scan.  Deferred/retry files were written by the
+    previous round's scan tasks (complete before that round's
+    barrier), so they are read from disk as usual; the accepted file
+    is EXCLUDED from the glob to avoid double counting when the
+    overlapped write has already landed."""
     import numpy as np
     import ray
 
     my_node = ray.get_runtime_context().get_node_id()
     files = sorted(glob.glob(os.path.join(
         frontier_dir, f"shard-{shard_id:05d}-*.parquet")))
-    if not files:
+    tables = []
+    if accepted is not None:
+        files = [f for f in files if not f.endswith("-accepted.parquet")]
+        if accepted.num_rows:
+            tables.append(accepted)
+    if not files and not tables:
         return {"shard": shard_id, "frontier": 0, "selected": 0,
                 "deferred": 0, "results": 0, "requeued": 0, "chunks": 0,
                 "t_lookup": 0.0, "t_parse": 0.0, "t_rest": 0.0,
                 "node_id": my_node}
-    frontier = pa.concat_tables([pq.read_table(f) for f in files])
+    frontier = pa.concat_tables(
+        tables + [pq.read_table(f) for f in files])
     selected, deferred = split_budget(frontier, budget)
 
     log = selected.select(
@@ -466,6 +487,7 @@ class Crawler:
         self.metrics: list[dict] = []
         self._shard_task = None  # lazily-created ray.remote wrapper
         self._shard_nodes = None  # actor node ids (placement pinning)
+        self._pending_round = None  # pipelined round awaiting settle
 
     # -- checkpoint helpers ---------------------------------------------
 
@@ -655,6 +677,7 @@ class Crawler:
                 # of the reference's 'sleep' sentinel file
                 # (TorSpider.py:109-114); state is checkpointed, so a
                 # later run resumes exactly here.
+                self._settle_pending()
                 summary = {"rounds": rnd, "recrawl": False,
                            "stopped": True,
                            "seen": sum(ray.get(
@@ -669,6 +692,7 @@ class Crawler:
                 break
             rnd += 1
 
+        self._settle_pending()
         summary = {"rounds": rnd, "recrawl": recrawl_done}
         if cfg.recrawl and not recrawl_done:
             self._run_recrawl(rnd)
@@ -684,6 +708,7 @@ class Crawler:
         rdir = _round_dir(self.ckpt, rnd)
         frontier_in = known_in if known_in is not None else _frontier_count(rdir)
         if frontier_in == 0:
+            self._settle_pending()
             stats = {"round": rnd, "frontier_in": 0, "selected": 0,
                      "deferred": 0, "results": 0, "accepted": 0,
                      "requeued": 0, "frontier_out": 0, "wall_s": 0.0}
@@ -694,6 +719,10 @@ class Crawler:
             return stats
 
         if frontier_in <= cfg.small_round_threshold:
+            # The local path reads this round's frontier (incl. the
+            # accepted file) from DISK and offers synchronously —
+            # settle the pipelined predecessor first.
+            self._settle_pending()
             return self._run_round_local(rnd, frontier_in)
         return self._run_round_sharded(rnd, frontier_in)
 
@@ -742,6 +771,15 @@ class Crawler:
             cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
             scan_chunk = max(512, -(-frontier_in // (2 * cpus)))
 
+        # Pipelined handoff: if the previous round was sharded, its
+        # accepted frontier rides in as per-shard object refs (the
+        # checkpoint parquet write is still in flight, overlapped
+        # with this round's scans).
+        accepted_refs = None
+        if (self._pending_round is not None
+                and self._pending_round["rnd"] == rnd - 1):
+            accepted_refs = self._pending_round["accepted_refs"]
+
         if self._shard_task is None:
             self._shard_task = ray.remote(num_cpus=1)(_process_shard_impl)
         if self._shard_nodes is None:
@@ -759,15 +797,22 @@ class Crawler:
         from ray.util.scheduling_strategies import (
             NodeAffinitySchedulingStrategy,
         )
-        rows = ray.get([
+        row_refs = [
             self._shard_task.options(
                 scheduling_strategy=NodeAffinitySchedulingStrategy(
                     node_id=self._shard_nodes[k], soft=True)).remote(
                 k, rnd, frontier_dir, nxt_dir, rdir, store, shard_actors,
                 num_shards, num_buckets, budget, scan_date, node,
-                cfg.max_retries, scan_chunk)
+                cfg.max_retries, scan_chunk,
+                accepted_refs[k] if accepted_refs is not None else None)
             for k in range(num_shards)
-        ])
+        ]
+        # Settle the PREVIOUS round now that this round's scans are
+        # launched: wait out its overlapped checkpoint writes and
+        # stamp its metrics/_SUCCESS — all while the scans run, so
+        # the writes cost zero critical-path time.
+        self._settle_pending()
+        rows = ray.get(row_refs)
         t_scan = time.monotonic() - t0
         n_selected = sum(r["selected"] for r in rows)
         n_deferred = sum(r["deferred"] for r in rows)
@@ -776,14 +821,23 @@ class Crawler:
 
         delta_dir = os.path.join(rdir, "seen_delta")
         os.makedirs(delta_dir, exist_ok=True)
+        # Round boundary, split: finalize_round is the COMPUTE half
+        # (deterministic first-wins offer — the next round's true
+        # dependency); the accepted tables and checkpoint writes are
+        # launched behind it and settled during round rnd+1's scans.
         accepted_counts = ray.get([
-            shard_actors[k].finalize_to_parquet.remote(
-                rnd + 1,
-                os.path.join(nxt_dir, f"shard-{k:05d}-accepted.parquet"),
-                os.path.join(delta_dir, f"shard={k}.parquet"))
+            shard_actors[k].finalize_round.remote(rnd + 1, rnd)
             for k in range(num_shards)
         ])
         n_accepted = sum(accepted_counts)
+        next_accepted = [a.pending_accepted.remote()
+                         for a in shard_actors]
+        ckpt_refs = [
+            shard_actors[k].checkpoint_round.remote(
+                os.path.join(nxt_dir, f"shard-{k:05d}-accepted.parquet"),
+                os.path.join(delta_dir, f"shard={k}.parquet"))
+            for k in range(num_shards)
+        ]
 
         stats = {
             "round": rnd,
@@ -812,11 +866,31 @@ class Crawler:
                 if r.get("node_id") == self._shard_nodes[k]),
             "path": "sharded",
         }
-        with open(os.path.join(rdir, "metrics.json"), "w") as f:
-            json.dump(stats, f)
-        with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
-            f.write("")
+        # Defer this round's metrics/_SUCCESS behind its checkpoint
+        # refs; settled while round rnd+1 scans (or at run() exit).
+        self._pending_round = {
+            "rnd": rnd, "rdir": rdir, "stats": stats,
+            "accepted_refs": next_accepted, "ckpt_refs": ckpt_refs}
         return stats
+
+    def _settle_pending(self) -> None:
+        """Complete a pipelined round's deferred durability: wait out
+        its overlapped checkpoint writes, then stamp metrics.json and
+        _SUCCESS.  The marker-implies-durable resume invariant is
+        preserved because the marker is written strictly after the
+        writes land; a crash before settling simply re-runs the round
+        (deterministic, idempotent file names)."""
+        p = self._pending_round
+        if p is None:
+            return
+        self._pending_round = None
+        import ray
+
+        ray.get(p["ckpt_refs"])
+        with open(os.path.join(p["rdir"], "metrics.json"), "w") as f:
+            json.dump(p["stats"], f)
+        with open(os.path.join(p["rdir"], "_SUCCESS"), "w") as f:
+            f.write("")
 
     def _run_round_local(self, rnd: int, frontier_in: int) -> dict:
         """Driver-local round: identical schedule spec, plain Arrow +

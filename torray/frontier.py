@@ -489,25 +489,45 @@ class SeenShardState:
         self._buffer.extend(rows)
         return len(self._buffer)
 
-    def buffer_table(self, table: pa.Table) -> int:
+    def buffer_table(self, table: pa.Table, round_tag: int = -1) -> int:
         """Arrow-table variant of :meth:`buffer` — columns (url, host,
         path, parent_host, parent_round, parent_seq).  Pushing Arrow
         through the actor mailbox skips per-candidate Python tuple
-        pickling (the old hot spot on fat rounds)."""
-        if not hasattr(self, "_tbl_buffer"):
-            self._tbl_buffer: list[pa.Table] = []
-        self._tbl_buffer.append(table)
+        pickling (the old hot spot on fat rounds).
+
+        ``round_tag`` labels the SCAN ROUND that discovered these
+        candidates.  The pipelined round loop overlaps round k's
+        finalize/checkpoint with round k+1's scans, so a k+1 push can
+        reach this actor before (or while) round k finalizes — the
+        tag keeps each round's candidates in their own bin so
+        ``finalize(.., from_round=k)`` can never drain a k+1
+        candidate one round early (the ordering contract).  The
+        default tag (-1) preserves the untagged legacy behavior:
+        drained by any finalize."""
+        if not hasattr(self, "_tbl_buffers"):
+            self._tbl_buffers: dict[int, list[pa.Table]] = {}
+        self._tbl_buffers.setdefault(round_tag, []).append(table)
         return table.num_rows
 
-    def finalize(self, round_entered: int) -> list[tuple[str, str, int]]:
+    def finalize(self, round_entered: int,
+                 from_round: int | None = None
+                 ) -> list[tuple[str, str, int]]:
         """Sort buffered candidates by first-wins key, dedup per url,
         run the offer protocol, clear the buffers, return accepted
         (url, host, host_seq).  Deterministic regardless of buffer
         arrival order; idempotent against double-buffered duplicates
         (task retries) because first-wins dedup collapses them.
-        The sort+dedup is vectorized (lexsort + boundary mask)."""
-        tables = getattr(self, "_tbl_buffer", [])
-        self._tbl_buffer = []
+        The sort+dedup is vectorized (lexsort + boundary mask).
+
+        ``from_round`` drains ONLY that scan round's tagged bin (plus
+        the untagged legacy bin); ``None`` drains everything — only
+        correct when no later round's pushes can be in flight."""
+        bins = getattr(self, "_tbl_buffers", {})
+        if from_round is None:
+            tables = [t for k in sorted(bins) for t in bins[k]]
+            self._tbl_buffers = {}
+        else:
+            tables = bins.pop(-1, []) + bins.pop(from_round, [])
         buffered = getattr(self, "_buffer", [])
         self._buffer = []
         if buffered:
@@ -672,11 +692,11 @@ class _SeenShardActor:
     def buffer(self, rows):
         return self.state.buffer(rows)
 
-    def buffer_table(self, table):
-        return self.state.buffer_table(table)
+    def buffer_table(self, table, round_tag=-1):
+        return self.state.buffer_table(table, round_tag)
 
-    def finalize(self, round_entered):
-        return self.state.finalize(round_entered)
+    def finalize(self, round_entered, from_round=None):
+        return self.state.finalize(round_entered, from_round)
 
     def finalize_to_parquet(self, round_entered, path, delta_path=None):
         """Finalize and write this shard's accepted frontier file
@@ -693,6 +713,42 @@ class _SeenShardActor:
             if delta.num_rows:
                 _pq.write_table(delta, delta_path)
         return len(rows)
+
+    # -- pipelined-round protocol (compute / reads / writes split) -----
+
+    def finalize_round(self, round_entered, from_round):
+        """COMPUTE half of the round boundary: drain ``from_round``'s
+        tagged candidate bin, run the deterministic first-wins offer,
+        stash the accepted frontier table + seen delta for
+        :meth:`pending_accepted` / :meth:`checkpoint_round`, return
+        the accepted count.  No disk I/O — this is the only part of
+        the boundary the next round's scans must wait for."""
+        rows = self.state.finalize(round_entered, from_round)
+        self._pending_accepted = accepted_table(rows, round_entered)
+        self._pending_delta = self.state.drain_delta()
+        return len(rows)
+
+    def pending_accepted(self):
+        """The accepted frontier from the last :meth:`finalize_round`
+        — returned as an object-store table so the driver can pass
+        the REF straight into the next round's shard task (node-local
+        to this actor under the placement pinning) without the
+        parquet write/read round trip on the critical path."""
+        return self._pending_accepted
+
+    def checkpoint_round(self, path, delta_path):
+        """WRITE half of the round boundary (durability only): persist
+        the pending accepted frontier + seen delta.  Runs overlapped
+        with the next round's scans; the driver settles these refs
+        before writing the round's _SUCCESS marker, so the resume
+        invariant (marker => all files durable) is unchanged."""
+        import pyarrow.parquet as _pq
+
+        if self._pending_accepted.num_rows:
+            _pq.write_table(self._pending_accepted, path)
+        if delta_path is not None and self._pending_delta.num_rows:
+            _pq.write_table(self._pending_delta, delta_path)
+        return None
 
     def snapshot(self):
         return self.state.snapshot()
