@@ -1156,6 +1156,37 @@ def _q_emb_semantic_dedup(sf_dir: str):
                           threshold=0.45, train_sample=2048)
 
 
+def _q_docs_embed(sf_dir: str):
+    """Document ENCODER stage (``ops.similarity.HashedNgramEncoder``
+    actor pool — the GPU-model-shaped pattern with a deterministic
+    hashed-n-gram featurizer standing in for a checkpoint): documents
+    -> (vec_id, embedding list<float32>), unit-norm, embeddings-table
+    schema.  Rows-only: signed feature hashing over FNV word-n-gram
+    hashes has no SQL twin; determinism / batch-invariance /
+    reference-formula parity are pytest-certified."""
+    from torray.ops.similarity import encode_documents
+
+    return encode_documents(_read_f(sf_dir, "documents",
+                                    columns=["doc_id", "text"]),
+                            dim=64, concurrency=2)
+
+
+def _q_docs_embed_semdedup(sf_dir: str):
+    """The full text -> vector -> SemDeDup chain on the ENCODER's own
+    output (no precomputed embeddings): encode_documents feeds
+    semantic_dedup directly (schema-compatible), returning text
+    near-dup pairs discovered in embedding space.  Rows-only
+    (clustered + encoder featurizer); planted-pair recovery is
+    pytest-certified."""
+    from torray.ops.similarity import encode_documents, semantic_dedup
+
+    vecs = encode_documents(_read_f(sf_dir, "documents",
+                                    columns=["doc_id", "text"]),
+                            dim=64, concurrency=2)
+    return semantic_dedup(vecs, n_clusters=8, threshold=0.9,
+                          train_sample=2048)
+
+
 def _q_events_users_per_type(sf_dir: str):
     """Grouped approximate distinct: users per event type (HLL register
     rows through the groupby — bounded by groups x blocks; error bound
@@ -6154,6 +6185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_events_quantiles_by_type_approx,
         "events_users_per_type": _q_events_users_per_type,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "docs_embed": _q_docs_embed,
+        "docs_embed_semdedup": _q_docs_embed_semdedup,
         "docs_repetition": _q_docs_repetition,
         "events_approx_users": _q_events_approx_users,
         "emb_clusters": _q_emb_clusters,

@@ -6827,6 +6827,138 @@ def test_negative_edges_sampling(ray_session):
     assert list(zip(other["src"], other["dst"])) != outs[0]
 
 
+def test_hashed_ngram_encoder(ray_session):
+    """The GPU-model-shaped encoder stage: deterministic, batch/
+    partition-invariant, unit-norm, matches the reference formula
+    (signed feature hashing over shingle_hash_rows), and near-
+    identical texts land close in cosine while unrelated ones don't."""
+    import ray
+
+    from torray.ops.dedup import shingle_hash_rows
+    from torray.ops.similarity import (HashedNgramEncoder,
+                                       encode_documents)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the green forest tonight")
+    texts = [base,
+             base + " extra trailing words here",
+             "completely different content about numeric linear "
+             "algebra kernels and cache behavior on modern hardware"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(texts)})
+
+    outs = []
+    for parts in (1, 3):
+        df = (encode_documents(
+            ray.data.from_arrow(t).repartition(parts), dim=32,
+            concurrency=2).to_pandas()
+            .sort_values("vec_id", ignore_index=True))
+        outs.append(np.vstack(df["embedding"].to_numpy()))
+    assert np.array_equal(outs[0], outs[1])  # partition-invariant
+    mat = outs[0]
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-6)
+
+    # reference formula: recompute doc 1's vector directly
+    enc = HashedNgramEncoder(dim=32)
+    h, di, _ = shingle_hash_rows([texts[0]], 3)
+    ref = np.zeros(32, np.float32)
+    hx = h ^ enc.seed_mix
+    np.add.at(ref, (hx % np.uint64(32)).astype(np.int64),
+              np.where((hx >> np.uint64(63)).astype(bool), -1.0, 1.0))
+    ref = (ref / np.linalg.norm(ref)).astype(np.float32)
+    assert np.allclose(mat[0], ref, atol=1e-6)
+
+    # near-identical docs are cosine-close; unrelated are not
+    assert float(mat[0] @ mat[1]) > 0.8
+    assert float(mat[0] @ mat[2]) < 0.5
+
+
+def test_encoder_semdedup_chain(ray_session):
+    """text -> encoder -> SemDeDup end to end: a planted near-identical
+    pair is recovered from the encoder's own vectors; unrelated docs
+    pair with nothing."""
+    import ray
+
+    from torray.ops.similarity import encode_documents, semantic_dedup
+
+    rng = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "lam", "mu"]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    texts.append(texts[5] + " kappa")   # planted near-dup of doc 5
+    ids = list(range(30)) + [100]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    vecs = encode_documents(ray.data.from_arrow(t).repartition(3),
+                            dim=64, concurrency=2)
+    pairs = semantic_dedup(vecs, n_clusters=4, threshold=0.95,
+                           train_sample=64).to_pandas()
+    assert (5, 100) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_curate_documents_embed_dim(ray_session):
+    """curate_documents(embed_dim=...) appends the encoder stage:
+    same survivors, plus a unit-norm list<float32> embedding."""
+    import ray
+
+    from torray.pipelines import curate_documents
+
+    texts = [f"the quick brown fox number {i} jumps over the lazy "
+             f"dog in the field today" for i in range(40)]
+    t = pa.table({"doc_id": pa.array(list(range(40)), pa.int64()),
+                  "text": pa.array(texts)})
+    base = (curate_documents(ray.data.from_arrow(t), langs=None,
+                             min_quality=0.0, num_partitions=2)
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+    emb = (curate_documents(ray.data.from_arrow(t), langs=None,
+                            min_quality=0.0, num_partitions=2,
+                            embed_dim=16)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert sorted(emb.columns) == ["doc_id", "embedding", "lang_pred",
+                                   "quality", "split"]
+    assert emb["doc_id"].tolist() == base["doc_id"].tolist()
+    mat = np.vstack(emb["embedding"].to_numpy())
+    assert mat.shape == (len(emb), 16)
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-6)
+
+
+def test_negative_edges_partitioned_regime(ray_session):
+    """The >10^8-node path: draws and node rows co-shuffle on hashed
+    buckets and resolve per partition — NO driver-side node array.
+    Same contracts as broadcast: no true edges, no self-loops, <= k
+    per src, deterministic, partition-invariant."""
+    import ray
+
+    from torray.ops.graph import negative_edges
+
+    rng = np.random.RandomState(11)
+    edges = [(int(a), int(b)) for a, b in
+             rng.randint(0, 60, size=(150, 2)) if a != b]
+    t = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    true = set(edges)
+    outs = []
+    for parts in (1, 4):
+        out = (negative_edges(
+            ray.data.from_arrow(t).repartition(parts), k=4, seed=7,
+            method="partitioned")
+            .to_pandas().sort_values(["src", "dst"],
+                                     ignore_index=True))
+        pairs = list(zip(out["src"], out["dst"]))
+        assert not (set(pairs) & true)
+        assert all(a != b for a, b in pairs)
+        counts = out.groupby("src").size()
+        assert counts.max() <= 4 and len(counts) >= 40
+        outs.append(pairs)
+    assert outs[0] == outs[1]
+    # the auto switch: a tiny broadcast_limit routes to partitioned
+    auto = (negative_edges(ray.data.from_arrow(t), k=4, seed=7,
+                           broadcast_limit=10)
+            .to_pandas().sort_values(["src", "dst"],
+                                     ignore_index=True))
+    assert list(zip(auto["src"], auto["dst"])) == outs[0]
+
+
 def test_select_within_budget(ray_session):
     import ray
 

@@ -1757,23 +1757,38 @@ def reciprocal_pairs(edges_ds, *, src: str = "src", dst: str = "dst",
 
 def negative_edges(edges_ds, *, k: int = 5, seed: int = 1,
                    src: str = "src", dst: str = "dst",
-                   num_partitions: int = 4):
+                   num_partitions: int = 4,
+                   broadcast_limit: int = 100_000_000,
+                   method: str | None = None):
     """Deterministic NEGATIVE sampling for link-prediction training:
     for every distinct source node, up to ``k`` candidate
     non-neighbors drawn hash-uniformly from the observed node set —
     ``(src, dst)`` rows guaranteed absent from the input edge list
     (and never self-loops).  Candidates are ``_mix64(src, seed, i)``
-    indexes into the sorted node array, so the sample is a pure
-    function of (graph, seed): reruns and resumes reproduce it.
+    draws, so the sample is a pure function of (graph, seed): reruns
+    and resumes reproduce it.
 
-    Shape: the node array broadcasts once via ``ray.put`` (8 bytes a
-    node — fine to ~10^8 nodes; beyond that swap in range-partitioned
-    sampling, documented boundary); candidate generation is one numpy
-    pass per batch; the exactness vet is ONE distributed anti-join of
-    (src, dst) int64 rows against the true edges.  After collision
-    and neighbor removal a node may carry slightly fewer than ``k``
-    negatives — the standard contract (oversample ``k`` if exact
-    counts matter).
+    Two scale regimes, auto-selected by the distinct-node count
+    (``method`` pins ``"broadcast"`` / ``"partitioned"``):
+
+    - **broadcast** (<= ``broadcast_limit`` nodes, default 10^8): the
+      sorted node array broadcasts once via ``ray.put`` (8 bytes a
+      node); candidate generation is one numpy pass per batch.
+    - **partitioned** (beyond — no driver-side node array): each draw
+      routes by hash to one of ``num_partitions^2`` node buckets and
+      picks within the bucket by a second hash; draws and node rows
+      co-shuffle on the bucket id (ONE narrow int64 exchange) and a
+      per-partition run-scan resolves every draw against its bucket's
+      sorted node array.  Bucket sizes vary ~sqrt(n/buckets), so
+      per-node inclusion probability deviates from uniform by the
+      same factor — negligible for training negatives and
+      deterministic for a given (graph, seed, num_partitions).
+
+    The exactness vet is the same in both regimes: ONE distributed
+    anti-join of (src, dst) int64 rows against the true edges.  After
+    collision and neighbor removal a node may carry slightly fewer
+    than ``k`` negatives — the standard contract (oversample ``k`` if
+    exact counts matter).
     """
     import ray
     import ray.data
@@ -1796,29 +1811,133 @@ def negative_edges(edges_ds, *, k: int = 5, seed: int = 1,
         batch_format="pyarrow")
         .groupby("node").count()
         .map_batches(lambda t: t.select(["node"]),
-                     batch_format="pyarrow"))
-    nodes_sorted = np.sort(np.unique(
-        nodes_tbl.to_pandas()["node"].to_numpy().astype(np.int64)))
-    nodes_ref = ray.put(nodes_sorted)
+                     batch_format="pyarrow")).materialize()
 
-    def gen(t: pa.Table) -> pa.Table:
+    if method is None:
+        method = ("broadcast" if nodes_tbl.count() <= broadcast_limit
+                  else "partitioned")
+
+    if method == "broadcast":
+        nodes_sorted = np.sort(np.unique(
+            nodes_tbl.to_pandas()["node"].to_numpy().astype(np.int64)))
+        nodes_ref = ray.put(nodes_sorted)
+
+        def gen(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _empty_int64_table(("src", "dst"))
+            pool = ray.get(nodes_ref)
+            s = t.column("node").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            srcs = np.repeat(s, k)
+            i = np.tile(np.arange(k, dtype=np.int64), len(s))
+            key = (_mix64(srcs.astype(np.uint64))
+                   ^ _mix64((i + seed * 0x9E3779B9).astype(np.uint64)))
+            cand = pool[(key % np.uint64(len(pool))).astype(np.int64)]
+            keep = cand != srcs
+            pairs = pa.table({
+                "src": pa.array(srcs[keep], pa.int64()),
+                "dst": pa.array(cand[keep], pa.int64())})
+            # dedup repeated (src, dst) draws within the batch
+            return pairs.group_by(["src", "dst"]).aggregate([])
+
+        cands = nodes_tbl.map_batches(gen, batch_format="pyarrow")
+        return safe_join(cands, edges, "left_anti", num_partitions,
+                         on=("src", "dst"))
+
+    # -- partitioned regime: no driver-side node array ---------------
+    n_buckets = max(16, num_partitions * num_partitions)
+
+    def draw_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _empty_int64_table(("src", "dst"))
-        pool = ray.get(nodes_ref)
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "src": pa.array([], pa.int64()),
+                             "pick": pa.array([], pa.int64()),
+                             "is_node": pa.array([], pa.int8())})
         s = t.column("node").to_numpy(
             zero_copy_only=False).astype(np.int64)
         srcs = np.repeat(s, k)
         i = np.tile(np.arange(k, dtype=np.int64), len(s))
         key = (_mix64(srcs.astype(np.uint64))
                ^ _mix64((i + seed * 0x9E3779B9).astype(np.uint64)))
-        cand = pool[(key % np.uint64(len(pool))).astype(np.int64)]
-        keep = cand != srcs
+        b = (key % np.uint64(n_buckets)).astype(np.int64)
+        pick = _mix64(key).view(np.int64)
+        return pa.table({
+            "b": pa.array(b, pa.int64()),
+            "src": pa.array(srcs, pa.int64()),
+            "pick": pa.array(pick, pa.int64()),
+            "is_node": pa.array(np.zeros(len(srcs), np.int8),
+                                pa.int8())})
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "src": pa.array([], pa.int64()),
+                             "pick": pa.array([], pa.int64()),
+                             "is_node": pa.array([], pa.int8())})
+        v = t.column("node").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = (_mix64(v.astype(np.uint64))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "b": pa.array(b, pa.int64()),
+            "src": pa.array(v, pa.int64()),  # carries the node id
+            "pick": pa.array(np.zeros(len(v), np.int64), pa.int64()),
+            "is_node": pa.array(np.ones(len(v), np.int8), pa.int8())})
+
+    tagged = (nodes_tbl.map_batches(draw_rows, batch_format="pyarrow")
+              .union(nodes_tbl.map_batches(node_rows,
+                                           batch_format="pyarrow")))
+
+    def tag_part(t: pa.Table) -> pa.Table:
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        part = (_mix64(b.astype(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty_int64_table(("src", "dst"))
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        sv = group.column("src").to_numpy(zero_copy_only=False)
+        pk = group.column("pick").to_numpy(zero_copy_only=False)
+        isn = group.column("is_node").to_numpy(
+            zero_copy_only=False).astype(bool)
+        # one lexsort: within each bucket, node rows first (sorted by
+        # id — the bucket's deterministic pool), then draw rows
+        order = np.lexsort((sv, ~isn, b))
+        b_s, sv_s, pk_s, isn_s = b[order], sv[order], pk[order], isn[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        ends = np.r_[starts[1:], len(b_s)]
+        out_src, out_dst = [], []
+        for s0, e0 in zip(starts, ends):
+            nmask = isn_s[s0:e0]
+            pool = sv_s[s0:e0][nmask]  # sorted node ids (lexsort key)
+            if pool.size == 0:
+                continue
+            d_src = sv_s[s0:e0][~nmask]
+            d_pick = pk_s[s0:e0][~nmask]
+            if d_src.size == 0:
+                continue
+            cand = pool[(d_pick.view(np.uint64)
+                         % np.uint64(pool.size)).astype(np.int64)]
+            keep = cand != d_src
+            out_src.append(d_src[keep])
+            out_dst.append(cand[keep])
+        if not out_src:
+            return _empty_int64_table(("src", "dst"))
         pairs = pa.table({
-            "src": pa.array(srcs[keep], pa.int64()),
-            "dst": pa.array(cand[keep], pa.int64())})
-        # dedup repeated (src, dst) draws within the batch
+            "src": pa.array(np.concatenate(out_src), pa.int64()),
+            "dst": pa.array(np.concatenate(out_dst), pa.int64())})
         return pairs.group_by(["src", "dst"]).aggregate([])
 
-    cands = nodes_tbl.map_batches(gen, batch_format="pyarrow")
+    cands = (tagged.map_batches(tag_part, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(resolve, batch_format="pyarrow"))
+    # cross-partition duplicate draws collapse in the anti-join's
+    # grouped build side?  No — dedup explicitly: a (src, dst) pair
+    # can only repeat within one bucket, already deduped above, but
+    # the same pair may arise from two different buckets' pools.
+    cands = cands.groupby(["src", "dst"]).count().map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
     return safe_join(cands, edges, "left_anti", num_partitions,
                      on=("src", "dst"))

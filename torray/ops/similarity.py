@@ -30,7 +30,89 @@ import pyarrow.compute as pc
 __all__ = ["knn_bruteforce", "lsh_knn", "ivf_knn", "kmeans_cluster",
            "embedding_cosine_dedup", "embedding_cosine_dedup_lsh",
            "semantic_dedup", "group_centroids", "hard_negatives",
-           "pq_train", "pq_encode", "pq_knn", "pq_knn_rerank"]
+           "pq_train", "pq_encode", "pq_knn", "pq_knn_rerank",
+           "HashedNgramEncoder", "encode_documents"]
+
+
+class HashedNgramEncoder:
+    """Actor-pool DOCUMENT ENCODER — the GPU-model-shaped stage
+    pattern with a deterministic featurizer standing in for a model
+    checkpoint (this container has no torch; swapping ``__init__`` to
+    load a real encoder and ``__call__`` to run batched inference is
+    the one-for-one substitution).
+
+    Pattern contract (what a real model stage must do on Ray Data):
+    - ALL state builds ONCE per actor in ``__init__`` (here: the
+      per-dimension sign convention and compiled tokenizer come from
+      the seed; for a real model: checkpoint load + device move),
+      never per batch;
+    - ``__call__`` encodes one Arrow batch fully vectorized and emits
+      the vectors COLUMNAR (``list<float32>``, the ``embeddings``
+      table schema) so downstream ANN / SemDeDup stages consume them
+      zero-copy;
+    - batch size is the caller's memory knob (vectors are dim x 4
+      bytes a row; payload text never leaves the task).
+
+    Featurization: signed feature hashing (Weinberger et al. '09,
+    public recipe) over the DISTINCT word ``n``-gram hashes of
+    :func:`torray.ops.dedup.shingle_hash_rows` — slot ``h % dim``,
+    sign from bit 63 of ``h ^ seed_mix``, then L2 normalization.
+    Deterministic: a pure function of (text, dim, n, seed) —
+    identical across reruns, batch splits and cluster shapes."""
+
+    def __init__(self, dim: int = 64, n: int = 3, seed: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 out_col: str = "embedding"):
+        from torray.ops.dedup import _mix64
+
+        self.dim = int(dim)
+        self.n = int(n)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.out_col = out_col
+        # seed folded once here, not per batch
+        self.seed_mix = _mix64(np.uint64(
+            (seed * 0x9E3779B97F4A7C15) % (1 << 64)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from torray.ops.dedup import shingle_hash_rows
+
+        ids = batch.column(self.id_col).combine_chunks().cast(pa.int64())
+        texts = batch.column(self.text_col).to_pylist()
+        rows = len(texts)
+        mat = np.zeros((rows, self.dim), np.float32)
+        if rows:
+            h, di, _sz = shingle_hash_rows(texts, self.n)
+            if h.size:
+                hx = h ^ self.seed_mix
+                slot = (hx % np.uint64(self.dim)).astype(np.int64)
+                sign = np.where((hx >> np.uint64(63)).astype(bool),
+                                np.float32(-1.0), np.float32(1.0))
+                np.add.at(mat, (di, slot), sign)
+            mat = _normalize(mat.astype(np.float64)).astype(np.float32)
+        vecs = pa.ListArray.from_arrays(
+            pa.array(np.arange(rows + 1, dtype=np.int32) * self.dim,
+                     pa.int32()),
+            pa.array(mat.ravel(), pa.float32()))
+        return pa.table({"vec_id": ids, self.out_col: vecs})
+
+
+def encode_documents(docs_ds, *, dim: int = 64, n: int = 3,
+                     seed: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id", concurrency: int = 4,
+                     batch_size: int = 256):
+    """Documents -> ``(vec_id, embedding)`` via a
+    :class:`HashedNgramEncoder` ACTOR POOL (``concurrency`` actors,
+    state built once each; ``batch_size`` bounds per-actor working
+    set).  Output matches the ``embeddings`` table schema, so every
+    ANN / dedup / clustering op in this module runs on it directly —
+    the full text->vector->SemDeDup chain with no driver hop."""
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        HashedNgramEncoder,
+        fn_constructor_kwargs={"dim": dim, "n": n, "seed": seed,
+                               "text_col": text_col, "id_col": id_col},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:

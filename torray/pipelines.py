@@ -27,6 +27,27 @@ __all__ = ["curate_documents", "corpus_from_crawl", "canonical_docs",
            "harvest_corpus"]
 
 
+class _CurateEncoderStage:
+    """Actor-pool shell around
+    :class:`torray.ops.similarity.HashedNgramEncoder` for the
+    curation chain: encodes each batch's text and passes the curation
+    columns through with the vector appended (text dropped)."""
+
+    def __init__(self, dim: int):
+        from torray.ops.similarity import HashedNgramEncoder
+
+        self.enc = HashedNgramEncoder(dim=dim)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vecs = self.enc(t)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang_pred": t.column("lang_pred"),
+            "quality": t.column("quality"),
+            "split": t.column("split"),
+            "embedding": vecs.column("embedding")})
+
+
 def _canonical_is_self(href: str, page_url: str) -> bool:
     """True when a ``<link rel=canonical>`` href denotes the page
     itself: the href is resolved against the page url (RFC 3986
@@ -49,13 +70,21 @@ def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
                      min_quality: float = 0.25,
                      near_dup_threshold: float = 0.8,
                      test_frac: float = 0.1, salt: str = "v1",
-                     num_partitions: int = 8):
+                     num_partitions: int = 8,
+                     embed_dim: int | None = None):
     """Returns a Dataset of surviving documents with columns
-    (doc_id, lang_pred, quality, split).
+    (doc_id, lang_pred, quality, split) — plus ``embedding``
+    (list<float32>) when ``embed_dim`` is set.
 
     ``langs=None`` disables the language filter.  Near-dup removal
     keeps the smaller doc_id of every verified pair (the canonical
-    keeper rule, matching exact dedup)."""
+    keeper rule, matching exact dedup).
+
+    ``embed_dim`` switches on the ENCODER stage
+    (:class:`torray.ops.similarity.HashedNgramEncoder` actor pool —
+    the GPU-model-shaped slot): survivors are encoded from the text
+    they still carry at that point in the chain, vectors ride out
+    columnar, and the SemDeDup family consumes the output directly."""
     import hashlib
 
     import ray.data
@@ -133,9 +162,23 @@ def curate_documents(docs_ds, *, langs: tuple[str, ...] | None = ("en",),
             batch_format="pyarrow")
 
     out = hash_split(survivors, "doc_id", test_frac=test_frac, salt=salt)
+    if embed_dim is None:
+        return out.map_batches(
+            lambda t: t.select(["doc_id", "lang_pred", "quality",
+                                "split"]),
+            batch_format="pyarrow")
+
+    # Encoder stage (actor pool, model state once per actor):
+    # survivors still carry text here — encode, then drop the text so
+    # only narrow rows + dim x 4 byte vectors leave the stage.
     return out.map_batches(
-        lambda t: t.select(["doc_id", "lang_pred", "quality", "split"]),
-        batch_format="pyarrow")
+        lambda t: t.select(["doc_id", "text", "lang_pred", "quality",
+                            "split"]),
+        batch_format="pyarrow"
+    ).map_batches(
+        _CurateEncoderStage,
+        fn_constructor_kwargs={"dim": embed_dim},
+        concurrency=2, batch_size=256, batch_format="pyarrow")
 
 
 def corpus_from_crawl(pages_ds, seen_ds, *, url_col: str = "url",
