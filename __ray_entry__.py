@@ -1190,11 +1190,25 @@ def _q_docs_embed_semdedup(sf_dir: str):
 def _q_events_users_per_type(sf_dir: str):
     """Grouped approximate distinct: users per event type (HLL register
     rows through the groupby — bounded by groups x blocks; error bound
-    test-verified in tests/)."""
+    test-verified in tests/).  Rows-only by construction; the EXACT
+    twin ``events_users_per_type_exact`` is SQL-hash-checked."""
     from torray.ops.sketch import approx_distinct_by
 
     return approx_distinct_by(_read(sf_dir, "events"), "event_type",
                               "user_id", b=12, out_col="approx_users")
+
+
+def _q_events_users_per_type_exact(sf_dir: str):
+    """EXACT distinct users per event type
+    (``ops.sketch.exact_distinct_by``: per-block distinct-pair
+    combiners, one coarse-partition shuffle, C++ two-level group_by
+    per partition) — the SQL-checkable twin of the HLL query."""
+    from torray.ops.sketch import exact_distinct_by
+
+    return exact_distinct_by(
+        _read_f(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id", out_col="n_users",
+        num_partitions=8)
 
 
 def _q_emb_clusters(sf_dir: str):
@@ -6184,6 +6198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_by_type_approx":
             _q_events_quantiles_by_type_approx,
         "events_users_per_type": _q_events_users_per_type,
+        "events_users_per_type_exact": _q_events_users_per_type_exact,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_embed": _q_docs_embed,
         "docs_embed_semdedup": _q_docs_embed_semdedup,
@@ -6331,6 +6346,12 @@ def oracle_sql() -> dict[str, str]:
             "+ least(greatest(stopword_ratio*5.0, 0), 1) * 0.3 "
             "+ least(greatest(1.0 - upper_ratio*3.0, 0), 1) * 0.2 END "
             "AS quality FROM e"
+        ),
+        # exact grouped COUNT(DISTINCT) — the SQL twin of the HLL
+        # events_users_per_type (r5)
+        "events_users_per_type_exact": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS "
+            "BIGINT) AS n_users FROM events GROUP BY event_type"
         ),
         # crawl family: GOLDEN-SNAPSHOT oracles (r5 promotion).  The
         # crawl runs over a FIXED deterministic synthetic web (800
