@@ -6827,6 +6827,29 @@ def test_negative_edges_sampling(ray_session):
     assert list(zip(other["src"], other["dst"])) != outs[0]
 
 
+def test_kmeans_centroids_block_order_invariant(ray_session):
+    """Centroid training must be a pure function of the sample SET:
+    blocks arrive in executor-finish order, and position-seeded
+    rng.choice would otherwise train different centroids per
+    execution (observed under SplitBlocks reordering)."""
+    import ray
+
+    from torray.ops.similarity import _train_centroids
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(300, 8).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    rev = t.take(pa.array(np.arange(299, -1, -1), pa.int64()))
+    c1 = _train_centroids(ray.data.from_arrow(t).repartition(4),
+                          4, 1024, 5, "embedding", 17)
+    c2 = _train_centroids(ray.data.from_arrow(rev).repartition(7),
+                          4, 1024, 5, "embedding", 17)
+    assert np.array_equal(c1, c2)
+
+
 def test_hashed_ngram_encoder(ray_session):
     """The GPU-model-shaped encoder stage: deterministic, batch/
     partition-invariant, unit-norm, matches the reference formula

@@ -350,6 +350,14 @@ def _train_centroids(emb_ds, n_clusters: int, train_sample: int,
         return np.empty((0, 0), np.float64)
     sample_tbl = pa.concat_tables(parts)
     sample = _normalize(_batch_matrix(sample_tbl, vec_col))
+    # Canonicalize the sample ORDER before seeding: blocks arrive in
+    # whatever order the streaming executor finished them, and
+    # rng.choice picks by POSITION — without this sort two executions
+    # of the same lineage could train different centroids (observed:
+    # a SplitBlocks(16) read reordered the sample between passes).
+    # Sorting by row bytes makes the centroids a pure function of the
+    # sample SET.
+    sample = sample[np.lexsort(sample.T[::-1])]
     rng = np.random.RandomState(seed)
     n_clusters = min(n_clusters, len(sample))
     centroids = sample[rng.choice(len(sample), n_clusters, replace=False)]
@@ -365,7 +373,8 @@ def _train_centroids(emb_ds, n_clusters: int, train_sample: int,
 
 def kmeans_cluster(emb_ds, n_clusters: int = 16, train_sample: int = 4096,
                    iters: int = 10, vec_col: str = "embedding",
-                   id_col: str = "vec_id", seed: int = 17):
+                   id_col: str = "vec_id", seed: int = 17,
+                   return_centroids: bool = False):
     """Semantic clustering of an embedding corpus -> (vec_id, cluster,
     sim) — cosine similarity to the assigned centroid included (the
     SemDeDup-style signal: within-cluster near-centroid duplicates).
@@ -395,8 +404,12 @@ def kmeans_cluster(emb_ds, n_clusters: int = 16, train_sample: int = 4096,
                             pa.float64()),
         })
 
-    return emb_ds.select_columns([id_col, vec_col]).map_batches(
+    out = emb_ds.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow")
+    # return_centroids: hand back the trained quantizer alongside the
+    # assignment so invariant checks / encode-then-search callers use
+    # EXACTLY the centroids this execution assigned against.
+    return (out, centroids) if return_centroids else out
 
 
 def semantic_dedup(emb_ds, *, n_clusters: int = 16,
